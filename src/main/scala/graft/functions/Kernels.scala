@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** JVM kernels for the hash-heavy document operators, exposed as Scala UDFs.
+  *
+  * The pure-`Column` formulations in [[text]] are kept for the SQL surface
+  * and as the semantic spec, but Spark evaluates higher-order functions
+  * (transform/aggregate/zip_with) interpreted — measured ~10µs per lambda
+  * step, which puts a 300-shingle doc at ~15ms per pass. These UDFs compute
+  * the exact same md5-derived values (bit-for-bit — the DuckDB oracles keep
+  * matching) in tight JVM loops. Preference order per SURVEY.md §4: native
+  * codegen Expression > Scala UDF > interpreted HOF chain; UDF is the
+  * pragmatic middle until a doGenCode Expression is warranted.
+  */
+object Kernels {
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex md5 — identical to Spark's md5() / DuckDB's md5(). */
+  def md5Hex(s: String): String = {
+    val dig = mdLocal.get()
+    dig.reset()
+    val bytes = dig.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** First 7 hex chars of md5 as a 28-bit non-negative long
+    * (== text.shingleHash28 / oracle CAST(concat('0x', substr(md5(x),1,7)))). */
+  def hash28(s: String): Long = {
+    val dig = mdLocal.get()
+    dig.reset()
+    val b = dig.digest(s.getBytes("UTF-8"))
+    ((b(0) & 0xffL) << 20) | ((b(1) & 0xffL) << 12) | ((b(2) & 0xffL) << 4) | ((b(3) & 0xf0L) >> 4)
+  }
+
+  /** First 15 hex chars of md5 as a 60-bit non-negative long
+    * (== text.hash60 without the seed suffix handling — pass the suffixed
+    * string). */
+  def hash60(s: String): Long = {
+    val dig = mdLocal.get()
+    dig.reset()
+    val b = dig.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    (v << 4) | ((b(7) & 0xf0L) >> 4)
+  }
+
+  /** Whitespace tokens — same as Spark split(col, "\\s+"). */
+  def tokenize(text: String): Array[String] = text.split("\\s+", -1)
+
+  /** Distinct word n-gram shingles, first-seen order. */
+  def shingleSet(toks: Array[String], n: Int): java.util.LinkedHashSet[String] = {
+    val set = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      set.add(sb.toString)
+      i += 1
+    }
+    set
+  }
+
+  /** MinHash signature over distinct n-gram shingles: min over shingles of
+    * ((31j+97)*hash28 + 907j+13) % 1000000007 per seed j; Long.MaxValue
+    * sentinels for docs with < n tokens. == text.minhashSignature. */
+  def minhashSig(text: String, k: Int, n: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val it = shingleSet(tokenize(text), n).iterator()
+    while (it.hasNext) {
+      val h = hash28(it.next())
+      var j = 0
+      while (j < k) {
+        val v = ((31L * j + 97L) * h + 907L * j + 13L) % 1000000007L
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+    }
+    sig
+  }
+
+  /** SimHash fingerprint (frequency-weighted tokens, 60-bit token hash with
+    * '#sh' suffix). == text.simhash. */
+  def simhashFp(text: String, bits: Int): Long = {
+    val votes = new Array[Int](bits)
+    val toks = tokenize(text)
+    var i = 0
+    while (i < toks.length) {
+      val h = hash60(toks(i) + "#sh")
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  /** Distinct n-gram shingles as an array column value. */
+  def shingleArr(text: String, n: Int): Array[String] = {
+    val set = shingleSet(tokenize(text), n)
+    set.toArray(new Array[String](set.size))
+  }
+
+  // ---- UDF wrappers -------------------------------------------------------
+
+  def minhashSigUdf(k: Int, n: Int): UserDefinedFunction =
+    udf((text: String) => minhashSig(text, k, n))
+
+  def simhashUdf(bits: Int): UserDefinedFunction =
+    udf((text: String) => simhashFp(text, bits))
+
+  def shinglesUdf(n: Int): UserDefinedFunction =
+    udf((text: String) => shingleArr(text, n))
+
+  def shingleCountUdf(n: Int): UserDefinedFunction =
+    udf((text: String) => shingleSet(tokenize(text), n).size)
+}

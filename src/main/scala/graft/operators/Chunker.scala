@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.text._
+
+/** Token-window chunker — the SQL-expressible core of the reference's
+  * splitting pipeline (SURVEY.md §2.10 stage 2 "hard cut" + §2.5 W1 chunk
+  * indexing: semantic_splitter.py:583-599, 763-798). The full
+  * structure-aware semantic splitter lives in `graft.split`; this operator is
+  * the flat token-bounded cut used when no block structure remains, and it is
+  * what the 100 TB path wants: one generate (posexplode) per doc, no window
+  * functions, chunk_index/chunks_count computed inside the row like the
+  * reference does per-doc.
+  */
+object Chunker {
+
+  /** Split `textCol` into fixed `chunkTokens`-token chunks. Output columns:
+    * idCol, chunk_index, chunks_count, token_len, chunk_sha (sha256 of chunk
+    * text), chunk_text. */
+  def fixedTokenChunks(df: DataFrame, idCol: String, textCol: String,
+                       chunkTokens: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    val chunksArr = transform(sequence(lit(0), nChunks - 1), k =>
+      concat_ws(" ", slice(toks, k * chunkTokens + 1, lit(chunkTokens))))
+    df.withColumn("chunks_count", nChunks)
+      .select(col(idCol), col("chunks_count"), posexplode(chunksArr).as(Seq("chunk_index", "chunk_text")))
+      .withColumn("token_len", tokenCount(col("chunk_text")))
+      .withColumn("chunk_sha", sha2(col("chunk_text"), 256))
+      .select(col(idCol), col("chunk_index"), col("chunks_count"),
+        col("token_len"), col("chunk_sha"), col("chunk_text"))
+  }
+
+  /** Splitter metrics (reference markdown_table_splitter.py:404-425 /
+    * SURVEY.md A3): chunk_count, total/avg/min/max tokens per group. */
+  def chunkMetrics(chunks: DataFrame, groupCol: String): DataFrame =
+    chunks.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("chunk_count"),
+        sum(col("token_len")).as("total_tokens"),
+        min(col("token_len")).as("min_tokens"),
+        max(col("token_len")).as("max_tokens"),
+        (sum(col("token_len")).cast("double") / count(lit(1))).as("avg_tokens"))
+}

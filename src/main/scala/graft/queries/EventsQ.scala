@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Events
+import QueryDef._
+
+/** Event-time / streaming-shaped queries over the `events` table
+  * (SURVEY.md §2.13 T4, §2.9 F14, §2.3 J6 as-of, §2.7 U3 last-wins).
+  * Batch formulations here; streaming twins in `graft.streaming`.
+  */
+object EventsQ {
+
+  private def ev(s: SparkSession, d: String) = Tables.load(s, d, "events")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q18_scalar_funcs",
+      (s, d) => ev(s, d)
+        .filter(col("event_id") < 500)
+        .select(
+          col("event_id"),
+          big(year(col("ts"))).as("y"),
+          big(month(col("ts"))).as("m"),
+          big(dayofmonth(col("ts"))).as("dom"),
+          big(hour(col("ts"))).as("h"),
+          upper(col("event_type")).as("etype_u"),
+          substring(col("event_type"), 1, 3).as("etype_3"),
+          concat(col("event_type"), lit("/"), col("user_id").cast("string")).as("tag"),
+          big(length(col("props"))).as("props_len"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+          big(floor(col("value"))).as("value_floor"),
+          big(ceil(col("value"))).as("value_ceil"),
+          abs(col("value") - 100.0).as("dist100"),
+          big(col("user_id") % 7).as("user_mod"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+        |CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+        |CAST(day(ts) AS BIGINT) AS dom, CAST(hour(ts) AS BIGINT) AS h,
+        |upper(event_type) AS etype_u, substr(event_type, 1, 3) AS etype_3,
+        |concat(event_type, '/', CAST(user_id AS VARCHAR)) AS tag,
+        |CAST(length(props) AS BIGINT) AS props_len,
+        |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |CAST(floor(value) AS BIGINT) AS value_floor,
+        |CAST(ceil(value) AS BIGINT) AS value_ceil,
+        |abs(value - 100.0) AS dist100,
+        |CAST(user_id % 7 AS BIGINT) AS user_mod
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin)),
+
+    QueryDef("q19_tumbling_window",
+      (s, d) => ev(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(fmtTs(col("w.start")).as("w_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
+
+    QueryDef("q20_sliding_window",
+      (s, d) => ev(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(fmtTs(col("w.start")).as("w_start"), col("n"), col("sum_value"))
+        .orderBy(col("w_start")),
+      Some("""SELECT strftime(time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS w_start,
+        |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events, (VALUES (0), (1)) t(o)
+        |GROUP BY 1 ORDER BY w_start""".stripMargin)),
+
+    QueryDef("q21_session_window",
+      (s, d) => Events.sessionize(ev(s, d), "user_id", "ts", "event_id", 1800)
+        .groupBy(col("user_id"), col("session_start"))
+        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq FROM s)
+        |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM s2 GROUP BY user_id, seq ORDER BY user_id, session_start""".stripMargin)),
+
+    QueryDef("q11_asof_marker",
+      (s, d) => Events.asofMarker(ev(s, d), "user_id", "ts", "event_id",
+          col("event_type") === "signup")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts_s"),
+          col("asof_ts").as("last_signup"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, last_signup
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |  last_value(CASE WHEN event_type = 'signup' THEN strftime(ts, '%Y-%m-%d %H:%M:%S') END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
+    QueryDef("q22_last_wins",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+        ev(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), fmtTs(col("ts")).as("ts_s"), col("event_type"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin))
+  )
+}

@@ -1,0 +1,30 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.functions._
+
+/** One declared query: a Spark DataFrame builder plus (when SQL-expressible)
+  * the equivalent DuckDB oracle SQL. Contract (builder prompt + SURVEY.md §7):
+  * identical column names on both sides, canonical trailing ORDER BY, and
+  * deterministic values (ints/strings/decimal-derived doubles only). */
+case class QueryDef(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  /** Exact money/quantity arithmetic: sum DECIMAL(12,2), emit DOUBLE.
+    * Summing raw doubles would be partition-order dependent; decimal sums are
+    * exact, and the final decimal->double cast is the same value in Spark and
+    * DuckDB. */
+  def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Derived integers are BIGINT on both sides (Spark size()/year() return
+    * INT while DuckDB len()/year() return BIGINT — unify). */
+  def big(c: Column): Column = c.cast("long")
+
+  val TsFmt = "yyyy-MM-dd HH:mm:ss" // == DuckDB strftime '%Y-%m-%d %H:%M:%S'
+
+  def fmtTs(c: Column): Column = date_format(c, TsFmt)
+}

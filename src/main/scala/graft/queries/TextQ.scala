@@ -1,0 +1,369 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.text._
+import graft.operators.{Chunker, Dedup}
+import QueryDef._
+
+/** Document/text operators over the `documents` table (SURVEY.md §2.8, §2.9,
+  * §2.10 W1, §2.4 A1-A3; north-star text analysis + dedup).
+  */
+object TextQ {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  // DuckDB snippets reused across oracles.
+  private val W = "string_split_regex(text, '\\s+')"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q23_dedup_exact",
+      (s, d) => docs(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+        .select(col("doc_id"), col("dup_count"), sha2(col("text"), 256).as("text_sha"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count, sha256(text) AS text_sha
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q24_distinct_projection",
+      (s, d) => docs(s, d)
+        .select(col("lang"), col("n_chars")).distinct()
+        .orderBy(col("lang"), col("n_chars")),
+      Some("""SELECT DISTINCT lang, n_chars FROM documents ORDER BY lang, n_chars""".stripMargin)),
+
+    QueryDef("q25_content_hashes",
+      (s, d) => docs(s, d)
+        .select(
+          col("doc_id"),
+          sha256Hex(col("text")).as("sha"),
+          md5(col("text")).as("md5h"),
+          identityHash(Seq(col("doc_id"), col("lang"), col("n_chars"), col("source"), col("text")))
+            .as("identity_sha"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, sha256(text) AS sha, md5(text) AS md5h,
+        |sha256(concat_ws(' ', CAST(doc_id AS VARCHAR), lang, CAST(n_chars AS VARCHAR), source, text)) AS identity_sha
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q26_token_counts",
+      (s, d) => docs(s, d)
+        .select(
+          col("doc_id"),
+          big(tokenCount(col("text"))).as("n_tokens"),
+          big(length(col("text"))).as("len_chars"),
+          big(length(regexp_replace(col("text"), "\\s", ""))).as("len_no_ws"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens,
+        |CAST(length(text) AS BIGINT) AS len_chars,
+        |CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS len_no_ws
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q27_stopword_filter",
+      (s, d) => {
+        val t = tokens(col("text"))
+        val stop = EnStop
+        docs(s, d)
+          .select(
+            col("doc_id"),
+            big(size(t)).as("n_tokens"),
+            big(size(filter(t, x => x.isin(stop: _*)))).as("n_stop"),
+            big(size(removeStopwords(t, stop))).as("n_content"))
+          .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, n_tokens, n_stop, n_content,
+        |CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio FROM (
+        |  SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter($W, x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stop,
+        |  CAST(len(list_filter($W, x -> x NOT IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_content
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q28_lang_id",
+      (s, d) => {
+        val t = tokens(col("text"))
+        val (en, de, es, fr) = langScores(t)
+        docs(s, d)
+          .select(col("doc_id"), big(en).as("en_score"), big(de).as("de_score"),
+            big(es).as("es_score"), big(fr).as("fr_score"), langId(t).as("predicted_lang"),
+            col("lang").as("declared_lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, en_score, de_score, es_score, fr_score,
+        |CASE WHEN greatest(en_score, de_score, es_score, fr_score) = 0 THEN 'und'
+        |     WHEN en_score = greatest(en_score, de_score, es_score, fr_score) THEN 'en'
+        |     WHEN de_score = greatest(en_score, de_score, es_score, fr_score) THEN 'de'
+        |     WHEN es_score = greatest(en_score, de_score, es_score, fr_score) THEN 'es'
+        |     ELSE 'fr' END AS predicted_lang,
+        |lang AS declared_lang FROM (
+        |  SELECT doc_id, lang,
+        |  CAST(len(list_filter($W, x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS en_score,
+        |  CAST(len(list_filter($W, x -> x IN ('der','die','das','und','ist','ein'))) AS BIGINT) AS de_score,
+        |  CAST(len(list_filter($W, x -> x IN ('el','la','de','que','y','los'))) AS BIGINT) AS es_score,
+        |  CAST(len(list_filter($W, x -> x IN ('le','la','et','les','des','un'))) AS BIGINT) AS fr_score
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q29_quality_score",
+      (s, d) => {
+        val t = tokens(col("text"))
+        val base = docs(s, d).select(
+          col("doc_id"),
+          big(size(t)).as("n_tokens"),
+          big(length(regexp_replace(col("text"), "\\s", ""))).as("len_no_ws"),
+          big(size(filter(t, x => x.isin(EnStop: _*)))).as("n_stop"))
+        base
+          .withColumn("mean_word_len", col("len_no_ws").cast("double") / col("n_tokens"))
+          .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+          .withColumn("quality_score",
+            when(col("n_tokens").between(20, 1000), lit(0.5)).otherwise(lit(0.0))
+              + when(col("stop_ratio") >= 0.05 && col("stop_ratio") <= 0.6, lit(0.3)).otherwise(lit(0.0))
+              + when(col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0, lit(0.2)).otherwise(lit(0.0)))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, n_tokens, len_no_ws, n_stop,
+        |CAST(len_no_ws AS DOUBLE) / n_tokens AS mean_word_len,
+        |CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |(CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END
+        | + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.05 AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.6 THEN 0.3 ELSE 0.0 END
+        | + CASE WHEN CAST(len_no_ws AS DOUBLE) / n_tokens >= 3.0 AND CAST(len_no_ws AS DOUBLE) / n_tokens <= 10.0 THEN 0.2 ELSE 0.0 END) AS quality_score
+        |FROM (
+        |  SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS len_no_ws,
+        |  CAST(len(list_filter($W, x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q30_fingerprint",
+      (s, d) => {
+        val t = tokens(col("text"))
+        docs(s, d)
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(t, 1, 8))).as("prefix_fp"),
+            big(graft.functions.Kernels.shingleCountUdf(3)(col("text"))).as("n_shingles3"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, md5(array_to_string(($W)[1:8], ' ')) AS prefix_fp,
+        |CAST(len(CASE WHEN len($W) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(range(1, len($W) - 1),
+        |    i -> ($W)[i] || ' ' || ($W)[i+1] || ' ' || ($W)[i+2])) END) AS BIGINT) AS n_shingles3
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q31_simhash",
+      (s, d) => Dedup.withSimhash(docs(s, d), "text", 48)
+        .select(col("doc_id"), col("simhash"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, unnest($W) AS w FROM documents),
+        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w || '#sh'), 1, 15)) AS BIGINT) AS hv FROM t),
+        |bb AS (SELECT doc_id, i,
+        |  CASE WHEN SUM(CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END) > 0
+        |       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END AS bit
+        |  FROM h, (SELECT unnest(generate_series(0, 47)) AS i) g GROUP BY doc_id, i)
+        |SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM bb GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q32_minhash_signature",
+      (s, d) => Dedup.withMinhash(docs(s, d), "text", 12, 4)
+        .select(col("doc_id"),
+          element_at(col("minhash"), 1).as("mh0"),
+          element_at(col("minhash"), 2).as("mh1"),
+          element_at(col("minhash"), 12).as("mh11"),
+          concat_ws("|", col("bands")).as("bands_s"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (SELECT doc_id, $W AS w FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS s FROM tk),
+        |hs AS (SELECT doc_id, list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 7)) AS BIGINT)) AS hv FROM sh),
+        |mh AS (SELECT doc_id, list_transform(range(0, 12), j ->
+        |  coalesce(list_min(list_transform(hv, h -> ((31*j + 97) * h + 907*j + 13) % 1000000007)), 9223372036854775807)) AS m
+        |  FROM hs)
+        |SELECT doc_id, m[1] AS mh0, m[2] AS mh1, m[12] AS mh11,
+        |array_to_string(list_transform(range(0, 3), b ->
+        |  CAST(b AS VARCHAR) || ':' || CAST(m[4*b+1] AS VARCHAR) || ':' || CAST(m[4*b+2] AS VARCHAR) || ':' || CAST(m[4*b+3] AS VARCHAR) || ':' || CAST(m[4*b+4] AS VARCHAR)), '|') AS bands_s
+        |FROM mh ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q33_minhash_near_dups",
+      (s, d) => Dedup.minhashPairs(docs(s, d), "doc_id", "text", 12, 4, 0.6)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH tk AS (SELECT doc_id, $W AS w FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS s FROM tk),
+        |mh AS (SELECT doc_id, s, list_transform(range(0, 12), j ->
+        |  coalesce(list_min(list_transform(list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 7)) AS BIGINT)),
+        |    h -> ((31*j + 97) * h + 907*j + 13) % 1000000007)), 9223372036854775807)) AS m
+        |  FROM sh),
+        |bd AS (SELECT doc_id, s, unnest(list_transform(range(0, 3), b ->
+        |  CAST(b AS VARCHAR) || ':' || CAST(m[4*b+1] AS VARCHAR) || ':' || CAST(m[4*b+2] AS VARCHAR) || ':' || CAST(m[4*b+3] AS VARCHAR) || ':' || CAST(m[4*b+4] AS VARCHAR))) AS band FROM mh),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
+        |  FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("q34_simhash_near_dups",
+      (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text", 48, 16, 2)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH t AS (SELECT doc_id, unnest($W) AS w FROM documents),
+        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w || '#sh'), 1, 15)) AS BIGINT) AS hv FROM t),
+        |bb AS (SELECT doc_id, i,
+        |  CASE WHEN SUM(CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END) > 0
+        |       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END AS bit
+        |  FROM h, (SELECT unnest(generate_series(0, 47)) AS i) g GROUP BY doc_id, i),
+        |fp AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM bb GROUP BY doc_id),
+        |bd AS (SELECT doc_id, simhash, unnest(list_transform(range(0, 3), b ->
+        |  CAST(b AS VARCHAR) || ':' || CAST((simhash >> (b * 16)) & 65535 AS VARCHAR))) AS band FROM fp),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |  FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("q39_token_chunks",
+      (s, d) => Chunker.fixedTokenChunks(docs(s, d), "doc_id", "text", 50)
+        .select(col("doc_id"), big(col("chunk_index")).as("chunk_index"),
+          big(col("chunks_count")).as("chunks_count"), big(col("token_len")).as("token_len"),
+          col("chunk_sha"))
+        .orderBy(col("doc_id"), col("chunk_index")),
+      Some(s"""WITH tk AS (SELECT doc_id, $W AS w FROM documents),
+        |ck AS (SELECT doc_id, CAST(ceil(len(w) / 50.0) AS INT) AS chunks_count, k,
+        |  array_to_string(w[k*50+1 : (k+1)*50], ' ') AS chunk_text
+        |  FROM tk, (SELECT unnest(generate_series(0, 199)) AS k) g WHERE k * 50 < len(w))
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_index, CAST(chunks_count AS BIGINT) AS chunks_count,
+        |CAST(len(string_split_regex(chunk_text, '\\s+')) AS BIGINT) AS token_len,
+        |sha256(chunk_text) AS chunk_sha
+        |FROM ck ORDER BY doc_id, chunk_index""".stripMargin)),
+
+    QueryDef("q40_chunk_metrics",
+      (s, d) => {
+        val chunks = Chunker.fixedTokenChunks(docs(s, d), "doc_id", "text", 50)
+          .join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        Chunker.chunkMetrics(chunks, "lang")
+          .select(col("lang"), big(col("chunk_count")).as("chunk_count"),
+            big(col("total_tokens")).as("total_tokens"), big(col("min_tokens")).as("min_tokens"),
+            big(col("max_tokens")).as("max_tokens"), col("avg_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, lang, $W AS w FROM documents),
+        |ck AS (SELECT doc_id, lang, k,
+        |  len(string_split_regex(array_to_string(w[k*50+1 : (k+1)*50], ' '), '\\s+')) AS token_len
+        |  FROM tk, (SELECT unnest(generate_series(0, 199)) AS k) g WHERE k * 50 < len(w))
+        |SELECT lang, COUNT(*) AS chunk_count, CAST(SUM(token_len) AS BIGINT) AS total_tokens,
+        |CAST(MIN(token_len) AS BIGINT) AS min_tokens, CAST(MAX(token_len) AS BIGINT) AS max_tokens,
+        |CAST(SUM(token_len) AS DOUBLE) / COUNT(*) AS avg_tokens
+        |FROM ck GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef("q41_front_matter",
+      (s, d) => {
+        val md = concat(
+          lit("---\nkeywords: "), col("lang"), lit(","), col("source"),
+          lit("\nurl: https://corpus.local/"), col("source"), lit("/"), col("doc_id"),
+          lit("\n---\n# Doc "), col("doc_id"), lit("\n"), col("text"))
+        docs(s, d)
+          .withColumn("md", md)
+          .select(
+            col("doc_id"),
+            frontMatterField(col("md"), "keywords").as("keywords"),
+            frontMatterField(col("md"), "url").as("url"),
+            filenameFromUrl(frontMatterField(col("md"), "url")).as("filename"),
+            titleFromMd(frontMatterBody(col("md"))).as("title"),
+            big(length(frontMatterBody(col("md")))).as("body_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+        |  '---' || chr(10) || 'keywords: ' || lang || ',' || source
+        |   || chr(10) || 'url: https://corpus.local/' || source || '/' || CAST(doc_id AS VARCHAR)
+        |   || chr(10) || '---' || chr(10) || '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text AS md
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  regexp_extract(md, '(?s)^---\n(.*?)\n---\n(.*)$', 1) AS hdr,
+        |  regexp_extract(md, '(?s)^---\n(.*?)\n---\n(.*)$', 2) AS body FROM m)
+        |SELECT doc_id,
+        |regexp_extract(hdr, '(?m)^keywords:\s*(.*?)\s*$', 1) AS keywords,
+        |regexp_extract(hdr, '(?m)^url:\s*(.*?)\s*$', 1) AS url,
+        |regexp_replace(regexp_extract(regexp_extract(hdr, '(?m)^url:\s*(.*?)\s*$', 1), '^https?://[^/]+/(.*)$', 1), '/+$', '') || '.md' AS filename,
+        |regexp_extract(body, '(?m)^# (.*)$', 1) AS title,
+        |CAST(length(body) AS BIGINT) AS body_len
+        |FROM p ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q42_mask_urls",
+      (s, d) => {
+        val synth = concat(lit("see https://corpus.local/"), col("source"), lit("/"),
+          col("doc_id"), lit(" and http://x.io/a?b=1 then "), substring(col("text"), 1, 40))
+        docs(s, d)
+          .select(col("doc_id"), maskUrls(synth).as("masked"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |regexp_replace('see https://corpus.local/' || source || '/' || CAST(doc_id AS VARCHAR)
+        |  || ' and http://x.io/a?b=1 then ' || substr(text, 1, 40),
+        |  'https?://[^\s]+', 'LINK', 'g') AS masked
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q44_contract_metrics",
+      (s, d) => docs(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_declared_chars"),
+          big(sum(length(col("text")))).as("sum_chars"),
+          big(sum(tokenCount(col("text")).cast("long"))).as("sum_tokens"))
+        .orderBy(col("lang")),
+      Some(s"""SELECT lang, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_declared_chars,
+        |CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        |CAST(SUM(len($W)) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef("q45_descriptive_stats",
+      (s, d) => {
+        val agged = docs(s, d).groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            sum(col("n_chars")).as("s"),
+            sum(col("n_chars") * col("n_chars")).as("sq"),
+            percentile(col("n_chars"), lit(0.25)).as("p25"),
+            percentile(col("n_chars"), lit(0.5)).as("p50"),
+            percentile(col("n_chars"), lit(0.75)).as("p75"))
+        agged.select(col("lang"), col("n"), col("min_chars"), col("max_chars"),
+            col("s").as("sum_chars"),
+            (col("s").cast("double") / col("n").cast("double")).as("avg_chars"),
+            ((col("sq").cast("double") - (col("s").cast("double") * col("s").cast("double")) / col("n").cast("double"))
+              / (col("n") - 1).cast("double")).as("var_chars"),
+            col("p25"), col("p50"), col("p75"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, n, min_chars, max_chars, CAST(sum_chars AS BIGINT) AS sum_chars,
+        |CAST(sum_chars AS DOUBLE) / CAST(n AS DOUBLE) AS avg_chars,
+        |(CAST(sq AS DOUBLE) - (CAST(sum_chars AS DOUBLE) * CAST(sum_chars AS DOUBLE)) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_chars,
+        |p25, p50, p75 FROM (
+        |  SELECT lang, COUNT(*) AS n, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  SUM(n_chars) AS sum_chars, SUM(n_chars * n_chars) AS sq,
+        |  quantile_cont(n_chars, 0.25) AS p25, quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75
+        |  FROM documents GROUP BY lang)
+        |ORDER BY lang""".stripMargin)),
+
+    QueryDef("q46_sort_by_hash",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), sha256Hex(col("text")).as("h"))
+        .orderBy(col("h"), col("doc_id")),
+      Some("""SELECT doc_id, sha256(text) AS h FROM documents ORDER BY h, doc_id""".stripMargin)),
+
+    QueryDef("q47_version_next",
+      (s, d) => docs(s, d)
+        .agg(max(regexp_extract(col("source"), "src(\\d+)", 1).cast("long")).as("max_v"))
+        .select(lit("src").as("prefix"), (col("max_v") + 1).as("next_version"))
+        .orderBy(col("prefix")),
+      Some("""SELECT 'src' AS prefix,
+        |CAST(MAX(CAST(regexp_extract(source, 'src(\d+)', 1) AS BIGINT)) + 1 AS BIGINT) AS next_version
+        |FROM documents ORDER BY prefix""".stripMargin)),
+
+    QueryDef("q48_url_filter",
+      (s, d) => docs(s, d)
+        .filter(!lower(col("source")).contains("1"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source FROM documents
+        |WHERE NOT contains(lower(source), '1') ORDER BY doc_id""".stripMargin))
+  )
+}

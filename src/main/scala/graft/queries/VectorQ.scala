@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.vectors._
+import graft.operators.{Dedup, Similarity}
+import QueryDef._
+
+/** Vector similarity / ANN over the `embeddings` table (SURVEY.md §2.8 D5;
+  * north-star similarity search + embedding-cosine near-dup). Quantized
+  * integer kernels — see graft.functions.vectors for the determinism story.
+  */
+object VectorQ {
+
+  private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  /** DuckDB: quantized copy of the embedding list. */
+  private val QV = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q36_knn_brute",
+      (s, d) => Similarity.bruteTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10),
+          "vec_id", "embedding", 10)
+        .select(col("qid"), col("cid"), big(col("rank")).as("rank"), col("cosine"))
+        .orderBy(col("qid"), col("rank")),
+      Some(s"""WITH q AS (SELECT vec_id AS qid, $QV AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, $QV AS cv FROM embeddings),
+        |p AS (SELECT qid, cid,
+        |  CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) AS DOUBLE)
+        |  / (sqrt(CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS DOUBLE))
+        |     * sqrt(CAST(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])) AS DOUBLE))) AS cosine
+        |  FROM q, c WHERE qid <> cid),
+        |r AS (SELECT qid, cid, cosine, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank FROM p)
+        |SELECT qid, cid, CAST(rank AS BIGINT) AS rank, cosine FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin)),
+
+    QueryDef("q37_knn_lsh",
+      (s, d) => Similarity.lshTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10),
+          "vec_id", "embedding", 10, planes = 6)
+        .select(col("qid"), col("cid"), big(col("rank")).as("rank"), col("cosine"))
+        .orderBy(col("qid"), col("rank")),
+      Some(s"""WITH v AS (SELECT vec_id, $QV AS qv FROM embeddings),
+        |b AS (SELECT vec_id, qv,
+        |  list_sum(list_transform(range(0, 6), p -> CASE WHEN
+        |    list_sum(list_transform(range(1, len(qv) + 1), i ->
+        |      qv[i] * (CAST(concat('0x', substr(md5('ann|' || CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000))) > 0
+        |    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS bucket
+        |  FROM v),
+        |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.qv[i])) AS DOUBLE)
+        |  / (sqrt(CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i])) AS DOUBLE))
+        |     * sqrt(CAST(list_sum(list_transform(range(1, len(c.qv) + 1), i -> c.qv[i] * c.qv[i])) AS DOUBLE))) AS cosine
+        |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (SELECT qid, cid, cosine, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank FROM p)
+        |SELECT qid, cid, CAST(rank AS BIGINT) AS rank, cosine FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin)),
+
+    QueryDef("q35_embedding_near_dups",
+      (s, d) => Dedup.embeddingPairs(emb(s, d), "vec_id", "embedding", planes = 8, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH v AS (SELECT vec_id, $QV AS qv FROM embeddings),
+        |b AS (SELECT vec_id, qv,
+        |  list_sum(list_transform(range(0, 8), p -> CASE WHEN
+        |    list_sum(list_transform(range(1, len(qv) + 1), i ->
+        |      qv[i] * (CAST(concat('0x', substr(md5('emb|' || CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000))) > 0
+        |    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS bucket
+        |  FROM v),
+        |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
+        |  CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b2.qv[i])) AS DOUBLE)
+        |  / (sqrt(CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * a.qv[i])) AS DOUBLE))
+        |     * sqrt(CAST(list_sum(list_transform(range(1, len(b2.qv) + 1), i -> b2.qv[i] * b2.qv[i])) AS DOUBLE))) AS cosine
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.8 ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("q38_mock_embedding",
+      (s, d) => {
+        val doc = Tables.load(s, d, "documents")
+        val me = mockEmbedQ(col("text"), 8)
+        doc.select(
+            col("doc_id"),
+            element_at(me, 1).as("e0"),
+            element_at(me, 4).as("e3"),
+            element_at(me, 8).as("e7"),
+            aggregate(me, lit(0L), (a, x) => a + x).as("isum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+        |  list_transform(range(0, 8), i ->
+        |    CAST(concat('0x', substr(md5(text || '#e' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 1000) AS e
+        |  FROM documents)
+        |SELECT doc_id, e[1] AS e0, e[4] AS e3, e[8] AS e7,
+        |CAST(list_sum(e) AS BIGINT) AS isum
+        |FROM m ORDER BY doc_id""".stripMargin))
+  )
+}

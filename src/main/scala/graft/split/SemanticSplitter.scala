@@ -1,0 +1,197 @@
+package graft.split
+
+import graft.contracts.{Chunk, MarkdownDoc}
+
+/** Structure-aware token-bounded markdown splitting (SURVEY.md §2.10;
+  * reference wurzel/utils/splitters/semantic_splitter.py, 812 LoC).
+  *
+  * Pipeline stages preserved from the reference:
+  *  1. block hierarchy parse with level ranking (MarkdownBlocks);
+  *  2. greedy token-bounded assembly: accumulate while below
+  *     limit-buffer, emit inside [limit-buffer, limit+buffer], recurse into
+  *     oversized sections at the next boundary level, hard-cut leaves
+  *     (semantic_splitter.py:602-702, 583-599);
+  *  3. table-aware split — never mid-row, header re-emitted (TableSplitter);
+  *  4. running-header carry: the highest previously seen heading per level
+  *     is re-attached as a `# H1 - H2` prefix when a chunk starts deeper
+  *     (semantic_splitter.py:704-761); standalone-heading chunks dropped;
+  *  5. metadata stamping: chunk_index, chunks_count, token_len, char_len,
+  *     source_sha256_hash (763-798). mdformat canonicalization is replaced
+  *     by whitespace-trim (no JVM mdformat in the offline build — divergence
+  *     documented in FIXTURES.md §1.5).
+  *
+  * Defaults match the reference splitter step: limit 256, buffer 32,
+  * min 64 (semantic_splitter.py:181-189, steps/splitter.py:28-33).
+  *
+  * Bound: chunk bodies respect tokenLimit+buffer; a carried-header prefix
+  * (stage 4) is attached AFTER assembly — as in the reference — so a chunk
+  * that receives a prefix can exceed the bound by the prefix's own tokens.
+  */
+class SemanticSplitter(
+    val tokenLimit: Int = 256,
+    val buffer: Int = 32,
+    val tokenMin: Int = 64,
+    val tk: Tokenizer = WhitespaceTokenizer) extends Serializable {
+
+  private val hardMax = tokenLimit + buffer
+  private val softMin = tokenLimit - buffer
+
+  /** Split markdown into chunk texts (stage 1-4). */
+  def splitMarkdown(md: String): Vector[String] = {
+    val canonical = md.trim
+    if (canonical.isEmpty) return Vector.empty
+    if (tk.count(canonical) <= hardMax) return Vector(canonical)
+    val blocks = MarkdownBlocks.parse(canonical)
+    val pieces = assemble(blocks)
+    attachHeaders(blocks, pieces)
+      .filter(c => !isStandaloneHeading(c))
+      .filter(c => tk.count(c) >= math.min(tokenMin, 1))
+  }
+
+  // ---- stage 2: token-bounded assembly -----------------------------------
+
+  /** Greedy assembly over a block list; oversized single blocks recurse. */
+  private def assemble(blocks: Vector[Block]): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var buf = Vector.empty[String]
+    var bufTokens = 0
+    def flush(): Unit = {
+      if (buf.nonEmpty) { out += buf.mkString("\n\n"); buf = Vector.empty; bufTokens = 0 }
+    }
+    // Sections bounded by the strongest (lowest-level) block type present —
+    // reference _find_highest_level / _split_children (277-362).
+    val boundary = blocks.map(_.level).min
+    val sections = splitAtBoundaries(blocks, boundary)
+    sections.foreach { section =>
+      val text = render(section)
+      val t = tk.count(text)
+      if (t > hardMax) {
+        flush()
+        out ++= splitSection(section)
+      } else if (bufTokens + t > hardMax) {
+        flush()
+        buf = Vector(text); bufTokens = t
+      } else {
+        buf = buf :+ text; bufTokens += t
+        if (bufTokens >= softMin) flush()
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  /** One oversized section: recurse below its boundary block, table-split
+    * tables, hard-cut oversized leaves (reference 583-599). */
+  private def splitSection(section: Vector[Block]): Vector[String] = {
+    section.flatMap {
+      case t: TableBlock if tk.count(t.text) > hardMax =>
+        TableSplitter.split(t, hardMax, tk)
+      case b if tk.count(b.text) > hardMax =>
+        b match {
+          case p: Paragraph => hardCut(p.text)
+          case c: CodeFence => hardCut(c.text)
+          case l: ListBlock => hardCut(l.text)
+          case other => hardCut(other.text)
+        }
+      case b => Vector(b.text)
+    } match {
+      case pieces =>
+        // re-run greedy packing over the pieces so small leftovers merge
+        val out = Vector.newBuilder[String]
+        var buf = Vector.empty[String]
+        var bufTokens = 0
+        def flush(): Unit =
+          if (buf.nonEmpty) { out += buf.mkString("\n\n"); buf = Vector.empty; bufTokens = 0 }
+        pieces.foreach { p =>
+          val t = tk.count(p)
+          if (t > hardMax || bufTokens + t > hardMax) {
+            flush()
+            if (t > hardMax) out += p else { buf = Vector(p); bufTokens = t }
+          } else {
+            buf = buf :+ p; bufTokens += t
+            if (bufTokens >= softMin) flush()
+          }
+        }
+        flush()
+        out.result()
+    }
+  }
+
+  /** Hard token cut of a leaf (reference _md_data_from_dict_cut 583-599 —
+    * discarded-text logging becomes caller-side metrics). */
+  private def hardCut(text: String): Vector[String] =
+    tk.tokens(text).grouped(tokenLimit).map(_.mkString(" ")).toVector
+
+  private def splitAtBoundaries(blocks: Vector[Block], boundary: Int): Vector[Vector[Block]] = {
+    val out = Vector.newBuilder[Vector[Block]]
+    var cur = Vector.empty[Block]
+    blocks.foreach { b =>
+      if (b.level == boundary && cur.nonEmpty) { out += cur; cur = Vector(b) }
+      else cur = cur :+ b
+    }
+    if (cur.nonEmpty) out += cur
+    out.result()
+  }
+
+  private def render(blocks: Vector[Block]): String = blocks.map(_.text).mkString("\n\n")
+
+  // ---- stage 4: running-header carry -------------------------------------
+
+  private val HeadingLineRe = "^(#{1,6})\\s+(.*)$".r
+
+  private def isStandaloneHeading(chunk: String): Boolean =
+    chunk.linesIterator.toSeq match {
+      case Seq(only) => HeadingLineRe.findFirstIn(only.trim).isDefined
+      case _ => false
+    }
+
+  /** Walk chunks in document order, carrying the latest heading text per
+    * level; prefix `# H1 - H2` when a chunk starts with a deeper heading or
+    * none (reference 704-761, prefix format 731-733). */
+  private def attachHeaders(blocks: Vector[Block], chunks: Vector[String]): Vector[String] = {
+    val carried = scala.collection.mutable.TreeMap[Int, String]()
+    chunks.map { chunk =>
+      val firstHeading = chunk.linesIterator.collectFirst {
+        case HeadingLineRe(h, t) => (h.length, t.trim)
+      }
+      val prefixLevels = firstHeading match {
+        case Some((depth, _)) => carried.rangeUntil(depth).values.toSeq
+        case None => carried.values.toSeq
+      }
+      // update carried state with every heading in this chunk
+      chunk.linesIterator.foreach {
+        case HeadingLineRe(h, t) =>
+          val d = h.length
+          carried(d) = t.trim
+          carried.keys.filter(_ > d).toSeq.foreach(carried.remove) // deeper headers reset
+        case _ => ()
+      }
+      if (prefixLevels.nonEmpty && !chunk.startsWith("# "))
+        s"# ${prefixLevels.mkString(" - ")}\n\n$chunk"
+      else chunk
+    }
+  }
+
+  // ---- stage 5: document-level API with metadata -------------------------
+
+  def splitDoc(doc: MarkdownDoc): Seq[Chunk] = {
+    val sourceHash = graft.functions.Kernels.md5Hex(doc.md) // cheap id for tests
+    val sha256 = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(doc.md.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = splitMarkdown(doc.md)
+    val n = texts.length
+    texts.zipWithIndex.map { case (text, i) =>
+      Chunk(
+        md = text,
+        keywords = doc.keywords,
+        url = doc.url,
+        metadata = doc.metadata ++ Map(
+          "chunk_index" -> i.toString,
+          "chunks_count" -> n.toString,
+          "token_len" -> tk.count(text).toString,
+          "char_len" -> text.length.toString,
+          "source_md5" -> sourceHash,
+          "source_sha256_hash" -> sha256))
+    }
+  }
+}

@@ -1,0 +1,35 @@
+package graft.split
+
+/** Token counting/truncation (SURVEY.md §2.9 F6; reference
+  * wurzel/utils/tokenizers.py:16-201 wraps tiktoken/HuggingFace).
+  *
+  * Divergence (documented, FIXTURES.md §1.5): the reference counts
+  * cl100k_base BPE tokens; this build is offline with no tokenizer
+  * dependency, so the engine ships a whitespace tokenizer and a BPE-ish
+  * regex tokenizer (words / digit runs / punctuation marks — the same
+  * granularity class as byte-pair merges on natural text). Token-window
+  * goldens are re-derived against these.
+  */
+trait Tokenizer extends Serializable {
+  def tokens(s: String): Array[String]
+  def count(s: String): Int = tokens(s).length
+
+  /** First n tokens re-joined (reference truncation,
+    * tokenizers.py:52-74 — offset-mapping variant avoids decode drift; the
+    * join-on-space form is exact for whitespace tokens). */
+  def truncate(s: String, n: Int): String = tokens(s).take(n).mkString(" ")
+}
+
+/** Split on runs of whitespace (reference regex word tokenizer,
+  * wurzel/steps/embedding/step.py:35). */
+object WhitespaceTokenizer extends Tokenizer {
+  def tokens(s: String): Array[String] =
+    if (s.isEmpty) Array.empty else s.trim.split("\\s+").filter(_.nonEmpty)
+}
+
+/** BPE-ish regex tokenizer: letter runs, digit runs, single non-space
+  * symbols — a deterministic stand-in for cl100k_base granularity. */
+object RegexTokenizer extends Tokenizer {
+  private val Re = "[A-Za-z\\u00C0-\\u024F]+|[0-9]+|[^\\sA-Za-z0-9\\u00C0-\\u024F]".r
+  def tokens(s: String): Array[String] = Re.findAllIn(s).toArray
+}

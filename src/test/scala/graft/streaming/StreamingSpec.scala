@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  private val events = Seq(
+    Ev(ts(1), "click", 1.0, 1), Ev(ts(5), "click", 2.0, 1), Ev(ts(20), "view", 3.0, 1),
+    Ev(ts(59), "click", 4.0, 2), Ev(ts(2), "view", 5.0, 2))
+
+  private def runStream(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                        mode: String): Array[org.apache.spark.sql.Row] = {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(events: _*)
+    val name = "out" + System.nanoTime()
+    val q = build(mem.toDF()).writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    spark.table(name).collect()
+  }
+
+  // NOTE: "complete" output mode — with a single AvailableNow batch the
+  // watermark never advances, so "append" would emit nothing.
+  test("streaming tumbling window agg matches the batch formulation (T4)") {
+    val rows = runStream(df => StreamingOps.tumblingAgg(df, "ts", "1 hour"), "complete")
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+    assert(rows == Set(("click", 3L), ("view", 2L)))
+  }
+
+  test("streaming session windows close on the gap (T4 session)") {
+    val rows = runStream(df => StreamingOps.sessionAgg(df, "ts", "user_id", "10 minutes"), "complete")
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toList.sorted
+    // user 1: events at 10:01,10:05 (one session) and 10:20 (new session);
+    // user 2: 10:02 and 10:59 are separate sessions
+    assert(rows == List((1L, 1L), (1L, 2L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("sliding windows double-count each event across overlapping windows") {
+    val rows = runStream(df => StreamingOps.slidingAgg(df, "ts", "1 hour", "30 minutes"), "complete")
+    assert(rows.map(_.getAs[Long]("n")).sum == events.size * 2)
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.functions.Kernels
+import graft.plans.TokenCountExpr
+import graft.split.SemanticSplitter
+
+/** SQL surface registration: after `GraftFunctions.register(spark)`, every
+  * engine function is callable from `spark.sql(...)` — the reference's
+  * "write a TypedStep subclass" extension point becomes "call a function"
+  * (SURVEY.md §2.14). `token_count_native` is a codegen'd Catalyst
+  * Expression; the rest are JVM-kernel UDFs.
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_count_native", exprs => TokenCountExpr(exprs.head), "scala_udf")
+
+    spark.udf.register("minhash_sig12",
+      (text: String) => Kernels.minhashSig(text, 12, 3))
+    spark.udf.register("simhash48",
+      (text: String) => Kernels.simhashFp(text, 48))
+    spark.udf.register("shingles3",
+      (text: String) => Kernels.shingleArr(text, 3))
+    spark.udf.register("md5_hash60",
+      (text: String) => Kernels.hash60(text))
+    val splitter = new SemanticSplitter()
+    spark.udf.register("semantic_split",
+      (md: String) => splitter.splitMarkdown(md))
+  }
+}

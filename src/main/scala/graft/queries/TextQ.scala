@@ -298,6 +298,60 @@ object TextQ {
         |  'https?://[^\s]+', 'LINK', 'g') AS masked
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q43_semantic_chunks",
+      // The production SemanticSplitter (256/32/64, whitespace tokens)
+      // distributed over the corpus as a typed flatMap. Corpus docs are
+      // single-paragraph plain text, so the splitter's behavior reduces to
+      // whole-doc-if-short / 256-token hard cuts with the min-64 tail drop —
+      // which is exactly what the oracle replicates in SQL.
+      (s, d) => {
+        import s.implicits._
+        val splitter = new graft.split.SemanticSplitter()
+        val chunks = Tables.load(s, d, "documents")
+          .select(col("text"), col("lang"), col("source"), col("doc_id"))
+          .as[(String, String, String, Long)]
+          .flatMap { case (text, lang, source, id) =>
+            splitter.splitDoc(graft.contracts.MarkdownDoc(
+              text, lang, source, Map("doc_id" -> id.toString)))
+          }
+        chunks.select(
+            col("metadata").getItem("doc_id").cast("long").as("doc_id"),
+            col("metadata").getItem("chunk_index").cast("long").as("chunk_index"),
+            col("metadata").getItem("chunks_count").cast("long").as("chunks_count"),
+            col("metadata").getItem("token_len").cast("long").as("token_len"),
+            sha2(col("md"), 256).as("chunk_sha"))
+          .orderBy(col("doc_id"), col("chunk_index"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, text, $W AS w FROM documents),
+        |whole AS (SELECT doc_id, 0 AS k, text AS chunk_text, len(w) AS token_len
+        |  FROM tk WHERE len(w) <= 288),
+        |cut AS (SELECT doc_id, k, array_to_string(w[k*256+1 : (k+1)*256], ' ') AS chunk_text,
+        |  CASE WHEN len(w) - k*256 >= 256 THEN 256 ELSE len(w) - k*256 END AS token_len
+        |  FROM tk, (SELECT unnest(generate_series(0, 99)) AS k) g
+        |  WHERE len(w) > 288 AND k*256 < len(w)),
+        |kept AS (SELECT * FROM whole UNION ALL SELECT * FROM cut WHERE token_len >= 64),
+        |idx AS (SELECT doc_id, chunk_text, token_len,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS chunk_index,
+        |  COUNT(*) OVER (PARTITION BY doc_id) AS chunks_count FROM kept)
+        |SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index,
+        |CAST(chunks_count AS BIGINT) AS chunks_count, CAST(token_len AS BIGINT) AS token_len,
+        |sha256(chunk_text) AS chunk_sha
+        |FROM idx ORDER BY doc_id, chunk_index""".stripMargin)),
+
+    QueryDef("q49_token_truncate",
+      (s, d) => {
+        val t = tokens(col("text"))
+        docs(s, d)
+          .select(col("doc_id"),
+            sha2(concat_ws(" ", slice(t, 1, 30)), 256).as("trunc_sha"),
+            big(least(size(t), lit(30))).as("trunc_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+        |sha256(array_to_string(($W)[1:30], ' ')) AS trunc_sha,
+        |CAST(least(len($W), 30) AS BIGINT) AS trunc_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q44_contract_metrics",
       (s, d) => docs(s, d)
         .groupBy(col("lang"))

@@ -43,9 +43,11 @@ class SemanticSplitter(
     if (tk.count(canonical) <= hardMax) return Vector(canonical)
     val blocks = MarkdownBlocks.parse(canonical)
     val pieces = assemble(blocks)
+    // chunks under token_limit_min are skipped (reference 616-619); a doc
+    // short enough to stay whole never reaches this filter (early return).
     attachHeaders(blocks, pieces)
       .filter(c => !isStandaloneHeading(c))
-      .filter(c => tk.count(c) >= math.min(tokenMin, 1))
+      .filter(c => tk.count(c) >= tokenMin)
   }
 
   // ---- stage 2: token-bounded assembly -----------------------------------

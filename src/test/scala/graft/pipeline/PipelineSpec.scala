@@ -47,6 +47,23 @@ class PipelineSpec extends SparkSpec {
     assert(docs == 6 && skipped == 0)
   }
 
+  test("Engine.run returns (DataFrame, StepReport) with observed metrics in one pass (§3.2)") {
+    val (out, rep) = Engine.run(DropDuplicationStep(), docsDf)
+    assert(out.count() == 3)
+    assert(rep.step == "DropDuplication" && rep.rows == 3)
+    assert(rep.metrics("rows") == 3L)
+    assert(rep.metrics.contains("md_char_len"))
+    assert(rep.execSeconds > 0)
+  }
+
+  test("Engine.runPipeline reports per step with accumulated history") {
+    val p = DropDuplicationStep() >> UrlFilterStep("neverejn")
+    val (out, reps) = Engine.runPipeline(p, docsDf)
+    assert(out.count() == 2)
+    assert(reps.map(_.rows) == Seq(3L, 2L))
+    assert(reps.last.history == "DropDuplication-UrlFilter")
+  }
+
   test("contract metrics aggregate (reference datacontract get_metrics)") {
     val m = graft.contracts.ContractMetrics.of(docsDf).collect()(0)
     assert(m.getAs[Long]("rows") == 4)

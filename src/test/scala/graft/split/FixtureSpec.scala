@@ -1,0 +1,81 @@
+package graft.split
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.io.Source
+
+/** Reference golden fixtures (ported inputs from
+  * tests/data/splitter/table_splitter/ — FIXTURES.md §1.5 sanctions the
+  * port). The reference's expected outputs are cl100k_base- and
+  * mdformat-dependent; goldens are re-derived for the whitespace tokenizer
+  * (divergence documented): instead of byte-exact outputs we pin invariants
+  * the reference harness also asserts — split behavior, header repetition,
+  * no row ever cut — plus content-preservation checks the reference gets
+  * implicitly from its byte-exact compare.
+  */
+class FixtureSpec extends AnyFunSuite {
+
+  private val sp = new SemanticSplitter() // 256 / 32 / 64 like the reference default
+  private def fixture(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/table_splitter/$name/input.md")
+    try Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+  private def tableRows(s: String): Seq[String] =
+    s.linesIterator.filter(l => l.trim.startsWith("|") && !l.contains("---")).toSeq
+
+  for (name <- Seq("short_table", "standalone_table")) {
+    test(s"$name: fits the default window -> single chunk, unchanged") {
+      val md = fixture(name).trim
+      assert(sp.splitMarkdown(md) == Vector(md))
+    }
+  }
+
+  test("table_and_text: splits under the whitespace tokenizer (474 tokens); rows preserved") {
+    // re-derived golden: cl100k counts this under the reference's window,
+    // whitespace tokens do not — behavior divergence documented.
+    val md = fixture("table_and_text").trim
+    val chunks = sp.splitMarkdown(md)
+    assert(chunks.length >= 2)
+    val joined = chunks.mkString("\n")
+    tableRows(md).foreach(r => assert(joined.contains(r.trim)))
+  }
+
+  test("many_rows_table: all data rows preserved in order, never cut mid-row") {
+    val md = fixture("many_rows_table")
+    val tight = new SemanticSplitter(tokenLimit = 80, buffer = 8, tokenMin = 4)
+    val chunks = tight.splitMarkdown(md)
+    assert(chunks.length > 1)
+    val inputRows = tableRows(md).drop(1) // drop header
+    val outputRows = chunks.flatMap(c => tableRows(c).filterNot(_ == tableRows(md).head))
+    assert(outputRows == inputRows)
+    chunks.filter(_.contains("| DataIngestor")).foreach { c =>
+      assert(tableRows(c).head == tableRows(md).head, "header re-emitted per chunk")
+    }
+  }
+
+  test("many_columns_table: oversized row sliced at column boundaries with matching header slices") {
+    val md = fixture("many_columns_table")
+    val tight = new SemanticSplitter(tokenLimit = 40, buffer = 4, tokenMin = 2)
+    val chunks = tight.splitMarkdown(md)
+    assert(chunks.length > 1)
+    chunks.foreach { c =>
+      val lines = c.linesIterator.filter(_.trim.startsWith("|")).toVector
+      if (lines.nonEmpty) {
+        val header = lines.head.split("\\|").count(_.trim.nonEmpty)
+        val data = lines.last.split("\\|").count(_.trim.nonEmpty)
+        assert(header == data, s"header/data column mismatch in:\n$c")
+      }
+    }
+  }
+
+  test("long_table_and_long_text: mixed doc splits; table chunks carry headers; bound respected") {
+    val md = fixture("long_table_and_long_text")
+    val chunks = sp.splitMarkdown(md)
+    assert(chunks.nonEmpty)
+    // body bound: limit+buffer, plus carried-header prefix allowance
+    chunks.foreach(c => assert(sp.tk.count(c) <= sp.tokenLimit + sp.buffer + 8))
+    // every input table row must survive in some chunk
+    val inRows = tableRows(md)
+    val joined = chunks.mkString("\n")
+    inRows.foreach(r => assert(joined.contains(r.trim)))
+  }
+}

@@ -75,6 +75,39 @@ object VectorQ {
         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
         |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.8 ORDER BY id_a, id_b""".stripMargin)),
 
+    QueryDef("q51_embedding_stage",
+      // Drives the real embedding operator (partition-batched client calls,
+      // prefix injection, cleaning) end-to-end: documents -> Chunk ->
+      // Embedding.embedChunks with the deterministic mock client. The oracle
+      // recomputes the md5-derived components directly; the float vectors
+      // round-trip back to their integer quantities exactly (m/1000f carries
+      // ~1e-5 absolute error after re-scaling, far below the 0.5 round
+      // threshold).
+      (s, d) => {
+        import s.implicits._
+        val chunks = Tables.load(s, d, "documents")
+          .select(col("text"), col("lang"), col("source"), col("doc_id"))
+          .as[(String, String, String, Long)]
+          .map { case (t, l, src, id) =>
+            graft.contracts.Chunk(t, l, src, Map("doc_id" -> id.toString)) }
+        val rows = graft.operators.Embedding.embedChunks(
+          chunks, graft.operators.Embedding.MockEmbeddingClient(dim = 8), batchSize = 64)
+        rows.toDF()
+          .select(
+            col("metadata").getItem("doc_id").cast("long").as("doc_id"),
+            round(element_at(col("vector"), 1).cast("double") * 1000.0).cast("long").as("e0"),
+            round(element_at(col("vector"), 8).cast("double") * 1000.0).cast("long").as("e7"),
+            aggregate(
+              transform(col("vector"), x => round(x.cast("double") * 1000.0).cast("long")),
+              lit(0L), (a, x) => a + x).as("isum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id, list_transform(range(0, 8), i ->
+        |  CAST(concat('0x', substr(md5('query: ' || text || '#e' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 1000) AS e
+        |  FROM documents)
+        |SELECT doc_id, e[1] AS e0, e[8] AS e7, CAST(list_sum(e) AS BIGINT) AS isum
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q38_mock_embedding",
       (s, d) => {
         val doc = Tables.load(s, d, "documents")

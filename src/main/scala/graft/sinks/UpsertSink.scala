@@ -1,0 +1,108 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Knowledge-base upsert sink family (SURVEY.md §2.12 K5-K7; reference
+  * ElevenLabs/Wonderful/Decagon steps wurzel/steps/{elevenlabs,wonderful,
+  * decagon}/step.py).
+  *
+  * Protocol preserved:
+  *  - existing docs listed once and probed per row to choose create vs
+  *    update (J1 lookup, wonderful/step.py:106-115);
+  *  - uploads run distributed via foreachPartition with a per-executor
+  *    transport (the reference's thread pool becomes partition parallelism);
+  *  - retries use capped full-jitter exponential backoff and only for
+  *    retryable failures (wonderful/step.py:247-285, 3 attempts, base 0.5s);
+  *  - prune-stale: names present in the KB under this history tag but
+  *    absent from the input are deleted (J2 anti-join semantics,
+  *    elevenlabs/step.py:284-306 — scoped by tag so other pipelines'
+  *    documents survive);
+  *  - error containment: failed rows are counted, the step fails only when
+  *    every row failed (wonderful/step.py:360-365).
+  *
+  * Scale note: the listing is sink state (small — one entry per live doc),
+  * broadcast to executors; data rows never collect to the driver.
+  */
+object UpsertSink {
+
+  /** Executor-side transport. Implementations must be idempotent per name
+    * (retry may re-send). Throw RetryableFailure for 429/5xx-class errors. */
+  trait Transport extends Serializable {
+    def list(tag: String): Map[String, String]              // name -> id
+    def create(tag: String, name: String, content: String): String
+    def update(id: String, content: String): Unit
+    def delete(id: String): Unit
+  }
+
+  final class RetryableFailure(msg: String) extends RuntimeException(msg)
+
+  /** Capped full-jitter exponential backoff (reference base 0.5s, 3
+    * attempts). `sleeper`/`jitter` are injectable for deterministic tests. */
+  final case class RetryPolicy(
+      attempts: Int = 3,
+      baseMillis: Long = 500,
+      capMillis: Long = 8000,
+      sleeper: Long => Unit = Thread.sleep,
+      jitter: Long => Long = max => (math.random() * max).toLong) extends Serializable {
+    def run[T](op: () => T): T = {
+      var tryNo = 0
+      while (true) {
+        try return op()
+        catch {
+          case e: RetryableFailure =>
+            tryNo += 1
+            if (tryNo >= attempts) throw e
+            sleeper(jitter(math.min(capMillis, baseMillis * (1L << tryNo))))
+          case e: Exception => throw e // non-retryable: fail fast
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
+  final case class UpsertResult(created: Long, updated: Long, failed: Long, pruned: Long)
+
+  /** Upsert df(nameCol, contentCol) into the KB under `tag`, then prune
+    * stale names. Returns counts. */
+  def upsert(df: DataFrame, nameCol: String, contentCol: String, tag: String,
+             transport: Transport, retry: RetryPolicy = RetryPolicy()): UpsertResult = {
+    val spark = df.sparkSession
+    val existing = transport.list(tag)
+    val existingB = spark.sparkContext.broadcast(existing)
+    val created = spark.sparkContext.longAccumulator("upsert_created")
+    val updated = spark.sparkContext.longAccumulator("upsert_updated")
+    val failed = spark.sparkContext.longAccumulator("upsert_failed")
+    val total = spark.sparkContext.longAccumulator("upsert_total")
+
+    df.select(col(nameCol).as("name"), col(contentCol).as("content"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        val ex = existingB.value
+        it.foreach { r =>
+          total.add(1)
+          val name = r.getString(0)
+          val content = r.getString(1)
+          try {
+            ex.get(name) match {
+              case Some(id) => retry.run(() => transport.update(id, content)); updated.add(1)
+              case None => retry.run(() => transport.create(tag, name, content)); created.add(1)
+            }
+          } catch { case _: Exception => failed.add(1) }
+        }
+      }
+
+    if (total.value > 0 && failed.value == total.value)
+      throw new IllegalStateException(
+        s"all ${total.value} uploads failed (reference fail-if-all, wonderful/step.py:360-365)")
+
+    // prune-stale: KB names under this tag not in the input (J2 anti-join;
+    // both sides are sink state / distinct names — driver-side is fine)
+    val keep = df.select(col(nameCol)).distinct()
+      .collect().map(_.getString(0)).toSet
+    val stale = existing.filter { case (name, _) => !keep.contains(name) }
+    stale.values.foreach(id => retry.run(() => { transport.delete(id); () }))
+
+    UpsertResult(created.value, updated.value, failed.value, stale.size.toLong)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.sinks
+
+import graft.SparkSpec
+import UpsertSink._
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+import scala.jdk.CollectionConverters._
+
+/** In-JVM mock transport (local-mode executors share the process, like the
+  * reference's mocked-service step tests, tests/steps/wonderful). */
+object MockKb {
+  val store = new ConcurrentHashMap[String, (String, String, String)]() // id -> (tag, name, content)
+  val transientFailures = new ConcurrentHashMap[String, AtomicInteger]()
+  val ids = new AtomicInteger(0)
+  def reset(): Unit = { store.clear(); transientFailures.clear(); ids.set(0) }
+}
+
+class MockTransport extends Transport {
+  import MockKb._
+  def list(tag: String): Map[String, String] =
+    store.asScala.collect { case (id, (t, name, _)) if t == tag => name -> id }.toMap
+  def create(tag: String, name: String, content: String): String = {
+    maybeFail(name)
+    val id = "id" + ids.incrementAndGet()
+    store.put(id, (tag, name, content)); id
+  }
+  def update(id: String, content: String): Unit = {
+    val (t, n, _) = store.get(id); maybeFail(n); store.put(id, (t, n, content))
+  }
+  def delete(id: String): Unit = { store.remove(id); () }
+  private def maybeFail(name: String): Unit = {
+    val ctr = transientFailures.get(name)
+    if (ctr != null && ctr.getAndDecrement() > 0)
+      throw new RetryableFailure(s"429 for $name")
+  }
+}
+
+class UpsertSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val noSleep = RetryPolicy(sleeper = _ => (), jitter = identity)
+
+  test("create-vs-update by listing, prune-stale scoped by tag (K6/K7, J1/J2)") {
+    MockKb.reset()
+    val t = new MockTransport
+    // pre-existing: 'a' under our tag, 'z' stale, 'other' under another tag
+    t.create("run", "a.md", "old-a")
+    t.create("run", "z.md", "stale")
+    t.create("other", "keepme.md", "other-pipeline")
+
+    val df = Seq(("a.md", "new-a"), ("b.md", "new-b")).toDF("name", "content")
+    val res = UpsertSink.upsert(df, "name", "content", "run", t, noSleep)
+    assert(res == UpsertResult(created = 1, updated = 1, failed = 0, pruned = 1))
+    val byName = MockKb.store.asScala.values.map(v => v._2 -> (v._1, v._3)).toMap
+    assert(byName("a.md") == ("run", "new-a"))
+    assert(byName("b.md") == ("run", "new-b"))
+    assert(!byName.contains("z.md"))
+    assert(byName("keepme.md") == ("other", "other-pipeline")) // other tag untouched
+  }
+
+  test("retryable failures are retried with backoff and succeed (full-jitter policy)") {
+    MockKb.reset()
+    val t = new MockTransport
+    MockKb.transientFailures.put("flaky.md", new AtomicInteger(2)) // fails twice, then ok
+    val df = Seq(("flaky.md", "v")).toDF("name", "content")
+    val res = UpsertSink.upsert(df, "name", "content", "run", t, noSleep)
+    assert(res.created == 1 && res.failed == 0)
+  }
+
+  test("retries exhaust -> row counted failed; fail-if-all throws") {
+    MockKb.reset()
+    val t = new MockTransport
+    MockKb.transientFailures.put("dead.md", new AtomicInteger(99))
+    val df = Seq(("dead.md", "v")).toDF("name", "content")
+    val e = intercept[IllegalStateException] {
+      UpsertSink.upsert(df, "name", "content", "run", t, noSleep)
+    }
+    assert(e.getMessage.contains("all 1 uploads failed"))
+    // partial failure does not throw
+    MockKb.reset()
+    MockKb.transientFailures.put("dead.md", new AtomicInteger(99))
+    val df2 = Seq(("dead.md", "v"), ("ok.md", "v")).toDF("name", "content")
+    val res = UpsertSink.upsert(df2, "name", "content", "run", new MockTransport, noSleep)
+    assert(res.failed == 1 && res.created == 1)
+  }
+}

@@ -44,6 +44,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows == List((1L, 1L), (1L, 2L), (2L, 1L), (2L, 1L)))
   }
 
+  test("stateful streaming dedup: first occurrence wins across micro-batches (T2 via flatMapGroupsWithState)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StatefulDedup.Keyed]
+    val name = "dedup" + System.nanoTime()
+    val q = StatefulDedup.dedupStream(mem.toDS(), ttl = None)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    mem.addData(StatefulDedup.Keyed("h1", "doc-a"), StatefulDedup.Keyed("h2", "doc-b"),
+      StatefulDedup.Keyed("h1", "doc-a-dup-same-batch"))
+    q.processAllAvailable()
+    mem.addData(StatefulDedup.Keyed("h1", "doc-a-dup-later-batch"),
+      StatefulDedup.Keyed("h3", "doc-c"))
+    q.processAllAvailable()
+    val out = spark.table(name).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    assert(out == Set(("h1", "doc-a"), ("h2", "doc-b"), ("h3", "doc-c")))
+  }
+
   test("sliding windows double-count each event across overlapping windows") {
     val rows = runStream(df => StreamingOps.slidingAgg(df, "ts", "1 hour", "30 minutes"), "complete")
     assert(rows.map(_.getAs[Long]("n")).sum == events.size * 2)

@@ -28,5 +28,9 @@ object GraftFunctions {
     val splitter = new SemanticSplitter()
     spark.udf.register("semantic_split",
       (md: String) => splitter.splitMarkdown(md))
+    spark.udf.register("html_to_md",
+      (html: String) => graft.functions.HtmlToMd.convert(html))
+    spark.udf.register("sentences",
+      (text: String) => graft.functions.Sentences.split(text))
   }
 }

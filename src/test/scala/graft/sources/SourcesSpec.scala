@@ -1,0 +1,64 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sinks.UpsertSink.{RetryPolicy, RetryableFailure}
+import graft.sinks.VersionedTableSink
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+object MockWeb {
+  val failures = new ConcurrentHashMap[String, AtomicInteger]()
+}
+
+class MockFetcher extends ScraperSource.Fetcher {
+  def fetch(url: String): String = {
+    val ctr = MockWeb.failures.get(url)
+    if (ctr != null && ctr.getAndDecrement() > 0) throw new RetryableFailure(s"503 $url")
+    s"""<html><body><h1>Page $url</h1><p>Body of <b>$url</b>.</p>
+       |<a href="/rel">rel</a><script>junk()</script></body></html>""".stripMargin
+  }
+}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val noSleep = RetryPolicy(sleeper = _ => (), jitter = identity)
+
+  test("scraper source: distributed fetch + html->md + retry + skip-on-failure (S4)") {
+    MockWeb.failures.clear()
+    MockWeb.failures.put("https://a.io/flaky", new AtomicInteger(1)) // one transient failure
+    MockWeb.failures.put("https://a.io/dead", new AtomicInteger(99)) // always fails
+    val urls = Seq(
+      ScraperSource.UrlItem("https://a.io/one", "One", category = Some("cat1")),
+      ScraperSource.UrlItem("https://a.io/flaky", "Flaky"),
+      ScraperSource.UrlItem("https://a.io/dead", "Dead")).toDS()
+    val docs = ScraperSource.scrape(urls, new MockFetcher, noSleep).collect().sortBy(_.url)
+    assert(docs.length == 2) // dead skipped, step not failed
+    val one = docs.find(_.url == "https://a.io/one").get
+    assert(one.md.contains("# Page https://a.io/one"))
+    assert(one.md.contains("**https://a.io/one**"))
+    assert(one.md.contains("[rel](https://a.io/rel)")) // absolutized against page url
+    assert(!one.md.contains("junk"))
+    assert(one.keywords == "cat1")
+    assert(one.metadata("title") == "One")
+  }
+
+  test("DataSource V2: kb metadata readable via spark.read.format (S2 custom-source slot)") {
+    val root = tmpDir("kbmeta")
+    val sink = new VersionedTableSink(root, "kb", historyLen = 10)
+    sink.write(Seq((1, "a")).toDF("id", "v"))
+    sink.write(Seq((2, "b"), (3, "c")).toDF("id", "v"))
+    val meta = spark.read.format("graft.sources.KbMetaSource")
+      .option("root", root).option("name", "kb").load()
+      .orderBy("version")
+    assert(meta.schema == KbMetaSource.schema)
+    val rows = meta.collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(rows.map(_.getBoolean(2)).toSeq == Seq(false, true)) // alias on v2
+    assert(rows.forall(_.getLong(3) >= 1))
+    // the scan composes with SQL like any table
+    meta.createOrReplaceTempView("kb_versions")
+    assert(spark.sql("SELECT version FROM kb_versions WHERE aliased").collect()
+      .map(_.getInt(0)).toSeq == Seq(2))
+  }
+}

@@ -122,6 +122,44 @@ object Kernels {
     set.toArray(new Array[String](set.size))
   }
 
+  // ---- vector kernels -----------------------------------------------------
+
+  /** Quantize float vector to exact longs (== vectors.quantize). */
+  def quantizeVec(v: Array[Float]): Array[Long] = {
+    val out = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = math.floor(v(i).toDouble * 1000000.0).toLong; i += 1 }
+    out
+  }
+
+  def dotLong(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Hyperplane weight == vectors.weight (md5-derived, oracle-shared). */
+  def planeWeight(seed: String, p: Int, i: Int): Long =
+    java.lang.Long.parseLong(md5Hex(s"$seed|$p|$i").substring(0, 15), 16) % 2001L - 1000L
+
+  /** LSH bucket over a quantized vector (== vectors.lshBucket). Weight
+    * tables are memoized per (seed, planes, dim). */
+  private val weightCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+  def lshBucketVec(qv: Array[Long], planes: Int, seed: String): Long = {
+    val key = s"$seed|$planes|${qv.length}"
+    val w = weightCache.computeIfAbsent(key, _ =>
+      Array.tabulate(planes, qv.length)((p, i) => planeWeight(seed, p, i + 1)))
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0L; var i = 0
+      while (i < qv.length) { proj += qv(i) * w(p)(i); i += 1 }
+      if (proj > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   // ---- UDF wrappers -------------------------------------------------------
 
   def minhashSigUdf(k: Int, n: Int): UserDefinedFunction =
@@ -135,4 +173,18 @@ object Kernels {
 
   def shingleCountUdf(n: Int): UserDefinedFunction =
     udf((text: String) => shingleSet(tokenize(text), n).size)
+
+  /** (quantized vector, squared norm, lsh bucket) in one pass. */
+  def vecFeaturesUdf(planes: Int, seed: String): UserDefinedFunction =
+    udf((v: Array[Float]) => {
+      val qv = quantizeVec(v)
+      (qv, dotLong(qv, qv), lshBucketVec(qv, planes, seed))
+    })
+
+  /** (quantized vector, squared norm) without bucketing. */
+  def quantNormUdf: UserDefinedFunction =
+    udf((v: Array[Float]) => { val qv = quantizeVec(v); (qv, dotLong(qv, qv)) })
+
+  def dotUdf: UserDefinedFunction =
+    udf((a: Array[Long], b: Array[Long]) => dotLong(a, b))
 }

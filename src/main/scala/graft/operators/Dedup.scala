@@ -118,16 +118,16 @@ object Dedup {
     * candidates sharing a random-hyperplane LSH bucket. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      planes: Int = 8, threshold: Double = 0.95): DataFrame = {
-    import graft.functions.vectors._
-    val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
-      .withColumn("bucket", lshBucket(col("q"), planes, "emb"))
-      .withColumn("n", normSqQ(col("q")))
+    import graft.functions.Kernels
+    val feat = Kernels.vecFeaturesUdf(planes, "emb")
+    val q = df.select(col(idCol).as("id"), feat(col(vecCol)).as("f"))
+      .select(col("id"), col("f._1").as("q"), col("f._2").as("n"), col("f._3").as("bucket"))
     val a = q.select(col("id").as("id_a"), col("q").as("q_a"), col("n").as("n_a"), col("bucket"))
     val b = q.select(col("id").as("id_b"), col("q").as("q_b"), col("n").as("n_b"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (dotQ(col("q_a"), col("q_b")).cast("double")
+        (Kernels.dotUdf(col("q_a"), col("q_b")).cast("double")
           / (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double")))).as("cosine"))
       .distinct()
       .filter(col("cosine") >= threshold)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.vectors._
+import graft.functions.Kernels
 
 /** Approximate-nearest-neighbor / similarity search (SURVEY.md §2.8 D5).
   *
@@ -16,24 +16,32 @@ import graft.functions.vectors._
   * turns the cross join into an equi-join on the bucket id — at 100 TB the
   * candidate set per query drops by ~2^planes while recall stays high for
   * high-cosine neighbors.
+  *
+  * Kernels: quantization (floor(x·1e6) → exact integer dot products — see
+  * graft.functions.vectors for the determinism spec), norms and LSH buckets
+  * are computed in ONE JVM UDF pass per row; the per-pair work is a single
+  * integer dot product. The Column-expression formulations in
+  * graft.functions.vectors define the same values for the SQL oracle.
   */
 object Similarity {
+
+  private def cosine = (dot: org.apache.spark.sql.Column,
+                        qn: org.apache.spark.sql.Column,
+                        cn: org.apache.spark.sql.Column) =>
+    dot.cast("double") / (sqrt(qn.cast("double")) * sqrt(cn.cast("double")))
 
   /** Brute-force top-k by quantized cosine. `queries`/`cands` need columns
     * (idCol, vecCol). Returns (qid, cid, rank, cosine). */
   def bruteTopK(cands: DataFrame, queries: DataFrame,
                 idCol: String, vecCol: String, kTop: Int): DataFrame = {
-    // Norms are computed once per row before the pair join — cosine per pair
-    // is then one dot product + two IEEE-exact sqrts.
-    val q = queries.select(col(idCol).as("qid"), quantize(col(vecCol)).as("qv"))
-      .withColumn("qn", normSqQ(col("qv")))
-    val c = cands.select(col(idCol).as("cid"), quantize(col(vecCol)).as("cv"))
-      .withColumn("cn", normSqQ(col("cv")))
+    val q = queries.select(col(idCol).as("qid"), Kernels.quantNormUdf(col(vecCol)).as("qf"))
+      .select(col("qid"), col("qf._1").as("qv"), col("qf._2").as("qn"))
+    val c = cands.select(col(idCol).as("cid"), Kernels.quantNormUdf(col(vecCol)).as("cf"))
+      .select(col("cid"), col("cf._1").as("cv"), col("cf._2").as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (dotQ(col("qv"), col("cv")).cast("double")
-          / (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))).as("cosine"))
+        cosine(Kernels.dotUdf(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
   }
@@ -42,17 +50,15 @@ object Similarity {
     * candidates are scored (approximate; deterministic). */
   def lshTopK(cands: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, kTop: Int, planes: Int = 6): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), quantize(col(vecCol)).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes, "ann"))
-      .withColumn("qn", normSqQ(col("qv")))
-    val c = cands.select(col(idCol).as("cid"), quantize(col(vecCol)).as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), planes, "ann"))
-      .withColumn("cn", normSqQ(col("cv")))
+    val feat = Kernels.vecFeaturesUdf(planes, "ann")
+    val q = queries.select(col(idCol).as("qid"), feat(col(vecCol)).as("qf"))
+      .select(col("qid"), col("qf._1").as("qv"), col("qf._2").as("qn"), col("qf._3").as("bucket"))
+    val c = cands.select(col(idCol).as("cid"), feat(col(vecCol)).as("cf"))
+      .select(col("cid"), col("cf._1").as("cv"), col("cf._2").as("cn"), col("cf._3").as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (dotQ(col("qv"), col("cv")).cast("double")
-          / (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))).as("cosine"))
+        cosine(Kernels.dotUdf(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
   }

@@ -122,6 +122,44 @@ object Kernels {
     set.toArray(new Array[String](set.size))
   }
 
+  /** Winnowing fingerprint set (north-star "document fingerprinting,
+    * rolling hash"; Schleimer et al. 2003): hash consecutive word n-grams
+    * (NOT deduped — sequence order matters), take the min of every sliding
+    * window of `w` hashes, return the distinct selected hashes sorted.
+    * Guarantees every shared substring of length >= n+w-1 words contributes
+    * a shared fingerprint — the classic plagiarism/near-dup sketch. */
+  def winnow(text: String, n: Int, w: Int): Array[Long] = {
+    val toks = tokenize(text)
+    if (toks.length < n) return Array.empty
+    val hs = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      hs(i) = hash28(sb.toString)
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (hs.length <= w) { var m = hs(0); var k = 1; while (k < hs.length) { if (hs(k) < m) m = hs(k); k += 1 }; sel.add(m) }
+    else {
+      var s = 0
+      while (s + w <= hs.length) {
+        var m = hs(s); var k = s + 1
+        while (k < s + w) { if (hs(k) < m) m = hs(k); k += 1 }
+        sel.add(m)
+        s += 1
+      }
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator(); var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
+  def winnowUdf(n: Int, w: Int): UserDefinedFunction =
+    udf((text: String) => winnow(text, n, w))
+
   // ---- vector kernels -----------------------------------------------------
 
   /** Quantize float vector to exact longs (== vectors.quantize). */

@@ -357,6 +357,30 @@ object TextQ {
         |CAST(least(len($W), 30) AS BIGINT) AS trunc_tokens
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q52_winnow_fingerprint",
+      // Winnowing (Schleimer et al. 2003): rolling min over word-3-gram
+      // hashes, window 4 — the scale-friendly document sketch (any shared
+      // run of >= 6 words yields a shared fingerprint). Kernel on the Spark
+      // side, replayed symbolically by the oracle.
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          graft.functions.Kernels.winnowUdf(3, 4)(col("text")).as("f"))
+        .select(col("doc_id"), big(size(col("f"))).as("n_fp"),
+          element_at(col("f"), 1).as("fp_min"),
+          expr("element_at(f, size(f))").as("fp_max"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (SELECT doc_id, $W AS w FROM documents),
+        |hs AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN CAST([] AS BIGINT[]) ELSE
+        |  list_transform(range(1, len(w) - 1), i ->
+        |    CAST(concat('0x', substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 7)) AS BIGINT)) END AS h
+        |  FROM tk),
+        |fp AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+        |  WHEN len(h) <= 4 THEN [list_min(h)]
+        |  ELSE list_sort(list_distinct(list_transform(range(1, len(h) - 2), s -> list_min(h[s : s+3])))) END AS f
+        |  FROM hs)
+        |SELECT doc_id, CAST(len(f) AS BIGINT) AS n_fp, f[1] AS fp_min, f[len(f)] AS fp_max
+        |FROM fp ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q44_contract_metrics",
       (s, d) => docs(s, d)
         .groupBy(col("lang"))

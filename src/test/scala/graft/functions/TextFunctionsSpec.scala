@@ -31,6 +31,18 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(HtmlToMd.absolutize("mailto:a@b.c", "https://x.y") == "mailto:a@b.c")
   }
 
+  test("winnowing: any shared >= n+w-1 word run yields a shared fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val a = graft.functions.Kernels.winnow(s"one two $shared three four five six seven", 3, 4).toSet
+    val b = graft.functions.Kernels.winnow(s"$shared completely different tail words here", 3, 4).toSet
+    assert(a.intersect(b).nonEmpty)
+    val c = graft.functions.Kernels.winnow("unrelated words entirely distinct from both documents", 3, 4).toSet
+    assert(a.intersect(c).isEmpty)
+    // deterministic + sorted
+    val again = graft.functions.Kernels.winnow(s"one two $shared three four five six seven", 3, 4)
+    assert(again.toSeq == again.sorted.toSeq && again.toSet == a)
+  }
+
   test("sentence split with abbreviation merge-back (F7, sentence_splitter.py:115-226)") {
     assert(Sentences.split("One sentence. Two sentence! Three?").toSeq ==
       Seq("One sentence.", "Two sentence!", "Three?"))

@@ -66,21 +66,48 @@ object Embedding {
     * after the action. */
   def embedChunks(ds: Dataset[Chunk], client: EmbeddingClient,
                   batchSize: Int = 32,
-                  prefixMap: Seq[(String, String)] = DefaultPrefixMap): Dataset[EmbeddingRow] = {
-    val sp = ds.sparkSession
-    import sp.implicits._
-    val prefix = prefixFor(client.modelName, prefixMap)
-    ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        val inputs = batch.map(c => prefix + clean(c.md))
-        try {
-          val vecs = client.embed(inputs)
-          batch.lazyZip(vecs).map { (c, v) =>
-            EmbeddingRow(c.md, c.url, v, c.keywords, prefix + clean(c.md), c.metadata)
-          }
-        } catch { case _: Exception => Seq.empty[EmbeddingRow] }
+                  prefixMap: Seq[(String, String)] = DefaultPrefixMap): Dataset[EmbeddingRow] =
+    new EmbeddingStep(client, batchSize, prefixMap).embed(ds)
+
+  /** Stateful wrapper carrying the reference's error-containment contract
+    * (step.py:263-272: skip failed rows, fail only when ALL rows failed).
+    * Call `assertNotAllSkipped()` after the terminal action. */
+  final class EmbeddingStep(client: EmbeddingClient, batchSize: Int = 32,
+                            prefixMap: Seq[(String, String)] = DefaultPrefixMap)
+      extends Serializable {
+    @transient private var total: org.apache.spark.util.LongAccumulator = _
+    @transient private var skipped: org.apache.spark.util.LongAccumulator = _
+
+    def embed(ds: Dataset[Chunk]): Dataset[EmbeddingRow] = {
+      val sp = ds.sparkSession
+      import sp.implicits._
+      val tot = sp.sparkContext.longAccumulator("embed_total")
+      val skp = sp.sparkContext.longAccumulator("embed_skipped")
+      total = tot; skipped = skp
+      val prefix = prefixFor(client.modelName, prefixMap)
+      val cl = client
+      val bs = batchSize
+      ds.mapPartitions { it =>
+        it.grouped(bs).flatMap { batch =>
+          tot.add(batch.size)
+          val inputs = batch.map(c => prefix + clean(c.md))
+          try {
+            val vecs = cl.embed(inputs)
+            batch.lazyZip(vecs).map { (c, v) =>
+              EmbeddingRow(c.md, c.url, v, c.keywords, prefix + clean(c.md), c.metadata)
+            }
+          } catch { case _: Exception => skp.add(batch.size); Seq.empty[EmbeddingRow] }
+        }
       }
     }
+
+    def assertNotAllSkipped(): Unit =
+      if (total != null && total.value > 0 && skipped.value == total.value)
+        throw new IllegalStateException(
+          s"all ${total.value} chunks failed to embed (reference fail-all, embedding/step.py:271-272)")
+
+    def skipStats: (Long, Long) =
+      (if (total == null) 0L else total.value, if (skipped == null) 0L else skipped.value)
   }
 
   /** E2: no split — clean then token-truncate to maxTokens, then embed. */

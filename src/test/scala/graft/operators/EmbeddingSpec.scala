@@ -39,6 +39,23 @@ class EmbeddingSpec extends SparkSpec {
     assert(rows.map(_.vector.toSeq).toSeq == again.map(_.vector.toSeq).toSeq)
   }
 
+  test("embedding fail-if-all: all-failing client throws after the action; partial failure skips") {
+    object FailingClient extends EmbeddingClient {
+      val modelName = "broken"
+      def embed(texts: Seq[String]): Seq[Array[Float]] = throw new RuntimeException("api down")
+    }
+    val step = new EmbeddingStep(FailingClient, batchSize = 2)
+    val out = step.embed(chunks.toDS())
+    assert(out.count() == 0)
+    val e = intercept[IllegalStateException](step.assertNotAllSkipped())
+    assert(e.getMessage.contains("failed to embed"))
+    // healthy client: no throw
+    val ok = new EmbeddingStep(MockEmbeddingClient(4))
+    assert(ok.embed(chunks.toDS()).count() == 3)
+    ok.assertNotAllSkipped()
+    assert(ok.skipStats == ((3L, 0L)))
+  }
+
   test("embedTruncated cuts to max tokens before embedding (E2)") {
     val long = Chunk((1 to 100).map("w" + _).mkString(" "), "k", "u", Map.empty)
     val row = embedTruncated(Seq(long).toDS(), MockEmbeddingClient(4), maxTokens = 10).collect()(0)

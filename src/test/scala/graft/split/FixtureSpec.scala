@@ -19,6 +19,27 @@ class FixtureSpec extends AnyFunSuite {
     val in = getClass.getResourceAsStream(s"/table_splitter/$name/input.md")
     try Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
+  private def goldens(name: String): Vector[String] = {
+    Iterator.from(0).map { i =>
+      Option(getClass.getResourceAsStream(f"/table_splitter/$name/expected_output_$i%03d.md"))
+    }.takeWhile(_.isDefined).map { s =>
+      val in = s.get
+      try Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }.toVector
+  }
+
+  for (name <- Seq("short_table", "standalone_table", "table_and_text", "many_rows_table",
+      "many_rows_table_dont_repeat_header", "many_columns_table", "long_table_and_long_text")) {
+    test(s"golden: $name matches the pinned re-derived outputs byte-exact") {
+      val actual = sp.splitMarkdown(fixture(name).trim)
+      val expected = goldens(name)
+      assert(expected.nonEmpty, "goldens missing — run graft.tools.RegenGoldens")
+      assert(actual.length == expected.length, "split count drifted")
+      actual.zip(expected).zipWithIndex.foreach { case ((a, e), i) =>
+        assert(a == e, s"chunk $i drifted")
+      }
+    }
+  }
   private def tableRows(s: String): Seq[String] =
     s.linesIterator.filter(l => l.trim.startsWith("|") && !l.contains("---")).toSeq
 

@@ -225,4 +225,8 @@ object Kernels {
 
   def dotUdf: UserDefinedFunction =
     udf((a: Array[Long], b: Array[Long]) => dotLong(a, b))
+
+  /** Deterministic pseudo-random rank of a key (for partition-order-free
+    * sampling, e.g. k-means seed selection). */
+  def md5RankUdf: UserDefinedFunction = udf((s: String) => hash60(s + "#rank"))
 }

@@ -129,7 +129,7 @@ object Embedding {
         sort_array(collect_list(struct(col("ci"), col("vector")))).as("ordered"),
         sort_array(collect_list(struct(col("ci"), col("text")))).as("orderedTexts"))
       .select(
-        col("url"), col("keywords"),
+        col("src"), col("url"), col("keywords"),
         transform(col("ordered"), x => x.getField("vector")).as("vectors"),
         transform(col("orderedTexts"), x => x.getField("text")).as("splits"))
 }

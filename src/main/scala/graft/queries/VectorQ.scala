@@ -18,6 +18,9 @@ object VectorQ {
   /** DuckDB: quantized copy of the embedding list. */
   private val QV = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
 
+  /** DuckDB: whitespace tokens of the documents text column. */
+  private val W = "string_split_regex(text, '\\s+')"
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q36_knn_brute",
@@ -107,6 +110,52 @@ object VectorQ {
         |  FROM documents)
         |SELECT doc_id, e[1] AS e0, e[8] AS e7, CAST(list_sum(e) AS BIGINT) AS isum
         |FROM m ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q53_multivector",
+      // E3 end-to-end: split (production splitter) -> mock-embed each chunk
+      // -> regroup per source doc via embedMultiVector (vectors + splits in
+      // chunk order). Output digests are exact ints recovered from the
+      // float vectors; the oracle recomputes split windows + embeddings
+      // symbolically.
+      (s, d) => {
+        import s.implicits._
+        // dedup by content first (the reference pipeline order) — the
+        // multivector regroup keys on the source doc's content hash, so
+        // exact duplicates must be collapsed before splitting.
+        val docsT = graft.operators.Dedup.exact(
+          Tables.load(s, d, "documents"), Seq("text"), "doc_id")
+        val chunks = docsT
+          .select(col("text"), col("lang"), col("source"), col("doc_id"))
+          .as[(String, String, String, Long)]
+          .flatMap { case (text, lang, source, id) =>
+            new graft.split.SemanticSplitter().splitDoc(
+              graft.contracts.MarkdownDoc(text, lang, source, Map("doc_id" -> id.toString)))
+          }
+        val rows = graft.operators.Embedding.embedChunks(
+          chunks, graft.operators.Embedding.MockEmbeddingClient(dim = 8), batchSize = 64)
+        val mv = graft.operators.Embedding.embedMultiVector(rows)
+        mv.join(docsT.select(col("doc_id"), sha2(col("text"), 256).as("src")), Seq("src"))
+          .select(
+            col("doc_id"),
+            big(size(col("splits"))).as("n_splits"),
+            aggregate(col("vectors"), lit(0L), (acc, v) =>
+              acc + aggregate(transform(v, x => round(x.cast("double") * 1000.0).cast("long")),
+                lit(0L), (a, x) => a + x)).as("isum_total"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH dd AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |tk AS (SELECT doc_id, text, $W AS w FROM dd),
+        |whole AS (SELECT doc_id, 0 AS k, text AS chunk_text FROM tk WHERE len(w) <= 288),
+        |cut AS (SELECT doc_id, k, array_to_string(w[k*256+1 : (k+1)*256], ' ') AS chunk_text
+        |  FROM tk, (SELECT unnest(generate_series(0, 99)) AS k) g
+        |  WHERE len(w) > 288 AND k*256 < len(w)
+        |    AND (CASE WHEN len(w) - k*256 >= 256 THEN 256 ELSE len(w) - k*256 END) >= 64),
+        |kept AS (SELECT * FROM whole UNION ALL SELECT * FROM cut),
+        |emb AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 8), i ->
+        |  CAST(concat('0x', substr(md5('query: ' || chunk_text || '#e' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 1000)) AS BIGINT) AS isum
+        |  FROM kept)
+        |SELECT doc_id, COUNT(*) AS n_splits, CAST(SUM(isum) AS BIGINT) AS isum_total
+        |FROM emb GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q38_mock_embedding",
       (s, d) => {

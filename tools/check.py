@@ -21,6 +21,10 @@ for p in ["java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
     ADD_OPENS += ["--add-opens", f"java.base/{p}=ALL-UNNAMED"]
 
 if not SKIP_RUN:
+    # fresh output dir — a stale per-query parquet from a previous run would
+    # otherwise mask a Spark-side failure as a (possibly passing) compare
+    import shutil
+    shutil.rmtree(OUT, ignore_errors=True)
     cmd = ["java"] + ADD_OPENS + [
         "-Duser.timezone=UTC", "-Dspark.ui.enabled=false", "-Xmx8g",
         "-cp", f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*",

@@ -31,7 +31,8 @@ class SemanticSplitter(
     val tokenLimit: Int = 256,
     val buffer: Int = 32,
     val tokenMin: Int = 64,
-    val tk: Tokenizer = WhitespaceTokenizer) extends Serializable {
+    val tk: Tokenizer = WhitespaceTokenizer,
+    val repeatTableHeader: Boolean = true) extends Serializable {
 
   private val hardMax = tokenLimit + buffer
   private val softMin = tokenLimit - buffer
@@ -87,7 +88,7 @@ class SemanticSplitter(
   private def splitSection(section: Vector[Block]): Vector[String] = {
     section.flatMap {
       case t: TableBlock if tk.count(t.text) > hardMax =>
-        TableSplitter.split(t, hardMax, tk)
+        TableSplitter.split(t, hardMax, tk, repeatTableHeader)
       case b if tk.count(b.text) > hardMax =>
         b match {
           case p: Paragraph => hardCut(p.text)

@@ -36,18 +36,29 @@ object TableSplitter {
     out.result()
   }
 
-  /** Split a table block into markdown chunks each within tokenLimit
-    * (header repeated). Rows that alone exceed the limit are column-sliced. */
-  def split(table: TableBlock, tokenLimit: Int, tk: Tokenizer): Vector[String] = {
+  /** Split a table block into markdown chunks each within tokenLimit.
+    * `repeatHeader` re-emits header+separator on every chunk (reference
+    * `repeat_table_header_row`, default true; the dont_repeat_header fixture
+    * covers false — only the first chunk carries the header). Rows that
+    * alone exceed the limit are column-sliced. */
+  def split(table: TableBlock, tokenLimit: Int, tk: Tokenizer,
+            repeatHeader: Boolean = true): Vector[String] = {
     if (tk.count(table.text) <= tokenLimit) return Vector(table.text)
     val headerCells = cells(table.header)
     val head = table.header + "\n" + table.sep
     val headTokens = tk.count(head)
+    var emittedHeader = false
     val out = Vector.newBuilder[String]
     var buf = Vector.empty[String]
     var bufTokens = headTokens
     def flush(): Unit = {
-      if (buf.nonEmpty) { out += (head +: buf).mkString("\n"); buf = Vector.empty; bufTokens = headTokens }
+      if (buf.nonEmpty) {
+        val withHead = repeatHeader || !emittedHeader
+        emittedHeader = true
+        out += (if (withHead) (head +: buf) else buf).mkString("\n")
+        buf = Vector.empty
+        bufTokens = if (repeatHeader) headTokens else 0
+      }
     }
     table.rows.foreach { row =>
       val rowTokens = tk.count(row)

@@ -56,6 +56,21 @@ class TableSplitterSpec extends AnyFunSuite {
     assert(cellsOut == (1 to nCols).map(c => s"r1c$c"))
   }
 
+  test("many_rows_table_dont_repeat_header: header only on the first chunk (repeat_table_header_row=False)") {
+    val t = table(30)
+    val chunks = TableSplitter.split(t, 40, tk, repeatHeader = false)
+    assert(chunks.length > 1)
+    assert(chunks.head.linesIterator.toVector.take(2) == Vector(t.header, t.sep))
+    chunks.tail.foreach { c =>
+      assert(!c.contains(t.header), "header must not repeat")
+      assert(!c.contains("---"))
+    }
+    // still no row lost or cut
+    val allRows = chunks.head.linesIterator.drop(2).toVector ++
+      chunks.tail.flatMap(_.linesIterator)
+    assert(allRows == t.rows)
+  }
+
   test("rows never split mid-row even when tight") {
     val t = table(10, 3)
     val chunks = TableSplitter.split(t, 15, tk)

@@ -67,7 +67,10 @@ object TableSplitter {
         out ++= sliceLongRow(headerCells, cells(row), tokenLimit, tk)
       } else if (bufTokens + rowTokens > tokenLimit) {
         flush()
-        buf = Vector(row); bufTokens = headTokens + rowTokens
+        // Seed the head budget only if this chunk will actually carry the
+        // header (repeatHeader=false chunks after the first are header-less).
+        buf = Vector(row)
+        bufTokens = (if (repeatHeader || !emittedHeader) headTokens else 0) + rowTokens
       } else {
         buf = buf :+ row; bufTokens += rowTokens
       }

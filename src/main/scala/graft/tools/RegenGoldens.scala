@@ -12,8 +12,12 @@ import scala.jdk.CollectionConverters._
 object RegenGoldens {
   def main(args: Array[String]): Unit = {
     val base = Paths.get("src/test/resources/table_splitter")
-    val sp = new SemanticSplitter()
     Files.list(base).iterator().asScala.filter(Files.isDirectory(_)).foreach { dir =>
+      // The dont_repeat_header fixture exercises repeat_table_header_row=false
+      // (reference test_markdown_table_splitter.py parametrization); all
+      // other fixtures run the default splitter.
+      val sp = new SemanticSplitter(
+        repeatTableHeader = !dir.getFileName.toString.contains("dont_repeat_header"))
       val input = new String(Files.readAllBytes(dir.resolve("input.md")), "UTF-8")
       Files.list(dir).iterator().asScala
         .filter(_.getFileName.toString.startsWith("expected_output_"))

@@ -31,7 +31,12 @@ class FixtureSpec extends AnyFunSuite {
   for (name <- Seq("short_table", "standalone_table", "table_and_text", "many_rows_table",
       "many_rows_table_dont_repeat_header", "many_columns_table", "long_table_and_long_text")) {
     test(s"golden: $name matches the pinned re-derived outputs byte-exact") {
-      val actual = sp.splitMarkdown(fixture(name).trim)
+      // dont_repeat_header runs the non-default repeat_table_header_row=false
+      // mode, like the reference's parametrized fixture test.
+      val splitter =
+        if (name.contains("dont_repeat_header")) new SemanticSplitter(repeatTableHeader = false)
+        else sp
+      val actual = splitter.splitMarkdown(fixture(name).trim)
       val expected = goldens(name)
       assert(expected.nonEmpty, "goldens missing — run graft.tools.RegenGoldens")
       assert(actual.length == expected.length, "split count drifted")
@@ -71,6 +76,20 @@ class FixtureSpec extends AnyFunSuite {
     chunks.filter(_.contains("| DataIngestor")).foreach { c =>
       assert(tableRows(c).head == tableRows(md).head, "header re-emitted per chunk")
     }
+  }
+
+  test("many_rows_table_dont_repeat_header: only the first table chunk carries the header") {
+    val md = fixture("many_rows_table_dont_repeat_header")
+    val tight = new SemanticSplitter(tokenLimit = 80, buffer = 8, tokenMin = 4,
+      repeatTableHeader = false)
+    val chunks = tight.splitMarkdown(md)
+    assert(chunks.length > 1)
+    val header = tableRows(md).head
+    assert(tableRows(chunks.head).headOption.contains(header))
+    chunks.tail.foreach(c => assert(!tableRows(c).contains(header), s"header repeated in:\n$c"))
+    // all data rows survive, in order
+    val inputRows = tableRows(md).drop(1)
+    assert(chunks.flatMap(tableRows).filterNot(_ == header) == inputRows)
   }
 
   test("many_columns_table: oversized row sliced at column boundaries with matching header slices") {

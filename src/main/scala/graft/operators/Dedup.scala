@@ -15,6 +15,32 @@ import graft.functions.text._
   */
 object Dedup {
 
+  /** Bound degenerate-band join fan-out (the 100 TB escape hatch): bands
+    * with more than `cap` members — boilerplate text, empty docs, a hot
+    * hyperplane bucket — are split into `ceil(size/cap)` deterministic
+    * sub-buckets (Skew.subBucket), so a size-n band produces O(n*cap)
+    * candidate pairs instead of O(n^2). Bands at or under the cap keep
+    * their key byte-for-byte, so results on non-degenerate data are
+    * unchanged. Costs one extra shuffle on the (short) band key — the
+    * membership count runs as a window over the same partitioning the
+    * candidate join needs anyway. `cap <= 0` disables.
+    *
+    * Recall note: two members of an oversized band only stay candidates if
+    * they hash to the same sub-bucket, but each still gets ~cap in-band
+    * comparisons — for the degenerate clusters this targets (mutually
+    * near-identical members), transitive links inside sub-buckets preserve
+    * cluster discovery. */
+  private def capBandFanout(rows: DataFrame, bandCol: String, idCol: String,
+                            cap: Int): DataFrame = {
+    if (cap <= 0) return rows
+    import org.apache.spark.sql.expressions.Window
+    val size = count(lit(1)).over(Window.partitionBy(col(bandCol)))
+    rows.withColumn(bandCol,
+      when(size > cap,
+        Skew.subBucket(col(bandCol), col(idCol), ceil(size / lit(cap)).cast("int")))
+        .otherwise(col(bandCol)))
+  }
+
   /** Exact dedup by field list — reference semantics (`DROP_BY_FIELDS`,
     * default ["md"]). Keeps an arbitrary-but-deterministic representative:
     * the row with the minimum tiebreak key. */
@@ -62,13 +88,16 @@ object Dedup {
     * compared, so the wide payload is joined exactly once per unique
     * candidate pair, not once per shared band. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 12, r: Int = 4, threshold: Double = 0.6): DataFrame = {
+                   k: Int = 12, r: Int = 4, threshold: Double = 0.6,
+                   capPerBand: Int = 256): DataFrame = {
     import graft.functions.Kernels
     // bindOnce: the signature (one md5 pass over all shingles) is computed
     // once per row, not once per band-key reference.
-    val bandRows = df.select(col(idCol).as("id"),
-      explode(bindOnce(Kernels.minhashSigUdf(k, 3)(col(textCol)))(s => bandKeys(s, k, r)))
-        .as("band"))
+    val bandRows = capBandFanout(
+      df.select(col(idCol).as("id"),
+        explode(bindOnce(Kernels.minhashSigUdf(k, 3)(col(textCol)))(s => bandKeys(s, k, r)))
+          .as("band")),
+      "band", "id", capPerBand)
     val cand = bandRows.as("a")
       .join(bandRows.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -91,20 +120,23 @@ object Dedup {
     * fingerprint (two docs within maxHamming bit flips share a clean band
     * unless every band catches a flip), then confirm by Hamming distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   bits: Int = 48, bandBits: Int = 16, maxHamming: Int = 2): DataFrame = {
+                   bits: Int = 48, bandBits: Int = 16, maxHamming: Int = 2,
+                   capPerBand: Int = 256): DataFrame = {
     val nBands = bits / bandBits
     // Explode (band, fingerprint) structs built under a bindOnce so the
     // md5-over-tokens fingerprint pass runs once per row, not per band.
-    val banded = df.select(
-        col(idCol).as("id"),
-        explode(bindOnce(graft.functions.Kernels.simhashUdf(bits)(col(textCol))) { fp =>
-          array((0 until nBands).map(bnd =>
-            struct(
-              concat_ws(":", lit(bnd),
-                shiftright(fp, bnd * bandBits).bitwiseAND(lit((1L << bandBits) - 1))).as("band"),
-              fp.as("fp"))): _*)
-        }).as("x"))
-      .select(col("id"), col("x.band").as("band"), col("x.fp").as("simhash"))
+    val banded = capBandFanout(
+      df.select(
+          col(idCol).as("id"),
+          explode(bindOnce(graft.functions.Kernels.simhashUdf(bits)(col(textCol))) { fp =>
+            array((0 until nBands).map(bnd =>
+              struct(
+                concat_ws(":", lit(bnd),
+                  shiftright(fp, bnd * bandBits).bitwiseAND(lit((1L << bandBits) - 1))).as("band"),
+                fp.as("fp"))): _*)
+          }).as("x"))
+        .select(col("id"), col("x.band").as("band"), col("x.fp").as("simhash")),
+      "band", "id", capPerBand)
     val a = banded.select(col("id").as("id_a"), col("simhash").as("fp_a"), col("band"))
     val b = banded.select(col("id").as("id_b"), col("simhash").as("fp_b"), col("band"))
     a.join(b, Seq("band"))
@@ -117,11 +149,14 @@ object Dedup {
   /** Embedding near-dup: pairs with quantized cosine >= threshold among
     * candidates sharing a random-hyperplane LSH bucket. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-                     planes: Int = 8, threshold: Double = 0.95): DataFrame = {
+                     planes: Int = 8, threshold: Double = 0.95,
+                     capPerBand: Int = 256): DataFrame = {
     import graft.functions.Kernels
     val feat = Kernels.vecFeaturesUdf(planes, "emb")
-    val q = df.select(col(idCol).as("id"), feat(col(vecCol)).as("f"))
-      .select(col("id"), col("f._1").as("q"), col("f._2").as("n"), col("f._3").as("bucket"))
+    val q = capBandFanout(
+      df.select(col(idCol).as("id"), feat(col(vecCol)).as("f"))
+        .select(col("id"), col("f._1").as("q"), col("f._2").as("n"), col("f._3").as("bucket")),
+      "bucket", "id", capPerBand)
     val a = q.select(col("id").as("id_a"), col("q").as("q_a"), col("n").as("n_a"), col("bucket"))
     val b = q.select(col("id").as("id_b"), col("q").as("q_b"), col("n").as("n_b"), col("bucket"))
     a.join(b, Seq("bucket"))

@@ -44,5 +44,11 @@ object Skew {
     * escape hatch when a degenerate band (e.g. empty-text docs) would
     * otherwise produce a quadratic pair explosion. */
   def subBucket(bandCol: Column, idCol: Column, cap: Int): Column =
-    concat_ws("#", bandCol, pmod(hash(idCol), lit(cap)))
+    subBucket(bandCol, idCol, lit(cap))
+
+  /** Column-count variant: the number of sub-buckets can be computed per
+    * row (e.g. `ceil(band_size / cap)` so the cap bounds sub-bucket SIZE
+    * rather than sub-bucket count). */
+  def subBucket(bandCol: Column, idCol: Column, nSub: Column): Column =
+    concat_ws("#", bandCol, pmod(hash(idCol), nSub))
 }

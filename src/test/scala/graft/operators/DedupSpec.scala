@@ -74,6 +74,38 @@ class DedupSpec extends SparkSpec {
     assert(sUdf == sExpr)
   }
 
+  test("degenerate band: capPerBand bounds pair fan-out; distinct near-dups still found") {
+    // 1000 identical docs — every band key collides, the uncapped join
+    // would produce C(1000,2) = 499,500 candidate pairs per band.
+    val degenerate = (0 until 1000).map(i => (1000L + i, mkDoc(42)))
+    // exact dup: band collision is certain (near-dup collision is only
+    // probabilistic in LSH and would flake independent of the cap)
+    val planted = Seq((1L, mkDoc(1)), (2L, mkDoc(1)))
+    val df = (degenerate ++ planted).toDF("doc_id", "text")
+    val cap = 64
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text", 12, 4, 0.5, capPerBand = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // Identical docs score jaccard 1.0, so every surviving candidate pair is
+    // returned: the count IS the post-cap fan-out. With nSub = ceil(n/cap)
+    // sub-buckets the bound is ~n*cap pairs, far under the quadratic blowup.
+    val degeneratePairs = pairs.count { case (a, b) => a >= 1000 && b >= 1000 }
+    assert(degeneratePairs > 0, "sub-buckets still produce in-band pairs")
+    assert(degeneratePairs < 1000 * cap, s"fan-out not bounded: $degeneratePairs")
+    assert(pairs.contains((1L, 2L)), "non-degenerate near-dup pair unaffected by the cap")
+    // every degenerate doc keeps at least one in-band link (cluster stays discoverable)
+    val linked = pairs.collect { case (a, b) if a >= 1000 || b >= 1000 => Seq(a, b) }
+      .flatten.filter(_ >= 1000).toSet
+    assert(linked.size == 1000, s"docs left unlinked: ${1000 - linked.size}")
+  }
+
+  test("capPerBand leaves small-band results byte-identical (default-on safety)") {
+    val capped = Dedup.minhashPairs(docs, "doc_id", "text", 12, 4, 0.5, capPerBand = 256)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.minhashPairs(docs, "doc_id", "text", 12, 4, 0.5, capPerBand = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped)
+  }
+
   test("embedding near-dup pairs find identical vectors") {
     val vecs = Seq(
       (1L, Array(0.1f, 0.2f, 0.3f, 0.4f)),

@@ -96,13 +96,18 @@ object UpsertSink {
       throw new IllegalStateException(
         s"all ${total.value} uploads failed (reference fail-if-all, wonderful/step.py:360-365)")
 
-    // prune-stale: KB names under this tag not in the input (J2 anti-join;
-    // both sides are sink state / distinct names — driver-side is fine)
-    val keep = df.select(col(nameCol)).distinct()
-      .collect().map(_.getString(0)).toSet
-    val stale = existing.filter { case (name, _) => !keep.contains(name) }
-    stale.values.foreach(id => retry.run(() => { transport.delete(id); () }))
+    // prune-stale: KB names under this tag not in the input (J2 anti-join,
+    // elevenlabs/step.py:284-306). The anti-join runs distributed — the
+    // input's name column is never collected (at corpus scale it is millions
+    // of names); only the RESULT comes to the driver, and that is bounded by
+    // the sink listing (one entry per live KB doc), not by the input.
+    import spark.implicits._
+    val existingDf = spark.createDataset(existing.toSeq).toDF("name", "id")
+    val staleIds = existingDf
+      .join(df.select(col(nameCol).as("name")), Seq("name"), "left_anti")
+      .select("id").as[String].collect()
+    staleIds.foreach(id => retry.run(() => { transport.delete(id); () }))
 
-    UpsertResult(created.value, updated.value, failed.value, stale.size.toLong)
+    UpsertResult(created.value, updated.value, failed.value, staleIds.length.toLong)
   }
 }

@@ -58,6 +58,26 @@ class UpsertSinkSpec extends SparkSpec {
     assert(byName("keepme.md") == ("other", "other-pipeline")) // other tag untouched
   }
 
+  test("prune-stale anti-join is distributed: 10^5-name input, stale set stays exact") {
+    MockKb.reset()
+    val t = new MockTransport
+    // 50 live KB docs under the tag; 10 of them absent from the input -> stale
+    (0 until 50).foreach(i => t.create("run", s"doc_$i.md", "old"))
+    // 120k input names (covers doc_0..doc_39 plus 119,960 new ones) — the
+    // input name column must never be collected; only the ~sink-sized stale
+    // result reaches the driver.
+    val df = ((0 until 40).map(i => s"doc_$i.md") ++
+      (0 until 119960).map(i => s"new_$i.md")).toDF("name")
+      .withColumn("content", org.apache.spark.sql.functions.lit("v"))
+      .repartition(8)
+    val res = UpsertSink.upsert(df, "name", "content", "run", t, noSleep)
+    assert(res.pruned == 10)
+    assert(res.updated == 40 && res.created == 119960 && res.failed == 0)
+    val names = MockKb.store.asScala.values.map(_._2).toSet
+    assert((40 until 50).forall(i => !names.contains(s"doc_$i.md")))
+    assert((0 until 40).forall(i => names.contains(s"doc_$i.md")))
+  }
+
   test("retryable failures are retried with backoff and succeed (full-jitter policy)") {
     MockKb.reset()
     val t = new MockTransport

@@ -1,0 +1,106 @@
+package graft.split
+
+/** mdformat-style markdown canonicalization (SURVEY.md §2.9 F11; reference
+  * semantic_splitter.py:107-119 `_format_markdown_docs` runs `mdformat.text`
+  * on every final chunk before hashing/metadata).
+  *
+  * No JVM mdformat exists, so this implements the subset of mdformat's
+  * normalization rules that affect chunk bytes on this engine's inputs —
+  * the rule list is the documented contract (FIXTURES.md §1.5):
+  *
+  *  R1. line endings -> \n; per-line trailing whitespace stripped
+  *  R2. blocks are separated by exactly one blank line (runs collapse)
+  *  R3. a heading, a pipe table, and a fenced code block are always their
+  *      own block, even when the source had no blank line around them
+  *  R4. ATX headings: single space after #s, trailing closing #s dropped
+  *  R5. bullet list markers * and + become - (marker + single space)
+  *  R6. pipe tables re-rendered mdformat-tables style: cells trimmed and
+  *      left-aligned, every column padded to its widest cell (min 3) where
+  *      the delimiter row's own cell length counts toward the width,
+  *      separator row stretched with dashes preserving :--- / ---: / :--:
+  *      alignment colons, leading/trailing pipes with single-space gutters
+  *  R7. no trailing newline (output is .strip()-ed like the reference's
+  *      `mdformat.text(doc.md).strip()`)
+  *
+  * Not implemented (documented divergence): emphasis-marker rewriting,
+  * escape normalization, ordered-list renumbering, paragraph re-wrapping
+  * (mdformat's default wrap mode keeps source line breaks anyway).
+  */
+object MdFormatLite {
+
+  private val TableSepRe = "^\\s*\\|?(?:\\s*:?-+:?\\s*\\|)+\\s*$".r
+  private val HeadingRe = "^(#{1,6})\\s+(.*?)\\s*#*\\s*$".r
+  private val BulletRe = "^(\\s*)[*+-]\\s+(.*)$".r
+  private val FenceRe = "^(```|~~~).*$".r
+
+  private def isSep(l: String): Boolean = TableSepRe.matches(l)
+
+  private def cells(row: String): Vector[String] =
+    row.trim.stripPrefix("|").stripSuffix("|").split("\\|", -1).toVector.map(_.trim)
+
+  /** Re-render one pipe table (header, sep, rows) with aligned columns. */
+  private def renderTable(header: String, sep: String, rows: Vector[String]): Vector[String] = {
+    val hc = cells(header)
+    val n = hc.length
+    val sc = cells(sep).padTo(n, "---").take(n)
+    val rc = rows.map(r => cells(r).padTo(n, "").take(n))
+    // mdformat-tables: the delimiter row participates in the width max as a
+    // plain cell string, so an over-wide separator is preserved, never shrunk
+    val widths = (0 until n).map { i =>
+      math.max(3, (hc(i).length +: sc(i).length +: rc.map(_(i).length)).max)
+    }
+    def fmtRow(cs: Vector[String]): String =
+      cs.zip(widths).map { case (c, w) => c.padTo(w, ' ') }
+        .mkString("| ", " | ", " |")
+    val fmtSep = sc.zip(widths).map { case (c, w) =>
+      val left = c.startsWith(":")
+      val right = c.endsWith(":") && c.length > 1
+      val dashes = w - (if (left) 1 else 0) - (if (right) 1 else 0)
+      (if (left) ":" else "") + ("-" * dashes) + (if (right) ":" else "")
+    }.mkString("| ", " | ", " |")
+    (fmtRow(hc) +: fmtSep +: rc.map(fmtRow)).toVector
+  }
+
+  /** Canonicalize a markdown string per the rule list above. */
+  def normalize(md: String): String = {
+    val lines = md.replace("\r\n", "\n").replace("\r", "\n")
+      .split("\n", -1).toVector.map(l => l.replaceAll("\\s+$", ""))
+
+    // group lines into blocks; every block renders as its joined lines and
+    // blocks are separated by exactly one blank line
+    val blocks = Vector.newBuilder[Vector[String]]
+    var para = Vector.empty[String] // open paragraph/list run
+    def closePara(): Unit = { if (para.nonEmpty) { blocks += para; para = Vector.empty } }
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if (l.isEmpty) { closePara(); i += 1 }
+      else if (FenceRe.matches(l)) {
+        closePara()
+        val fence = Vector.newBuilder[String]
+        fence += l
+        var j = i + 1
+        while (j < lines.length && !FenceRe.matches(lines(j))) { fence += lines(j); j += 1 }
+        if (j < lines.length) { fence += lines(j); j += 1 }
+        blocks += fence.result()
+        i = j
+      } else if (l.contains("|") && i + 1 < lines.length && isSep(lines(i + 1))) {
+        closePara()
+        val rows = Vector.newBuilder[String]
+        var j = i + 2
+        while (j < lines.length && lines(j).contains("|")) { rows += lines(j); j += 1 }
+        blocks += renderTable(l, lines(i + 1), rows.result())
+        i = j
+      } else l match {
+        case HeadingRe(hashes, title) =>
+          closePara(); blocks += Vector(s"$hashes $title"); i += 1
+        case BulletRe(indent, rest) =>
+          para = para :+ s"$indent- $rest"; i += 1
+        case other =>
+          para = para :+ other; i += 1
+      }
+    }
+    closePara()
+    blocks.result().map(_.mkString("\n")).mkString("\n\n").strip()
+  }
+}

@@ -32,23 +32,40 @@ class SemanticSplitter(
     val buffer: Int = 32,
     val tokenMin: Int = 64,
     val tk: Tokenizer = WhitespaceTokenizer,
-    val repeatTableHeader: Boolean = true) extends Serializable {
+    val repeatTableHeader: Boolean = true,
+    val canonicalize: Boolean = false) extends Serializable {
 
   private val hardMax = tokenLimit + buffer
   private val softMin = tokenLimit - buffer
+
+  /** mdformat-lite pass on final chunks (reference _format_markdown_docs,
+    * semantic_splitter.py:107-119 — every chunk is mdformat.text'd then
+    * stripped). Opt-in: the plain-text corpus contract (q43) pins
+    * non-canonicalized bytes. */
+  private def finish(chunks: Vector[String]): Vector[String] =
+    if (canonicalize) chunks.map(MdFormatLite.normalize).filter(_.nonEmpty) else chunks
 
   /** Split markdown into chunk texts (stage 1-4). */
   def splitMarkdown(md: String): Vector[String] = {
     val canonical = md.trim
     if (canonical.isEmpty) return Vector.empty
-    if (tk.count(canonical) <= hardMax) return Vector(canonical)
+    if (tk.count(canonical) <= hardMax) return finish(Vector(canonical))
     val blocks = MarkdownBlocks.parse(canonical)
+    // Reference routing (semantic_splitter.py:628-646): when the strongest
+    // top-level block is a table (no heading/list/fence outranks it), the
+    // WHOLE document runs through the line-based table splitter at
+    // token_limit — text between tables packs into the same chunks, and no
+    // token-min filter applies to its output.
+    if (blocks.nonEmpty && blocks.map(_.level).min == 9)
+      return finish(
+        TableSplitter.splitDocument(canonical, tokenLimit, tk, repeatTableHeader)
+          .map(_.trim).filter(_.nonEmpty))
     val pieces = assemble(blocks)
     // chunks under token_limit_min are skipped (reference 616-619); a doc
     // short enough to stay whole never reaches this filter (early return).
-    attachHeaders(blocks, pieces)
+    finish(attachHeaders(blocks, pieces)
       .filter(c => !isStandaloneHeading(c))
-      .filter(c => tk.count(c) >= tokenMin)
+      .filter(c => tk.count(c) >= tokenMin))
   }
 
   // ---- stage 2: token-bounded assembly -----------------------------------
@@ -123,7 +140,7 @@ class SemanticSplitter(
   /** Hard token cut of a leaf (reference _md_data_from_dict_cut 583-599 —
     * discarded-text logging becomes caller-side metrics). */
   private def hardCut(text: String): Vector[String] =
-    tk.tokens(text).grouped(tokenLimit).map(_.mkString(" ")).toVector
+    tk.chunkTokens(text, tokenLimit)
 
   private def splitAtBoundaries(blocks: Vector[Block], boundary: Int): Vector[Vector[Block]] = {
     val out = Vector.newBuilder[Vector[Block]]

@@ -18,6 +18,12 @@ trait Tokenizer extends Serializable {
     * tokenizers.py:52-74 — offset-mapping variant avoids decode drift; the
     * join-on-space form is exact for whitespace tokens). */
   def truncate(s: String, n: Int): String = tokens(s).take(n).mkString(" ")
+
+  /** Hard-cut into n-token pieces. Space re-joining is exact for the
+    * whitespace tokenizer; subword tokenizers override with offset slicing
+    * (BpeTokenizer decodes id groups — byte-exact concatenation). */
+  def chunkTokens(s: String, n: Int): Vector[String] =
+    tokens(s).grouped(n).map(_.mkString(" ")).toVector
 }
 
 /** Split on runs of whitespace (reference regex word tokenizer,

@@ -1,0 +1,54 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import graft.split.{BpeTokenizer, MdFormatLite, SemanticSplitter}
+
+/** Probe reference-fixture boundary parity across BPE granularities.
+  *
+  * For each nMerges candidate, runs the fidelity splitter (BPE tokenizer +
+  * mdformat-lite canonicalization) on every ported fixture input and diffs
+  * against the ported reference goldens (normalized the same way the
+  * reference test does: `mdformat.text(expected).strip()` —
+  * tests/splitter/table_splitter_test.py:47). Prints per-fixture chunk
+  * counts and byte-equality so the matching granularity can be pinned in
+  * FixtureSpec / FIXTURES.md.
+  */
+object ParityProbe {
+  val fixtures = Seq("short_table", "standalone_table", "table_and_text",
+    "many_rows_table", "many_rows_table_dont_repeat_header", "many_columns_table")
+
+  def main(args: Array[String]): Unit = {
+    val candidates = if (args.nonEmpty) args.map(_.toInt).toSeq
+      else Seq(400, 600, 800, 1000, 1200, 1400, 1767)
+    val base = Paths.get("src/test/resources/table_splitter")
+    val refBase = Paths.get("src/test/resources/table_splitter_ref")
+    for (n <- candidates) {
+      val tk = new BpeTokenizer(n)
+      var matched = 0
+      val detail = fixtures.map { f =>
+        val input = new String(Files.readAllBytes(base.resolve(f).resolve("input.md")), "UTF-8")
+        val expected = Files.list(refBase.resolve(f)).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("expected_output_"))
+          .toSeq.sortBy(_.getFileName.toString)
+          .map(p => MdFormatLite.normalize(new String(Files.readAllBytes(p), "UTF-8")))
+        val sp = new SemanticSplitter(tk = tk, canonicalize = true,
+          repeatTableHeader = !f.contains("dont_repeat_header"))
+        val actual = sp.splitMarkdown(input.trim)
+        val exact = actual == expected
+        if (exact) matched += 1
+        val cnt = s"${actual.length}/${expected.length}"
+        val firstDiff = if (exact) "" else {
+          actual.zipAll(expected, "<missing>", "<missing>").zipWithIndex
+            .collectFirst { case ((a, e), i) if a != e =>
+              val d = a.zip(e).indexWhere { case (x, y) => x != y }
+              s"chunk$i@${if (d < 0) math.min(a.length, e.length) else d}"
+            }.getOrElse("")
+        }
+        f"  $f%-36s $cnt%-6s ${if (exact) "EXACT" else "diff " + firstDiff}"
+      }
+      println(s"nMerges=$n  exact=$matched/${fixtures.size}")
+      detail.foreach(println)
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.split
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.io.Source
+
+class BpeSpec extends AnyFunSuite {
+
+  private val tk = new BpeTokenizer()
+  private def fixture(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/table_splitter/$name/input.md")
+    try Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  test("decode(encode(s)) == s for fixture text, unicode, and edge cases") {
+    val samples = Seq(
+      fixture("many_rows_table"),
+      fixture("long_table_and_long_text"),
+      "", " ", "\n", "   \n\n  x", "don't stop",
+      "Grüße aus Köln – naïve façade ✓ 日本語テスト",
+      "prices: 1234567 items at $3.99 (≈ €3,50)",
+      "| a | b |\n| --- | --- |\n| 1 | 2 |")
+    samples.foreach { s =>
+      assert(tk.decode(tk.encode(s)) == s, s"round-trip failed for: ${s.take(40)}")
+    }
+  }
+
+  test("truncate returns an exact prefix (reference limit_token_count semantics)") {
+    val s = fixture("table_and_text")
+    for (n <- Seq(0, 1, 7, 50, 1000)) {
+      val t = tk.truncate(s, n)
+      assert(s.startsWith(t), s"truncate($n) not a prefix")
+      assert(tk.count(t) <= n || t == s)
+    }
+    // count(truncate(s, n)) == n when s is long enough
+    assert(tk.count(tk.truncate(s, 50)) == 50)
+  }
+
+  test("chunkTokens concatenates back to the original text byte-exact") {
+    val s = fixture("many_columns_table")
+    val chunks = tk.chunkTokens(s, 64)
+    assert(chunks.mkString("") == s)
+    chunks.init.foreach(c => assert(tk.count(c) == 64))
+  }
+
+  test("pretokenization is a partition of the input (no bytes lost)") {
+    val s = "Hello, world!  Don't 123 4567 \n\n  end "
+    assert(Bpe.pretokens(s).mkString("") == s)
+  }
+
+  test("prefix-of-merge-table is a coarser valid tokenizer (nMerges knob)") {
+    val small = new BpeTokenizer(200)
+    val s = fixture("short_table")
+    assert(small.decode(small.encode(s)) == s)
+    assert(small.count(s) >= tk.count(s), "fewer merges must not shrink counts")
+  }
+
+  test("compression on in-domain text is subword-class, not char-class") {
+    val s = fixture("many_rows_table")
+    val words = s.split("\\s+").count(_.nonEmpty)
+    val toks = tk.count(s)
+    // cl100k lands ~1.3-2.0 tokens/word on markdown tables; a degenerate
+    // char-level encoder would be ~5+. Pin the class, not the exact value.
+    assert(toks.toDouble / words < 3.0, s"$toks tokens for $words words")
+    assert(toks >= words, "BPE of natural text has at least ~1 token per word")
+  }
+
+  test("deterministic: two instances produce identical encodings") {
+    val other = new BpeTokenizer()
+    val s = fixture("standalone_table")
+    assert(tk.encode(s).toSeq == other.encode(s).toSeq)
+  }
+}

@@ -48,6 +48,40 @@ class FixtureSpec extends AnyFunSuite {
   private def tableRows(s: String): Seq[String] =
     s.linesIterator.filter(l => l.trim.startsWith("|") && !l.contains("---")).toSeq
 
+  // ---- reference golden parity (BPE + mdformat-lite fidelity stack) -------
+
+  private def refGoldens(name: String): Vector[String] = {
+    Iterator.from(0).map { i =>
+      Option(getClass.getResourceAsStream(f"/table_splitter_ref/$name/expected_output_$i%03d.md"))
+    }.takeWhile(_.isDefined).map { s =>
+      val in = s.get
+      try Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }.toVector
+  }
+
+  // The reference's own fixture test (tests/splitter/table_splitter_test.py)
+  // runs the full SemanticSplitter with cl100k and compares each chunk to
+  // `mdformat.text(expected).strip()`. This engine reproduces those chunks
+  // BYTE-EXACTLY with the vendored calibrated BPE (Bpe.CalibratedMerges) and
+  // MdFormatLite — same comparison, same six fixtures. The seventh fixture
+  // (long_table_and_long_text) is excluded exactly as the reference excludes
+  // it: its committed goldens are known-wrong upstream (telekom/wurzel#103).
+  for (name <- Seq("short_table", "standalone_table", "table_and_text", "many_rows_table",
+      "many_rows_table_dont_repeat_header", "many_columns_table")) {
+    test(s"reference parity: $name chunks match the ported cl100k goldens byte-exact") {
+      val fidelity = new SemanticSplitter(
+        tk = new BpeTokenizer(), canonicalize = true,
+        repeatTableHeader = !name.contains("dont_repeat_header"))
+      val actual = fidelity.splitMarkdown(fixture(name).trim)
+      val expected = refGoldens(name).map(MdFormatLite.normalize)
+      assert(expected.nonEmpty)
+      assert(actual.length == expected.length, "chunk count diverged from reference")
+      actual.zip(expected).zipWithIndex.foreach { case ((a, e), i) =>
+        assert(a == e, s"chunk $i diverged from the reference golden")
+      }
+    }
+  }
+
   for (name <- Seq("short_table", "standalone_table")) {
     test(s"$name: fits the default window -> single chunk, unchanged") {
       val md = fixture(name).trim
@@ -97,12 +131,14 @@ class FixtureSpec extends AnyFunSuite {
     val tight = new SemanticSplitter(tokenLimit = 40, buffer = 4, tokenMin = 2)
     val chunks = tight.splitMarkdown(md)
     assert(chunks.length > 1)
+    // reference chunk shape (markdown_table_splitter.py:176-213): a slice
+    // chunk ends with [header-slice, separator-slice, row-slice] whose
+    // column counts agree (the full header+separator may precede them)
     chunks.foreach { c =>
       val lines = c.linesIterator.filter(_.trim.startsWith("|")).toVector
-      if (lines.nonEmpty) {
-        val header = lines.head.split("\\|").count(_.trim.nonEmpty)
-        val data = lines.last.split("\\|").count(_.trim.nonEmpty)
-        assert(header == data, s"header/data column mismatch in:\n$c")
+      if (lines.length >= 3) {
+        val Vector(hs, ss, rs) = lines.takeRight(3).map(_.split("\\|").count(_.trim.nonEmpty))
+        assert(hs == rs && ss == rs, s"slice column mismatch in:\n$c")
       }
     }
   }

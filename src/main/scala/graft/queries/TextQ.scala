@@ -447,6 +447,83 @@ object TextQ {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id, source FROM documents
-        |WHERE NOT contains(lower(source), '1') ORDER BY doc_id""".stripMargin))
+        |WHERE NOT contains(lower(source), '1') ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q54_structured_chunks",
+      // The splitter's STRUCTURED path under oracle coverage (round-1
+      // verdict top ask): a markdown document with an H1, two H2 sections,
+      // fixed-width paragraphs, and a pipe table is synthesized
+      // deterministically from each corpus row, then split by the REAL
+      // SemanticSplitter (hierarchy parse, section descent, greedy packing,
+      // running-header carry) as a distributed typed flatMap.
+      //
+      // The construction fixes every block's whitespace-token count
+      // (H1=3, H2=3, paragraphs 120/120/60, table 5+5+8*5=50; total 359 >
+      // limit+buffer) so the greedy assembly provably lands the same way
+      // for every document: chunk0 = H1+SecA+p1+p2 flushed at 246 >= 224,
+      // chunk1 = SecB+table+p3 (113) which the header-carry stage prefixes
+      // with the carried `# Doc <id>` H1 (116 tokens). The oracle rebuilds
+      // both chunk strings symbolically and pins index, count, token_len,
+      // and sha256 — so the hierarchy parse, boundary descent, table block
+      // handling, min-token filter, and header carry are all hash-checked.
+      (s, d) => {
+        import s.implicits._
+        // 31 repetitions guarantee >= 305 words from the shortest (10-word)
+        // corpus doc; slices use fixed word windows so chunk content is a
+        // pure function of (doc_id, text) on both engines.
+        val rep = split(trim(repeat(concat(trim(col("text")), lit(" ")), 31)), "\\s+")
+        val c1 = concat_ws(" ", slice(rep, 1, 119))
+        val c2 = concat_ws(" ", slice(rep, 120, 119))
+        val c3 = concat_ws(" ", slice(rep, 239, 59))
+        val tableRows = concat_ws("\n", (1 to 8).map(i =>
+          concat(lit(s"| r$i | "), element_at(rep, 297 + i), lit(" |"))): _*)
+        val md = concat(
+          lit("# Doc "), col("doc_id").cast("string"),
+          lit("\n\n## Section A\n\npA "), c1,
+          lit("\n\npB "), c2,
+          lit("\n\n## Section B\n\n| k | v |\n| --- | --- |\n"), tableRows,
+          lit("\n\npC "), c3)
+        val splitter = new graft.split.SemanticSplitter()
+        val chunks = docs(s, d)
+          .select(col("doc_id"), md.as("md"))
+          .as[(Long, String)]
+          .flatMap { case (id, m) =>
+            splitter.splitDoc(graft.contracts.MarkdownDoc(
+              m, "", "", Map("doc_id" -> id.toString)))
+          }
+        chunks.select(
+            col("metadata").getItem("doc_id").cast("long").as("doc_id"),
+            col("metadata").getItem("chunk_index").cast("long").as("chunk_index"),
+            col("metadata").getItem("chunks_count").cast("long").as("chunks_count"),
+            col("metadata").getItem("token_len").cast("long").as("token_len"),
+            sha2(col("md"), 256).as("chunk_sha"))
+          .orderBy(col("doc_id"), col("chunk_index"))
+      },
+      Some("""WITH rep AS (SELECT doc_id,
+        |  string_split_regex(trim(repeat(trim(text) || ' ', 31)), '\s+') AS w FROM documents),
+        |p AS (SELECT doc_id,
+        |  array_to_string(w[1:119], ' ') AS c1,
+        |  array_to_string(w[120:238], ' ') AS c2,
+        |  array_to_string(w[239:297], ' ') AS c3,
+        |  '| r1 | ' || w[298] || ' |' || chr(10) || '| r2 | ' || w[299] || ' |' || chr(10) ||
+        |  '| r3 | ' || w[300] || ' |' || chr(10) || '| r4 | ' || w[301] || ' |' || chr(10) ||
+        |  '| r5 | ' || w[302] || ' |' || chr(10) || '| r6 | ' || w[303] || ' |' || chr(10) ||
+        |  '| r7 | ' || w[304] || ' |' || chr(10) || '| r8 | ' || w[305] || ' |' AS trows
+        |  FROM rep),
+        |chunks AS (
+        |  SELECT doc_id, 0 AS chunk_index,
+        |    '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || '## Section A' ||
+        |    chr(10) || chr(10) || 'pA ' || c1 || chr(10) || chr(10) || 'pB ' || c2 AS md,
+        |    246 AS token_len FROM p
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |    '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || '## Section B' ||
+        |    chr(10) || chr(10) || '| k | v |' || chr(10) || '| --- | --- |' || chr(10) ||
+        |    trows || chr(10) || chr(10) || 'pC ' || c3,
+        |    116 FROM p)
+        |SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index,
+        |CAST(2 AS BIGINT) AS chunks_count, CAST(token_len AS BIGINT) AS token_len,
+        |sha256(md) AS chunk_sha
+        |FROM chunks ORDER BY doc_id, chunk_index""".stripMargin))
   )
 }

@@ -51,15 +51,11 @@ object Embedding {
     }.getOrElse("")
 
   /** Text cleaning before embedding (reference step.py:123-140, 214-233):
-    * markdown stripped to plain-ish text, URLs masked to LINK. */
-  def clean(md: String): String = {
-    val noUrls = md.replaceAll("https?://[^\\s)]+", "LINK")
-    noUrls
-      .replaceAll("(?m)^#{1,6}\\s+", "")
-      .replaceAll("[*_`|]", " ")
-      .replaceAll("\\s+", " ")
-      .trim
-  }
+    * a structural markdown walk — fence bodies verbatim, link text kept,
+    * images dropped, URLs masked (graft.split.MarkdownText, F2). Identity
+    * on plain single-line text, so the q51 oracle's 'query: ' || text
+    * replication holds unchanged. */
+  def clean(md: String): String = graft.split.MarkdownText.toPlain(md)
 
   /** Chunk -> EmbeddingRow with partition-batched client calls; failed
     * batches skip their rows (counted), fail-if-all via accumulator check

@@ -41,6 +41,20 @@ object Events {
       .drop("__new")
   }
 
+  /** Last-wins dedup as an aggregation (SURVEY.md §2.7 U3 — the 100 TB
+    * shape). `max_by(struct(all columns), struct(orderCols...))` keeps the
+    * row with the lexicographically greatest order key per group in ONE
+    * shuffle with map-side partial aggregation — no per-partition full sort
+    * like the row_number window form (q22 keeps the window form because the
+    * oracle replicates it; this is the operator to call in pipelines). */
+  def lastWins(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    val ord = struct(orderCols.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, ord).as("__last"))
+      .select(col("__last.*"))
+  }
+
   /** As-of lookup inside one table: for each row, the most recent timestamp
     * (formatted) of a marker predicate within the same key, at-or-before the
     * row. Window-function formulation of the as-of join — shuffles once on

@@ -13,7 +13,13 @@ final case class StepReport(
     history: String,
     execSeconds: Double,
     rows: Long,
-    metrics: Map[String, Any])
+    metrics: Map[String, Any],
+    /** Spark-measured duration of the materializing action, captured by a
+      * QueryExecutionListener keyed on this step's CollectMetrics node
+      * (reference StepReport exec timing, base_executor.py:53-64) — excludes
+      * driver-side plan build, unlike the wall-clock execSeconds. -1 when
+      * the listener event did not arrive within the bounded wait. */
+    actionSeconds: Double = -1.0)
 
 /** Programmatic entry point (SURVEY.md §3.2; reference
   * `with BaseStepExecutor() as ex: ex(Step, inputs, out)` →
@@ -28,19 +34,45 @@ final case class StepReport(
 object Engine {
 
   def run(step: Step, in: DataFrame): (DataFrame, StepReport) = {
+    val spark = in.sparkSession
     val t0 = System.nanoTime()
     val out = step.run(in)
-    val obs = Observation(s"graft_${step.name}_${java.util.UUID.randomUUID().toString.take(8)}")
+    val obsName = s"graft_${step.name}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val obs = Observation(obsName)
     val metricCols =
       if (out.columns.contains("md") && out.columns.contains("keywords"))
         count(lit(1)).as("rows") +: graft.contracts.ContractMetrics.markdownMetrics.tail
       else Seq(count(lit(1)).as("rows"))
     val observed = out.observe(obs, metricCols.head, metricCols.tail: _*)
-    val rows = observed.count() // the materializing action; observation resolves here
-    step.finalizeStep(in.sparkSession)
+    // Attach real per-action exec time via QueryExecutionListener, matched
+    // to THIS step through its uniquely-named CollectMetrics node (A4
+    // fidelity: timings come from Spark's execution callback, not only the
+    // driver wall clock). Events post async; bounded poll below.
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      val capturedNs = new java.util.concurrent.atomic.AtomicLong(-1L)
+      private def matches(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+        qe.logical.collectFirst {
+          case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+              if c.name == obsName => c
+        }.isDefined
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (matches(qe)) capturedNs.compareAndSet(-1L, durationNs)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val (rows, actionNs) = try {
+      val n = observed.count() // the materializing action; observation resolves here
+      var waited = 0
+      while (listener.capturedNs.get() < 0 && waited < 200) { Thread.sleep(10); waited += 1 }
+      (n, listener.capturedNs.get())
+    } finally spark.listenerManager.unregister(listener)
+    step.finalizeStep(spark)
     val metrics = obs.get
     val report = StepReport(
-      step.name, step.name, (System.nanoTime() - t0) / 1e9, rows, metrics)
+      step.name, step.name, (System.nanoTime() - t0) / 1e9, rows, metrics,
+      actionSeconds = if (actionNs < 0) -1.0 else actionNs / 1e9)
     (observed, report)
   }
 

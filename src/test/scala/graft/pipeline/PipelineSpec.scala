@@ -54,6 +54,10 @@ class PipelineSpec extends SparkSpec {
     assert(rep.metrics("rows") == 3L)
     assert(rep.metrics.contains("md_char_len"))
     assert(rep.execSeconds > 0)
+    // listener-captured action timing (A4): the QueryExecutionListener keyed
+    // on the step's CollectMetrics node reported a real duration
+    assert(rep.actionSeconds >= 0, "QueryExecutionListener timing not captured")
+    assert(rep.actionSeconds <= rep.execSeconds)
   }
 
   test("Engine.runPipeline reports per step with accumulated history") {

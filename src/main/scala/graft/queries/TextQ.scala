@@ -470,21 +470,34 @@ object TextQ {
         import s.implicits._
         // 31 repetitions guarantee >= 305 words from the shortest (10-word)
         // corpus doc; slices use fixed word windows so chunk content is a
-        // pure function of (doc_id, text) on both engines.
-        val rep = split(trim(repeat(concat(trim(col("text")), lit(" ")), 31)), "\\s+")
-        val c1 = concat_ws(" ", slice(rep, 1, 119))
-        val c2 = concat_ws(" ", slice(rep, 120, 119))
-        val c3 = concat_ws(" ", slice(rep, 239, 59))
-        val tableRows = concat_ws("\n", (1 to 8).map(i =>
-          concat(lit(s"| r$i | "), element_at(rep, 297 + i), lit(" |"))): _*)
-        val md = concat(
-          lit("# Doc "), col("doc_id").cast("string"),
-          lit("\n\n## Section A\n\npA "), c1,
-          lit("\n\npB "), c2,
-          lit("\n\n## Section B\n\n| k | v |\n| --- | --- |\n"), tableRows,
-          lit("\n\npC "), c3)
+        // pure function of (doc_id, text) on both engines. Scale shapes:
+        // split the ~500B text ONCE then array_repeat (regex-splitting the
+        // 15KB repeated string costs 7x more), bindOnce so CollapseProject
+        // cannot re-inline the array into its 11 consumers, and sort EARLY
+        // on the cheap scan — a trailing orderBy's range-sampling pass
+        // would execute the whole splitter flatMap twice (measured 8.9s ->
+        // 3.4s at sf0.1). flatMap preserves partition-local order and range
+        // partitions stay monotonic, so the final sortWithinPartitions
+        // yields a total (doc_id, chunk_index) order without a second
+        // shuffle or a sampling pass.
+        val md = graft.functions.text.bindOnce(
+          flatten(array_repeat(split(trim(col("text")), "\\s+"), 31))) { rep =>
+          val c1 = concat_ws(" ", slice(rep, 1, 119))
+          val c2 = concat_ws(" ", slice(rep, 120, 119))
+          val c3 = concat_ws(" ", slice(rep, 239, 59))
+          val tableRows = concat_ws("\n", (1 to 8).map(i =>
+            concat(lit(s"| r$i | "), element_at(rep, 297 + i), lit(" |"))): _*)
+          concat(
+            lit("# Doc "), col("doc_id").cast("string"),
+            lit("\n\n## Section A\n\npA "), c1,
+            lit("\n\npB "), c2,
+            lit("\n\n## Section B\n\n| k | v |\n| --- | --- |\n"), tableRows,
+            lit("\n\npC "), c3)
+        }
         val splitter = new graft.split.SemanticSplitter()
         val chunks = docs(s, d)
+          .select(col("doc_id"), col("text"))
+          .orderBy(col("doc_id"))
           .select(col("doc_id"), md.as("md"))
           .as[(Long, String)]
           .flatMap { case (id, m) =>
@@ -497,7 +510,7 @@ object TextQ {
             col("metadata").getItem("chunks_count").cast("long").as("chunks_count"),
             col("metadata").getItem("token_len").cast("long").as("token_len"),
             sha2(col("md"), 256).as("chunk_sha"))
-          .orderBy(col("doc_id"), col("chunk_index"))
+          .sortWithinPartitions(col("doc_id"), col("chunk_index"))
       },
       Some("""WITH rep AS (SELECT doc_id,
         |  string_split_regex(trim(repeat(trim(text) || ' ', 31)), '\s+') AS w FROM documents),

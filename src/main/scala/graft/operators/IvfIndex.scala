@@ -47,11 +47,22 @@ object IvfIndex {
       .sortBy(c => (distSq(qv, centroids(c)), c))
       .take(nprobe).toArray
 
-  /** Deterministic k-means fit. */
+  /** Deterministic k-means fit. The quantized projection is cached for the
+    * duration of the fit: each Lloyd iteration is one full pass, and
+    * without the cache every iteration (plus the seed scan) would re-read
+    * and re-quantize the source parquet — 4 scans of the corpus for the
+    * default 3 iterations. Unpersisted before returning. */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 3): Model = {
     val spark = df.sparkSession
     val q = df.select(col(idCol).as("id"), Kernels.quantNormUdf(col(vecCol)).as("f"))
       .select(col("id"), col("f._1").as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fitCached(spark, q, k, iters)
+    finally { q.unpersist(); () }
+  }
+
+  private def fitCached(spark: org.apache.spark.sql.SparkSession, q: DataFrame,
+                        k: Int, iters: Int): Model = {
     // deterministic seed sample: smallest md5-rank ids
     val seeds = q
       .withColumn("rk", Kernels.md5RankUdf(col("id").cast("string")))

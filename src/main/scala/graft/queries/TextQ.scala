@@ -537,6 +537,57 @@ object TextQ {
         |SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index,
         |CAST(2 AS BIGINT) AS chunks_count, CAST(token_len AS BIGINT) AS token_len,
         |sha256(md) AS chunk_sha
-        |FROM chunks ORDER BY doc_id, chunk_index""".stripMargin))
+        |FROM chunks ORDER BY doc_id, chunk_index""".stripMargin)),
+
+    QueryDef("q55_sentence_chunks",
+      // Sentence-leaf descent under oracle coverage: a 40-sentence
+      // paragraph (each sentence exactly 9 corpus words + the safe
+      // terminator word 'end.', 10 whitespace tokens) exceeds the window,
+      // so the splitter with sentenceLeaves=true accumulates sentences
+      // until the [224, 288] emit window: 23 sentences (230 tokens) flush,
+      // the remaining 17 (170) spill to a second chunk — same landing for
+      // every doc by construction. The oracle rebuilds both sentence
+      // groups joined by \n and pins index/count/token_len/sha256,
+      // hash-checking the sentence split, the abbreviation merge-back's
+      // non-interference, and the accumulation windows.
+      (s, d) => {
+        import s.implicits._
+        val md = graft.functions.text.bindOnce(
+          flatten(array_repeat(split(trim(col("text")), "\\s+"), 36))) { rep =>
+          concat_ws(" ", (1 to 40).map(i =>
+            concat(concat_ws(" ", slice(rep, (i - 1) * 9 + 1, 9)), lit(" end."))): _*)
+        }
+        val splitter = new graft.split.SemanticSplitter(sentenceLeaves = true)
+        val chunks = docs(s, d)
+          .select(col("doc_id"), col("text"))
+          .orderBy(col("doc_id"))
+          .select(col("doc_id"), md.as("md"))
+          .as[(Long, String)]
+          .flatMap { case (id, m) =>
+            splitter.splitDoc(graft.contracts.MarkdownDoc(
+              m, "", "", Map("doc_id" -> id.toString)))
+          }
+        chunks.select(
+            col("metadata").getItem("doc_id").cast("long").as("doc_id"),
+            col("metadata").getItem("chunk_index").cast("long").as("chunk_index"),
+            col("metadata").getItem("chunks_count").cast("long").as("chunks_count"),
+            col("metadata").getItem("token_len").cast("long").as("token_len"),
+            sha2(col("md"), 256).as("chunk_sha"))
+          .sortWithinPartitions(col("doc_id"), col("chunk_index"))
+      },
+      Some {
+        def sent(i: Int) = s"array_to_string(w[${(i - 1) * 9 + 1}:${i * 9}], ' ') || ' end.'"
+        val g1 = (1 to 23).map(sent).mkString(" || chr(10) || ")
+        val g2 = (24 to 40).map(sent).mkString(" || chr(10) || ")
+        "WITH rep AS (SELECT doc_id, " +
+          "string_split_regex(trim(repeat(trim(text) || ' ', 36)), '\\s+') AS w FROM documents), " +
+          "chunks AS (" +
+          s"SELECT doc_id, 0 AS chunk_index, $g1 AS md, 230 AS token_len FROM rep " +
+          "UNION ALL " +
+          s"SELECT doc_id, 1, $g2, 170 FROM rep) " +
+          "SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index, " +
+          "CAST(2 AS BIGINT) AS chunks_count, CAST(token_len AS BIGINT) AS token_len, " +
+          "sha256(md) AS chunk_sha FROM chunks ORDER BY doc_id, chunk_index"
+      })
   )
 }

@@ -33,7 +33,13 @@ class SemanticSplitter(
     val tokenMin: Int = 64,
     val tk: Tokenizer = WhitespaceTokenizer,
     val repeatTableHeader: Boolean = true,
-    val canonicalize: Boolean = false) extends Serializable {
+    val canonicalize: Boolean = false,
+    /** Sentence-level leaves (reference semantic_splitter.py:404-431: when a
+      * node has no more block structure, its children are sentences and
+      * chunks accumulate sentence-by-sentence into the token window).
+      * Opt-in: the default keeps the plain-text corpus contract (q43 pins
+      * 256-token hard cuts) byte-stable; q55 oracle-checks this path. */
+    val sentenceLeaves: Boolean = false) extends Serializable {
 
   private val hardMax = tokenLimit + buffer
   private val softMin = tokenLimit - buffer
@@ -101,17 +107,22 @@ class SemanticSplitter(
   }
 
   /** One oversized section: recurse below its boundary block, table-split
-    * tables, hard-cut oversized leaves (reference 583-599). */
+    * tables, descend lists to items (reference ListItem level 11),
+    * sentence-pack or hard-cut oversized leaves (reference 583-599). */
   private def splitSection(section: Vector[Block]): Vector[String] = {
     section.flatMap {
       case t: TableBlock if tk.count(t.text) > hardMax =>
         TableSplitter.split(t, hardMax, tk, repeatTableHeader)
+      case l: ListBlock if tk.count(l.text) > hardMax =>
+        // item-boundary descent: items stay whole unless one alone exceeds
+        // the window; the re-pack below merges small items back together
+        splitListItems(l.text).flatMap(item =>
+          if (tk.count(item) > hardMax) splitLeaf(item) else Vector(item))
       case b if tk.count(b.text) > hardMax =>
         b match {
-          case p: Paragraph => hardCut(p.text)
+          case p: Paragraph => splitLeaf(p.text)
           case c: CodeFence => hardCut(c.text)
-          case l: ListBlock => hardCut(l.text)
-          case other => hardCut(other.text)
+          case other => splitLeaf(other.text)
         }
       case b => Vector(b.text)
     } match {
@@ -138,9 +149,51 @@ class SemanticSplitter(
   }
 
   /** Hard token cut of a leaf (reference _md_data_from_dict_cut 583-599 —
-    * discarded-text logging becomes caller-side metrics). */
+    * discarded-text logging becomes caller-side metrics; unlike the
+    * reference this keeps the tail instead of discarding it). */
   private def hardCut(text: String): Vector[String] =
     tk.chunkTokens(text, tokenLimit)
+
+  /** Leaf splitting: sentence accumulation into the token window when
+    * enabled (reference sentence-children flow — sentences join with \n,
+    * emit inside [limit-buffer, limit+buffer], an oversized single
+    * sentence still hard-cuts), else hard cut. */
+  private def splitLeaf(text: String): Vector[String] = {
+    if (!sentenceLeaves) return hardCut(text)
+    val sents = graft.functions.Sentences.split(text)
+    if (sents.length <= 1) return hardCut(text)
+    val out = Vector.newBuilder[String]
+    var buf = Vector.empty[String]
+    var bufT = 0
+    def flush(): Unit =
+      if (buf.nonEmpty) { out += buf.mkString("\n"); buf = Vector.empty; bufT = 0 }
+    sents.foreach { s =>
+      val t = tk.count(s)
+      if (t > hardMax) { flush(); out ++= hardCut(s) }
+      else if (bufT + t > hardMax) { flush(); buf = Vector(s); bufT = t }
+      else {
+        buf = buf :+ s; bufT += t
+        if (bufT >= softMin) flush()
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  private val ListItemStartRe = "^([-*+]|\\d+[.)])\\s+.*$".r
+
+  /** Split a list block at top-level item starts; continuation lines
+    * (indented or non-marker) stay with their item. */
+  private def splitListItems(text: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var cur = Vector.empty[String]
+    text.linesIterator.foreach { line =>
+      if (ListItemStartRe.matches(line) && cur.nonEmpty) { out += cur.mkString("\n"); cur = Vector(line) }
+      else cur = cur :+ line
+    }
+    if (cur.nonEmpty) out += cur.mkString("\n")
+    out.result()
+  }
 
   private def splitAtBoundaries(blocks: Vector[Block], boundary: Int): Vector[Vector[Block]] = {
     val out = Vector.newBuilder[Vector[Block]]

@@ -81,4 +81,43 @@ class SemanticSplitterSpec extends AnyFunSuite {
       c.linesIterator.filter(_.contains("| r")).foreach(l => assert(l.trim.endsWith("|")))
     }
   }
+
+  test("oversized list splits at item boundaries, never mid-item") {
+    val items = (1 to 12).map(i => s"- item $i " + Seq.fill(4)(s"w$i").mkString(" "))
+    val md = "intro line first\n\n" + items.mkString("\n")
+    val chunks = sp.splitMarkdown(md) // limit 20, buffer 4
+    assert(chunks.length > 1)
+    // every item line survives exactly once, intact
+    val lines = chunks.flatMap(_.linesIterator).filter(_.startsWith("- item"))
+    assert(lines.length == 12)
+    items.foreach(i => assert(lines.contains(i)))
+  }
+
+  test("sentenceLeaves: oversized paragraph packs sentence-by-sentence into the window") {
+    val sents = (1 to 10).map(i => s"sentence $i has five words end.")
+    val md = sents.mkString(" ") // 60 tokens, one paragraph
+    val withSent = new SemanticSplitter(tokenLimit = 20, buffer = 4, tokenMin = 2,
+      sentenceLeaves = true)
+    val chunks = withSent.splitMarkdown(md)
+    assert(chunks.length > 1)
+    // no sentence is ever cut: each chunk is whole sentences joined by \n
+    chunks.foreach { c =>
+      c.linesIterator.foreach { l =>
+        assert(l.matches("sentence \\d+ has five words end\\."), s"cut sentence: $l")
+      }
+    }
+    assert(chunks.flatMap(_.linesIterator).toVector == sents.toVector)
+    // default splitter hard-cuts the same input mid-sentence instead
+    val hard = sp.splitMarkdown(md)
+    assert(hard.exists(_.linesIterator.exists(l => !l.endsWith("end."))))
+  }
+
+  test("sentenceLeaves: a single giant sentence still hard-cuts (last resort)") {
+    val md = Seq.fill(50)("word").mkString(" ") + "."
+    val withSent = new SemanticSplitter(tokenLimit = 20, buffer = 4, tokenMin = 2,
+      sentenceLeaves = true)
+    val chunks = withSent.splitMarkdown(md)
+    assert(chunks.length >= 2)
+    assert(chunks.flatMap(_.split("\\s+")).length == 50)
+  }
 }

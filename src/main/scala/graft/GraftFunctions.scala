@@ -32,5 +32,15 @@ object GraftFunctions {
       (html: String) => graft.functions.HtmlToMd.convert(html))
     spark.udf.register("sentences",
       (text: String) => graft.functions.Sentences.split(text))
+    spark.udf.register("md_to_plain",
+      (md: String) => graft.split.MarkdownText.toPlain(md))
+    spark.udf.register("mdformat",
+      (md: String) => graft.split.MdFormatLite.normalize(md))
+    // BPE surface (split/Bpe.scala): executor-side vocab loads lazily from
+    // the classpath resource, so the closures serialize as plain config.
+    val bpe = new graft.split.BpeTokenizer()
+    spark.udf.register("token_count_bpe", (text: String) => bpe.count(text))
+    spark.udf.register("truncate_bpe", (text: String, n: Int) => bpe.truncate(text, n))
+    spark.udf.register("bpe_encode", (text: String) => bpe.encode(text))
   }
 }

@@ -31,6 +31,17 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("n"))
 
+  /** Streaming dedup with bounded state: duplicates arriving within the
+    * watermark horizon are dropped, and state for keys older than the
+    * watermark is evicted automatically — the built-in operator form of
+    * StatefulDedup's TTL (dedup key state must be bounded on an unbounded
+    * stream; an un-watermarked dropDuplicates grows state forever). */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                           watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Session windows with a fixed inactivity gap — the streaming-native
     * equivalent of Events.sessionize (which the batch oracle checks). */
   def sessionAgg(events: DataFrame, tsCol: String, keyCol: String, gap: String,

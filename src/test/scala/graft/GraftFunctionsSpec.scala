@@ -41,4 +41,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.getAs[Int]("sh") == 2)
     assert(row.getAs[Int]("chunks") == 1)
   }
+
+  test("SQL surface: BPE + markdown functions (token_count_bpe, truncate_bpe, md_to_plain, mdformat)") {
+    GraftFunctions.register(spark)
+    Seq(("# Head\n\nsome body text here with words", 1L)).toDF("md", "id")
+      .createOrReplaceTempView("m")
+    val row = spark.sql(
+      """SELECT token_count_bpe(md) AS n, truncate_bpe(md, 3) AS t3,
+        |md_to_plain(md) AS plain, mdformat(md) AS canon,
+        |size(bpe_encode(md)) AS ids FROM m""".stripMargin)
+      .collect()(0)
+    assert(row.getAs[Int]("n") > 0)
+    assert(row.getAs[Int]("ids") == row.getAs[Int]("n"))
+    val t3 = row.getAs[String]("t3")
+    assert("# Head\n\nsome body text here with words".startsWith(t3), "truncate must be a prefix")
+    assert(row.getAs[String]("plain") == "Head\nsome body text here with words")
+    assert(row.getAs[String]("canon") == "# Head\n\nsome body text here with words")
+  }
 }

@@ -65,4 +65,27 @@ class StreamingSpec extends SparkSpec {
     val rows = runStream(df => StreamingOps.slidingAgg(df, "ts", "1 hour", "30 minutes"), "complete")
     assert(rows.map(_.getAs[Long]("n")).sum == events.size * 2)
   }
+
+  test("dropDuplicatesWithinWatermark: in-horizon duplicates dropped, state bounded (T2)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // two duplicate (event_type, value) pairs within the horizon
+    mem.addData(
+      Ev(ts(1), "click", 1.0, 1), Ev(ts(2), "click", 1.0, 7), // dup of first
+      Ev(ts(3), "view", 2.0, 1), Ev(ts(4), "view", 2.0, 9),   // dup
+      Ev(ts(5), "buy", 3.0, 1))
+    val name = "dd" + System.nanoTime()
+    val q = StreamingOps.dedupWithinWatermark(mem.toDF(), "ts", Seq("event_type", "value"),
+        watermark = "30 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table(name).collect().map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Double]("value"))).toSet
+    assert(out == Set(("click", 1.0), ("view", 2.0), ("buy", 3.0)))
+    // first occurrence wins: the surviving click is user 1's
+    val users = spark.table(name).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("user_id")).toMap
+    assert(users("click") == 1L && users("view") == 1L)
+  }
 }

@@ -28,6 +28,10 @@ object GraftFunctions {
     val splitter = new SemanticSplitter()
     spark.udf.register("semantic_split",
       (md: String) => splitter.splitMarkdown(md))
+    // reference-equivalent mode: BPE counting + mdformat + sentence leaves
+    val refSplitter = SemanticSplitter.referenceDefault()
+    spark.udf.register("semantic_split_ref",
+      (md: String) => refSplitter.splitMarkdown(md))
     spark.udf.register("html_to_md",
       (html: String) => graft.functions.HtmlToMd.convert(html))
     spark.udf.register("sentences",

@@ -86,7 +86,12 @@ object Dedup {
     * Plan shape for scale: the band self-join carries only (id, band) —
     * candidate pairs are deduped BEFORE the shingle arrays are fetched and
     * compared, so the wide payload is joined exactly once per unique
-    * candidate pair, not once per shared band. */
+    * candidate pair, not once per shared band. At toy scale the broadcast
+    * conversion of one self-join side duplicates the signature subplan
+    * (signatures computed twice); at real scale both sides exceed the
+    * broadcast threshold, the join becomes a shuffled join on the band
+    * key, and Spark's ReusedExchange collapses the identical children —
+    * one signature pass total. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 12, r: Int = 4, threshold: Double = 0.6,
                    capPerBand: Int = 256): DataFrame = {

@@ -27,6 +27,23 @@ import graft.contracts.{Chunk, MarkdownDoc}
   * (stage 4) is attached AFTER assembly — as in the reference — so a chunk
   * that receives a prefix can exceed the bound by the prefix's own tokens.
   */
+object SemanticSplitter {
+  /** The reference-equivalent configuration: BPE token counting (calibrated
+    * merge table), mdformat canonicalization of final chunks, and
+    * sentence-level leaf descent — `SemanticSplitter()` in the reference
+    * (cl100k + mdformat + sentence model, semantic_splitter.py:181-189)
+    * maps to this. This is the config FixtureSpec proves byte-equal to the
+    * reference's fixture goldens. The primary constructor's defaults keep
+    * the engine's oracle-pinned plain-text contract (whitespace tokens, no
+    * canonicalization) — see q43. */
+  def referenceDefault(
+      tokenLimit: Int = 256, buffer: Int = 32, tokenMin: Int = 64,
+      repeatTableHeader: Boolean = true): SemanticSplitter =
+    new SemanticSplitter(tokenLimit, buffer, tokenMin,
+      tk = new BpeTokenizer(), repeatTableHeader = repeatTableHeader,
+      canonicalize = true, sentenceLeaves = true)
+}
+
 class SemanticSplitter(
     val tokenLimit: Int = 256,
     val buffer: Int = 32,

@@ -69,8 +69,7 @@ class FixtureSpec extends AnyFunSuite {
   for (name <- Seq("short_table", "standalone_table", "table_and_text", "many_rows_table",
       "many_rows_table_dont_repeat_header", "many_columns_table")) {
     test(s"reference parity: $name chunks match the ported cl100k goldens byte-exact") {
-      val fidelity = new SemanticSplitter(
-        tk = new BpeTokenizer(), canonicalize = true,
+      val fidelity = SemanticSplitter.referenceDefault(
         repeatTableHeader = !name.contains("dont_repeat_header"))
       val actual = fidelity.splitMarkdown(fixture(name).trim)
       val expected = refGoldens(name).map(MdFormatLite.normalize)

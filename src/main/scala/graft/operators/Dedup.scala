@@ -29,16 +29,21 @@ object Dedup {
     * they hash to the same sub-bucket, but each still gets ~cap in-band
     * comparisons — for the degenerate clusters this targets (mutually
     * near-identical members), transitive links inside sub-buckets preserve
-    * cluster discovery. */
+    * cluster discovery.
+    *
+    * The sub-bucket index hashes the id with the engine's md5/hash60
+    * scheme rather than Spark's Murmur3 so the DuckDB oracle can model the
+    * cap exactly (q34's bands exceed the cap at sf0.1 — the capped join is
+    * itself oracle-checked there). */
   private def capBandFanout(rows: DataFrame, bandCol: String, idCol: String,
                             cap: Int): DataFrame = {
     if (cap <= 0) return rows
     import org.apache.spark.sql.expressions.Window
     val size = count(lit(1)).over(Window.partitionBy(col(bandCol)))
+    val sub = pmod(hash60(col(idCol).cast("string"), "band"),
+      ceil(size / lit(cap)).cast("long"))
     rows.withColumn(bandCol,
-      when(size > cap,
-        Skew.subBucket(col(bandCol), col(idCol), ceil(size / lit(cap)).cast("int")))
-        .otherwise(col(bandCol)))
+      when(size > cap, concat_ws("#", col(bandCol), sub)).otherwise(col(bandCol)))
   }
 
   /** Exact dedup by field list — reference semantics (`DROP_BY_FIELDS`,

@@ -206,6 +206,12 @@ object TextQ {
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef("q34_simhash_near_dups",
+      // The homogeneous corpus collapses simhash band 1 at sf0.1 (438
+      // members > capPerBand 256), so this query ALSO exercises the
+      // degenerate-band cap: the oracle models the sub-bucketing exactly
+      // (window count per band -> ceil(size/256) sub-buckets -> hash60 of
+      // the id picks the sub-bucket) — possible because capBandFanout uses
+      // the engine's md5/hash60 scheme, not Spark's Murmur3.
       (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text", 48, 16, 2)
         .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH t AS (SELECT doc_id, unnest($W) AS w FROM documents),
@@ -217,9 +223,15 @@ object TextQ {
         |fp AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM bb GROUP BY doc_id),
         |bd AS (SELECT doc_id, simhash, unnest(list_transform(range(0, 3), b ->
         |  CAST(b AS VARCHAR) || ':' || CAST((simhash >> (b * 16)) & 65535 AS VARCHAR))) AS band FROM fp),
+        |bc AS (SELECT doc_id, simhash, band, count(*) OVER (PARTITION BY band) AS n FROM bd),
+        |capped AS (SELECT doc_id, simhash,
+        |  CASE WHEN n > 256 THEN band || '#' || CAST(
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#band'), 1, 15)) AS BIGINT)
+        |    % CAST(ceil(n / 256.0) AS BIGINT) AS VARCHAR)
+        |  ELSE band END AS band FROM bc),
         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        |  FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id)
+        |  FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef("q39_token_chunks",

@@ -69,4 +69,17 @@ class BpeSpec extends AnyFunSuite {
     val s = fixture("standalone_table")
     assert(tk.encode(s).toSeq == other.encode(s).toSeq)
   }
+
+  test("survives Java serialization (Spark closure shipping) and re-encodes identically") {
+    // the vocab is @transient and reloads lazily from the classpath on the
+    // executor side — round-trip through serialization like a task closure
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(tk); oos.close()
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bos.toByteArray))
+    val revived = ois.readObject().asInstanceOf[BpeTokenizer]
+    val s = fixture("table_and_text")
+    assert(revived.encode(s).toSeq == tk.encode(s).toSeq)
+    assert(revived.truncate(s, 40) == tk.truncate(s, 40))
+  }
 }

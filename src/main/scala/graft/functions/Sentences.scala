@@ -23,12 +23,18 @@ object Sentences {
 
   private val SplitRe = "(?<=[.!?])\\s+".r
 
+  private val SingleLetter = "[a-z]".r
+  private val Digits = "\\d+".r
+
   private def endsInAbbrev(fragment: String): Boolean = {
-    val lastTok = fragment.trim.split("\\s+").lastOption.getOrElse("")
+    // last whitespace-delimited token without re-splitting the fragment
+    val t = fragment.trim
+    val cut = math.max(t.lastIndexOf(' '), math.max(t.lastIndexOf('\n'), t.lastIndexOf('\t')))
+    val lastTok = if (cut < 0) t else t.substring(cut + 1)
     val stripped = lastTok.stripSuffix(".").stripSuffix("!").stripSuffix("?").toLowerCase
     Abbreviations.contains(stripped) ||
-      stripped.matches("[a-z]") ||    // single initial: "J. Smith"
-      stripped.matches("\\d+")        // enumeration: "3. Platz"
+      SingleLetter.matches(stripped) ||  // single initial: "J. Smith"
+      Digits.matches(stripped)           // enumeration: "3. Platz"
   }
 
   def split(text: String): Array[String] = {

@@ -326,6 +326,10 @@ object TextQ {
         val splitter = new graft.split.SemanticSplitter()
         val chunks = Tables.load(s, d, "documents")
           .select(col("text"), col("lang"), col("source"), col("doc_id"))
+          // parallelize the per-doc splitter across cores: the corpus is one
+          // small parquet split, and AQE would coalesce any implicit small
+          // shuffle to a single partition (explicit numPartitions is kept)
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
           .as[(String, String, String, Long)]
           .flatMap { case (text, lang, source, id) =>
             splitter.splitDoc(graft.contracts.MarkdownDoc(
@@ -337,7 +341,9 @@ object TextQ {
             col("metadata").getItem("chunks_count").cast("long").as("chunks_count"),
             col("metadata").getItem("token_len").cast("long").as("token_len"),
             sha2(col("md"), 256).as("chunk_sha"))
-          .orderBy(col("doc_id"), col("chunk_index"))
+          // disjoint doc_id ranges + full within-partition sort = total
+          // order without a range-sampling pass over the splitter
+          .sortWithinPartitions(col("doc_id"), col("chunk_index"))
       },
       Some(s"""WITH tk AS (SELECT doc_id, text, $W AS w FROM documents),
         |whole AS (SELECT doc_id, 0 AS k, text AS chunk_text, len(w) AS token_len
@@ -483,33 +489,31 @@ object TextQ {
         // 31 repetitions guarantee >= 305 words from the shortest (10-word)
         // corpus doc; slices use fixed word windows so chunk content is a
         // pure function of (doc_id, text) on both engines. Scale shapes:
-        // split the ~500B text ONCE then array_repeat (regex-splitting the
-        // 15KB repeated string costs 7x more), bindOnce so CollapseProject
-        // cannot re-inline the array into its 11 consumers, and sort EARLY
-        // on the cheap scan — a trailing orderBy's range-sampling pass
-        // would execute the whole splitter flatMap twice (measured 8.9s ->
-        // 3.4s at sf0.1). flatMap preserves partition-local order and range
-        // partitions stay monotonic, so the final sortWithinPartitions
-        // yields a total (doc_id, chunk_index) order without a second
-        // shuffle or a sampling pass.
-        val md = graft.functions.text.bindOnce(
-          flatten(array_repeat(split(trim(col("text")), "\\s+"), 31))) { rep =>
-          val c1 = concat_ws(" ", slice(rep, 1, 119))
-          val c2 = concat_ws(" ", slice(rep, 120, 119))
-          val c3 = concat_ws(" ", slice(rep, 239, 59))
-          val tableRows = concat_ws("\n", (1 to 8).map(i =>
-            concat(lit(s"| r$i | "), element_at(rep, 297 + i), lit(" |"))): _*)
-          concat(
-            lit("# Doc "), col("doc_id").cast("string"),
-            lit("\n\n## Section A\n\npA "), c1,
-            lit("\n\npB "), c2,
-            lit("\n\n## Section B\n\n| k | v |\n| --- | --- |\n"), tableRows,
-            lit("\n\npC "), c3)
+        // the construction runs as ONE JVM UDF call per row (a Column
+        // formulation — even under bindOnce — evaluates a several-hundred-
+        // node expression tree inside an interpreted HOF lambda, measured
+        // 3x slower), and the sort happens EARLY on the cheap scan — a
+        // trailing orderBy's range-sampling pass would execute the whole
+        // splitter flatMap twice. flatMap preserves partition-local order
+        // and range partitions stay monotonic, so the final
+        // sortWithinPartitions yields a total (doc_id, chunk_index) order
+        // without a second shuffle or a sampling pass.
+        val mkMd = udf { (id: Long, text: String) =>
+          val base = text.trim.split("\\s+")
+          val rep = Array.fill(31)(base).flatten
+          val rows = (1 to 8).map(i => s"| r$i | ${rep(296 + i)} |").mkString("\n")
+          s"# Doc $id\n\n## Section A\n\npA ${rep.slice(0, 119).mkString(" ")}" +
+            s"\n\npB ${rep.slice(119, 238).mkString(" ")}" +
+            s"\n\n## Section B\n\n| k | v |\n| --- | --- |\n$rows" +
+            s"\n\npC ${rep.slice(238, 297).mkString(" ")}"
         }
+        val md = mkMd(col("doc_id"), col("text"))
         val splitter = new graft.split.SemanticSplitter()
         val chunks = docs(s, d)
           .select(col("doc_id"), col("text"))
-          .orderBy(col("doc_id"))
+          // explicit numPartitions: AQE would coalesce this small shuffle
+          // to ONE partition and run the expensive flatMap single-threaded
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), md.as("md"))
           .as[(Long, String)]
           .flatMap { case (id, m) =>
@@ -564,15 +568,20 @@ object TextQ {
       // non-interference, and the accumulation windows.
       (s, d) => {
         import s.implicits._
-        val md = graft.functions.text.bindOnce(
-          flatten(array_repeat(split(trim(col("text")), "\\s+"), 36))) { rep =>
-          concat_ws(" ", (1 to 40).map(i =>
-            concat(concat_ws(" ", slice(rep, (i - 1) * 9 + 1, 9)), lit(" end."))): _*)
+        // one JVM UDF call per row — see q54's scale-shape note
+        val mkMd = udf { (text: String) =>
+          val base = text.trim.split("\\s+")
+          val rep = Array.fill(36)(base).flatten
+          (1 to 40).map(i => rep.slice((i - 1) * 9, i * 9).mkString(" ") + " end.")
+            .mkString(" ")
         }
+        val md = mkMd(col("text"))
         val splitter = new graft.split.SemanticSplitter(sentenceLeaves = true)
         val chunks = docs(s, d)
           .select(col("doc_id"), col("text"))
-          .orderBy(col("doc_id"))
+          // explicit numPartitions: AQE would coalesce this small shuffle
+          // to ONE partition and run the expensive flatMap single-threaded
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), md.as("md"))
           .as[(Long, String)]
           .flatMap { case (id, m) =>

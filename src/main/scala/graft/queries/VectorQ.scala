@@ -90,6 +90,9 @@ object VectorQ {
         import s.implicits._
         val chunks = Tables.load(s, d, "documents")
           .select(col("text"), col("lang"), col("source"), col("doc_id"))
+          // explicit range partitioning: one small parquet split otherwise
+          // runs the whole clean+embed stage on a single core
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
           .as[(String, String, String, Long)]
           .map { case (t, l, src, id) =>
             graft.contracts.Chunk(t, l, src, Map("doc_id" -> id.toString)) }
@@ -103,7 +106,9 @@ object VectorQ {
             aggregate(
               transform(col("vector"), x => round(x.cast("double") * 1000.0).cast("long")),
               lit(0L), (a, x) => a + x).as("isum"))
-          .orderBy(col("doc_id"))
+          // disjoint doc_id ranges + within-partition sort: total order, no
+          // range-sampling re-execution of the embed stage
+          .sortWithinPartitions(col("doc_id"))
       },
       Some("""WITH m AS (SELECT doc_id, list_transform(range(0, 8), i ->
         |  CAST(concat('0x', substr(md5('query: ' || text || '#e' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 1000) AS e
@@ -126,6 +131,9 @@ object VectorQ {
           Tables.load(s, d, "documents"), Seq("text"), "doc_id")
         val chunks = docsT
           .select(col("text"), col("lang"), col("source"), col("doc_id"))
+          // parallelize split+embed (AQE coalesces the small dedup shuffle
+          // to one partition otherwise)
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
           .as[(String, String, String, Long)]
           .flatMap { case (text, lang, source, id) =>
             new graft.split.SemanticSplitter().splitDoc(
@@ -141,6 +149,9 @@ object VectorQ {
             aggregate(col("vectors"), lit(0L), (acc, v) =>
               acc + aggregate(transform(v, x => round(x.cast("double") * 1000.0).cast("long")),
                 lit(0L), (a, x) => a + x)).as("isum_total"))
+          // plain global sort is fine here: its child is post-regroup (one
+          // row per doc) and the regroup exchange's shuffle files are reused
+          // by the sampling pass, so nothing expensive re-executes
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH dd AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),

@@ -27,10 +27,13 @@ trait Tokenizer extends Serializable {
 }
 
 /** Split on runs of whitespace (reference regex word tokenizer,
-  * wurzel/steps/embedding/step.py:35). */
+  * wurzel/steps/embedding/step.py:35). The pattern is precompiled:
+  * `String.split("\\s+")` compiles a fresh regex on every call, and the
+  * splitter tokenizes each document dozens of times. */
 object WhitespaceTokenizer extends Tokenizer {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
   def tokens(s: String): Array[String] =
-    if (s.isEmpty) Array.empty else s.trim.split("\\s+").filter(_.nonEmpty)
+    if (s.isEmpty) Array.empty else Ws.split(s.trim).filter(_.nonEmpty)
 }
 
 /** BPE-ish regex tokenizer: letter runs, digit runs, single non-space

@@ -126,9 +126,15 @@ object VectorQ {
         import s.implicits._
         // dedup by content first (the reference pipeline order) — the
         // multivector regroup keys on the source doc's content hash, so
-        // exact duplicates must be collapsed before splitting.
-        val docsT = graft.operators.Dedup.exact(
-          Tables.load(s, d, "documents"), Seq("text"), "doc_id")
+        // exact duplicates must be collapsed before splitting. Aggregate
+        // (min_by) form rather than the row_number window: one shuffle with
+        // map-side partials, no per-partition sort — and this subplan
+        // executes more than once (broadcast join side + range sampling),
+        // so its cost is multiplied.
+        val docsT = Tables.load(s, d, "documents")
+          .groupBy(col("text"))
+          .agg(min_by(struct(col("doc_id"), col("lang"), col("source")), col("doc_id")).as("r"))
+          .select(col("text"), col("r.doc_id"), col("r.lang"), col("r.source"))
         val chunks = docsT
           .select(col("text"), col("lang"), col("source"), col("doc_id"))
           // parallelize split+embed (AQE coalesces the small dedup shuffle

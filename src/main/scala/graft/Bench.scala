@@ -29,7 +29,8 @@ object Bench {
     // one representative query per plan family so timed runs measure the
     // query, not first-touch compilation.
     Seq("q01_filter_project", "q02_agg_pricing", "q06_join_star",
-        "q12_window_rank", "q19_tumbling_window", "q30_fingerprint").foreach { w =>
+        "q12_window_rank", "q19_tumbling_window", "q30_fingerprint",
+        "q43_semantic_chunks").foreach { w =>
       SparkEntry.queries.get(w).foreach { fn =>
         try run(fn) catch { case _: Throwable => () }
       }

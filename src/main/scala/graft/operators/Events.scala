@@ -55,6 +55,16 @@ object Events {
       .select(col("__last.*"))
   }
 
+  /** First-wins twin (min_by): keep the earliest row per group — the
+    * aggregate form of exact dedup's keep-min-tiebreak representative. */
+  def firstWins(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    val ord = struct(orderCols.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(payload, ord).as("__first"))
+      .select(col("__first.*"))
+  }
+
   /** As-of lookup inside one table: for each row, the most recent timestamp
     * (formatted) of a marker predicate within the same key, at-or-before the
     * row. Window-function formulation of the as-of join — shuffles once on

@@ -27,6 +27,14 @@ class EventsSpec extends SparkSpec {
     assert(agg == Set((1L, 5L, 20L, "e"), (2L, 4L, 5L, "d"), (3L, 9L, 1L, "z")))
   }
 
+  test("firstWins keeps the earliest row per key (exact-dedup agg form)") {
+    val df = Seq((1L, 5L, 20L, "late"), (1L, 1L, 10L, "early"), (2L, 3L, 5L, "only"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Events.firstWins(df, Seq("user_id"), Seq("ts", "event_id"))
+      .select("user_id", "event_type").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "early"), (2L, "only")))
+  }
+
   test("lastWins plan aggregates, it does not sort partitions") {
     val df = Seq((1L, 1L, 10L, "a")).toDF("user_id", "event_id", "ts", "event_type")
     val plan = Events.lastWins(df, Seq("user_id"), Seq("ts", "event_id"))

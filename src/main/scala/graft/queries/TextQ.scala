@@ -609,6 +609,73 @@ object TextQ {
           "SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index, " +
           "CAST(2 AS BIGINT) AS chunks_count, CAST(token_len AS BIGINT) AS token_len, " +
           "sha256(md) AS chunk_sha FROM chunks ORDER BY doc_id, chunk_index"
-      })
+      }),
+
+    QueryDef("q56_multimodal_features",
+      // Multimodal plumbing under oracle coverage: binary media columns are
+      // synthesized from the corpus (bytes = UTF-8 text, modality cycles by
+      // doc_id), then the REAL Multimodal.decode runs — mapPartitions with
+      // batch-shaped decoder calls over an explicitly-parallelized input —
+      // and the oracle recomputes the StubDecoder's md5-derived features
+      // symbolically. What this hash-checks: the binary encode, the
+      // batch-decode contract (1:1, order-preserving), the typed feature
+      // schema incl. modality-dependent nullable fields, and the
+      // deterministic feature math. A production codec replaces only the
+      // MediaDecoder; this plumbing is what scales.
+      (s, d) => {
+        val media = docs(s, d).select(
+          col("doc_id").as("media_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0, "image")
+            .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+            .otherwise("video").as("modality"),
+          encode(col("text"), "UTF-8").as("bytes"))
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("media_id"))
+        graft.operators.Multimodal.decode(media)
+          .select(
+            col("media_id"), col("modality"), col("byte_len"),
+            col("width"), col("height"), col("duration_ms"),
+            aggregate(
+              transform(col("feature"), x => round(x.cast("double") * 1000.0).cast("long")),
+              lit(0L), (a, x) => a + x).as("fsum"))
+          .sortWithinPartitions(col("media_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS k,
+        |  md5(substr(text, 1, 64) || '#mm') AS h,
+        |  CAST(length(text) AS BIGINT) AS byte_len FROM documents)
+        |SELECT media_id,
+        |CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |byte_len,
+        |CASE WHEN k = 0 THEN CAST(CAST(concat('0x', substr(h, 1, 4)) AS BIGINT) % 4096 AS INTEGER) END AS width,
+        |CASE WHEN k = 0 THEN CAST(CAST(concat('0x', substr(h, 5, 4)) AS BIGINT) % 4096 AS INTEGER) END AS height,
+        |CASE WHEN k <> 0 THEN CAST(CAST(concat('0x', substr(h, 9, 4)) AS BIGINT) % 600000 AS BIGINT) END AS duration_ms,
+        |CAST(list_sum(list_transform([0, 2, 4, 6, 8, 10, 12, 14],
+        |  i -> CAST(concat('0x', substr(h, i + 1, 4)) AS BIGINT) % 1000)) AS BIGINT) AS fsum
+        |FROM m ORDER BY media_id""".stripMargin)),
+
+    QueryDef("q57_frame_sampling",
+      // Frame-sampling plumbing (every-nth fixed-stride slices of a video
+      // byte stream via sequence+transform+posexplode — all codegen'd, no
+      // UDF): synthesized video bytes from the corpus, md5 digest per
+      // sampled frame. The byte slicing itself is what the oracle
+      // hash-checks; a container-format parser replaces only the cut
+      // points. floor(len/32) guarantees every sampled 16-byte frame is
+      // full, so frame_len pins the slice bounds too.
+      (s, d) => {
+        val media = docs(s, d)
+          .filter(pmod(col("doc_id"), lit(3)) === 2)
+          .select(col("doc_id").as("media_id"), lit("video").as("modality"),
+            encode(col("text"), "UTF-8").as("bytes"))
+        graft.operators.Multimodal.sampleFrames(media, everyNth = 2, frameBytes = 16)
+          .select(col("media_id"), col("frame_index").cast("long").as("frame_index"),
+            md5(col("frame_bytes")).as("frame_md5"),
+            length(col("frame_bytes")).cast("long").as("frame_len"))
+          .orderBy(col("media_id"), col("frame_index"))
+      },
+      Some("""WITH v AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id, unnest(range(0, CAST(floor(length(text) / 32.0) AS BIGINT))) AS i, text FROM v)
+        |SELECT media_id, CAST(i AS BIGINT) AS frame_index,
+        |md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 16)) AS frame_md5,
+        |CAST(16 AS BIGINT) AS frame_len
+        |FROM f ORDER BY media_id, frame_index""".stripMargin))
   )
 }

@@ -676,6 +676,66 @@ object TextQ {
         |SELECT media_id, CAST(i AS BIGINT) AS frame_index,
         |md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 16)) AS frame_md5,
         |CAST(16 AS BIGINT) AS frame_len
-        |FROM f ORDER BY media_id, frame_index""".stripMargin))
+        |FROM f ORDER BY media_id, frame_index""".stripMargin)),
+
+    QueryDef("q58_pipeline_compose",
+      // The Step >> combinator under oracle coverage: DropDuplication (by
+      // md) >> UrlFilter composed into ONE Catalyst plan over a
+      // markdown-shaped projection of the corpus, with the pipeline's
+      // history stamp on every row (runWithHistory). dropDuplicates keeps
+      // an ARBITRARY duplicate, so every downstream-visible column is a
+      // pure function of md (url = content hash) — duplicate-invariant and
+      // therefore oracle-replicable regardless of which survivor wins.
+      (s, d) => {
+        val shaped = docs(s, d).select(
+          col("text").as("md"),
+          col("lang").as("keywords"),
+          concat(lit("https://kb.local/doc-"), md5(col("text"))).as("url"))
+        val p = graft.pipeline.DropDuplicationStep() >>
+          graft.pipeline.UrlFilterStep("A1") // case-folded -> matches 'a1' in the hex
+        p.runWithHistory(shaped)
+          .select(sha2(col("md"), 256).as("md_sha"), col("url"), col("history"))
+          .orderBy(col("url"))
+      },
+      Some("""WITH dd AS (SELECT DISTINCT text FROM documents),
+        |u AS (SELECT text, 'https://kb.local/doc-' || md5(text) AS url FROM dd),
+        |filt AS (SELECT * FROM u WHERE NOT contains(lower(url), 'a1'))
+        |SELECT sha256(text) AS md_sha, url,
+        |'DropDuplication-UrlFilter' AS history
+        |FROM filt ORDER BY url""".stripMargin)),
+
+    QueryDef("q59_html_to_md",
+      // html->markdown conversion (F8-F10) under oracle coverage: HTML is
+      // synthesized per corpus row (heading, paragraph with a link, a
+      // 2-item list, bold tail), the REAL HtmlToMd.convert runs as a UDF,
+      // and the oracle rebuilds the exact expected markdown string —
+      // pinning heading/list/link/bold rendering and the converter's
+      // block-separation rules byte-for-byte.
+      (s, d) => {
+        val w = split(col("text"), "\\s+")
+        val html = concat(
+          lit("<h1>"), col("source"), lit(" "), col("doc_id").cast("string"), lit("</h1>"),
+          lit("<p>"), element_at(w, 1), lit(" "), element_at(w, 2),
+          lit(" <a href=\"https://kb.local/"), col("doc_id").cast("string"),
+          lit("\">doc link</a>.</p>"),
+          lit("<ul><li>"), element_at(w, 3), lit("</li><li>"), element_at(w, 4),
+          lit("</li></ul>"),
+          lit("<p>End <b>"), element_at(w, 5), lit("</b>.</p>"))
+        val conv = udf((h: String) => graft.functions.HtmlToMd.convert(h))
+        docs(s, d)
+          .select(col("doc_id"), conv(html).as("md"))
+          .select(col("doc_id"), sha2(col("md"), 256).as("md_sha"),
+            length(col("md")).cast("long").as("md_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, source, $W AS t FROM documents),
+        |e AS (SELECT doc_id,
+        |  '# ' || source || ' ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |  t[1] || ' ' || t[2] || ' [doc link](https://kb.local/' || CAST(doc_id AS VARCHAR) || ').' ||
+        |  chr(10) || chr(10) || '- ' || t[3] || chr(10) || '- ' || t[4] || chr(10) ||
+        |  'End **' || t[5] || '**.' AS md
+        |  FROM w)
+        |SELECT doc_id, sha256(md) AS md_sha, CAST(length(md) AS BIGINT) AS md_len
+        |FROM e ORDER BY doc_id""".stripMargin))
   )
 }

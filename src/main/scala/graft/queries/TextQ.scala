@@ -736,6 +736,37 @@ object TextQ {
         |  'End **' || t[5] || '**.' AS md
         |  FROM w)
         |SELECT doc_id, sha256(md) AS md_sha, CAST(length(md) AS BIGINT) AS md_len
+        |FROM e ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q61_sentence_merge_back",
+      // F7's abbreviation merge-back under oracle coverage: three sentences
+      // are synthesized per doc with 'Nr.' and 'Dr.' planted MID-sentence —
+      // a naive terminator split would yield five fragments; the
+      // merge-back must rejoin exactly at the abbreviation points, giving
+      // three. The oracle rebuilds the three expected sentences directly;
+      // the digest breaks if the splitter either over-splits (no merge) or
+      // under-splits (merge across real boundaries).
+      (s, d) => {
+        val w = split(col("text"), "\\s+")
+        val text = concat(
+          lit("Alpha "), element_at(w, 1), lit(" Nr. "), element_at(w, 2), lit(" one. "),
+          lit("Beta "), element_at(w, 3), lit(" three. "),
+          lit("Gamma "), element_at(w, 4), lit(" Dr. "), element_at(w, 5), lit(" five."))
+        val sentUdf = udf((t: String) => graft.functions.Sentences.split(t))
+        docs(s, d)
+          .select(col("doc_id"), sentUdf(text).as("sents"))
+          .select(col("doc_id"),
+            size(col("sents")).cast("long").as("n_sentences"),
+            sha2(concat_ws("|", col("sents")), 256).as("sent_sha"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $W AS t FROM documents),
+        |e AS (SELECT doc_id,
+        |  ('Alpha ' || t[1] || ' Nr. ' || t[2] || ' one.') || '|' ||
+        |  ('Beta ' || t[3] || ' three.') || '|' ||
+        |  ('Gamma ' || t[4] || ' Dr. ' || t[5] || ' five.') AS joined
+        |  FROM w)
+        |SELECT doc_id, CAST(3 AS BIGINT) AS n_sentences, sha256(joined) AS sent_sha
         |FROM e ORDER BY doc_id""".stripMargin))
   )
 }

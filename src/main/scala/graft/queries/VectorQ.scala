@@ -192,6 +192,40 @@ object VectorQ {
         |  FROM documents)
         |SELECT doc_id, e[1] AS e0, e[4] AS e3, e[8] AS e7,
         |CAST(list_sum(e) AS BIGINT) AS isum
-        |FROM m ORDER BY doc_id""".stripMargin))
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q60_truncated_embedding",
+      // E2 end-to-end under oracle coverage: Embedding.embedTruncated cuts
+      // each doc to 30 whitespace tokens BEFORE the (real, partition-
+      // batched) embed stage — the reference TruncatedEmbeddingStep's
+      // truncate-then-embed order. The oracle recomputes the mock
+      // embedding of 'query: ' || the 30-token prefix, so the truncation
+      // point, prefix injection, and batch plumbing are all hash-checked.
+      (s, d) => {
+        import s.implicits._
+        val chunks = Tables.load(s, d, "documents")
+          .select(col("text"), col("lang"), col("source"), col("doc_id"))
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+          .as[(String, String, String, Long)]
+          .map { case (t, l, src, id) =>
+            graft.contracts.Chunk(t, l, src, Map("doc_id" -> id.toString)) }
+        val rows = graft.operators.Embedding.embedTruncated(
+          chunks, graft.operators.Embedding.MockEmbeddingClient(dim = 8), maxTokens = 30)
+        rows.toDF()
+          .select(
+            col("metadata").getItem("doc_id").cast("long").as("doc_id"),
+            length(col("text")).cast("long").as("trunc_len"),
+            aggregate(
+              transform(col("vector"), x => round(x.cast("double") * 1000.0).cast("long")),
+              lit(0L), (a, x) => a + x).as("isum"))
+          .sortWithinPartitions(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |  array_to_string((string_split_regex(text, '\s+'))[1:30], ' ') AS cut FROM documents),
+        |m AS (SELECT doc_id, CAST(length(cut) AS BIGINT) AS trunc_len,
+        |  CAST(list_sum(list_transform(range(0, 8), i ->
+        |    CAST(concat('0x', substr(md5('query: ' || cut || '#e' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 1000)) AS BIGINT) AS isum
+        |  FROM t)
+        |SELECT doc_id, trunc_len, isum FROM m ORDER BY doc_id""".stripMargin))
   )
 }

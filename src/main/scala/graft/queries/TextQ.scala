@@ -767,6 +767,75 @@ object TextQ {
         |  ('Gamma ' || t[4] || ' Dr. ' || t[5] || ' five.') AS joined
         |  FROM w)
         |SELECT doc_id, CAST(3 AS BIGINT) AS n_sentences, sha256(joined) AS sent_sha
+        |FROM e ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q62_md_to_plain",
+      // F2's structural walk under oracle coverage: markdown synthesized
+      // per corpus row exercises every rule at once — heading markers
+      // dropped, link text kept (target masked upstream of the walk would
+      // be wrong: the URL vanishes WITH the markup), image dropped
+      // entirely, fence body verbatim, bold unwrapped, bare URL masked to
+      // LINK. The oracle rebuilds the exact expected plain text.
+      (s, d) => {
+        val w = split(col("text"), "\\s+")
+        val md = concat(
+          lit("# Head "), element_at(w, 1),
+          lit("\n\nSee [the "), element_at(w, 2), lit(" page](https://kb.local/"),
+          col("doc_id").cast("string"), lit(") and ![pic](img.png) plus **"),
+          element_at(w, 3), lit("** now.\n\n```\ncode "), element_at(w, 4),
+          lit(" #keep |x|\n```\n\nTail https://ex.io/"), col("doc_id").cast("string"),
+          lit(" end"))
+        val plainUdf = udf((m: String) => graft.split.MarkdownText.toPlain(m))
+        docs(s, d)
+          .select(col("doc_id"), plainUdf(md).as("plain"))
+          .select(col("doc_id"), sha2(col("plain"), 256).as("plain_sha"),
+            length(col("plain")).cast("long").as("plain_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $W AS t FROM documents),
+        |e AS (SELECT doc_id,
+        |  'Head ' || t[1] || chr(10) ||
+        |  'See the ' || t[2] || ' page and  plus ' || t[3] || ' now.' || chr(10) ||
+        |  'code ' || t[4] || ' #keep |x|' || chr(10) ||
+        |  'Tail LINK end' AS plain
+        |  FROM w)
+        |SELECT doc_id, sha256(plain) AS plain_sha, CAST(length(plain) AS BIGINT) AS plain_len
+        |FROM e ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q63_mdformat_lite",
+      // F11's canonicalization math under oracle coverage: a deliberately
+      // ragged 2x2 pipe table (cell widths vary per corpus row), messy
+      // bullets, and a blank-line run. The oracle recomputes the
+      // mdformat-tables column widths (max over header/delimiter/data cell
+      // lengths, min 3) and rebuilds the padded table, dash-stretched
+      // separator, '-' bullets, and collapsed blanks byte-for-byte.
+      (s, d) => {
+        val w = split(col("text"), "\\s+")
+        val md = concat(
+          lit("Intro "), element_at(w, 1),
+          lit("\n\n\n|k|v|\n|---|---|\n|"), element_at(w, 2), lit("|"), element_at(w, 3),
+          lit("|\n| "), element_at(w, 4), lit(" |"), element_at(w, 5),
+          lit("|\n\n* item "), element_at(w, 6))
+        val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
+        docs(s, d)
+          .select(col("doc_id"), fmtUdf(md).as("canon"))
+          .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
+            length(col("canon")).cast("long").as("canon_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $W AS t FROM documents),
+        |wd AS (SELECT doc_id, t,
+        |  CAST(greatest(3, length(t[2]), length(t[4])) AS INTEGER) AS c1,
+        |  CAST(greatest(3, length(t[3]), length(t[5])) AS INTEGER) AS c2 FROM w),
+        |e AS (SELECT doc_id,
+        |  'Intro ' || t[1] || chr(10) || chr(10) ||
+        |  '| ' || rpad('k', c1, ' ') || ' | ' || rpad('v', c2, ' ') || ' |' || chr(10) ||
+        |  '| ' || repeat('-', c1) || ' | ' || repeat('-', c2) || ' |' || chr(10) ||
+        |  '| ' || rpad(t[2], c1, ' ') || ' | ' || rpad(t[3], c2, ' ') || ' |' || chr(10) ||
+        |  '| ' || rpad(t[4], c1, ' ') || ' | ' || rpad(t[5], c2, ' ') || ' |' || chr(10) || chr(10) ||
+        |  '- item ' || t[6] AS canon
+        |  FROM wd)
+        |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
         |FROM e ORDER BY doc_id""".stripMargin))
   )
 }

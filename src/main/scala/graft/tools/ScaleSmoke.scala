@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: run the heavy operator families on a corpus 10x the largest
+  * test SF (50k docs synthesized by salting sf0.1) and print throughput.
+  * Checks the shapes that matter before real scale: banded LSH with the
+  * degenerate-band cap active, hash-shuffled exact dedup, the splitter and
+  * embed stages with explicit parallelism. Numbers land in README.
+  *
+  * Usage: runMain graft.tools.ScaleSmoke [multiplier]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // salt sf0.1 docs x mult: each copy gets a distinct id and a per-copy
+    // token appended so copies are near-dups (exercises LSH confirm), while
+    // copy 0 keeps exact duplicates intact (exercises exact dedup)
+    val base = graft.Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val n = base.count()
+    val docs = base
+      .crossJoin(spark.range(mult).toDF("copy"))
+      .select(
+        (col("doc_id") + col("copy") * n).as("doc_id"),
+        when(col("copy") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" v"), col("copy"))).as("text"))
+      .repartition(64, col("doc_id"))
+      .persist()
+    val total = docs.count()
+    println(s"corpus: $total docs")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-26s ${sec}%7.2f s   ${total / sec}%9.0f docs/s   ($rows rows)")
+    }
+
+    time("exact dedup (hash)") {
+      docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .groupBy("h").agg(min("doc_id")).queryExecution.toRdd.count()
+    }
+    time("minhash pairs (capped)") {
+      graft.operators.Dedup.minhashPairs(docs, "doc_id", "text")
+        .queryExecution.toRdd.count()
+    }
+    time("simhash pairs (capped)") {
+      graft.operators.Dedup.simhashPairs(docs, "doc_id", "text")
+        .queryExecution.toRdd.count()
+    }
+    // corpus docs are <= 100 words (under the split window); repeat to
+    // ~400-800 tokens so the splitter actually assembles and cuts
+    val longDocs = docs.select(
+      concat_ws(" ", col("text"), col("text"), col("text"), col("text"),
+        col("text"), col("text"), col("text"), col("text")).as("text"))
+      .persist()
+    longDocs.count()
+    time("splitter (whitespace)") {
+      val sp = new graft.split.SemanticSplitter()
+      longDocs.as[String]
+        .flatMap(t => sp.splitMarkdown(t)).queryExecution.toRdd.count()
+    }
+    time("splitter (referenceDefault)") {
+      val sp = graft.split.SemanticSplitter.referenceDefault()
+      longDocs.as[String]
+        .flatMap(t => sp.splitMarkdown(t)).queryExecution.toRdd.count()
+    }
+    time("embed (mock, batched)") {
+      val chunks = docs.select(col("text")).as[String]
+        .map(t => graft.contracts.Chunk(t, "", "", Map.empty))
+      graft.operators.Embedding.embedChunks(
+        chunks, graft.operators.Embedding.MockEmbeddingClient(dim = 32), batchSize = 64)
+        .queryExecution.toRdd.count()
+    }
+    spark.stop()
+  }
+}

@@ -66,6 +66,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == events.size * 2)
   }
 
+  test("flagship pipeline runs under Structured Streaming: split -> embed per micro-batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[graft.contracts.MarkdownDoc]
+    val longBody = (1 to 400).map(i => s"w$i").mkString(" ") // > 288 tokens -> splits
+    mem.addData(
+      graft.contracts.MarkdownDoc(longBody, "kw", "https://x/a", Map("doc" -> "a")),
+      graft.contracts.MarkdownDoc("short doc body here " * 16, "kw", "https://x/b", Map("doc" -> "b")))
+    val splitter = new graft.split.SemanticSplitter()
+    val chunks = mem.toDS().flatMap(d => splitter.splitDoc(d))
+    val rows = graft.operators.Embedding.embedChunks(
+      chunks, graft.operators.Embedding.MockEmbeddingClient(dim = 4), batchSize = 8)
+    val name = "pipe" + System.nanoTime()
+    val q = rows.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table(name).collect()
+    assert(out.length >= 3, "long doc must split into multiple embedded chunks")
+    out.foreach { r =>
+      assert(r.getSeq[Float](r.fieldIndex("vector")).length == 4)
+      assert(r.getAs[String]("embedding_input_text").startsWith("query: "))
+      assert(r.getMap[String, String](r.fieldIndex("metadata")).contains("chunk_index"))
+    }
+    val urls = out.map(_.getAs[String]("url")).toSet
+    assert(urls == Set("https://x/a", "https://x/b"))
+  }
+
   test("dropDuplicatesWithinWatermark: in-horizon duplicates dropped, state bounded (T2)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]

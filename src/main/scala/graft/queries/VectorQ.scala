@@ -226,6 +226,48 @@ object VectorQ {
         |  CAST(list_sum(list_transform(range(0, 8), i ->
         |    CAST(concat('0x', substr(md5('query: ' || cut || '#e' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 1000)) AS BIGINT) AS isum
         |  FROM t)
-        |SELECT doc_id, trunc_len, isum FROM m ORDER BY doc_id""".stripMargin))
+        |SELECT doc_id, trunc_len, isum FROM m ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q64_ivf_topk",
+      // The IVF ANN QUERY path under oracle coverage (the index's scale
+      // path: per-cell candidate restriction instead of all-pairs). The
+      // k-means fit stays test-covered (IvfIndexSpec) — here the model's
+      // centroids are FIXED to the first four quantized embeddings so the
+      // oracle can replicate assignment (argmin squared distance, lowest-id
+      // tiebreak), nprobe=2 probing, in-cell quantized-cosine scoring, and
+      // deterministic top-5 ranking symbolically. Centroids are k x dim
+      // driver state by design — the same thing IvfIndex.fit would hold.
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.load(s, d, "embeddings")
+        val centroids = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(graft.functions.Kernels.quantNormUdf(col("embedding")).getField("_1").as("qv"))
+          .as[Seq[Long]].collect().map(_.toArray)
+        val model = graft.operators.IvfIndex.Model(centroids)
+        graft.operators.IvfIndex.topK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", model, kTop = 5, nprobe = 2)
+          .select(col("qid"), col("cid"), big(col("rank")).as("rank"), col("cosine"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, $QV AS qv FROM embeddings),
+        |cent AS (SELECT vec_id AS cidx, qv AS cv FROM v WHERE vec_id < 4),
+        |d AS (SELECT v.vec_id, v.qv, c.cidx,
+        |  list_sum(list_transform(range(1, len(v.qv) + 1),
+        |    i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS dist
+        |  FROM v CROSS JOIN cent c),
+        |r AS (SELECT vec_id, qv, cidx,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn FROM d),
+        |asg AS (SELECT vec_id AS cid, qv AS cv2, cidx AS cell FROM r WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, qv AS qv2, cidx AS cell FROM r
+        |  WHERE rn <= 2 AND vec_id < 10),
+        |scored AS (SELECT DISTINCT p.qid, a.cid,
+        |  CAST(list_sum(list_transform(range(1, len(p.qv2) + 1), i -> p.qv2[i] * a.cv2[i])) AS DOUBLE)
+        |  / (sqrt(CAST(list_sum(list_transform(range(1, len(p.qv2) + 1), i -> p.qv2[i] * p.qv2[i])) AS DOUBLE))
+        |     * sqrt(CAST(list_sum(list_transform(range(1, len(a.cv2) + 1), i -> a.cv2[i] * a.cv2[i])) AS DOUBLE))) AS cosine
+        |  FROM probes p JOIN asg a ON a.cell = p.cell AND a.cid <> p.qid),
+        |top AS (SELECT qid, cid, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank FROM scored)
+        |SELECT qid, cid, CAST(rank AS BIGINT) AS rank, cosine FROM top WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin))
   )
 }

@@ -164,17 +164,56 @@ final class BpeTokenizer(@transient private var vocab0: BpeVocab,
 
   override def count(s: String): Int = encode(s).length
 
-  /** Exact reference truncation semantics: decode of the first n ids — a
-    * byte prefix of s (tokenizers.py:52-74). */
+  /** Bytes up to (exclusive) the start of a trailing INCOMPLETE UTF-8
+    * sequence — a raw byte-level token cut can land inside a multi-byte
+    * char (tiktoken's decode emits U+FFFD there); snapping to the char
+    * boundary keeps outputs exact substrings of the input. */
+  private def charBoundary(b: Array[Byte]): Int = {
+    var p = b.length - 1
+    var back = 0
+    while (p >= 0 && back < 3 && (b(p) & 0xc0) == 0x80) { p -= 1; back += 1 }
+    if (p < 0) return b.length // pure continuation bytes: give up, emit as-is
+    val lead = b(p) & 0xff
+    val expected =
+      if (lead < 0x80) 1
+      else if ((lead & 0xe0) == 0xc0) 2
+      else if ((lead & 0xf0) == 0xe0) 3
+      else if ((lead & 0xf8) == 0xf0) 4
+      else 1
+    if (p + expected > b.length) p else b.length
+  }
+
+  /** Reference truncation semantics (decode of the first n ids,
+    * tokenizers.py:52-74) with the cut snapped back to a char boundary —
+    * the result is an exact prefix of s, never a replacement-char tail. */
   override def truncate(s: String, n: Int): String = {
     val ids = encode(s)
-    if (ids.length <= n) s else decode(ids.take(n))
+    if (ids.length <= n) return s
+    val b = ids.take(n).flatMap(vocab.bytesOf(_)).toArray
+    new String(b, 0, charBoundary(b), StandardCharsets.UTF_8)
   }
 
   /** Hard-cut into n-token pieces by byte offsets (no space re-joining —
-    * that is whitespace-tokenizer behavior only). */
+    * that is whitespace-tokenizer behavior only). A char split across a
+    * token-group boundary moves forward into the next piece, so the
+    * pieces concatenate back to s byte-exactly. */
   override def chunkTokens(s: String, n: Int): Vector[String] = {
     val ids = encode(s)
-    ids.grouped(n).map(decode).toVector
+    val groups = ids.grouped(n).toVector
+    val out = Vector.newBuilder[String]
+    var carry = Array.empty[Byte]
+    groups.zipWithIndex.foreach { case (g, i) =>
+      val cur = carry ++ g.flatMap(vocab.bytesOf(_))
+      if (i == groups.length - 1) {
+        out += new String(cur, StandardCharsets.UTF_8)
+        carry = Array.empty
+      } else {
+        val cut = charBoundary(cur)
+        out += new String(cur, 0, cut, StandardCharsets.UTF_8)
+        carry = cur.drop(cut)
+      }
+    }
+    if (carry.nonEmpty) out += new String(carry, StandardCharsets.UTF_8)
+    out.result().filter(_.nonEmpty)
   }
 }

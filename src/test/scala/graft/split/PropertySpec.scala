@@ -1,0 +1,75 @@
+package graft.split
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters}
+
+/** Property-based invariants for the text-processing kernels (scalacheck;
+  * 200 cases per property, fixed seed-independent generators). */
+class PropertySpec extends AnyFunSuite {
+
+  private val params = Parameters.default.withMinSuccessfulTests(200)
+  private def holds(p: Prop, name: String): Unit = {
+    val r = check(params, p)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  private val bpe = new BpeTokenizer()
+
+  // strings mixing ascii, unicode letters, emoji-plane chars, and whitespace
+  private val anyText: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(' ', ' ', '\t', '\n'),
+    2 -> Gen.oneOf('ä', 'ß', 'é', '日', '本', '語', '→', '€'),
+    1 -> Gen.oneOf('|', '#', '*', '`', '.', '!', '-', '_'),
+    1 -> Gen.choose('Ͱ', 'Ͽ') // greek block
+  )).map(_.mkString)
+
+  test("BPE: decode(encode(s)) == s for arbitrary unicode text") {
+    holds(Prop.forAll(anyText)(s => bpe.decode(bpe.encode(s)) == s), "bpe round-trip")
+  }
+
+  test("BPE: truncate(s, n) is always a prefix with count <= n") {
+    val gen = for { s <- anyText; n <- Gen.choose(0, 50) } yield (s, n)
+    holds(Prop.forAll(gen) { case (s, n) =>
+      val t = bpe.truncate(s, n)
+      s.startsWith(t) && (bpe.count(t) <= n || t == s)
+    }, "bpe truncate")
+  }
+
+  test("BPE: chunkTokens concatenates back byte-exact for arbitrary text") {
+    // note: a re-encoded piece need not count exactly n tokens — BPE merges
+    // act differently at cut boundaries (e.g. a split space run re-merges);
+    // the invariant that matters for hard cuts is zero data loss
+    val gen = for { s <- anyText; n <- Gen.choose(1, 20) } yield (s, n)
+    holds(Prop.forAll(gen) { case (s, n) =>
+      bpe.chunkTokens(s, n).mkString("") == s
+    }, "bpe chunk concat")
+  }
+
+  test("MdFormatLite: normalize is idempotent on arbitrary input") {
+    holds(Prop.forAll(anyText) { s =>
+      val once = MdFormatLite.normalize(s)
+      MdFormatLite.normalize(once) == once
+    }, "mdformat idempotence")
+  }
+
+  test("splitter: whitespace-mode chunks of a plain word doc preserve every token") {
+    val words = Gen.listOfN(400, Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaChar).map(_.mkString)))
+    holds(Prop.forAll(words) { ws =>
+      val doc = ws.mkString(" ")
+      val sp = new SemanticSplitter(tokenLimit = 64, buffer = 8, tokenMin = 1)
+      val out = sp.splitMarkdown(doc).flatMap(c => WhitespaceTokenizer.tokens(c))
+      out == ws.filter(_.nonEmpty)
+    }, "splitter token preservation")
+  }
+
+  test("sentences: split never loses characters outside separators") {
+    holds(Prop.forAll(anyText) { s =>
+      val joined = graft.functions.Sentences.split(s).mkString(" ")
+      // every non-whitespace char of the trimmed input survives
+      joined.filterNot(_.isWhitespace).length >= s.trim.filterNot(_.isWhitespace).length - 0
+    }, "sentence char preservation")
+  }
+}

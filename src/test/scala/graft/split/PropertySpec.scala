@@ -65,6 +65,33 @@ class PropertySpec extends AnyFunSuite {
     }, "splitter token preservation")
   }
 
+  test("table splitter: random tables never cut mid-row, rows survive in order") {
+    val cell = Gen.choose(1, 14).flatMap(n => Gen.listOfN(n, Gen.alphaChar).map(_.mkString))
+    val table = for {
+      nCols <- Gen.choose(2, 5)
+      nRows <- Gen.choose(1, 30)
+      header <- Gen.listOfN(nCols, cell)
+      rows <- Gen.listOfN(nRows, Gen.listOfN(nCols, cell))
+    } yield {
+      def row(cs: List[String]) = cs.mkString("| ", " | ", " |")
+      (row(header) + "\n" + List.fill(nCols)("---").mkString("| ", " | ", " |") +
+        "\n" + rows.map(row).mkString("\n"), rows.map(row))
+    }
+    holds(Prop.forAll(table) { case (md, dataRows) =>
+      val sp = new SemanticSplitter(tokenLimit = 40, buffer = 4, tokenMin = 1)
+      val out = sp.splitMarkdown(md)
+      val survived = out.flatMap(_.linesIterator)
+        .map(_.trim).filter(l => dataRows.contains(l))
+      // every data row appears (at least once: a row can double as a
+      // repeated header slice never happens for data rows) and in order
+      dataRows.forall(survived.contains) &&
+        dataRows.map(r => survived.indexOf(r)).sliding(2).forall {
+          case Seq(a, b) => a <= b
+          case _ => true
+        }
+    }, "table rows survive")
+  }
+
   test("sentences: split never loses characters outside separators") {
     holds(Prop.forAll(anyText) { s =>
       val joined = graft.functions.Sentences.split(s).mkString(" ")

@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver runs `java -cp target/scala-2.13/classes` directly after a
+// bare `sbt compile`; make compile also place resources (the vendored BPE
+// merge table) on that classpath.
+Compile / compile := (Compile / compile).dependsOn(Compile / copyResources).value
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -46,5 +46,8 @@ object GraftFunctions {
     spark.udf.register("token_count_bpe", (text: String) => bpe.count(text))
     spark.udf.register("truncate_bpe", (text: String, n: Int) => bpe.truncate(text, n))
     spark.udf.register("bpe_encode", (text: String) => bpe.encode(text))
+    // typed UDAF (§2.14 many-rows -> aggregate): group-level minhash union
+    spark.udf.register("minhash_union12",
+      org.apache.spark.sql.functions.udaf(new graft.functions.MinhashUnionAgg(12)))
   }
 }

@@ -836,6 +836,44 @@ object TextQ {
         |  '- item ' || t[6] AS canon
         |  FROM wd)
         |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
-        |FROM e ORDER BY doc_id""".stripMargin))
+        |FROM e ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q65_minhash_union",
+      // The typed UDAF (Aggregator via udaf, §2.14) under oracle coverage:
+      // per-source MinHash union — elementwise min of the per-doc
+      // signatures equals the signature of the union of the shingle sets
+      // (min commutes with set union), composed map-side. The oracle
+      // recomputes the per-doc signatures (q32's formulation) and takes
+      // per-index group minima.
+      (s, d) => {
+        val sigs = Dedup.withMinhash(docs(s, d), "text", 12, 4)
+          .select(col("source"), col("minhash"))
+        val union = org.apache.spark.sql.functions.udaf(
+          new graft.functions.MinhashUnionAgg(12))
+        sigs.groupBy(col("source"))
+          .agg(union(col("minhash")).as("sig"))
+          .select(col("source"),
+            element_at(col("sig"), 1).as("u0"),
+            element_at(col("sig"), 7).as("u6"),
+            element_at(col("sig"), 12).as("u11"),
+            aggregate(col("sig"), lit(0L), (a, x) => a + x).as("usum"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source, $W AS w FROM documents),
+        |sh AS (SELECT doc_id, source, CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS s FROM tk),
+        |hs AS (SELECT doc_id, source, list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 7)) AS BIGINT)) AS hv FROM sh),
+        |mh AS (SELECT doc_id, source, list_transform(range(0, 12), j ->
+        |  coalesce(list_min(list_transform(hv, h -> ((31*j + 97) * h + 907*j + 13) % 1000000007)), 9223372036854775807)) AS m
+        |  FROM hs),
+        |flat AS (SELECT source, j, min(m[j + 1]) AS mn
+        |  FROM mh, (SELECT unnest(range(0, 12)) AS j) g GROUP BY source, j),
+        |u AS (SELECT source,
+        |  min(CASE WHEN j = 0 THEN mn END) AS u0,
+        |  min(CASE WHEN j = 6 THEN mn END) AS u6,
+        |  min(CASE WHEN j = 11 THEN mn END) AS u11,
+        |  CAST(SUM(mn) AS BIGINT) AS usum
+        |  FROM flat GROUP BY source)
+        |SELECT source, u0, u6, u11, usum FROM u ORDER BY source""".stripMargin))
   )
 }

@@ -58,4 +58,14 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.getAs[String]("plain") == "Head\nsome body text here with words")
     assert(row.getAs[String]("canon") == "# Head\n\nsome body text here with words")
   }
+
+  test("SQL surface: minhash_union12 UDAF aggregates elementwise minima per group") {
+    GraftFunctions.register(spark)
+    Seq(("g1", Seq(5L, 9L)), ("g1", Seq(3L, 20L)), ("g2", Seq(7L, 1L)))
+      .toDF("g", "sig").createOrReplaceTempView("sigs")
+    val rows = spark.sql(
+      "SELECT g, minhash_union12(sig) AS u FROM sigs GROUP BY g ORDER BY g").collect()
+    assert(rows(0).getSeq[Long](1).take(2) == Seq(3L, 9L))
+    assert(rows(1).getSeq[Long](1).take(2) == Seq(7L, 1L))
+  }
 }

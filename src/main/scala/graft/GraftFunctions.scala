@@ -16,6 +16,9 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_count_native", exprs => TokenCountExpr(exprs.head), "scala_udf")
+    // table-generating function (§2.14 UDTF shape): LATERAL VIEW splitter
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "semantic_split_rows", exprs => graft.plans.SemanticSplitGen(exprs.head), "scala_udf")
 
     spark.udf.register("minhash_sig12",
       (text: String) => Kernels.minhashSig(text, 12, 3))

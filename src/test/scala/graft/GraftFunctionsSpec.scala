@@ -59,6 +59,24 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.getAs[String]("canon") == "# Head\n\nsome body text here with words")
   }
 
+  test("SQL surface: semantic_split_rows generator via LATERAL VIEW") {
+    GraftFunctions.register(spark)
+    val longDoc = (1 to 700).map(i => s"w$i").mkString(" ") // > 288 tokens
+    Seq((1L, longDoc), (2L, "tiny doc")).toDF("id", "md").createOrReplaceTempView("docs_g")
+    val rows = spark.sql(
+      """SELECT id, c.chunk_index, c.chunks_count, c.chunk
+        |FROM docs_g LATERAL VIEW semantic_split_rows(md) c
+        |ORDER BY id, c.chunk_index""".stripMargin).collect()
+    val byId = rows.groupBy(_.getLong(0))
+    assert(byId(1L).length > 1, "long doc must generate multiple rows")
+    assert(byId(1L).map(_.getInt(1)).toSeq == byId(1L).indices.toSeq) // dense chunk_index
+    assert(byId(1L).forall(_.getInt(2) == byId(1L).length))
+    assert(byId(2L).map(_.getString(3)).toSeq == Seq("tiny doc"))
+    // chunks reassemble the original tokens in order
+    val tokens = byId(1L).flatMap(_.getString(3).split("\\s+"))
+    assert(tokens.toSeq == (1 to 700).map(i => s"w$i"))
+  }
+
   test("SQL surface: minhash_union12 UDAF aggregates elementwise minima per group") {
     GraftFunctions.register(spark)
     Seq(("g1", Seq(5L, 9L)), ("g1", Seq(3L, 20L)), ("g2", Seq(7L, 1L)))

@@ -17,50 +17,83 @@ import org.apache.spark.sql.functions.udf
   * one in behind the same function).
   */
 object HtmlToMd {
+  import java.util.regex.Pattern
 
+  // Every pattern compiled once at class load: the converter runs per row on
+  // the executor hot path, and Pattern.compile dominated the cost when these
+  // lived inline (one compile per replaceAll per row).
   private val BlockStrip =
-    "(?is)<(script|style|svg|footer|nav|head)\\b[^>]*>.*?</\\1>".r
+    Pattern.compile("(?is)<(script|style|svg|footer|nav|head)\\b[^>]*>.*?</\\1>")
+  private val Comment   = Pattern.compile("(?is)<!--.*?-->")
+  private val ImgAlt    = Pattern.compile("(?is)<img\\b[^>]*\\balt=[\"']([^\"']*)[\"'][^>]*>")
+  private val ImgBare   = Pattern.compile("(?is)<img\\b[^>]*>")
+  private val Hr        = Pattern.compile("(?is)<hr\\b[^>]*>")
+  private val Headings: Array[(Pattern, String)] =
+    (1 to 6).map(i => (Pattern.compile(s"(?is)<h$i\\b[^>]*>(.*?)</h$i>"),
+                       "\n" + ("#" * i) + " $1\n")).toArray
+  private val Anchor    = Pattern.compile("(?is)<a\\b[^>]*\\bhref=[\"']([^\"']*)[\"'][^>]*>(.*?)</a>")
+  private val Bold      = Pattern.compile("(?is)<(b|strong)\\b[^>]*>(.*?)</\\1>")
+  private val Italic    = Pattern.compile("(?is)<(i|em)\\b[^>]*>(.*?)</\\1>")
+  private val Code      = Pattern.compile("(?is)<code\\b[^>]*>(.*?)</code>")
+  private val ListItem  = Pattern.compile("(?is)<li\\b[^>]*>(.*?)</li>")
+  private val ListWrap  = Pattern.compile("(?is)</?(ul|ol)\\b[^>]*>")
+  private val Br        = Pattern.compile("(?is)<br\\b[^>]*>")
+  private val ParaClose = Pattern.compile("(?is)</p>")
+  private val AnyTag    = Pattern.compile("(?s)<[^>]+>")
+  private val Spaces    = Pattern.compile("[ \\t]+")
+  private val NlPad     = Pattern.compile(" ?\\n ?")
+  private val NlRun     = Pattern.compile("\\n{3,}")
+  private val AbsScheme = Pattern.compile("(?i)^[a-z][a-z0-9+.-]*:.*")
+  private val BaseTail  = Pattern.compile("(?<!/)/(?!/).*$")
 
   def absolutize(url: String, base: String): String =
-    if (url.matches("(?i)^[a-z][a-z0-9+.-]*:.*") || base.isEmpty) url
+    if (AbsScheme.matcher(url).matches() || base.isEmpty) url
     else {
       val b = base.stripSuffix("/")
       if (url.startsWith("//")) "https:" + url
-      else if (url.startsWith("/")) b.replaceAll("(?<!/)/(?!/).*$", "") + url
+      else if (url.startsWith("/")) BaseTail.matcher(b).replaceAll("") + url
       else b + "/" + url
     }
 
+  @inline private def rep(p: Pattern, s: String, r: String): String =
+    p.matcher(s).replaceAll(r)
+
   def convert(html: String, baseUrl: String = ""): String = {
     var s = html
-    s = BlockStrip.replaceAllIn(s, "")
-    s = s.replaceAll("(?is)<!--.*?-->", "")
+    s = rep(BlockStrip, s, "")
+    s = rep(Comment, s, "")
     // images -> alt text (reference drops Image tokens, keeps alt; 107-134)
-    s = s.replaceAll("(?is)<img\\b[^>]*\\balt=[\"']([^\"']*)[\"'][^>]*>", "$1")
-    s = s.replaceAll("(?is)<img\\b[^>]*>", "")
-    s = s.replaceAll("(?is)<hr\\b[^>]*>", "") // thematic breaks removed
+    s = rep(ImgAlt, s, "$1")
+    s = rep(ImgBare, s, "")
+    s = rep(Hr, s, "") // thematic breaks removed
     // headings
-    for (i <- 1 to 6)
-      s = s.replaceAll(s"(?is)<h$i\\b[^>]*>(.*?)</h$i>", "\n" + ("#" * i) + " $1\n")
+    var i = 0
+    while (i < Headings.length) {
+      s = rep(Headings(i)._1, s, Headings(i)._2); i += 1
+    }
     // links with href absolutization
-    s = "(?is)<a\\b[^>]*\\bhref=[\"']([^\"']*)[\"'][^>]*>(.*?)</a>".r
-      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+    s = {
+      val m  = Anchor.matcher(s)
+      val sb = new java.lang.StringBuilder
+      while (m.find()) m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
         s"[${m.group(2)}](${absolutize(m.group(1), baseUrl)})"))
+      m.appendTail(sb).toString
+    }
     // emphasis / code
-    s = s.replaceAll("(?is)<(b|strong)\\b[^>]*>(.*?)</\\1>", "**$2**")
-    s = s.replaceAll("(?is)<(i|em)\\b[^>]*>(.*?)</\\1>", "*$2*")
-    s = s.replaceAll("(?is)<code\\b[^>]*>(.*?)</code>", "`$1`")
+    s = rep(Bold, s, "**$2**")
+    s = rep(Italic, s, "*$2*")
+    s = rep(Code, s, "`$1`")
     // list items / paragraphs / breaks
-    s = s.replaceAll("(?is)<li\\b[^>]*>(.*?)</li>", "\n- $1")
-    s = s.replaceAll("(?is)</?(ul|ol)\\b[^>]*>", "\n")
-    s = s.replaceAll("(?is)<br\\b[^>]*>", "\n")
-    s = s.replaceAll("(?is)</p>", "\n\n")
+    s = rep(ListItem, s, "\n- $1")
+    s = rep(ListWrap, s, "\n")
+    s = rep(Br, s, "\n")
+    s = rep(ParaClose, s, "\n\n")
     // strip all remaining tags, decode the common entities
-    s = s.replaceAll("(?s)<[^>]+>", "")
+    s = rep(AnyTag, s, "")
     s = s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
     // canonicalize whitespace
-    s.replaceAll("[ \\t]+", " ").replaceAll(" ?\\n ?", "\n")
-      .replaceAll("\\n{3,}", "\n\n").trim
+    rep(NlRun, rep(NlPad, rep(Spaces, s, " "), "\n"), "\n\n").trim
   }
 
   def htmlToMdUdf(baseUrl: String = ""): UserDefinedFunction =

@@ -60,8 +60,10 @@ object Kernels {
     (v << 4) | ((b(7) & 0xf0L) >> 4)
   }
 
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+
   /** Whitespace tokens — same as Spark split(col, "\\s+"). */
-  def tokenize(text: String): Array[String] = text.split("\\s+", -1)
+  def tokenize(text: String): Array[String] = WsRun.split(text, -1)
 
   /** Distinct word n-gram shingles, first-seen order. */
   def shingleSet(toks: Array[String], n: Int): java.util.LinkedHashSet[String] = {

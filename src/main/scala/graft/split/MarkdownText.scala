@@ -27,25 +27,38 @@ package graft.split
   */
 object MarkdownText {
 
+  import java.util.regex.Pattern
+
   private val FenceRe = "^(```|~~~).*$".r
   private val HeadingRe = "^#{1,6}\\s+(.*?)\\s*#*\\s*$".r
   private val BulletRe = "^(\\s*)(?:[-*+]|\\d+[.)])\\s+(.*)$".r
   private val QuoteRe = "^\\s*>\\s?(.*)$".r
 
+  // Inline rewrites run once per line per doc — precompiled (String.replaceAll
+  // would recompile each pattern on every call).
+  private val Image      = Pattern.compile("!\\[[^\\]]*\\]\\([^)]*\\)")
+  private val Link       = Pattern.compile("\\[([^\\]]*)\\]\\([^)]*\\)")
+  private val Autolink   = Pattern.compile("<(https?://[^>]+)>")
+  private val Strong     = Pattern.compile("(\\*\\*|__)(.+?)\\1")
+  private val Emphasis   = Pattern.compile("(?<![\\w*])([*_])([^*_]+)\\1(?![\\w*])")
+  private val Strike     = Pattern.compile("~~(.+?)~~")
+  private val InlineCode = Pattern.compile("`([^`]*)`")
+  private val BareUrl    = Pattern.compile("https?://[^\\s)]+")
+
   private def inline(s: String): String = {
     var t = s
-    t = t.replaceAll("!\\[[^\\]]*\\]\\([^)]*\\)", "") // images dropped, alt too
-    t = t.replaceAll("\\[([^\\]]*)\\]\\([^)]*\\)", "$1") // link text kept
-    t = t.replaceAll("<(https?://[^>]+)>", "$1") // autolink -> bare url
-    t = t.replaceAll("(\\*\\*|__)(.+?)\\1", "$2") // strong
-    t = t.replaceAll("(?<![\\w*])([*_])([^*_]+)\\1(?![\\w*])", "$2") // emphasis
-    t = t.replaceAll("~~(.+?)~~", "$1") // strikethrough
-    t = t.replaceAll("`([^`]*)`", "$1") // inline code
+    t = Image.matcher(t).replaceAll("") // images dropped, alt too
+    t = Link.matcher(t).replaceAll("$1") // link text kept
+    t = Autolink.matcher(t).replaceAll("$1") // autolink -> bare url
+    t = Strong.matcher(t).replaceAll("$2") // strong
+    t = Emphasis.matcher(t).replaceAll("$2") // emphasis
+    t = Strike.matcher(t).replaceAll("$1") // strikethrough
+    t = InlineCode.matcher(t).replaceAll("$1") // inline code
     t
   }
 
   /** Mask URLs with LINK (reference step.py:214-233). */
-  def maskLinks(s: String): String = s.replaceAll("https?://[^\\s)]+", "LINK")
+  def maskLinks(s: String): String = BareUrl.matcher(s).replaceAll("LINK")
 
   def toPlain(md: String): String = {
     val out = Vector.newBuilder[String]

@@ -32,11 +32,14 @@ object MdFormatLite {
   private val HeadingRe = "^(#{1,6})\\s+(.*?)\\s*#*\\s*$".r
   private val BulletRe = "^(\\s*)[*+-]\\s+(.*)$".r
   private val FenceRe = "^(```|~~~).*$".r
+  // Per-line hot-path patterns precompiled (String.replaceAll/split recompile per call)
+  private val TrailWs = java.util.regex.Pattern.compile("\\s+$")
+  private val PipeSplit = java.util.regex.Pattern.compile("\\|")
 
   private def isSep(l: String): Boolean = TableSepRe.matches(l)
 
   private def cells(row: String): Vector[String] =
-    row.trim.stripPrefix("|").stripSuffix("|").split("\\|", -1).toVector.map(_.trim)
+    PipeSplit.split(row.trim.stripPrefix("|").stripSuffix("|"), -1).toVector.map(_.trim)
 
   /** Re-render one pipe table (header, sep, rows) with aligned columns. */
   private def renderTable(header: String, sep: String, rows: Vector[String]): Vector[String] = {
@@ -64,7 +67,7 @@ object MdFormatLite {
   /** Canonicalize a markdown string per the rule list above. */
   def normalize(md: String): String = {
     val lines = md.replace("\r\n", "\n").replace("\r", "\n")
-      .split("\n", -1).toVector.map(l => l.replaceAll("\\s+$", ""))
+      .split("\n", -1).toVector.map(l => TrailWs.matcher(l).replaceAll(""))
 
     // group lines into blocks; every block renders as its joined lines and
     // blocks are separated by exactly one blank line

@@ -10,14 +10,16 @@ package graft.split
   */
 object TableSplitter {
 
+  private val PipeSplit = java.util.regex.Pattern.compile("\\|")
+
   private def cells(row: String): Vector[String] =
-    row.stripPrefix("|").stripSuffix("|").split("\\|", -1).toVector.map(_.trim)
+    PipeSplit.split(row.stripPrefix("|").stripSuffix("|"), -1).toVector.map(_.trim)
 
   // ---- document-level splitter (reference-faithful port) -----------------
 
   private val DocSepRe = "^\\s*\\|?(?:\\s*:?-+:?\\s*\\|)+\\s*$".r
   private def docCells(row: String): Vector[String] =
-    row.trim.stripPrefix("|").stripSuffix("|").split("\\|", -1).toVector.map(_.trim)
+    PipeSplit.split(row.trim.stripPrefix("|").stripSuffix("|"), -1).toVector.map(_.trim)
   /** reference make_row: `"|" + " | ".join(cells) + "|\n"` — asymmetric
     * gutters on purpose; counts must match the reference's budget math. */
   private def makeRow(cs: Seq[String]): String = "|" + cs.mkString(" | ") + "|\n"

@@ -42,8 +42,13 @@ object Dedup {
     val size = count(lit(1)).over(Window.partitionBy(col(bandCol)))
     val sub = pmod(hash60(col(idCol).cast("string"), "band"),
       ceil(size / lit(cap)).cast("long"))
+    // Normalize the band to string BEFORE branching: with a numeric band
+    // column (embedding buckets) the when/otherwise common type would
+    // otherwise resolve by casting the sub-bucketed string branch to the
+    // numeric type — an ANSI cast error the moment the cap first fires.
+    val base = col(bandCol).cast("string")
     rows.withColumn(bandCol,
-      when(size > cap, concat_ws("#", col(bandCol), sub)).otherwise(col(bandCol)))
+      when(size > cap, concat_ws("#", base, sub)).otherwise(base))
   }
 
   /** Exact dedup by field list — reference semantics (`DROP_BY_FIELDS`,

@@ -189,6 +189,13 @@ object TextQ {
         |FROM mh ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q33_minhash_near_dups",
+      // The oracle models the default-on capPerBand=256 sub-bucketing
+      // (Dedup.capBandFanout) exactly like q34's: window count per band ->
+      // ceil(n/256) sub-buckets -> hash60(doc_id || '#band') picks the
+      // sub-bucket. At sf<=0.1 no minhash band exceeds 256 (the CASE is a
+      // no-op) but at any larger verify scale a hot band stays hash-exact
+      // instead of silently diverging. The capped join itself is exercised
+      // by DedupSpec's oracle-model parity test on planted skew.
       (s, d) => Dedup.minhashPairs(docs(s, d), "doc_id", "text", 12, 4, 0.6)
         .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH tk AS (SELECT doc_id, $W AS w FROM documents),
@@ -200,9 +207,15 @@ object TextQ {
         |  FROM sh),
         |bd AS (SELECT doc_id, s, unnest(list_transform(range(0, 3), b ->
         |  CAST(b AS VARCHAR) || ':' || CAST(m[4*b+1] AS VARCHAR) || ':' || CAST(m[4*b+2] AS VARCHAR) || ':' || CAST(m[4*b+3] AS VARCHAR) || ':' || CAST(m[4*b+4] AS VARCHAR))) AS band FROM mh),
+        |bc AS (SELECT doc_id, s, band, count(*) OVER (PARTITION BY band) AS n FROM bd),
+        |capped AS (SELECT doc_id, s,
+        |  CASE WHEN n > 256 THEN band || '#' || CAST(
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#band'), 1, 15)) AS BIGINT)
+        |    % CAST(ceil(n / 256.0) AS BIGINT) AS VARCHAR)
+        |  ELSE band END AS band FROM bc),
         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
-        |  FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id)
+        |  FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef("q34_simhash_near_dups",

@@ -62,6 +62,13 @@ object VectorQ {
         |ORDER BY qid, rank""".stripMargin)),
 
     QueryDef("q35_embedding_near_dups",
+      // Oracle models the default-on capPerBand=256 hyperplane-bucket
+      // sub-bucketing (Dedup.capBandFanout) with q34's windowed-count /
+      // hash60 scheme. The engine's when/otherwise coerces the bigint
+      // bucket to string, so the oracle compares VARCHAR buckets in both
+      // branches. A hot bucket (boilerplate embeddings) at large scale
+      // stays hash-exact instead of silently diverging; the firing cap is
+      // covered by DedupSpec's oracle-model parity test on planted skew.
       (s, d) => Dedup.embeddingPairs(emb(s, d), "vec_id", "embedding", planes = 8, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH v AS (SELECT vec_id, $QV AS qv FROM embeddings),
@@ -71,11 +78,17 @@ object VectorQ {
         |      qv[i] * (CAST(concat('0x', substr(md5('emb|' || CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000))) > 0
         |    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS bucket
         |  FROM v),
+        |bc AS (SELECT vec_id, qv, bucket, count(*) OVER (PARTITION BY bucket) AS n FROM b),
+        |capped AS (SELECT vec_id, qv,
+        |  CASE WHEN n > 256 THEN CAST(bucket AS VARCHAR) || '#' || CAST(
+        |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR) || '#band'), 1, 15)) AS BIGINT)
+        |    % CAST(ceil(n / 256.0) AS BIGINT) AS VARCHAR)
+        |  ELSE CAST(bucket AS VARCHAR) END AS bucket FROM bc),
         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
         |  CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b2.qv[i])) AS DOUBLE)
         |  / (sqrt(CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * a.qv[i])) AS DOUBLE))
         |     * sqrt(CAST(list_sum(list_transform(range(1, len(b2.qv) + 1), i -> b2.qv[i] * b2.qv[i])) AS DOUBLE))) AS cosine
-        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        |  FROM capped a JOIN capped b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
         |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.8 ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef("q51_embedding_stage",

@@ -98,6 +98,80 @@ class DedupSpec extends SparkSpec {
     assert(linked.size == 1000, s"docs left unlinked: ${1000 - linked.size}")
   }
 
+  // Driver-side transliteration of the q33/q34/q35 oracle-SQL cap model
+  // (windowed count per band -> ceil(n/cap) sub-buckets -> hash60(id#band)
+  // picks the sub-bucket). Mirrors the DuckDB CTEs independently of the
+  // engine's distributed plan, so set-equality below proves the oracle
+  // stays hash-exact when a band actually exceeds the cap.
+  private def modelCapBands(rows: Seq[(Long, String)], cap: Int): Seq[(Long, String)] = {
+    val n = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    rows.map { case (id, band) =>
+      val c = n(band)
+      if (cap > 0 && c > cap)
+        (id, band + "#" + (Kernels.hash60(id.toString + "#band") % math.ceil(c / cap.toDouble).toLong))
+      else (id, band)
+    }
+  }
+
+  private def modelPairs(banded: Seq[(Long, String)]): Set[(Long, Long)] =
+    banded.groupBy(_._2).values.flatMap { members =>
+      val ids = members.map(_._1)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+
+  test("q33 oracle cap model: engine matches driver-side model when a minhash band exceeds the cap") {
+    val cap = 256
+    // 300 identical docs -> every minhash band has 300 members (> cap), plus
+    // a planted near-dup pair and unrelated docs in untouched small bands.
+    val rows = (0 until 300).map(i => (1000L + i, mkDoc(42))) ++
+      Seq((1L, mkDoc(1)), (2L, perturb(mkDoc(1), 5, 1))) ++
+      (10L until 15L).map(i => (i, mkDoc(i.toInt)))
+    val df = rows.toDF("doc_id", "text")
+
+    val engine = Dedup.minhashPairs(df, "doc_id", "text", 12, 4, 0.5, capPerBand = cap)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+
+    // oracle model: bands -> windowed cap -> candidate pairs -> exact jaccard
+    val bandRows = rows.flatMap { case (id, text) =>
+      val sig = Kernels.minhashSig(text, 12, 3)
+      (0 until 3).map(b => (id, s"$b:" + (0 until 4).map(i => sig(b * 4 + i)).mkString(":")))
+    }
+    assert(bandRows.groupBy(_._2).values.map(_.size).max > cap, "planted skew must exceed the cap")
+    val sh = rows.map { case (id, text) => id -> Kernels.shingleArr(text, 3).toSet }.toMap
+    val expected = modelPairs(modelCapBands(bandRows, cap)).map { case (a, b) =>
+      (a, b, sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size)
+    }.filter(_._3 >= 0.5)
+    assert(engine == expected)
+  }
+
+  test("q35 oracle cap model: engine matches driver-side model when a hyperplane bucket exceeds the cap") {
+    val cap = 256
+    val base = Array(0.3f, -0.1f, 0.7f, 0.2f)
+    // 300 identical vectors collapse into one bucket (> cap); two planted
+    // distinct-but-equal vectors and one orthogonal-ish outlier elsewhere.
+    val rows = (0 until 300).map(i => (1000L + i, base)) ++
+      Seq((1L, Array(0.9f, 0.1f, -0.3f, 0.5f)), (2L, Array(0.9f, 0.1f, -0.3f, 0.5f)),
+          (3L, Array(-0.5f, 0.8f, 0.1f, -0.9f)))
+    val df = rows.toDF("vec_id", "embedding")
+
+    val engine = Dedup.embeddingPairs(df, "vec_id", "embedding", planes = 8, threshold = 0.9, capPerBand = cap)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+
+    val feats = rows.map { case (id, v) =>
+      val qv = Kernels.quantizeVec(v)
+      (id, qv, Kernels.dotLong(qv, qv), Kernels.lshBucketVec(qv, 8, "emb"))
+    }
+    val bucketRows = feats.map { case (id, _, _, bucket) => (id, bucket.toString) }
+    assert(bucketRows.groupBy(_._2).values.map(_.size).max > cap, "planted skew must exceed the cap")
+    val byId = feats.map(f => f._1 -> f).toMap
+    val expected = modelPairs(modelCapBands(bucketRows, cap)).map { case (a, b) =>
+      val (_, qa, na, _) = byId(a); val (_, qb, nb, _) = byId(b)
+      (a, b, Kernels.dotLong(qa, qb).toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)))
+    }.filter(_._3 >= 0.9)
+    assert(expected.nonEmpty, "capped bucket must still yield confirmed pairs")
+    assert(engine == expected)
+  }
+
   test("capPerBand leaves small-band results byte-identical (default-on safety)") {
     val capped = Dedup.minhashPairs(docs, "doc_id", "text", 12, 4, 0.5, capPerBand = 256)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -24,6 +24,12 @@ final case class TableBlock(header: String, sep: String, rows: Vector[String]) e
   def text: String = (header +: sep +: rows).mkString("\n")
 }
 final case class Paragraph(text: String) extends Block { def level = 10 }
+/** Blockquote. The reference's LEVEL_MAPPING has no Quote entry
+  * (semantic_splitter.py:28-39), so quotes rank LEVEL_UNDEFINED(15): never
+  * a split boundary themselves — they attach to the enclosing section and
+  * descent unwraps their inner blocks (`_split_children` single-child
+  * recursion, 324-328). */
+final case class QuoteBlock(text: String) extends Block { def level = 15 }
 
 object MarkdownBlocks {
   private val HeadingRe = "^(#{1,6})\\s+(.*)$".r
@@ -33,6 +39,8 @@ object MarkdownBlocks {
   // a pipe row followed by a separator row of dashes/colons/pipes.
   private val TableSepRe = "^\\s*\\|?[-:\\s|]+\\|?\\s*$".r
   private val ListItemRe = "^\\s*([-*+]|\\d+[.)])\\s+.*$".r
+  // CommonMark block quote marker: up to 3 leading spaces then '>'.
+  private val QuoteRe = "^\\s{0,3}>".r
 
   /** Scan markdown into top-level blocks. */
   def parse(md: String): Vector[Block] = {
@@ -66,6 +74,10 @@ object MarkdownBlocks {
               rows += lines(i).trim; i += 1
             }
             out += TableBlock(header, sep, rows.result())
+          case _ if QuoteRe.findFirstIn(line).isDefined =>
+            val start = i
+            while (i < lines.length && QuoteRe.findFirstIn(lines(i)).isDefined) i += 1
+            out += QuoteBlock(lines.slice(start, i).mkString("\n"))
           case _ if ListItemRe.findFirstIn(line).isDefined =>
             val start = i
             while (i < lines.length && !isBlank(lines(i))
@@ -77,6 +89,7 @@ object MarkdownBlocks {
                 && HeadingRe.findFirstIn(lines(i)).isEmpty
                 && FenceRe.findFirstIn(lines(i)).isEmpty
                 && ListItemRe.findFirstIn(lines(i)).isEmpty
+                && QuoteRe.findFirstIn(lines(i)).isEmpty
                 && TableRowRe.findFirstIn(lines(i)).isEmpty) i += 1
             if (i == start) i += 1 // defensive: always make progress
             out += Paragraph(lines.slice(start, i).mkString("\n").trim)

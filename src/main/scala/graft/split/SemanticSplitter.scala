@@ -83,7 +83,7 @@ class SemanticSplitter(
       return finish(
         TableSplitter.splitDocument(canonical, tokenLimit, tk, repeatTableHeader)
           .map(_.trim).filter(_.nonEmpty))
-    val pieces = assemble(blocks)
+    val pieces = assemble(blocks, MaxDepth)
     // chunks under token_limit_min are skipped (reference 616-619); a doc
     // short enough to stay whole never reaches this filter (early return).
     finish(attachHeaders(blocks, pieces)
@@ -93,8 +93,16 @@ class SemanticSplitter(
 
   // ---- stage 2: token-bounded assembly -----------------------------------
 
+  /** Maximum nested-structure recursion depth (reference
+    * `_markdown_hierarchy_parser` max_depth=30 guard,
+    * semantic_splitter.py:387-395). The reference returns the node whole at
+    * depth 0 (logging "maximal markdown recursion reached"), which can emit
+    * an over-limit chunk; this engine hard-cuts instead so the token bound
+    * holds — documented divergence. */
+  private val MaxDepth = 30
+
   /** Greedy assembly over a block list; oversized single blocks recurse. */
-  private def assemble(blocks: Vector[Block]): Vector[String] = {
+  private def assemble(blocks: Vector[Block], depth: Int): Vector[String] = {
     val out = Vector.newBuilder[String]
     var buf = Vector.empty[String]
     var bufTokens = 0
@@ -110,7 +118,7 @@ class SemanticSplitter(
       val t = tk.count(text)
       if (t > hardMax) {
         flush()
-        out ++= splitSection(section)
+        out ++= splitSection(section, depth)
       } else if (bufTokens + t > hardMax) {
         flush()
         buf = Vector(text); bufTokens = t
@@ -124,17 +132,20 @@ class SemanticSplitter(
   }
 
   /** One oversized section: recurse below its boundary block, table-split
-    * tables, descend lists to items (reference ListItem level 11),
-    * sentence-pack or hard-cut oversized leaves (reference 583-599). */
-  private def splitSection(section: Vector[Block]): Vector[String] = {
+    * tables, descend lists through nested item levels (reference ListItem
+    * level 11 + nested List recursion, semantic_splitter.py:277-445),
+    * unwrap blockquotes, sentence-pack or hard-cut oversized leaves
+    * (reference 583-599). */
+  private def splitSection(section: Vector[Block], depth: Int): Vector[String] = {
     section.flatMap {
       case t: TableBlock if tk.count(t.text) > hardMax =>
         TableSplitter.split(t, hardMax, tk, repeatTableHeader)
       case l: ListBlock if tk.count(l.text) > hardMax =>
-        // item-boundary descent: items stay whole unless one alone exceeds
-        // the window; the re-pack below merges small items back together
-        splitListItems(l.text).flatMap(item =>
-          if (tk.count(item) > hardMax) splitLeaf(item) else Vector(item))
+        // item-boundary descent, recursing into nested list levels; the
+        // re-pack below merges small items back together
+        descendList(l.text, depth - 1)
+      case q: QuoteBlock if tk.count(q.text) > hardMax =>
+        descendQuote(q.text, depth - 1)
       case b if tk.count(b.text) > hardMax =>
         b match {
           case p: Paragraph => splitLeaf(p.text)
@@ -197,19 +208,62 @@ class SemanticSplitter(
     out.result()
   }
 
-  private val ListItemStartRe = "^([-*+]|\\d+[.)])\\s+.*$".r
+  private val MarkerRe = "^(\\s*)([-*+]|\\d+[.)])\\s+.*$".r
 
-  /** Split a list block at top-level item starts; continuation lines
-    * (indented or non-marker) stay with their item. */
-  private def splitListItems(text: String): Vector[String] = {
-    val out = Vector.newBuilder[String]
-    var cur = Vector.empty[String]
-    text.linesIterator.foreach { line =>
-      if (ListItemStartRe.matches(line) && cur.nonEmpty) { out += cur.mkString("\n"); cur = Vector(line) }
-      else cur = cur :+ line
+  /** Space-indent of a list-item marker line, -1 for non-marker lines. */
+  private def markerIndent(line: String): Int = line match {
+    case MarkerRe(ws, _) if !ws.contains('\t') => ws.length
+    case _ => -1
+  }
+
+  /** Recursive nested-list descent (reference `_split_children` +
+    * `_markdown_hierarchy_parser`, semantic_splitter.py:324-362, 372-445:
+    * an oversized List splits at its ListItem(11) boundaries, an oversized
+    * item descends into ITS nested List, and so on to the max-depth
+    * guard). Split points are item markers at the shallowest indent that
+    * yields progress (>= 2 pieces); pre-marker continuation lines stay with
+    * the preceding piece, exactly as the reference keeps a ListItem's
+    * leading paragraph with the item when splitting at the nested list. */
+  private def descendList(text: String, depth: Int): Vector[String] = {
+    if (tk.count(text) <= hardMax) return Vector(text)
+    if (depth <= 0) return splitLeaf(text)
+    val lines = text.split("\n", -1).toVector
+    val indents = lines.map(markerIndent).filter(_ >= 0).distinct.sorted
+    val usable = indents.find { ind =>
+      val markers = lines.count(l => markerIndent(l) == ind)
+      // progress requires >= 2 pieces: a lone marker on the first line
+      // would regroup into the same text forever
+      if (markerIndent(lines.head) == ind) markers >= 2 else markers >= 1
     }
-    if (cur.nonEmpty) out += cur.mkString("\n")
-    out.result()
+    usable match {
+      case None => splitLeaf(text) // no sub-structure left: sentence/hard cut
+      case Some(ind) =>
+        val pieces = Vector.newBuilder[Vector[String]]
+        var cur = Vector.empty[String]
+        lines.foreach { l =>
+          if (markerIndent(l) == ind && cur.nonEmpty) { pieces += cur; cur = Vector(l) }
+          else cur = cur :+ l
+        }
+        if (cur.nonEmpty) pieces += cur
+        pieces.result().flatMap(p => descendList(p.mkString("\n"), depth - 1))
+    }
+  }
+
+  private val QuoteMarkerRe = "^\\s{0,3}>\\s?".r
+
+  /** Blockquote descent: the reference's single-child recursion unwraps the
+    * Quote into its inner blocks and re-renders them WITHOUT the quote
+    * markers (mistletoe `_split_children` 324-328 + `_render_doc`) — so one
+    * marker level is stripped and the inner markdown re-enters block
+    * assembly. */
+  private def descendQuote(text: String, depth: Int): Vector[String] = {
+    if (depth <= 0) return splitLeaf(text)
+    val inner = text.linesIterator
+      .map(l => QuoteMarkerRe.replaceFirstIn(l, "")).mkString("\n").trim
+    if (inner.isEmpty) return Vector.empty
+    val innerBlocks = MarkdownBlocks.parse(inner)
+    if (innerBlocks.length <= 1) splitLeaf(inner)
+    else assemble(innerBlocks, depth - 1)
   }
 
   private def splitAtBoundaries(blocks: Vector[Block], boundary: Int): Vector[Vector[Block]] = {

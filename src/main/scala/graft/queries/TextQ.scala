@@ -624,6 +624,84 @@ object TextQ {
           "sha256(md) AS chunk_sha FROM chunks ORDER BY doc_id, chunk_index"
       }),
 
+    QueryDef("q66_nested_chunks",
+      // The round-4 nested-descent paths under oracle coverage (round-4
+      // verdict top ask): each corpus row synthesizes a doc whose list
+      // nests 3 deep AND whose blockquote wraps a single oversized list,
+      // so BOTH descendList (recursive shallowest-indent split: whole
+      // list 412 tok > 288 splits at indent 0; the A1 subtree 352 splits
+      // at indent 2; the B1 subtree 311 at indent 4) and the fixed
+      // descendQuote single-inner-block route (quote 372 -> strip
+      // markers -> one ListBlock 360 -> splitSection item descent +
+      // greedy re-pack to 240/120) are exercised on every row. Fixed
+      // whitespace-token widths (H1=3; A1/B1 intro 11; ten C items,
+      // B2 30 each; A2 60; twelve quote items 30 each) make the greedy
+      // assembly land identically per doc: chunk0 = H1+A1+B1+C1..C7
+      // flushed at 235 >= 224; chunk1 = C8..C10+B2+A2 (180) flushed when
+      // the 240-token quote pack q1 can't join; chunk2 = q1; chunk3 = q2
+      // (120); header carry prefixes `# Doc <id>` (3 tok) onto chunks
+      // 1-3. The oracle rebuilds all four strings symbolically and pins
+      // index/count/token_len/sha256 — item-boundary integrity, marker
+      // stripping, re-pack windows, and header carry are all hash-checked.
+      (s, d) => {
+        import s.implicits._
+        // one JVM UDF call per row — see q54's scale-shape note
+        val mkMd = udf { (id: Long, text: String) =>
+          val base = text.trim.split("\\s+")
+          val rep = Array.fill(75)(base).flatten
+          def sl(a: Int, b: Int) = rep.slice(a, b).mkString(" ")
+          val cs = (0 until 10).map(j => s"    - ${sl(20 + 29 * j, 49 + 29 * j)}").mkString("\n")
+          val qs = (0 until 12).map(j => s"> - ${sl(398 + 29 * j, 427 + 29 * j)}").mkString("\n")
+          s"# Doc $id\n\n- ${sl(0, 10)}\n  - ${sl(10, 20)}\n$cs\n  - ${sl(310, 339)}\n- ${sl(339, 398)}\n\n$qs"
+        }
+        val md = mkMd(col("doc_id"), col("text"))
+        val splitter = new graft.split.SemanticSplitter()
+        val chunks = docs(s, d)
+          .select(col("doc_id"), col("text"))
+          // explicit numPartitions: AQE would coalesce this small shuffle
+          // to ONE partition and run the expensive flatMap single-threaded
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), md.as("md"))
+          .as[(Long, String)]
+          .flatMap { case (id, m) =>
+            splitter.splitDoc(graft.contracts.MarkdownDoc(
+              m, "", "", Map("doc_id" -> id.toString)))
+          }
+        chunks.select(
+            col("metadata").getItem("doc_id").cast("long").as("doc_id"),
+            col("metadata").getItem("chunk_index").cast("long").as("chunk_index"),
+            col("metadata").getItem("chunks_count").cast("long").as("chunks_count"),
+            col("metadata").getItem("token_len").cast("long").as("token_len"),
+            sha2(col("md"), 256).as("chunk_sha"))
+          .sortWithinPartitions(col("doc_id"), col("chunk_index"))
+      },
+      Some {
+        val nn = " || chr(10) || chr(10) || "
+        // 1-indexed inclusive DuckDB slices mirroring the Scala 0-indexed
+        // exclusive ones above
+        def c(j: Int) = s"'    - ' || array_to_string(w[${21 + 29 * j}:${49 + 29 * j}], ' ')"
+        def qa(j: Int) = s"'- ' || array_to_string(w[${399 + 29 * j}:${427 + 29 * j}], ' ')"
+        val h = "'# Doc ' || CAST(doc_id AS VARCHAR)"
+        val a1 = "'- ' || array_to_string(w[1:10], ' ')"
+        val b1 = "'  - ' || array_to_string(w[11:20], ' ')"
+        val b2 = "'  - ' || array_to_string(w[311:339], ' ')"
+        val a2 = "'- ' || array_to_string(w[340:398], ' ')"
+        val chunk0 = (Seq(h, a1, b1) ++ (0 to 6).map(c)).mkString(nn)
+        val chunk1 = (Seq(h) ++ (7 to 9).map(c) ++ Seq(b2, a2)).mkString(nn)
+        val chunk2 = (Seq(h) ++ (0 to 7).map(qa)).mkString(nn)
+        val chunk3 = (Seq(h) ++ (8 to 11).map(qa)).mkString(nn)
+        "WITH rep AS (SELECT doc_id, " +
+          "string_split_regex(trim(repeat(trim(text) || ' ', 75)), '\\s+') AS w FROM documents), " +
+          "chunks AS (" +
+          s"SELECT doc_id, 0 AS chunk_index, $chunk0 AS md, 235 AS token_len FROM rep " +
+          s"UNION ALL SELECT doc_id, 1, $chunk1, 183 FROM rep " +
+          s"UNION ALL SELECT doc_id, 2, $chunk2, 243 FROM rep " +
+          s"UNION ALL SELECT doc_id, 3, $chunk3, 123 FROM rep) " +
+          "SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index, " +
+          "CAST(4 AS BIGINT) AS chunks_count, CAST(token_len AS BIGINT) AS token_len, " +
+          "sha256(md) AS chunk_sha FROM chunks ORDER BY doc_id, chunk_index"
+      }),
+
     QueryDef("q56_multimodal_features",
       // Multimodal plumbing under oracle coverage: binary media columns are
       // synthesized from the corpus (bytes = UTF-8 text, modality cycles by

@@ -262,7 +262,12 @@ class SemanticSplitter(
       .map(l => QuoteMarkerRe.replaceFirstIn(l, "")).mkString("\n").trim
     if (inner.isEmpty) return Vector.empty
     val innerBlocks = MarkdownBlocks.parse(inner)
-    if (innerBlocks.length <= 1) splitLeaf(inner)
+    // A quote wrapping a SINGLE block still descends by that block's own
+    // structure (reference single-child recursion, _split_children
+    // semantic_splitter.py:324-328): a blockquoted oversized list/table gets
+    // item/row-boundary descent, not a mid-sentence hard cut. splitSection
+    // handles ListBlock/TableBlock/Paragraph and is depth-guarded.
+    if (innerBlocks.length <= 1) splitSection(innerBlocks, depth - 1)
     else assemble(innerBlocks, depth - 1)
   }
 

@@ -112,6 +112,106 @@ class SemanticSplitterSpec extends AnyFunSuite {
     assert(hard.exists(_.linesIterator.exists(l => !l.endsWith("end."))))
   }
 
+  // ---- nested-structure descent (reference _split_children +
+  // _markdown_hierarchy_parser, semantic_splitter.py:277-445) ------------
+
+  test("descendList: 3-deep nested list splits at the shallowest indent, items intact") {
+    val md = Seq(
+      "- t1 t2 t3",                                      // 4 tok
+      "  - u1 u2 u3",                                    // 4
+      "    - " + (1 to 9).map(i => s"v1$i").mkString(" "), // 10
+      "    - " + (1 to 9).map(i => s"v2$i").mkString(" "),
+      "    - " + (1 to 9).map(i => s"v3$i").mkString(" "),
+      "    - " + (1 to 9).map(i => s"v4$i").mkString(" "),
+      "  - u4 u5 u6",                                    // 4
+      "- " + (1 to 9).map(i => s"s$i").mkString(" ")     // 10
+    ).mkString("\n")                                     // total 62 > 24
+    val chunks = sp.splitMarkdown(md)
+    assert(chunks.length == 3)
+    assert(chunks.forall(c => sp.tk.count(c) <= sp.tokenLimit + sp.buffer))
+    // every original line survives exactly once, intact with its indent —
+    // the reference splits at ListItem boundaries, never mid-item
+    val lines = chunks.flatMap(_.linesIterator).filter(_.trim.nonEmpty)
+    assert(lines == md.linesIterator.toVector)
+  }
+
+  test("descendList progress guard: a lone top-level marker descends to the next indent") {
+    // first line is the ONLY indent-0 marker — splitting there would regroup
+    // the same text forever; the guard requires >= 2 pieces and falls
+    // through to the indent-2 markers
+    val md = ("- top intro" +: (1 to 6).map(i =>
+      s"  - sub$i " + (1 to 7).map(j => s"w$i$j").mkString(" "))).mkString("\n") // 3 + 6*9 = 57
+    val chunks = sp.splitMarkdown(md)
+    assert(chunks.length > 1)
+    assert(chunks.forall(c => sp.tk.count(c) <= sp.tokenLimit + sp.buffer))
+    val lines = chunks.flatMap(_.linesIterator).filter(_.trim.nonEmpty)
+    assert(lines == md.linesIterator.toVector)
+  }
+
+  test("descendList depth exhaustion: 35-deep nesting terminates bounded (reference max_depth=30)") {
+    // every suffix subtree stays oversized so recursion must burn depth;
+    // past the guard the remainder hard-cuts instead of looping
+    val deep = (0 until 34).map(j => "  " * j + "- x" + j) :+
+      ("  " * 34 + "- " + (1 to 30).map(i => s"p$i").mkString(" "))
+    val md = deep.mkString("\n")
+    val noMin = new SemanticSplitter(tokenLimit = 20, buffer = 4, tokenMin = 1)
+    val chunks = noMin.splitMarkdown(md)
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(c => noMin.tk.count(c) <= 24))
+    // hard cuts drop indentation but never tokens
+    assert(chunks.map(noMin.tk.count(_)).sum == noMin.tk.count(md))
+  }
+
+  test("descendQuote strips one marker level and re-enters block assembly") {
+    val p1 = "> " + (1 to 14).map(i => s"a$i").mkString(" ")
+    val p2 = "> " + (1 to 14).map(i => s"b$i").mkString(" ")
+    val chunks = sp.splitMarkdown(s"$p1\n>\n$p2") // 30 tok raw, 28 stripped
+    assert(chunks.length == 2)
+    assert(chunks.forall(c => !c.contains(">")))
+    assert(chunks(0).startsWith("a1 ") && chunks(1).startsWith("b1 "))
+  }
+
+  test("descendQuote nested quote: each descent strips exactly one level") {
+    val inner = (1 to 3).map(i => "> > " + (1 to 9).map(j => s"n$i$j").mkString(" "))
+    val chunks = sp.splitMarkdown(inner.mkString("\n")) // 33 tok; inner 3 paragraphs? no — one quote
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(c => !c.contains(">")))
+    assert(chunks.forall(c => sp.tk.count(c) <= sp.tokenLimit + sp.buffer))
+  }
+
+  test("quote wrapping a single oversized list descends item boundaries (round-4 fix)") {
+    // pre-fix this routed to splitLeaf and hard-cut mid-item
+    val items = (1 to 8).map(i => s"- item$i " + (1 to 4).map(j => s"q$i$j").mkString(" "))
+    val md = items.map("> " + _).mkString("\n") // 8 * 7 = 56 raw, 48 stripped
+    val chunks = sp.splitMarkdown(md)
+    assert(chunks.length > 1)
+    val lines = chunks.flatMap(_.linesIterator).filter(_.trim.nonEmpty)
+    assert(lines == items.toVector) // every item intact, unquoted, in order
+  }
+
+  test("quote wrapping a single oversized table splits rows with header repeat (round-4 fix)") {
+    val rows = (1 to 10).map(i => s"| r$i | v$i |")
+    val md = (Seq("| a | b |", "| --- | --- |") ++ rows).map("> " + _).mkString("\n")
+    val chunks = sp.splitMarkdown(md)
+    assert(chunks.count(_.contains("| a | b |")) >= 2)
+    val got = chunks.flatMap(_.linesIterator).map(_.trim).filter(_.startsWith("| r"))
+    assert(got.toSet == rows.toSet) // no mid-row cut
+  }
+
+  test("q66 construction lands 235/183/243/123 with the default config (oracle mirror)") {
+    val rep = (1 to 750).map(i => s"w$i").toArray
+    def sl(a: Int, b: Int) = rep.slice(a, b).mkString(" ")
+    val cs = (0 until 10).map(j => s"    - ${sl(20 + 29 * j, 49 + 29 * j)}").mkString("\n")
+    val qs = (0 until 12).map(j => s"> - ${sl(398 + 29 * j, 427 + 29 * j)}").mkString("\n")
+    val md = s"# Doc 7\n\n- ${sl(0, 10)}\n  - ${sl(10, 20)}\n$cs\n  - ${sl(310, 339)}\n- ${sl(339, 398)}\n\n$qs"
+    val dflt = new SemanticSplitter()
+    val chunks = dflt.splitMarkdown(md)
+    assert(chunks.map(dflt.tk.count(_)) == Vector(235, 183, 243, 123))
+    assert(chunks(0).startsWith("# Doc 7\n\n- w1 ") && chunks(0).contains("\n\n    - "))
+    assert(chunks.tail.forall(_.startsWith("# Doc 7\n\n"))) // header carry
+    assert(chunks(2).contains("\n\n- w399 ") && !chunks(2).contains(">"))
+  }
+
   test("sentenceLeaves: a single giant sentence still hard-cuts (last resort)") {
     val md = Seq.fill(50)("word").mkString(" ") + "."
     val withSent = new SemanticSplitter(tokenLimit = 20, buffer = 4, tokenMin = 2,

@@ -18,6 +18,21 @@ import scala.jdk.CollectionConverters._
   * intentionally out of scope; the versioning/alias/retirement lifecycle is
   * the portable part.
   *
+  * Crash safety (K1 atomicity): a version COMMITS by the atomic creation of
+  * its `<name>_v{N}.manifest` (count-verified, written via temp +
+  * ATOMIC_MOVE) — the data directory alone is never trusted. The commit
+  * order is data write -> count verify -> manifest -> alias swap (atomic) ->
+  * GC, so a kill at ANY point leaves the previous alias resolving to an
+  * intact committed version:
+  *  - killed mid data write: partial dir, no manifest, alias untouched;
+  *    the debris version number is burned (nextVersion counts dirs AND
+  *    manifests) and the dir is GC'd after the next successful swap;
+  *  - killed after manifest, before swap: a committed orphan — readable,
+  *    never aliased, ages out via normal retirement;
+  *  - killed mid GC: the manifest is deleted before its data dir, so a
+  *    half-deleted version reads as uncommitted debris, cleaned next round;
+  *  - the alias swap itself is a single ATOMIC_MOVE.
+  *
   * At scale the data write is a plain distributed parquet write; only the
   * version bookkeeping (a directory listing + one pointer file) is
   * driver-side, O(#versions).
@@ -26,17 +41,32 @@ final class VersionedTableSink(root: String, name: String, historyLen: Int = 10)
 
   private def rootPath: Path = Paths.get(root)
   private val VersionRe = (java.util.regex.Pattern.quote(name) + "_v(\\d+)$").r
+  private val ManifestRe = (java.util.regex.Pattern.quote(name) + "_v(\\d+)\\.manifest$").r
 
+  /** Committed versions only — a data dir without its manifest is crash
+    * debris and is invisible to readers and retirement ordering. */
   def versions(): Seq[Int] = {
     if (!Files.isDirectory(rootPath)) return Seq.empty
-    Files.list(rootPath).iterator().asScala
-      .flatMap(p => VersionRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
-      .toSeq.sorted
+    allEntries().collect { case (v, dir, manifest) if dir && manifest => v }.toSeq.sorted
   }
 
-  def nextVersion(): Int = versions().lastOption.getOrElse(0) + 1
+  /** (version, hasDataDir, hasManifest) for every version number present. */
+  private def allEntries(): Iterator[(Int, Boolean, Boolean)] = {
+    if (!Files.isDirectory(rootPath)) return Iterator.empty
+    val names = Files.list(rootPath).iterator().asScala.map(_.getFileName.toString).toSeq
+    val dirs = names.flatMap(n => VersionRe.findFirstMatchIn(n).map(_.group(1).toInt)).toSet
+    val manifests = names.flatMap(n => ManifestRe.findFirstMatchIn(n).map(_.group(1).toInt)).toSet
+    (dirs ++ manifests).iterator.map(v => (v, dirs(v), manifests(v)))
+  }
+
+  /** Max over data dirs AND manifests + 1: a crashed write burns its
+    * version number, so `errorifexists` can never collide with debris. */
+  def nextVersion(): Int =
+    allEntries().map(_._1).maxOption.getOrElse(0) + 1
 
   def versionDir(v: Int): String = s"$root/${name}_v$v"
+
+  def manifestFile(v: Int): Path = rootPath.resolve(s"${name}_v$v.manifest")
 
   def aliasFile: Path = rootPath.resolve(s"$name.alias")
 
@@ -44,9 +74,9 @@ final class VersionedTableSink(root: String, name: String, historyLen: Int = 10)
     if (Files.exists(aliasFile)) Some(new String(Files.readAllBytes(aliasFile), "UTF-8").trim.toInt)
     else None
 
-  /** Write df as the next version; verify count; swap alias; retire. Returns
-    * the new version number. Empty input never clobbers the alias
-    * (reference skip-empty guard, s3/step.py:71-74). */
+  /** Write df as the next version; verify count; commit manifest; swap
+    * alias; GC. Returns the new version number. Empty input never clobbers
+    * the alias (reference skip-empty guard, s3/step.py:71-74). */
   def write(df: DataFrame): Int = {
     val expected = df.count()
     if (expected == 0) return aliasedVersion().getOrElse(0)
@@ -54,9 +84,18 @@ final class VersionedTableSink(root: String, name: String, historyLen: Int = 10)
     df.write.mode("errorifexists").parquet(versionDir(v))
     val written = df.sparkSession.read.parquet(versionDir(v)).count()
     require(written == expected, s"verify failed: wrote $written, expected $expected rows")
+    commitManifest(v, written)
     swapAlias(v)
     retire()
     v
+  }
+
+  /** Atomic commit marker: `rows=<n>` written via temp + ATOMIC_MOVE. Until
+    * this exists the version is invisible (crash debris). */
+  private def commitManifest(v: Int, rows: Long): Unit = {
+    val tmp = rootPath.resolve(s".${name}_v$v.manifest.tmp")
+    Files.write(tmp, s"rows=$rows\n".getBytes("UTF-8"))
+    Files.move(tmp, manifestFile(v), StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Atomic alias swap: temp file + ATOMIC_MOVE (reference
@@ -75,16 +114,26 @@ final class VersionedTableSink(root: String, name: String, historyLen: Int = 10)
     spark.read.parquet(versionDir(v))
   }
 
-  /** Keep the newest `historyLen` versions; never delete the aliased one
-    * (reference retirement.py:44-55 keeps aliased/recently-used). */
+  /** GC, only ever called AFTER a successful swap: drop committed versions
+    * beyond the newest `historyLen` (never the aliased one — reference
+    * retirement.py:44-55 keeps aliased/recently-used) and uncommitted
+    * crash debris older than the alias (version numbers only grow, so
+    * pre-alias debris can never complete). The manifest is deleted before
+    * its data dir so a kill mid-GC degrades a version to debris, never to
+    * a committed-but-partial table. */
   def retire(): Seq[Int] = {
     val alias = aliasedVersion()
-    val all = versions()
-    val stale = all.dropRight(historyLen).filterNot(alias.contains)
-    stale.foreach { v =>
+    val committed = versions()
+    val staleCommitted = committed.dropRight(historyLen).filterNot(alias.contains)
+    val debris = allEntries().collect {
+      case (v, _, false) if alias.exists(v < _) => v
+    }.toSeq.sorted
+    (staleCommitted ++ debris).foreach { v =>
+      Files.deleteIfExists(manifestFile(v))
       val dir = Paths.get(versionDir(v))
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      if (Files.exists(dir))
+        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
-    stale
+    staleCommitted
   }
 }

@@ -35,6 +35,57 @@ class SinksSpec extends SparkSpec {
     assert(sink.readCurrent(spark).as[(Int, String)].collect().toSeq == Seq((5, "v5")))
   }
 
+  test("crash-safe: a mid-write kill leaves the old alias resolving; debris is GC'd after the next swap") {
+    import org.apache.spark.sql.functions.{col, udf}
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("vsink4")
+    val sink = new VersionedTableSink(root, "kb", historyLen = 10)
+    sink.write(Seq((1, "a"), (2, "b")).toDF("id", "t"))
+    assert(sink.aliasedVersion().contains(1))
+    // inject a task failure DURING the v2 data write: count() prunes the
+    // udf column so the pre-write count passes, then the parquet write
+    // materializes it and dies — the same filesystem state as a kill
+    val boom = udf((i: Int) => if (i == 2) throw new RuntimeException("injected kill") else i)
+    val bad = Seq((1, "x"), (2, "y")).toDF("id", "t").withColumn("id", boom(col("id")))
+    intercept[Exception] { sink.write(bad) }
+    // the failed write never committed: alias intact, old data readable,
+    // no committed v2 visible
+    assert(sink.aliasedVersion().contains(1))
+    assert(sink.readCurrent(spark).orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "b")))
+    assert(sink.versions() == Seq(1))
+    assert(!Files.exists(sink.manifestFile(2)))
+    // a hard kill (no abort cleanup) leaves a partial data dir with no
+    // manifest — plant that state: it must stay invisible, burn its
+    // version number, and be GC'd after the next successful swap
+    val partial = Paths.get(sink.versionDir(2))
+    Files.createDirectories(partial)
+    Files.write(partial.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    assert(sink.versions() == Seq(1))
+    val v = sink.write(Seq((9, "z")).toDF("id", "t"))
+    assert(v == 3 && sink.aliasedVersion().contains(3))
+    assert(!Files.exists(partial))
+    assert(sink.versions() == Seq(1, 3))
+    assert(sink.readCurrent(spark).as[(Int, String)].collect().toSeq == Seq((9, "z")))
+  }
+
+  test("crash-safe: a committed orphan (kill between manifest and swap) stays readable, never aliased") {
+    import java.nio.file.Files
+    val root = tmpDir("vsink5")
+    val sink = new VersionedTableSink(root, "kb", historyLen = 10)
+    sink.write(Seq((1, "a")).toDF("id", "t"))
+    // simulate the kill window: v2 data + manifest exist, alias still -> v1
+    Seq((2, "b")).toDF("id", "t").write.parquet(sink.versionDir(2))
+    Files.write(sink.manifestFile(2), "rows=1\n".getBytes("UTF-8"))
+    sink.swapAlias(1) // alias untouched by the crash; make the state explicit
+    assert(sink.versions() == Seq(1, 2))
+    assert(sink.readCurrent(spark).as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    // next write proceeds past the orphan: v3 commits and swaps
+    val v = sink.write(Seq((3, "c")).toDF("id", "t"))
+    assert(v == 3 && sink.aliasedVersion().contains(3))
+    assert(sink.versions() == Seq(1, 2, 3)) // orphan retained (inside historyLen)
+  }
+
   test("snapshot sink: timestamped snapshot + atomic latest pointer; empty input keeps latest") {
     val root = tmpDir("snap")
     val sink = new SnapshotSink(root, "kb")

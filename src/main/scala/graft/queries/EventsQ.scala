@@ -117,6 +117,46 @@ object EventsQ {
       Some("""SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin))
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    QueryDef("q67_stream_dedup",
+      // The streaming stateful dedup under oracle coverage (round-4 verdict
+      // item 5): the REAL StatefulDedup.dedupStream flatMapGroupsWithState
+      // lambda runs in Spark's batch execution mode (empty state, one
+      // invocation per key) over the events table as a deterministic
+      // replay — arrival order := event_id. The input is hash-partitioned
+      // on the dedup key and sorted (key, event_id) within partitions; the
+      // operator's required key-only sort is satisfied by that prefix, so
+      // no re-sort happens and `rows.take(1)` is exactly the
+      // first-arrival-wins the stream computes. DuckDB models it as
+      // row_number()=1 over (key ORDER BY event_id). At 100 TB the same
+      // shape holds: one shuffle on the short key, partition-local sort,
+      // single-pass state function; the streaming deployment swaps the
+      // replay source for readStream with TTL'd state.
+      (s, d) => {
+        val keyed = ev(s, d)
+          .select(
+            concat_ws("|", col("user_id"), col("event_type")).as("key"),
+            concat_ws("|", col("event_id"), fmtTs(col("ts"))).as("payload"),
+            col("event_id"))
+          // explicit numPartitions: pin the exchange so AQE coalescing
+          // can't merge away parallelism under the per-partition sort
+          .repartition(s.sparkContext.defaultParallelism, col("key"))
+          .sortWithinPartitions(col("key"), col("event_id"))
+          .select(col("key"), col("payload"))
+        graft.streaming.StatefulDedup.dedupReplay(keyed)
+          .select(
+            element_at(split(col("key"), "\\|"), 1).cast("long").as("user_id"),
+            element_at(split(col("key"), "\\|"), 2).as("event_type"),
+            element_at(split(col("payload"), "\\|"), 1).cast("long").as("first_event_id"),
+            element_at(split(col("payload"), "\\|"), 2).as("ts_s"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+        |CAST(event_id AS BIGINT) AS first_event_id,
+        |strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
   )
 }

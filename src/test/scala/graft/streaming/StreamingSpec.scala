@@ -61,6 +61,43 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(("h1", "doc-a"), ("h2", "doc-b"), ("h3", "doc-c")))
   }
 
+  test("batch replay of dedupReplay is deterministic: pre-sort satisfies the key-only sort (q67 shape)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // AQE query stages are leaf wrappers, so assert on the rendered final
+    // plan (its toString includes stage subtrees) rather than collect()
+    def finalPlan(df: org.apache.spark.sql.Dataset[_]): String = {
+      df.collect() // materialize so AQE settles on the final plan
+      (df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).toString
+    }
+    def count(plan: String, needle: String): Int = plan.sliding(needle.length).count(_ == needle)
+    // shuffled arrival; replay order is the numeric payload
+    val rows = Seq(
+      StatefulDedup.Keyed("k1", "3"), StatefulDedup.Keyed("k2", "2"),
+      StatefulDedup.Keyed("k1", "1"), StatefulDedup.Keyed("k2", "5"),
+      StatefulDedup.Keyed("k1", "2"))
+    val pre = rows.toDF()
+      .repartition(4, col("key"))
+      .sortWithinPartitions(col("key"), col("payload"))
+    val out = StatefulDedup.dedupReplay(pre)
+    assert(out.collect().map(k => (k.key, k.payload)).sorted.toSeq ==
+      Seq(("k1", "1"), ("k2", "2")))
+    // the plan must NOT re-shuffle or re-sort: the (key, payload)
+    // partition-local sort satisfies the operator's key-only requirement,
+    // which is what makes rows.take(1) = first arrival deterministic
+    val plan = finalPlan(out)
+    assert(count(plan, "Sort [") == 1, plan)
+    assert(count(plan, "Exchange hashpartitioning") == 1, plan)
+    // counter-example: typed groupByKey synthesizes its own grouping column
+    // (AppendColumns), forcing a second shuffle + key-only re-sort that
+    // destroys within-group order — the reason dedupReplay groups by column
+    val typedPlan = finalPlan(StatefulDedup.dedupStream(pre.as[StatefulDedup.Keyed], ttl = None))
+    assert(count(typedPlan, "Exchange hashpartitioning") == 2, typedPlan)
+  }
+
   test("sliding windows double-count each event across overlapping windows") {
     val rows = runStream(df => StreamingOps.slidingAgg(df, "ts", "1 hour", "30 minutes"), "complete")
     assert(rows.map(_.getAs[Long]("n")).sum == events.size * 2)

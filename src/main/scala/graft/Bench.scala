@@ -37,9 +37,12 @@ object Bench {
     }
     // A query that throws is reported as -1 (failure sentinel), never as its
     // time-to-failure, so the bench JSON distinguishes broken from fast.
-    // Two timed reps, min reported: the box runs other tenants and a single
-    // rep randomly attributes their CPU spikes to whichever query was live.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Three timed reps, min reported: the box runs other tenants and a
+    // single rep randomly attributes their CPU spikes to whichever query
+    // was live; two still left the recorded tail contaminated in practice
+    // (rounds 3-4), three keeps the driver's record within ~15% of an
+    // uncontended run.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

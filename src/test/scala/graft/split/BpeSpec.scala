@@ -11,6 +11,33 @@ class BpeSpec extends AnyFunSuite {
     try Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
+  test("measured out-of-domain divergence vs cl100k on tests/data/markdown.json (FIXTURES.md §1.5)") {
+    // The reference's own e2e pins this corpus's cl100k chunking
+    // (tests/steps/simple_splitter/e2e_simple_splitter_test.py:44-53):
+    // 11 chunks, token_lens summing 2072 over 6701 chars = 3.23 chars per
+    // cl100k token. Our fixture-trained merge table is finer out of
+    // domain: the same corpus splits into 17 chunks at ~1.85 chars/token,
+    // i.e. the table over-counts Latin prose by ~1.75x per char. This pin
+    // is the measured bound (round-2 ask) — it is NOT parity; parity is
+    // certified only on the fixture boundary windows (6/6 byte-exact).
+    import scala.jdk.CollectionConverters._
+    val in = getClass.getResourceAsStream("/markdown_corpus/markdown.json")
+    val root = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in) finally in.close()
+    val docs = root.elements().asScala.map(_.get("md").asText()).toVector
+    assert(docs.length == 7)
+    val sp = SemanticSplitter.referenceDefault()
+    val chunks = docs.flatMap(sp.splitMarkdown)
+    // regression pin: a merge-table or splitter change that moves these
+    // numbers must re-measure and update FIXTURES.md §1.5
+    assert(chunks.length == 17)
+    val ourTokens = chunks.map(c => sp.tk.count(c)).sum
+    val ourChars = chunks.map(_.length).sum
+    assert(ourTokens == 3846 && ourChars == 7122, s"tokens=$ourTokens chars=$ourChars")
+    val refTokens = Seq(236, 74, 243, 278, 240, 225, 247, 136, 245, 67, 81).sum // = 2072
+    val drift = ourTokens.toDouble / refTokens
+    assert(drift > 1.8 && drift < 1.9, s"measured drift ratio moved: $drift")
+  }
+
   test("decode(encode(s)) == s for fixture text, unicode, and edge cases") {
     val samples = Seq(
       fixture("many_rows_table"),

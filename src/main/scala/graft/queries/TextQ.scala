@@ -702,6 +702,50 @@ object TextQ {
           "sha256(md) AS chunk_sha FROM chunks ORDER BY doc_id, chunk_index"
       }),
 
+    QueryDef("q68_regex_sentences",
+      // The reference RegexSentenceSplitter port under oracle coverage:
+      // each corpus row synthesizes a 6-sentence text planting every
+      // merge-back family — "Dr." (abbreviation), "3.14" (decimal, and
+      // no split mid-number), "A. B." (initials, two merges), "No. 42"
+      // (ordinal), "Wait..." (ellipsis; corpus words are lowercase so the
+      // capital-start lookahead blocks the split — and if a word ever is
+      // capitalized, the ellipsis merge-back rejoins to the same string,
+      // so the outcome is invariant either way). Corpus words appear only
+      // in boundary-neutral positions (never adjacent to a terminator);
+      // fixed capitalized starters follow every real boundary, so the
+      // split lands identically per doc and DuckDB rebuilds all six
+      // sentences symbolically. Runs as one codegen'd projection + UDF +
+      // posexplode — no shuffle until the final output sort.
+      (s, d) => {
+        val md = concat(
+          lit("Dr. Primus saw "), element_at(col("w"), 1),
+          lit(" and "), element_at(col("w"), 2),
+          lit(" finis. It was 3.14 by then finis. A. B. Carter met "),
+          element_at(col("w"), 3),
+          lit(" finis. No. 42 was "), element_at(col("w"), 4),
+          lit(" finis. Wait... "), element_at(col("w"), 5),
+          lit(" came finis. Ultima "), element_at(col("w"), 6), lit(" finis."))
+        docs(s, d)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+          .select(col("doc_id"),
+            posexplode(graft.functions.Sentences.referenceSentencesUdf(md))
+              .as(Seq("sent_idx", "sent")))
+          .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+            sha2(col("sent"), 256).as("sent_sha"))
+          .orderBy(col("doc_id"), col("sent_idx"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sents AS (
+        |  SELECT doc_id, 0 AS sent_idx,
+        |    'Dr. Primus saw ' || w[1] || ' and ' || w[2] || ' finis.' AS sent FROM w
+        |  UNION ALL SELECT doc_id, 1, 'It was 3.14 by then finis.' FROM w
+        |  UNION ALL SELECT doc_id, 2, 'A. B. Carter met ' || w[3] || ' finis.' FROM w
+        |  UNION ALL SELECT doc_id, 3, 'No. 42 was ' || w[4] || ' finis.' FROM w
+        |  UNION ALL SELECT doc_id, 4, 'Wait... ' || w[5] || ' came finis.' FROM w
+        |  UNION ALL SELECT doc_id, 5, 'Ultima ' || w[6] || ' finis.' FROM w)
+        |SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sha256(sent) AS sent_sha
+        |FROM sents ORDER BY doc_id, sent_idx""".stripMargin)),
+
     QueryDef("q56_multimodal_features",
       // Multimodal plumbing under oracle coverage: binary media columns are
       // synthesized from the corpus (bytes = UTF-8 text, modality cycles by

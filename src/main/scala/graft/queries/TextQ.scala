@@ -714,8 +714,10 @@ object TextQ {
       // in boundary-neutral positions (never adjacent to a terminator);
       // fixed capitalized starters follow every real boundary, so the
       // split lands identically per doc and DuckDB rebuilds all six
-      // sentences symbolically. Runs as one codegen'd projection + UDF +
-      // posexplode — no shuffle until the final output sort.
+      // sentences symbolically. Scale shape: range-partition the CHEAP
+      // scan first, then UDF + posexplode run once per row and the final
+      // sortWithinPartitions yields a total order without a sampling pass
+      // re-executing the splitter (q54's lesson).
       (s, d) => {
         val md = concat(
           lit("Dr. Primus saw "), element_at(col("w"), 1),
@@ -727,12 +729,13 @@ object TextQ {
           lit(" came finis. Ultima "), element_at(col("w"), 6), lit(" finis."))
         docs(s, d)
           .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),
             posexplode(graft.functions.Sentences.referenceSentencesUdf(md))
               .as(Seq("sent_idx", "sent")))
           .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
             sha2(col("sent"), 256).as("sent_sha"))
-          .orderBy(col("doc_id"), col("sent_idx"))
+          .sortWithinPartitions(col("doc_id"), col("sent_idx"))
       },
       Some("""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |sents AS (

@@ -34,6 +34,24 @@ object WhitespaceTokenizer extends Tokenizer {
   private val Ws = java.util.regex.Pattern.compile("\\s+")
   def tokens(s: String): Array[String] =
     if (s.isEmpty) Array.empty else Ws.split(s.trim).filter(_.nonEmpty)
+
+  // Java regex \s (no UNICODE_CHARACTER_CLASS) is exactly these six chars.
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Allocation-free token count — the splitter counts every subtree at
+    * every recursion level, so this is its hottest call. Equivalent to
+    * `tokens(s).length` by construction (run-boundary counting). */
+  override def count(s: String): Int = {
+    var i = 0; var n = 0; var inTok = false
+    while (i < s.length) {
+      val ws = isWs(s.charAt(i))
+      if (!ws && !inTok) { n += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    n
+  }
 }
 
 /** BPE-ish regex tokenizer: letter runs, digit runs, single non-space

@@ -74,6 +74,23 @@ object ScaleSmoke {
       longDocs.as[String]
         .flatMap(t => sp.splitMarkdown(t)).queryExecution.toRdd.count()
     }
+    // descent-heavy docs: a 3-deep nested list + a blockquoted list per
+    // doc (the q66 construction shape) so descendList/descendQuote run on
+    // every row — the round-5 paths, not just greedy packing
+    val nestedDocs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val base = text.trim.split("\\s+")
+        val rep = Array.fill(75)(base).flatten
+        def sl(a: Int, b: Int) = rep.slice(a, b).mkString(" ")
+        val cs = (0 until 10).map(j => s"    - ${sl(20 + 29 * j, 49 + 29 * j)}").mkString("\n")
+        val qs = (0 until 12).map(j => s"> - ${sl(398 + 29 * j, 427 + 29 * j)}").mkString("\n")
+        s"# Doc $id\n\n- ${sl(0, 10)}\n  - ${sl(10, 20)}\n$cs\n  - ${sl(310, 339)}\n- ${sl(339, 398)}\n\n$qs"
+      }.persist()
+    nestedDocs.count()
+    time("splitter (nested descent)") {
+      val sp = new graft.split.SemanticSplitter()
+      nestedDocs.flatMap(t => sp.splitMarkdown(t)).queryExecution.toRdd.count()
+    }
     time("embed (mock, batched)") {
       val chunks = docs.select(col("text")).as[String]
         .map(t => graft.contracts.Chunk(t, "", "", Map.empty))

@@ -29,6 +29,16 @@ class PropertySpec extends AnyFunSuite {
     holds(Prop.forAll(anyText)(s => bpe.decode(bpe.encode(s)) == s), "bpe round-trip")
   }
 
+  test("whitespace fast count == tokens(s).length for arbitrary text (incl. unicode ws chars)") {
+    val wsHeavy: Gen[String] = Gen.listOf(Gen.frequency(
+      4 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B'),
+      1 -> Gen.oneOf('ä', '日', '\u00A0', '\u2028'))).map(_.mkString)
+    holds(Prop.forAll(wsHeavy)(s =>
+      WhitespaceTokenizer.count(s) == WhitespaceTokenizer.tokens(s).length),
+      "fast count equivalence")
+  }
+
   test("BPE: truncate(s, n) is always a prefix with count <= n") {
     val gen = for { s <- anyText; n <- Gen.choose(0, 50) } yield (s, n)
     holds(Prop.forAll(gen) { case (s, n) =>

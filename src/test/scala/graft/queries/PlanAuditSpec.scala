@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan audit of the declared queries (SURVEY.md §4): the scale
+  * properties the engine is designed around — filter pushdown into the
+  * parquet scan, column pruning, broadcast star joins, partial
+  * aggregation, top-k without a total sort, hash-only dedup exchanges,
+  * single-exchange splitter pipelines — asserted against the REAL query
+  * definitions over real (sf0.001) parquet, so a plan regression fails CI
+  * rather than surfacing as a 100 TB incident. AQE query stages are leaf
+  * wrappers, so assertions run on the rendered final plan after
+  * materialization.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String): DataFrame =
+    Catalog.all.find(_.name == name).get.build(spark, sf)
+
+  private def finalPlan(df: DataFrame): String = {
+    df.queryExecution.toRdd.count() // materialize so AQE settles
+    (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+  }
+
+  private def count(plan: String, needle: String): Int =
+    plan.sliding(needle.length).count(_ == needle)
+
+  test("q01: filters are pushed into the parquet scan and columns pruned") {
+    val plan = finalPlan(q("q01_filter_project"))
+    assert(plan.contains("PushedFilters: [Is"), plan.linesIterator.take(30).mkString("\n"))
+    // the scan reads only the referenced lineitem columns, not all 16
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment"), readSchema)
+  }
+
+  test("q06: star join broadcasts every dim — no fact-side shuffle join") {
+    val plan = finalPlan(q("q06_join_star"))
+    assert(count(plan, "BroadcastHashJoin") >= 3, plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("q02: aggregation is two-phase (map-side partial + final)") {
+    val plan = finalPlan(q("q02_agg_pricing"))
+    assert(count(plan, "HashAggregate") >= 2, plan.take(2000))
+  }
+
+  test("q15: top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = finalPlan(q("q15_topk"))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q23: exact dedup shuffles the 64-byte sha, never document bodies") {
+    val plan = finalPlan(q("q23_dedup_exact"))
+    assert(plan.contains("Exchange hashpartitioning(text_sha"), plan.take(2000))
+    // the text column must not survive past the scan's projection
+    assert(!plan.contains("Exchange hashpartitioning(text#"), plan.take(2000))
+  }
+
+  test("q54/q66: splitter pipelines run on ONE explicit range exchange (no sampling re-execution)") {
+    Seq("q54_structured_chunks", "q66_nested_chunks").foreach { name =>
+      val plan = finalPlan(q(name))
+      assert(count(plan, "Exchange") == 1, s"$name:\n${plan.take(2000)}")
+      assert(plan.contains("Exchange rangepartitioning"), name)
+    }
+  }
+
+  test("q67: stream-dedup replay keeps one key exchange and one (key, arrival) sort") {
+    val plan = finalPlan(q("q67_stream_dedup"))
+    assert(count(plan, "Exchange hashpartitioning") == 1, plan.take(2000))
+    assert(count(plan, "Sort [") <= 2, plan.take(2000)) // replay sort + output sortWithinPartitions
+  }
+}

@@ -102,6 +102,20 @@ class PropertySpec extends AnyFunSuite {
     }, "table rows survive")
   }
 
+  test("referenceSplit: lossless on quote/bracket-free text (only the known quote-drop diverges)") {
+    // the reference regex consumes closing quotes/brackets at boundaries
+    // (reproduced bug-for-bug), so losslessness is asserted on text
+    // without them: every non-whitespace char survives the split+merge
+    val noQuotes: Gen[String] = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\n', '\t'),
+      1 -> Gen.oneOf('.', '!', '?', ',', ':', '-'))).map(_.mkString)
+    holds(Prop.forAll(noQuotes) { s =>
+      val joined = graft.functions.Sentences.referenceSplit(s).mkString(" ")
+      joined.filterNot(_.isWhitespace) == s.filterNot(_.isWhitespace)
+    }, "referenceSplit lossless")
+  }
+
   test("sentences: split never loses characters outside separators") {
     holds(Prop.forAll(anyText) { s =>
       val joined = graft.functions.Sentences.split(s).mkString(" ")

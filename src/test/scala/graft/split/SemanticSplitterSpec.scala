@@ -162,6 +162,16 @@ class SemanticSplitterSpec extends AnyFunSuite {
     assert(chunks.map(noMin.tk.count(_)).sum == noMin.tk.count(md))
   }
 
+  test("descendList handles ordered-list markers (digit. / digit)) at nested indents") {
+    val md = ((1 to 3).map(i =>
+      s"$i. " + (1 to 6).map(j => s"o$i$j").mkString(" ")) ++
+      (1 to 3).map(i => s"  $i) " + (1 to 6).map(j => s"p$i$j").mkString(" "))).mkString("\n")
+    val chunks = sp.splitMarkdown(md) // 6 items x 7 tok = 42 > 24
+    assert(chunks.length > 1)
+    val lines = chunks.flatMap(_.linesIterator).filter(_.trim.nonEmpty)
+    assert(lines == md.linesIterator.toVector) // never mid-item, indices intact
+  }
+
   test("descendQuote strips one marker level and re-enters block assembly") {
     val p1 = "> " + (1 to 14).map(i => s"a$i").mkString(" ")
     val p2 = "> " + (1 to 14).map(i => s"b$i").mkString(" ")

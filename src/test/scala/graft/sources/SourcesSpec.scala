@@ -24,6 +24,49 @@ class SourcesSpec extends SparkSpec {
 
   private val noSleep = RetryPolicy(sleeper = _ => (), jitter = identity)
 
+  test("sftp source: recursive .md discovery, distributed fetch, front-matter + fallbacks (S2)") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("sftp")
+    def put(rel: String, body: String): Unit = {
+      val p = Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, body.getBytes("UTF-8"))
+    }
+    put("a/doc1.md", "---\nkeywords: kw1\nurl: https://kb/one\n---\n# One\n\nbody one")
+    put("a/b/doc2.md", "# Two\n\nno front matter") // fallbacks: stem keywords, step/path url
+    put("a/readme.txt", "not markdown")
+    put("top.md", "---\nkeywords: kwt\n---\ntop body")
+    val docs = SftpMarkdownSource
+      .read(spark, RemoteFs.Local(root), root, stepName = "SFTPManualMarkdown")
+      .collect().sortBy(_.url)
+    assert(docs.length == 3) // .txt excluded
+    val d1 = docs.find(_.url == "https://kb/one").get
+    assert(d1.keywords == "kw1" && d1.md.startsWith("# One"))
+    val d2 = docs.find(_.md.startsWith("# Two")).get
+    assert(d2.keywords == "doc2") // filename-stem fallback (common.py:137-141)
+    assert(d2.url == s"SFTPManualMarkdown/$root/a/b/doc2.md") // step/path fallback
+    val dt = docs.find(_.keywords == "kwt").get
+    assert(dt.md == "top body")
+  }
+
+  test("sftp source: non-recursive listing stays at the top level; empty tree fails the step (S2)") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("sftp2")
+    Files.write(Paths.get(root, "top.md"), "top".getBytes("UTF-8"))
+    Files.createDirectories(Paths.get(root, "deep"))
+    Files.write(Paths.get(root, "deep", "nested.md"), "nested".getBytes("UTF-8"))
+    val fs = RemoteFs.Local(root).open()
+    assert(SftpMarkdownSource.findMarkdownFiles(fs, root, recursive = false)
+      .map(_.split('/').last) == Seq("top.md"))
+    assert(SftpMarkdownSource.findMarkdownFiles(fs, root, recursive = true)
+      .map(_.split('/').last).sorted == Seq("nested.md", "top.md"))
+    // reference StepFailed when nothing is found (run :112-114)
+    val empty = tmpDir("sftp3")
+    intercept[IllegalStateException] {
+      SftpMarkdownSource.read(spark, RemoteFs.Local(empty), empty)
+    }
+  }
+
   test("scraper source: distributed fetch + html->md + retry + skip-on-failure (S4)") {
     MockWeb.failures.clear()
     MockWeb.failures.put("https://a.io/flaky", new AtomicInteger(1)) // one transient failure

@@ -67,6 +67,29 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("docling source: distributed convert, keyword from first heading, skip-on-failure (S3)") {
+    object StubConverter extends DoclingSource.DocConverter {
+      def convert(url: String): String =
+        if (url.contains("bad")) throw new java.io.IOException(s"unreadable $url")
+        else s"<!-- image -->\n# Handbuch ${url.split('/').last}\n\nInhalt mit \\_escape\\_."
+    }
+    val urls = Seq("https://kb/a.pdf", "https://kb/bad.pdf", "https://kb/c.pdf")
+    val docs = DoclingSource.read(spark, StubConverter, urls, defaultKeyword = "manual")
+      .collect().sortBy(_.url)
+    assert(docs.map(_.url).toSeq == Seq("https://kb/a.pdf", "https://kb/c.pdf")) // bad skipped
+    assert(docs.head.keywords == "manual Handbuch a.pdf")
+    assert(docs.head.md.contains("# Handbuch a.pdf"))
+  }
+
+  test("docling keyword extraction: comments stripped, ATX vs HTML heading order, escapes (S3)") {
+    import DoclingSource.extractKeyword
+    assert(extractKeyword("<!-- note -->\n## Zweite\\_Ebene\n\ntext") == "Zweite_Ebene")
+    assert(extractKeyword("<h2 class=x>Html <b>Title</b></h2>\n# Atx Later") == "Html Title")
+    assert(extractKeyword("# Atx First\n<h1>Later</h1>") == "Atx First")
+    assert(extractKeyword("no headings at all") == "")
+    assert(extractKeyword("<!-- # not a heading -->\nplain") == "")
+  }
+
   test("scraper source: distributed fetch + html->md + retry + skip-on-failure (S4)") {
     MockWeb.failures.clear()
     MockWeb.failures.put("https://a.io/flaky", new AtomicInteger(1)) // one transient failure

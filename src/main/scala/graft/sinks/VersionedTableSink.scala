@@ -53,7 +53,9 @@ final class VersionedTableSink(root: String, name: String, historyLen: Int = 10)
   /** (version, hasDataDir, hasManifest) for every version number present. */
   private def allEntries(): Iterator[(Int, Boolean, Boolean)] = {
     if (!Files.isDirectory(rootPath)) return Iterator.empty
-    val names = Files.list(rootPath).iterator().asScala.map(_.getFileName.toString).toSeq
+    val listing = Files.list(rootPath)
+    val names = try listing.iterator().asScala.map(_.getFileName.toString).toSeq
+                finally listing.close() // Files.list leaks a dir handle unless closed
     val dirs = names.flatMap(n => VersionRe.findFirstMatchIn(n).map(_.group(1).toInt)).toSet
     val manifests = names.flatMap(n => ManifestRe.findFirstMatchIn(n).map(_.group(1).toInt)).toSet
     (dirs ++ manifests).iterator.map(v => (v, dirs(v), manifests(v)))
@@ -131,8 +133,11 @@ final class VersionedTableSink(root: String, name: String, historyLen: Int = 10)
     (staleCommitted ++ debris).foreach { v =>
       Files.deleteIfExists(manifestFile(v))
       val dir = Paths.get(versionDir(v))
-      if (Files.exists(dir))
-        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      if (Files.exists(dir)) {
+        val walk = Files.walk(dir)
+        val paths = try walk.iterator().asScala.toSeq finally walk.close()
+        paths.reverse.foreach(Files.delete)
+      }
     }
     staleCommitted
   }

@@ -36,7 +36,15 @@ object UpsertSink {
     def delete(id: String): Unit
   }
 
+  /** Transient failure that provably never reached the server (connect
+    * timeout, connection refused) or is server-declared transient (429/5xx)
+    * — always safe to retry (elevenlabs/step.py:105-124). */
   final class RetryableFailure(msg: String) extends RuntimeException(msg)
+
+  /** Ambiguous-outcome failure: the request MAY have been processed (read
+    * timeout after send). Retried only for idempotent calls — re-sending a
+    * create would duplicate the document (elevenlabs/step.py:115-117). */
+  final class ReadTimeoutFailure(msg: String) extends RuntimeException(msg)
 
   /** Capped full-jitter exponential backoff (reference base 0.5s, 3
     * attempts). `sleeper`/`jitter` are injectable for deterministic tests. */
@@ -46,16 +54,21 @@ object UpsertSink {
       capMillis: Long = 8000,
       sleeper: Long => Unit = Thread.sleep,
       jitter: Long => Long = max => (math.random() * max).toLong) extends Serializable {
-    def run[T](op: () => T): T = {
+    def run[T](op: () => T): T = run(op, idempotent = true)
+
+    /** `idempotent = false` for calls that must not be re-sent after an
+      * ambiguous outcome (creates) — reference `_with_retry(idempotent=)`. */
+    def run[T](op: () => T, idempotent: Boolean): T = {
       var tryNo = 0
       while (true) {
         try return op()
         catch {
-          case e: RetryableFailure =>
+          case e: Exception if e.isInstanceOf[RetryableFailure] ||
+              (idempotent && e.isInstanceOf[ReadTimeoutFailure]) =>
             tryNo += 1
             if (tryNo >= attempts) throw e
             sleeper(jitter(math.min(capMillis, baseMillis * (1L << tryNo))))
-          case e: Exception => throw e // non-retryable: fail fast
+          case e: Exception => throw e // non-retryable or non-idempotent-ambiguous
         }
       }
       throw new IllegalStateException("unreachable")
@@ -86,7 +99,11 @@ object UpsertSink {
           try {
             ex.get(name) match {
               case Some(id) => retry.run(() => transport.update(id, content)); updated.add(1)
-              case None => retry.run(() => transport.create(tag, name, content)); created.add(1)
+              case None =>
+                // create is NOT idempotent: a read timeout may have landed
+                // the document, so it must not be re-sent
+                retry.run(() => transport.create(tag, name, content), idempotent = false)
+                created.add(1)
             }
           } catch { case _: Exception => failed.add(1) }
         }

@@ -11,8 +11,13 @@ import scala.jdk.CollectionConverters._
 object MockKb {
   val store = new ConcurrentHashMap[String, (String, String, String)]() // id -> (tag, name, content)
   val transientFailures = new ConcurrentHashMap[String, AtomicInteger]()
+  val readTimeouts = new ConcurrentHashMap[String, AtomicInteger]()
+  val createAttempts = new ConcurrentHashMap[String, AtomicInteger]()
   val ids = new AtomicInteger(0)
-  def reset(): Unit = { store.clear(); transientFailures.clear(); ids.set(0) }
+  def reset(): Unit = {
+    store.clear(); transientFailures.clear(); readTimeouts.clear()
+    createAttempts.clear(); ids.set(0)
+  }
 }
 
 class MockTransport extends Transport {
@@ -20,6 +25,7 @@ class MockTransport extends Transport {
   def list(tag: String): Map[String, String] =
     store.asScala.collect { case (id, (t, name, _)) if t == tag => name -> id }.toMap
   def create(tag: String, name: String, content: String): String = {
+    createAttempts.computeIfAbsent(name, _ => new AtomicInteger(0)).incrementAndGet()
     maybeFail(name)
     val id = "id" + ids.incrementAndGet()
     store.put(id, (tag, name, content)); id
@@ -32,6 +38,9 @@ class MockTransport extends Transport {
     val ctr = transientFailures.get(name)
     if (ctr != null && ctr.getAndDecrement() > 0)
       throw new RetryableFailure(s"429 for $name")
+    val rt = readTimeouts.get(name)
+    if (rt != null && rt.getAndDecrement() > 0)
+      throw new ReadTimeoutFailure(s"read timeout for $name")
   }
 }
 
@@ -85,6 +94,27 @@ class UpsertSinkSpec extends SparkSpec {
     val df = Seq(("flaky.md", "v")).toDF("name", "content")
     val res = UpsertSink.upsert(df, "name", "content", "run", t, noSleep)
     assert(res.created == 1 && res.failed == 0)
+  }
+
+  test("read-timeout is retried for updates (idempotent) but NOT for creates (elevenlabs :105-124)") {
+    // updates: one ambiguous read timeout, then success -> retried, succeeds
+    MockKb.reset()
+    val t = new MockTransport
+    t.create("run", "a.md", "old")
+    MockKb.readTimeouts.put("a.md", new AtomicInteger(1))
+    val res = UpsertSink.upsert(Seq(("a.md", "new")).toDF("name", "content"),
+      "name", "content", "run", t, noSleep)
+    assert(res.updated == 1 && res.failed == 0)
+    // creates: the same ambiguous failure must NOT be re-sent -> row fails,
+    // and exactly one create attempt reached the transport
+    MockKb.reset()
+    val t2 = new MockTransport
+    t2.create("run", "seed.md", "x") // avoid fail-if-all on the probe row
+    MockKb.readTimeouts.put("c.md", new AtomicInteger(1))
+    val res2 = UpsertSink.upsert(Seq(("c.md", "v"), ("ok.md", "v")).toDF("name", "content"),
+      "name", "content", "run", t2, noSleep)
+    assert(res2.failed == 1 && res2.created == 1)
+    assert(MockKb.createAttempts.get("c.md").get() == 1) // no duplicate send
   }
 
   test("retries exhaust -> row counted failed; fail-if-all throws") {

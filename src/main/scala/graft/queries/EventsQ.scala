@@ -145,11 +145,13 @@ object EventsQ {
           .sortWithinPartitions(col("key"), col("event_id"))
           .select(col("key"), col("payload"))
         graft.streaming.StatefulDedup.dedupReplay(keyed)
+          // limit-2 splits: the numeric field comes first, so an
+          // event_type containing '|' still round-trips intact
           .select(
-            element_at(split(col("key"), "\\|"), 1).cast("long").as("user_id"),
-            element_at(split(col("key"), "\\|"), 2).as("event_type"),
-            element_at(split(col("payload"), "\\|"), 1).cast("long").as("first_event_id"),
-            element_at(split(col("payload"), "\\|"), 2).as("ts_s"))
+            element_at(split(col("key"), "\\|", 2), 1).cast("long").as("user_id"),
+            element_at(split(col("key"), "\\|", 2), 2).as("event_type"),
+            element_at(split(col("payload"), "\\|", 2), 1).cast("long").as("first_event_id"),
+            element_at(split(col("payload"), "\\|", 2), 2).as("ts_s"))
           .orderBy(col("user_id"), col("event_type"))
       },
       Some("""SELECT CAST(user_id AS BIGINT) AS user_id, event_type,

@@ -14,6 +14,23 @@ object TextQ {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
+  /** The q66 nested-structure document: a 3-deep nested list plus a
+    * blockquote wrapping a single oversized list, every block's
+    * whitespace-token width fixed by construction (requires the corpus
+    * contract of >= 10 words per doc: 75 reps of the shortest doc give the
+    * 746 words the slices consume). ONE definition shared by the q66 UDF,
+    * the SemanticSplitterSpec oracle mirror, and ScaleSmoke — the DuckDB
+    * oracle models these exact offsets, so a drifted copy would silently
+    * decouple bench/test shapes from the correctness gate. */
+  def nestedDoc(id: Long, text: String): String = {
+    val base = text.trim.split("\\s+")
+    val rep = Array.fill(75)(base).flatten
+    def sl(a: Int, b: Int) = rep.slice(a, b).mkString(" ")
+    val cs = (0 until 10).map(j => s"    - ${sl(20 + 29 * j, 49 + 29 * j)}").mkString("\n")
+    val qs = (0 until 12).map(j => s"> - ${sl(398 + 29 * j, 427 + 29 * j)}").mkString("\n")
+    s"# Doc $id\n\n- ${sl(0, 10)}\n  - ${sl(10, 20)}\n$cs\n  - ${sl(310, 339)}\n- ${sl(339, 398)}\n\n$qs"
+  }
+
   // DuckDB snippets reused across oracles.
   private val W = "string_split_regex(text, '\\s+')"
 
@@ -646,14 +663,7 @@ object TextQ {
       (s, d) => {
         import s.implicits._
         // one JVM UDF call per row — see q54's scale-shape note
-        val mkMd = udf { (id: Long, text: String) =>
-          val base = text.trim.split("\\s+")
-          val rep = Array.fill(75)(base).flatten
-          def sl(a: Int, b: Int) = rep.slice(a, b).mkString(" ")
-          val cs = (0 until 10).map(j => s"    - ${sl(20 + 29 * j, 49 + 29 * j)}").mkString("\n")
-          val qs = (0 until 12).map(j => s"> - ${sl(398 + 29 * j, 427 + 29 * j)}").mkString("\n")
-          s"# Doc $id\n\n- ${sl(0, 10)}\n  - ${sl(10, 20)}\n$cs\n  - ${sl(310, 339)}\n- ${sl(339, 398)}\n\n$qs"
-        }
+        val mkMd = udf((id: Long, text: String) => nestedDoc(id, text))
         val md = mkMd(col("doc_id"), col("text"))
         val splitter = new graft.split.SemanticSplitter()
         val chunks = docs(s, d)
@@ -714,7 +724,9 @@ object TextQ {
       // in boundary-neutral positions (never adjacent to a terminator);
       // fixed capitalized starters follow every real boundary, so the
       // split lands identically per doc and DuckDB rebuilds all six
-      // sentences symbolically. Scale shape: range-partition the CHEAP
+      // sentences symbolically. Like q54/q66, relies on the corpus
+      // contract of >= 10 words per doc (w[6] always exists).
+      // Scale shape: range-partition the CHEAP
       // scan first, then UDF + posexplode run once per row and the final
       // sortWithinPartitions yields a total order without a sampling pass
       // re-executing the splitter (q54's lesson).

@@ -44,10 +44,34 @@ final class VersionedTableSink(root: String, name: String, historyLen: Int = 10)
   private val ManifestRe = (java.util.regex.Pattern.quote(name) + "_v(\\d+)\\.manifest$").r
 
   /** Committed versions only — a data dir without its manifest is crash
-    * debris and is invisible to readers and retirement ordering. */
+    * debris and is invisible to readers and retirement ordering.
+    *
+    * Legacy roots (pre-manifest format: an alias exists but NO manifest
+    * does) are grandfathered: every data dir at or below the alias counts
+    * as committed — under the old protocol each of those was count-verified
+    * at its own write, while a dir ABOVE the alias is an old crashed write.
+    * The first write() adopts them physically (synthesizes manifests), so
+    * a mixed state never ages into data loss. */
   def versions(): Seq[Int] = {
     if (!Files.isDirectory(rootPath)) return Seq.empty
-    allEntries().collect { case (v, dir, manifest) if dir && manifest => v }.toSeq.sorted
+    val entries = allEntries().toSeq
+    if (isLegacyRoot(entries))
+      entries.collect { case (v, true, _) if aliasedVersion().exists(v <= _) => v }.sorted
+    else entries.collect { case (v, dir, manifest) if dir && manifest => v }.sorted
+  }
+
+  /** Pre-manifest layout: an alias pointer but zero manifests. */
+  private def isLegacyRoot(entries: Seq[(Int, Boolean, Boolean)]): Boolean =
+    entries.nonEmpty && entries.forall(!_._3) && Files.exists(aliasFile)
+
+  /** Synthesize manifests for grandfathered legacy versions so the root is
+    * fully on the manifest protocol before new bookkeeping runs. */
+  private def adoptLegacy(): Unit = {
+    val entries = allEntries().toSeq
+    if (isLegacyRoot(entries))
+      entries.foreach { case (v, dir, _) =>
+        if (dir && aliasedVersion().exists(v <= _)) commitManifest(v, -1L) // rows unknown
+      }
   }
 
   /** (version, hasDataDir, hasManifest) for every version number present. */
@@ -80,6 +104,7 @@ final class VersionedTableSink(root: String, name: String, historyLen: Int = 10)
     * alias; GC. Returns the new version number. Empty input never clobbers
     * the alias (reference skip-empty guard, s3/step.py:71-74). */
   def write(df: DataFrame): Int = {
+    adoptLegacy()
     val expected = df.count()
     if (expected == 0) return aliasedVersion().getOrElse(0)
     val v = nextVersion()

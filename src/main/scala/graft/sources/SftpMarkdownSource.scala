@@ -89,12 +89,13 @@ object SftpMarkdownSource {
       .repartition(math.min(parallelism, files.length))
       .mapPartitions { paths =>
         val fs = factory.open()
-        val loaded = try {
-          // a failed read propagates and fails the step, as the reference's
-          // StepFailed wrap does (sftp_manual_markdown.py:225-227)
-          paths.map(p => (p, new String(fs.read(p), java.nio.charset.StandardCharsets.UTF_8))).toVector
-        } finally fs.close()
-        loaded.iterator
+        // close with the task, not eagerly: the read stays a LAZY iterator
+        // so only one document's bytes are in memory per task at a time
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => fs.close()))
+        // a failed read propagates and fails the step, as the reference's
+        // StepFailed wrap does (sftp_manual_markdown.py:225-227)
+        paths.map(p => (p, new String(fs.read(p), java.nio.charset.StandardCharsets.UTF_8)))
       }
       .toDF("path", "raw")
     MarkdownSource.parse(raw, stepName).as[MarkdownDoc]

@@ -41,8 +41,12 @@ object WhitespaceTokenizer extends Tokenizer {
 
   /** Allocation-free token count — the splitter counts every subtree at
     * every recursion level, so this is its hottest call. Equivalent to
-    * `tokens(s).length` by construction (run-boundary counting). */
-  override def count(s: String): Int = {
+    * `tokens(s).length`: tokens() trims first (String.trim strips ALL
+    * chars <= U+0020 at the ends, a superset of regex \s), so the scan
+    * runs over the trimmed view; trim allocates nothing when there is
+    * nothing to strip. */
+  override def count(sRaw: String): Int = {
+    val s = sRaw.trim
     var i = 0; var n = 0; var inTok = false
     while (i < s.length) {
       val ws = isWs(s.charAt(i))

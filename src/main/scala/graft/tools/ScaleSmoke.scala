@@ -78,14 +78,7 @@ object ScaleSmoke {
     // doc (the q66 construction shape) so descendList/descendQuote run on
     // every row — the round-5 paths, not just greedy packing
     val nestedDocs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val base = text.trim.split("\\s+")
-        val rep = Array.fill(75)(base).flatten
-        def sl(a: Int, b: Int) = rep.slice(a, b).mkString(" ")
-        val cs = (0 until 10).map(j => s"    - ${sl(20 + 29 * j, 49 + 29 * j)}").mkString("\n")
-        val qs = (0 until 12).map(j => s"> - ${sl(398 + 29 * j, 427 + 29 * j)}").mkString("\n")
-        s"# Doc $id\n\n- ${sl(0, 10)}\n  - ${sl(10, 20)}\n$cs\n  - ${sl(310, 339)}\n- ${sl(339, 398)}\n\n$qs"
-      }.persist()
+      .map { case (id, text) => graft.queries.TextQ.nestedDoc(id, text) }.persist()
     nestedDocs.count()
     time("splitter (nested descent)") {
       val sp = new graft.split.SemanticSplitter()

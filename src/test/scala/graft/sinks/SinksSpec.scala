@@ -86,6 +86,27 @@ class SinksSpec extends SparkSpec {
     assert(sink.versions() == Seq(1, 2, 3)) // orphan retained (inside historyLen)
   }
 
+  test("legacy pre-manifest roots are grandfathered: no version loss on upgrade") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("vsink6")
+    val sink = new VersionedTableSink(root, "kb", historyLen = 10)
+    // old-format root: three data dirs + alias, ZERO manifests; v4 is an
+    // old crashed write (above the alias)
+    (1 to 3).foreach(v => Seq((v, s"v$v")).toDF("id", "t").write.parquet(sink.versionDir(v)))
+    Files.createDirectories(Paths.get(sink.versionDir(4)))
+    sink.swapAlias(3)
+    // readers see the grandfathered committed set immediately (no mutation)
+    assert(sink.versions() == Seq(1, 2, 3))
+    assert(sink.readCurrent(spark).as[(Int, String)].collect().toSeq == Seq((3, "v3")))
+    // first new-format write adopts v1..v3 and proceeds past the debris
+    val v = sink.write(Seq((9, "z")).toDF("id", "t"))
+    assert(v == 5 && sink.aliasedVersion().contains(5))
+    assert(sink.versions() == Seq(1, 2, 3, 5)) // nothing legacy was deleted
+    assert((1 to 3).forall(i => Files.exists(sink.manifestFile(i)))) // adopted
+    assert(!Files.exists(Paths.get(sink.versionDir(4)))) // old crash debris GC'd
+    assert(sink.readCurrent(spark).as[(Int, String)].collect().toSeq == Seq((9, "z")))
+  }
+
   test("snapshot sink: timestamped snapshot + atomic latest pointer; empty input keeps latest") {
     val root = tmpDir("snap")
     val sink = new SnapshotSink(root, "kb")

@@ -33,6 +33,9 @@ class PropertySpec extends AnyFunSuite {
     val wsHeavy: Gen[String] = Gen.listOf(Gen.frequency(
       4 -> Gen.alphaNumChar,
       3 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B'),
+      // C0 controls <= U+0020: String.trim strips them at the ENDS but
+      // regex \s never matches them - count() must mirror the trim
+      1 -> Gen.oneOf('\u0001', '\u0007', '\u001F'),
       1 -> Gen.oneOf('ä', '日', '\u00A0', '\u2028'))).map(_.mkString)
     holds(Prop.forAll(wsHeavy)(s =>
       WhitespaceTokenizer.count(s) == WhitespaceTokenizer.tokens(s).length),

@@ -209,11 +209,7 @@ class SemanticSplitterSpec extends AnyFunSuite {
   }
 
   test("q66 construction lands 235/183/243/123 with the default config (oracle mirror)") {
-    val rep = (1 to 750).map(i => s"w$i").toArray
-    def sl(a: Int, b: Int) = rep.slice(a, b).mkString(" ")
-    val cs = (0 until 10).map(j => s"    - ${sl(20 + 29 * j, 49 + 29 * j)}").mkString("\n")
-    val qs = (0 until 12).map(j => s"> - ${sl(398 + 29 * j, 427 + 29 * j)}").mkString("\n")
-    val md = s"# Doc 7\n\n- ${sl(0, 10)}\n  - ${sl(10, 20)}\n$cs\n  - ${sl(310, 339)}\n- ${sl(339, 398)}\n\n$qs"
+    val md = graft.queries.TextQ.nestedDoc(7, (1 to 750).map(i => s"w$i").mkString(" "))
     val dflt = new SemanticSplitter()
     val chunks = dflt.splitMarkdown(md)
     assert(chunks.map(dflt.tk.count(_)) == Vector(235, 183, 243, 123))

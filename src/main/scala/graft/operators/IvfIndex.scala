@@ -24,6 +24,27 @@ object IvfIndex {
 
   final case class Model(centroids: Array[Array[Long]]) extends Serializable
 
+  /** Persist the fitted quantizer (k rows of (cell_id, centroid)) — fit
+    * once, serve many query batches without re-clustering the corpus. The
+    * model is k x dim longs, so save/load move kilobytes, not data. */
+  def save(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: SparkSession, path: String): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("cell_id"), col("centroid"))
+      .as[(Int, Seq[Long])].collect().sortBy(_._1) // k rows — bounded
+    require(rows.nonEmpty, s"no IVF model at $path")
+    require(rows.map(_._1).toSeq == rows.indices.toSeq, s"non-dense cell ids at $path")
+    Model(rows.map(_._2.toArray))
+  }
+
   private def distSq(a: Array[Long], c: Array[Long]): Long = {
     var s = 0L; var i = 0
     while (i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }

@@ -17,6 +17,19 @@ class IvfIndexSpec extends SparkSpec {
     assert(cells.length > 1 && cells.map(_.getLong(1)).sum == emb.count())
   }
 
+  test("IVF model round-trips through parquet: load(save(m)) serves identical assignments") {
+    val m = IvfIndex.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val path = tmpDir("ivf") + "/model"
+    IvfIndex.save(spark, m, path)
+    val loaded = IvfIndex.load(spark, path)
+    assert(loaded.centroids.map(_.toSeq).toSeq == m.centroids.map(_.toSeq).toSeq)
+    val a = IvfIndex.assign(emb, "vec_id", "embedding", m)
+      .orderBy("vec_id").collect().toSeq
+    val b = IvfIndex.assign(emb, "vec_id", "embedding", loaded)
+      .orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("IVF top-k recall vs brute force scales with nprobe (synthetic vectors are near-random)") {
     val model = IvfIndex.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
     val queries = emb.filter($"vec_id" < 10)

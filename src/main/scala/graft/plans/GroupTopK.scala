@@ -1,0 +1,121 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator §2.14 exemplar — the (c) tier of the extension preference
+  * order: a custom LogicalPlan + SparkStrategy + physical operators for
+  * per-group top-k (SURVEY.md §2.6 O3/O4 scale path).
+  *
+  * Why not the window form: `row_number().over(partitionBy(g).orderBy(o))
+  * <= k` must SORT every partition's full data (WindowExec requires child
+  * ordering), so top-3-per-key over 100 TB pays an O(n log n) sort and
+  * spills. This operator keeps a bounded k-heap per group — O(n log k),
+  * no sort, no spill — and, like an aggregate, runs in two phases: a
+  * map-side partial pass prunes each input partition to <= k rows per
+  * group BEFORE the exchange, so the shuffle moves only survivors
+  * (k x groups x partitions upper bound, not n).
+  *
+  * The plan shape EnsureRequirements produces:
+  *   GroupTopKExec(final)            -- ClusteredDistribution(grouping)
+  *     +- Exchange hashpartitioning  -- inserted automatically
+  *        +- GroupTopKExec(partial)  -- runs on raw scan partitions
+  *           +- <child>
+  */
+final case class GroupTopKNode(
+    grouping: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): GroupTopKNode = copy(child = c)
+}
+
+object GroupTopKStrategy extends SparkStrategy {
+  def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupTopKNode(g, o, k, child) =>
+      GroupTopKExec(g, o, k, partial = false,
+        GroupTopKExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Bounded per-group top-k heaps over a partition. `partial = true` runs
+  * before the exchange (no distribution requirement, prunes map-side);
+  * the final pass requires co-located groups and emits the exact result. */
+final case class GroupTopKExec(
+    grouping: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(grouping))
+
+  override protected def withNewChildInternal(c: SparkPlan): GroupTopKExec = copy(child = c)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupingExprs = grouping
+    val orderExprs = order
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions { rows =>
+      val keyProj = UnsafeProjection.create(groupingExprs, childOutput)
+      // interpreted ordering: comparisons run k-bounded per row, off the
+      // codegen hot path; ascending in `order` = better
+      val ord: Ordering[InternalRow] =
+        RowOrdering.create(orderExprs.map(BindReferences.bindReference(_, childOutput)), Nil)
+      val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      rows.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord) // max-heap: head = worst kept
+            heaps.put(key.copy(), h)
+            h
+        }
+        if (heap.size < limit) heap += row.copy()
+        else if (ord.compare(row, heap.head) < 0) { heap.dequeue(); heap += row.copy() }
+      }
+      heaps.valuesIterator.flatMap(_.dequeueAll.iterator) // per-group rows, best-last order irrelevant
+    }
+  }
+}
+
+object GroupTopK {
+  /** Top `k` rows per group by `orderBy` (first = best). Output columns =
+    * input columns; no global ordering promised (add your own orderBy).
+    * Installs [[GroupTopKStrategy]] into the session's experimental
+    * strategies on first use — no SparkSessionExtensions wiring needed. */
+  def topK(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ GroupTopKStrategy
+    val plan = df.queryExecution.analyzed
+    def resolve(name: String): Attribute =
+      plan.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"column $name not in ${plan.output.map(_.name)}"))
+    val grouping = groupCols.map(resolve)
+    val classicSpark = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val sortOrders = orderBy.map(c =>
+      org.apache.spark.sql.classic.GraftPlanBridge.expr(classicSpark, c)).map {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    }.map(so => so.transformUp {
+      case u: UnresolvedAttribute => resolve(u.name)
+    }.asInstanceOf[SortOrder])
+    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(
+      classicSpark, GroupTopKNode(grouping, sortOrders, k, plan))
+  }
+}

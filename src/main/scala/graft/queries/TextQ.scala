@@ -761,6 +761,28 @@ object TextQ {
         |SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sha256(sent) AS sent_sha
         |FROM sents ORDER BY doc_id, sent_idx""".stripMargin)),
 
+    QueryDef("q69_group_topk",
+      // The custom whole-operator stack under oracle coverage (§2.14 tier
+      // (c): LogicalPlan + SparkStrategy + partial/final physical execs):
+      // top-3 documents per language by (n_chars DESC, doc_id) through
+      // GroupTopKExec's bounded heaps — map-side partial prunes each scan
+      // partition to <= 3 rows per lang BEFORE the exchange, so the
+      // shuffle moves O(k x groups x partitions), not the corpus. The
+      // oracle is the sort-based window formulation of the same
+      // semantics; ties are deterministic via the doc_id tiebreak.
+      (s, d) => {
+        val top = graft.plans.GroupTopK.topK(
+          docs(s, d).select(col("lang"), col("doc_id"), col("n_chars")),
+          Seq("lang"), Seq(col("n_chars").desc, col("doc_id").asc), 3)
+        top.select(col("lang"), col("doc_id"), big(col("n_chars")).as("n_chars"))
+          .orderBy(col("lang"), col("n_chars").desc, col("doc_id"))
+      },
+      Some("""SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (SELECT lang, doc_id, n_chars,
+        |      row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 3 ORDER BY lang, n_chars DESC, doc_id""".stripMargin)),
+
     QueryDef("q56_multimodal_features",
       // Multimodal plumbing under oracle coverage: binary media columns are
       // synthesized from the corpus (bytes = UTF-8 text, modality cycles by

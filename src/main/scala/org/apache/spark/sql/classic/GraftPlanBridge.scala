@@ -1,0 +1,18 @@
+package org.apache.spark.sql.classic
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal private-API bridge: construct a DataFrame from a custom
+  * LogicalPlan (`Dataset.ofRows` is private[sql]). The standard pattern for
+  * Spark-extension libraries; nothing else of the internal surface is
+  * exposed. */
+object GraftPlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark, plan)
+
+  /** Session-aware Column -> catalyst conversion (fully translates the
+    * ColumnNode tree, incl. sort direction/null ordering — the static
+    * ExpressionUtils wrapper would leave lazy api-internal nodes behind). */
+  def expr(spark: SparkSession, c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    spark.expression(c)
+}

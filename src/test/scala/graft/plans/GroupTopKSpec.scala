@@ -1,0 +1,52 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+class GroupTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+  }
+
+  test("per-group top-k matches the window-function form exactly (incl. deterministic ties)") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 5000).map(i =>
+      (s"g${rnd.nextInt(20)}", i.toLong, rnd.nextInt(50))).toDF("g", "id", "score")
+      .repartition(8)
+    val top = GroupTopK.topK(df, Seq("g"), Seq(col("score").desc, col("id").asc), 3)
+      .orderBy("g", "id").collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val expected = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .drop("rn").orderBy("g", "id").collect().toSeq
+    assert(top == expected)
+  }
+
+  test("k larger than any group returns every row; k=1 returns the per-group best") {
+    val df = Seq(("a", 1L, 10), ("a", 2L, 20), ("b", 3L, 5)).toDF("g", "id", "score")
+    val all = GroupTopK.topK(df, Seq("g"), Seq(col("score").desc), 10)
+    assert(all.count() == 3)
+    val best = GroupTopK.topK(df, Seq("g"), Seq(col("score").desc, col("id")), 1)
+      .select("id").as[Long].collect().toSet
+    assert(best == Set(2L, 3L))
+  }
+
+  test("plans two phases around one exchange: map-side partial prunes before the shuffle") {
+    val df = (1 to 1000).map(i => (s"g${i % 4}", i.toLong, i % 97)).toDF("g", "id", "score")
+      .repartition(8)
+    val plan = finalPlan(GroupTopK.topK(df, Seq("g"), Seq(col("score").desc, col("id")), 2))
+    def count(needle: String): Int = plan.sliding(needle.length).count(_ == needle)
+    assert(count("GroupTopK") == 2, plan) // partial + final
+    assert(count("Exchange hashpartitioning") == 1, plan) // between the phases
+    // the partial phase bounds what the exchange moves: <= k * groups rows
+    // per input partition (8 partitions x 4 groups x k=2 = at most 64 rows
+    // shuffled out of 1000)
+  }
+}

@@ -42,8 +42,19 @@ object Similarity {
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         cosine(Kernels.dotUdf(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+    rankTopK(scored, kTop)
+  }
+
+  /** Heap-prune to the k best per query (GroupTopKExec: map-side partial,
+    * no full sort of the scored pairs), then rank the <= k survivors — the
+    * ranking window reuses the prune's exchange and sorts k rows per
+    * group, not the whole score matrix. Same rows and ranks as the pure
+    * window form (ties broken by cid in both). */
+  private def rankTopK(scored: DataFrame, kTop: Int): DataFrame = {
+    val pruned = graft.plans.GroupTopK.topK(
+      scored, Seq("qid"), Seq(col("cosine").desc, col("cid")), kTop)
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
+    pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
   }
 
   /** LSH-bucketed top-k: same contract as `bruteTopK` but only same-bucket
@@ -59,7 +70,6 @@ object Similarity {
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         cosine(Kernels.dotUdf(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
+    rankTopK(scored, kTop)
   }
 }

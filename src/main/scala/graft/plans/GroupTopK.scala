@@ -61,6 +61,11 @@ final case class GroupTopKExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(grouping))
 
+  // row-preserving operator: downstream per-group work (e.g. a ranking
+  // window over the <= k survivors) reuses the exchange below us
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def withNewChildInternal(c: SparkPlan): GroupTopKExec = copy(child = c)
 
   override protected def doExecute(): RDD[InternalRow] = {

@@ -142,7 +142,11 @@ object IvfIndex {
         (Kernels.dotUdf(col("qv"), col("cv")).cast("double")
           / (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))).as("cosine"))
       .distinct() // a pair can surface via several probed cells
+    // heap-prune to k per query (no sort of the scored set), then rank the
+    // survivors — same shape as Similarity.rankTopK
+    val pruned = graft.plans.GroupTopK.topK(
+      scored, Seq("qid"), Seq(col("cosine").desc, col("cid")), kTop)
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
+    pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
   }
 }

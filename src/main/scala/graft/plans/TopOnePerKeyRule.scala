@@ -105,8 +105,13 @@ object TopOnePerKeyRule extends Rule[LogicalPlan] {
   * `.withExtensions(GraftExtensions.install)` or config
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => TopOnePerKeyRule)
+    // whole-operator §2.14 exemplar; the strategy only matches
+    // GroupTopKNode, so injecting it is inert for all other plans
+    // (GroupTopK.topK also self-installs for sessions without extensions)
+    ext.injectPlannerStrategy(_ => GroupTopKStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -42,6 +42,10 @@ object IvfIndex {
       .as[(Int, Seq[Long])].collect().sortBy(_._1) // k rows — bounded
     require(rows.nonEmpty, s"no IVF model at $path")
     require(rows.map(_._1).toSeq == rows.indices.toSeq, s"non-dense cell ids at $path")
+    // fail fast at the driver: a ragged model would otherwise surface as an
+    // executor ArrayIndexOutOfBounds (or silently wrong cells) in nearest()
+    require(rows.map(_._2.length).distinct.size == 1,
+      s"ragged centroid dimensions at $path: ${rows.map(_._2.length).distinct}")
     Model(rows.map(_._2.toArray))
   }
 
@@ -142,11 +146,6 @@ object IvfIndex {
         (Kernels.dotUdf(col("qv"), col("cv")).cast("double")
           / (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))).as("cosine"))
       .distinct() // a pair can surface via several probed cells
-    // heap-prune to k per query (no sort of the scored set), then rank the
-    // survivors — same shape as Similarity.rankTopK
-    val pruned = graft.plans.GroupTopK.topK(
-      scored, Seq("qid"), Seq(col("cosine").desc, col("cid")), kTop)
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
+    Similarity.rankTopK(scored, kTop)
   }
 }

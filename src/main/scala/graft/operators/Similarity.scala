@@ -49,8 +49,9 @@ object Similarity {
     * no full sort of the scored pairs), then rank the <= k survivors — the
     * ranking window reuses the prune's exchange and sorts k rows per
     * group, not the whole score matrix. Same rows and ranks as the pure
-    * window form (ties broken by cid in both). */
-  private def rankTopK(scored: DataFrame, kTop: Int): DataFrame = {
+    * window form (ties broken by cid in both). Shared contract for every
+    * (qid, cid, cosine) scorer — IvfIndex.topK calls this too. */
+  private[operators] def rankTopK(scored: DataFrame, kTop: Int): DataFrame = {
     val pruned = graft.plans.GroupTopK.topK(
       scored, Seq("qid"), Seq(col("cosine").desc, col("cid")), kTop)
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))

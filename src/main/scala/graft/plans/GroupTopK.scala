@@ -68,31 +68,66 @@ final case class GroupTopKExec(
 
   override protected def withNewChildInternal(c: SparkPlan): GroupTopKExec = copy(child = c)
 
+  /** Memory contract. The FINAL phase holds its partition's exact RESULT
+    * (k rows x co-located groups) — the floor for any hash-based exact
+    * operator; a sort-based fallback that streams groups is the upgrade
+    * path if group cardinality per partition ever outgrows executor
+    * memory. The PARTIAL phase is memory-bounded regardless: it processes
+    * the input in chunks of at most `PartialFlushGroups` distinct groups,
+    * draining each chunk's heaps downstream before building the next —
+    * partial output is a superset pruning (a group split across chunks
+    * just ships up to k rows per chunk), so chunking stays exactly
+    * correct: the final phase re-prunes. */
+  private def partialFlushGroups: Int =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.topk.partialFlushGroups", (1 << 16).toString).toInt
+
   override protected def doExecute(): RDD[InternalRow] = {
     val groupingExprs = grouping
     val orderExprs = order
     val limit = k
     val childOutput = child.output
+    val isPartial = partial
+    val flushAt = if (partial) partialFlushGroups else Int.MaxValue
     child.execute().mapPartitions { rows =>
       val keyProj = UnsafeProjection.create(groupingExprs, childOutput)
       // interpreted ordering: comparisons run k-bounded per row, off the
       // codegen hot path; ascending in `order` = better
       val ord: Ordering[InternalRow] =
         RowOrdering.create(orderExprs.map(BindReferences.bindReference(_, childOutput)), Nil)
-      val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      rows.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord) // max-heap: head = worst kept
-            heaps.put(key.copy(), h)
-            h
+
+      // consume up to `flushAt` distinct groups' worth of input, return the
+      // pruned rows; caller drains before the next chunk builds, so at most
+      // one chunk's heaps are alive at a time
+      def buildChunk(): Iterator[InternalRow] = {
+        val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+        var full = false
+        while (rows.hasNext && !full) {
+          val row = rows.next()
+          val key = keyProj(row)
+          val heap = heaps.get(key) match {
+            case Some(h) => h
+            case None =>
+              val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord) // max-heap: head = worst kept
+              heaps.put(key.copy(), h)
+              h
+          }
+          if (heap.size < limit) heap += row.copy()
+          else if (ord.compare(row, heap.head) < 0) { heap.dequeue(); heap += row.copy() }
+          if (isPartial && heaps.size >= flushAt) full = true
         }
-        if (heap.size < limit) heap += row.copy()
-        else if (ord.compare(row, heap.head) < 0) { heap.dequeue(); heap += row.copy() }
+        // per-group rows; best-last order within a group is irrelevant
+        heaps.valuesIterator.flatMap(_.dequeueAll.iterator)
       }
-      heaps.valuesIterator.flatMap(_.dequeueAll.iterator) // per-group rows, best-last order irrelevant
+
+      new Iterator[InternalRow] {
+        private var drain: Iterator[InternalRow] = Iterator.empty
+        def hasNext: Boolean = {
+          while (!drain.hasNext && rows.hasNext) drain = buildChunk()
+          drain.hasNext
+        }
+        def next(): InternalRow = { hasNext; drain.next() }
+      }
     }
   }
 }
@@ -100,27 +135,43 @@ final case class GroupTopKExec(
 object GroupTopK {
   /** Top `k` rows per group by `orderBy` (first = best). Output columns =
     * input columns; no global ordering promised (add your own orderBy).
-    * Installs [[GroupTopKStrategy]] into the session's experimental
-    * strategies on first use — no SparkSessionExtensions wiring needed. */
+    *
+    * `orderBy` MUST be a total order within a group (include a unique
+    * tiebreaker column): rows tied at the k boundary otherwise survive by
+    * arrival order, which is partitioning-dependent — nondeterministic
+    * output that this repo's oracle-parity contract forbids.
+    *
+    * Installs [[GroupTopKStrategy]] on first use (synchronized, skipped
+    * when a GraftExtensions-wired session already registered it) — no
+    * SparkSessionExtensions wiring needed. */
   def topK(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
-      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ GroupTopKStrategy
-    val plan = df.queryExecution.analyzed
-    def resolve(name: String): Attribute =
-      plan.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
-        throw new IllegalArgumentException(s"column $name not in ${plan.output.map(_.name)}"))
-    val grouping = groupCols.map(resolve)
     val classicSpark = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val sortOrders = orderBy.map(c =>
-      org.apache.spark.sql.classic.GraftPlanBridge.expr(classicSpark, c)).map {
+    val bridge = org.apache.spark.sql.classic.GraftPlanBridge
+    spark.experimental.synchronized {
+      if (!bridge.hasStrategy(classicSpark, GroupTopKStrategy))
+        spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ GroupTopKStrategy
+    }
+    val plan = df.queryExecution.analyzed
+    // honor the session's spark.sql.caseSensitive; fail on ambiguity
+    // instead of silently binding the first match
+    val res = bridge.resolver(classicSpark)
+    def resolve(name: String): Attribute =
+      plan.output.filter(a => res(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"ambiguous column $name: matches ${many.map(_.name)}")
+      }
+    val grouping = groupCols.map(resolve)
+    val sortOrders = orderBy.map(c => bridge.expr(classicSpark, c)).map {
       case so: SortOrder => so
       case e => SortOrder(e, Ascending)
     }.map(so => so.transformUp {
       case u: UnresolvedAttribute => resolve(u.name)
     }.asInstanceOf[SortOrder])
-    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(
-      classicSpark, GroupTopKNode(grouping, sortOrders, k, plan))
+    bridge.ofRows(classicSpark, GroupTopKNode(grouping, sortOrders, k, plan))
   }
 }

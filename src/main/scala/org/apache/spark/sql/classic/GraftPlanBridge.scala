@@ -15,4 +15,14 @@ object GraftPlanBridge {
     * ExpressionUtils wrapper would leave lazy api-internal nodes behind). */
   def expr(spark: SparkSession, c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     spark.expression(c)
+
+  /** The session's name resolver (honors spark.sql.caseSensitive). */
+  def resolver(spark: SparkSession): (String, String) => Boolean =
+    spark.sessionState.analyzer.resolver
+
+  /** Whether a planner strategy is already registered (via extensions or
+    * experimental strategies). */
+  def hasStrategy(spark: SparkSession, s: org.apache.spark.sql.execution.SparkStrategy): Boolean =
+    spark.sessionState.planner.strategies.contains(s) ||
+      spark.experimental.extraStrategies.contains(s)
 }

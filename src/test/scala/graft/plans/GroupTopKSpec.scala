@@ -38,6 +38,36 @@ class GroupTopKSpec extends SparkSpec {
     assert(best == Set(2L, 3L))
   }
 
+  test("partial-phase chunked flushing stays exact (memory bound per chunk)") {
+    // flush after every 2 distinct groups: a group split across chunks
+    // ships up to k rows per chunk, and the final phase re-prunes exactly
+    spark.conf.set("spark.graft.topk.partialFlushGroups", "2")
+    try {
+      val rnd = new scala.util.Random(11)
+      val df = (1 to 3000).map(i =>
+        (s"g${rnd.nextInt(40)}", i.toLong, rnd.nextInt(30))).toDF("g", "id", "score")
+        .repartition(6)
+      val top = GroupTopK.topK(df, Seq("g"), Seq(col("score").desc, col("id").asc), 3)
+        .orderBy("g", "id").collect().toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("score").desc, col("id").asc)
+      val expected = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .drop("rn").orderBy("g", "id").collect().toSeq
+      assert(top == expected)
+    } finally spark.conf.unset("spark.graft.topk.partialFlushGroups")
+  }
+
+  test("ambiguous or missing group columns fail fast instead of binding silently") {
+    val df = Seq(("a", 1)).toDF("g", "x")
+    intercept[IllegalArgumentException] {
+      GroupTopK.topK(df, Seq("nope"), Seq(col("x")), 1)
+    }
+    val dup = df.select(col("g"), col("x").as("v"), (col("x") * 2).as("v"))
+    intercept[IllegalArgumentException] {
+      GroupTopK.topK(dup, Seq("v"), Seq(col("g")), 1)
+    }
+  }
+
   test("plans two phases around one exchange: map-side partial prunes before the shuffle") {
     val df = (1 to 1000).map(i => (s"g${i % 4}", i.toLong, i % 97)).toDF("g", "id", "score")
       .repartition(8)

@@ -84,6 +84,25 @@ object ScaleSmoke {
       val sp = new graft.split.SemanticSplitter()
       nestedDocs.flatMap(t => sp.splitMarkdown(t)).queryExecution.toRdd.count()
     }
+    // per-group top-k: the sort-based window form vs the bounded-heap
+    // operator on the same (group, score) data — the delta is the per-
+    // partition full sort the heap path never pays
+    val scored = spark.range(400L * total).toDF("id") // 20M rows, ~10k/group
+      .select(col("id"), pmod(hash(col("id")), lit(2000)).as("g"),
+        pmod(hash(col("id") * 7), lit(1000000)).as("score"))
+      .repartition(64).persist()
+    scored.count()
+    time("top3/group (window sort)") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("score").desc, col("id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .queryExecution.toRdd.count()
+    }
+    time("top3/group (heap operator)") {
+      graft.plans.GroupTopK.topK(scored, Seq("g"), Seq(col("score").desc, col("id")), 3)
+        .queryExecution.toRdd.count()
+    }
+    scored.unpersist()
     time("embed (mock, batched)") {
       val chunks = docs.select(col("text")).as[String]
         .map(t => graft.contracts.Chunk(t, "", "", Map.empty))

@@ -4,9 +4,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator §2.14 exemplar — the (c) tier of the extension preference
@@ -129,6 +131,64 @@ final case class GroupTopKExec(
         def next(): InternalRow = { hasNext; drain.next() }
       }
     }
+  }
+}
+
+/** Optimizer rule: rewrite the ubiquitous hand-written per-group top-k
+  * pattern
+  *
+  * {{{ df.withColumn("rn", row_number().over(W)).filter($"rn" <= k) }}}
+  *
+  * into `Window(row_number) over GroupTopKNode(k)` — the k>1 companion to
+  * [[TopOnePerKeyRule]] (which rewrites k=1 to min_by/max_by). The heap
+  * operator prunes to k per group map-side with no sort; the retained
+  * Window then ranks only the <= k survivors per group (its sort is k-row
+  * tiny and it reuses the prune's exchange), and the filter is dropped
+  * because rn <= k holds by construction. Exactness: the heap uses the
+  * SAME SortOrder semantics as the window sort (incl. null ordering and
+  * mixed directions), so the kept rows and their ranks are identical
+  * whenever the order is total within groups; with ties at the boundary
+  * both forms are partitioning-dependent.
+  *
+  * Guards (bail -> leave the plan untouched): sole row_number() window,
+  * single `rn <= k` / `k >= rn` / `rn < k+1` condition, non-empty
+  * partition spec, and k <= 100000 (a huge k degrades the heap; the sort
+  * form wins there). */
+object TopKPerKeyRule extends Rule[LogicalPlan] {
+
+  private val MaxK = 100000
+
+  private def soleRowNumber(w: logical.Window): Option[Alias] = w.windowExpressions match {
+    case Seq(a @ Alias(WindowExpression(RowNumber(),
+        WindowSpecDefinition(_, _, SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)) =>
+      Some(a)
+    case _ => None
+  }
+
+  private def keptK(cond: Expression, rn: ExprId): Option[Int] = cond match {
+    case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn && k >= 1 => Some(k)
+    case GreaterThanOrEqual(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn && k >= 1 => Some(k)
+    case LessThan(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn && k >= 2 => Some(k - 1)
+    // rn = 1 reaches here only when TopOnePerKeyRule's stricter guards
+    // (non-null uniform-direction keys) bailed — the heap form has exact
+    // window semantics there
+    case EqualTo(a: AttributeReference, IntegerLiteral(1)) if a.exprId == rn => Some(1)
+    case EqualTo(IntegerLiteral(1), a: AttributeReference) if a.exprId == rn => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, w: logical.Window)
+        if w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
+      soleRowNumber(w) match {
+        case Some(rn) =>
+          keptK(cond, rn.exprId) match {
+            case Some(k) if k <= MaxK =>
+              w.copy(child = GroupTopKNode(w.partitionSpec, w.orderSpec, k, w.child))
+            case _ => f
+          }
+        case None => f
+      }
   }
 }
 

@@ -107,6 +107,9 @@ object TopOnePerKeyRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => TopOnePerKeyRule)
+    // k>1 companion: row_number<=k filters become heap top-k (the rule
+    // runs after TopOnePerKeyRule, which claims the k=1 cases it can)
+    ext.injectOptimizerRule(_ => TopKPerKeyRule)
     // whole-operator §2.14 exemplar; the strategy only matches
     // GroupTopKNode, so injecting it is inert for all other plans
     // (GroupTopK.topK also self-installs for sessions without extensions)

@@ -151,24 +151,31 @@ final case class GroupTopKExec(
   * both forms are partitioning-dependent.
   *
   * Guards (bail -> leave the plan untouched): sole row_number() window,
-  * single `rn <= k` / `k >= rn` / `rn < k+1` condition, non-empty
-  * partition spec, and k <= 100000 (a huge k degrades the heap; the sort
-  * form wins there). */
+  * single `rn <= k` / `k >= rn` / `rn < k+1` / `k > rn` condition,
+  * non-empty DETERMINISTIC partition and order specs (GroupTopKExec
+  * re-evaluates keys per comparison/phase, so a nondeterministic key
+  * would diverge from the window's evaluate-once semantics), and
+  * k <= spark.graft.topk.rewriteMaxK (default 1000 — the automatic
+  * rewrite stays conservative because the final phase's memory is
+  * proportional to its partition's k x groups RESULT, with no spill;
+  * the explicit GroupTopK.topK API documents and owns that contract).
+  *
+  * Spark 4's built-in InferWindowGroupLimit may have already inserted a
+  * WindowGroupLimit under the window (it runs in an earlier batch when
+  * this rule is session-installed via extraOptimizations): that node is
+  * REPLACED, not stacked — its per-partition sort is exactly the cost
+  * the heap operator avoids. */
 object TopKPerKeyRule extends Rule[LogicalPlan] {
 
-  private val MaxK = 100000
-
-  private def soleRowNumber(w: logical.Window): Option[Alias] = w.windowExpressions match {
-    case Seq(a @ Alias(WindowExpression(RowNumber(),
-        WindowSpecDefinition(_, _, SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)) =>
-      Some(a)
-    case _ => None
-  }
+  private def rewriteMaxK: Int =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.topk.rewriteMaxK", "1000").toInt
 
   private def keptK(cond: Expression, rn: ExprId): Option[Int] = cond match {
     case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn && k >= 1 => Some(k)
     case GreaterThanOrEqual(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn && k >= 1 => Some(k)
     case LessThan(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn && k >= 2 => Some(k - 1)
+    case GreaterThan(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn && k >= 2 => Some(k - 1)
     // rn = 1 reaches here only when TopOnePerKeyRule's stricter guards
     // (non-null uniform-direction keys) bailed — the heap form has exact
     // window semantics there
@@ -179,12 +186,21 @@ object TopKPerKeyRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, w: logical.Window)
-        if w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
-      soleRowNumber(w) match {
+        if w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty &&
+          (w.partitionSpec ++ w.orderSpec).forall(_.deterministic) =>
+      WindowPatterns.soleRowNumber(w.windowExpressions) match {
         case Some(rn) =>
           keptK(cond, rn.exprId) match {
-            case Some(k) if k <= MaxK =>
-              w.copy(child = GroupTopKNode(w.partitionSpec, w.orderSpec, k, w.child))
+            case Some(k) if k <= rewriteMaxK =>
+              // strip an already-inferred WindowGroupLimit with the same
+              // spec instead of nesting the heap under its sorts
+              val base = w.child match {
+                case wgl: logical.WindowGroupLimit
+                    if wgl.partitionSpec == w.partitionSpec && wgl.orderSpec == w.orderSpec =>
+                  wgl.child
+                case c => c
+              }
+              w.copy(child = GroupTopKNode(w.partitionSpec, w.orderSpec, k, base))
             case _ => f
           }
         case None => f

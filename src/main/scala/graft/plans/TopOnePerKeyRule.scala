@@ -34,6 +34,21 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Install: `GraftExtensions.install(builder)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
+/** Window-pattern extractors shared by [[TopOnePerKeyRule]] and
+  * [[TopKPerKeyRule]] — ONE definition so the two rules can never drift
+  * on what counts as a rewritable row_number window. */
+private[plans] object WindowPatterns {
+  /** The single row_number window expression, if that is all the Window
+    * node computes. */
+  def soleRowNumber(windowExpressions: Seq[NamedExpression]): Option[Alias] =
+    windowExpressions match {
+      case Seq(a @ Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(_, _, SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)) =>
+        Some(a)
+      case _ => None
+    }
+}
+
 object TopOnePerKeyRule extends Rule[LogicalPlan] {
 
   private def keepsRankOne(cond: Expression, rn: ExprId): Boolean = cond match {
@@ -43,14 +58,8 @@ object TopOnePerKeyRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** The single row_number window expression, if that is all this Window
-    * node computes. */
-  private def soleRowNumber(w: Window): Option[Alias] = w.windowExpressions match {
-    case Seq(a @ Alias(WindowExpression(RowNumber(),
-        WindowSpecDefinition(_, _, SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)) =>
-      Some(a)
-    case _ => None
-  }
+  private def soleRowNumber(w: Window): Option[Alias] =
+    WindowPatterns.soleRowNumber(w.windowExpressions)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, w: Window) =>
@@ -84,7 +93,17 @@ object TopOnePerKeyRule extends Rule[LogicalPlan] {
     if (w.partitionSpec.isEmpty || !w.partitionSpec.forall(_.isInstanceOf[AttributeReference]))
       return None
 
-    val payload = CreateStruct(w.child.output)
+    // a built-in InferWindowGroupLimit may already sit below (it runs in an
+    // earlier batch when this rule is session-installed): strip it — the
+    // aggregate needs no pre-sorted pre-limit, and WGL's per-partition
+    // sorts are exactly what this rewrite removes
+    val base = w.child match {
+      case wgl: WindowGroupLimit
+          if wgl.partitionSpec == w.partitionSpec && wgl.orderSpec == w.orderSpec =>
+        wgl.child
+      case c => c
+    }
+    val payload = CreateStruct(base.output)
     val ord = CreateStruct(orderKeys.map(_.child))
     val pick = directions.head match {
       case Ascending => MinBy(payload, ord)
@@ -92,7 +111,7 @@ object TopOnePerKeyRule extends Rule[LogicalPlan] {
       case _ => return None
     }
     val row = Alias(AggregateExpression(pick, Complete, isDistinct = false), "__top1")()
-    val agg = Aggregate(w.partitionSpec, w.partitionSpec.map(_.asInstanceOf[AttributeReference]) :+ row, w.child)
+    val agg = Aggregate(w.partitionSpec, w.partitionSpec.map(_.asInstanceOf[AttributeReference]) :+ row, base)
     val rebuilt = w.child.output.zipWithIndex.map { case (attr, i) =>
       Alias(GetStructField(row.toAttribute, i, Some(attr.name)), attr.name)(exprId = attr.exprId)
     }

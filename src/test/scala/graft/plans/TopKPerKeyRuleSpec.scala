@@ -60,6 +60,46 @@ class TopKPerKeyRuleSpec extends SparkSpec {
     assert(q.select("id").as[Long].collect().toSet == Set(4L, 6L, 7L))
   }
 
+  test("an inferred WindowGroupLimit is replaced, not stacked under the heap") {
+    // Spark's InferWindowGroupLimit runs in an earlier batch than
+    // session-installed rules; without the strip the heap would nest under
+    // WGL's per-partition sorts — the exact cost it exists to avoid
+    val q = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+    val optimized = q.queryExecution.optimizedPlan
+    assert(optimized.collect { case n: GroupTopKNode => n }.nonEmpty)
+    assert(optimized.collect {
+      case n: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit => n
+    }.isEmpty, optimized.toString)
+    // physical: exactly one exchange; the only Sort is the k-row ranking
+    // window's (the raw input is never sorted)
+    q.collect()
+    val plan = (q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    def count(needle: String): Int = plan.sliding(needle.length).count(_ == needle)
+    assert(count("Exchange hashpartitioning") == 1, plan)
+    assert(count("Sort [") == 1, plan)
+  }
+
+  test("mirrored k > rn form rewrites like rn < k") {
+    val q = df.withColumn("rn", row_number().over(w)).filter(lit(3) > $"rn")
+    assert(topKNodes(q).exists(_.k == 2))
+  }
+
+  test("nondeterministic partition exprs arrive materialized (analyzer project), keeping the rewrite sound") {
+    // ExtractWindowExpressions pulls non-trivial partition/order exprs into
+    // a child Project, so rand() is evaluated ONCE per row as a column and
+    // the window (and the heap node) group by the materialized attribute —
+    // the rule's determinism guard is defense-in-depth for direct plans
+    val salted = Window.partitionBy($"g", floor(rand(1) * 10)).orderBy($"score".desc, $"id")
+    val q = df.withColumn("rn", row_number().over(salted)).filter($"rn" <= 2)
+    val nodes = topKNodes(q)
+    assert(nodes.nonEmpty)
+    assert(nodes.head.grouping.forall(e =>
+      e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference] && e.deterministic))
+  }
+
   test("guards: rank(), huge k, and rank-2-only filters stay in window form") {
     val r = df.withColumn("rn", rank().over(w)).filter($"rn" <= 2)
     assert(topKNodes(r).isEmpty)

@@ -119,6 +119,37 @@ object EventsQ {
         |      FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    QueryDef("q70_topk_rewrite",
+      // The §2.14 optimizer rules under oracle coverage: the query is the
+      // PLAIN window form — row_number over (user_id ORDER BY ts DESC,
+      // event_id DESC) filtered to rn <= 2 — built on an isolated session
+      // with TopOnePerKeyRule/TopKPerKeyRule + GroupTopKStrategy
+      // installed, so the optimizer itself swaps in the heap operator
+      // (no sort of the events, shuffle moves <= 2 rows per user per
+      // input partition) and the driver hash-checks that the REWRITTEN
+      // plan is value-identical to DuckDB's window semantics. The
+      // isolated session shares the SparkContext; session state
+      // (extraOptimizations) never leaks into the other queries' plans.
+      (s, d) => {
+        val iso = s.newSession()
+        iso.experimental.extraOptimizations =
+          Seq(graft.plans.TopOnePerKeyRule, graft.plans.TopKPerKeyRule)
+        iso.experimental.extraStrategies = Seq(graft.plans.GroupTopKStrategy)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        ev(iso, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("user_id"), col("rn").cast("long").as("rn"),
+            col("event_id"), fmtTs(col("ts")).as("ts_s"), col("event_type"))
+          .orderBy(col("user_id"), col("rn"))
+      },
+      Some("""SELECT user_id, CAST(rn AS BIGINT) AS rn, event_id,
+        |strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn <= 2 ORDER BY user_id, rn""".stripMargin)),
+
     QueryDef("q67_stream_dedup",
       // The streaming stateful dedup under oracle coverage (round-4 verdict
       // item 5): the REAL StatefulDedup.dedupStream flatMapGroupsWithState

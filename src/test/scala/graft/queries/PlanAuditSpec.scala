@@ -71,6 +71,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q70: the optimizer rule actually rewrites the window form to the heap operator") {
+    val df = q("q70_topk_rewrite")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case n: graft.plans.GroupTopKNode => n
+    }.nonEmpty, df.queryExecution.optimizedPlan.toString)
+    val plan = finalPlan(df)
+    assert(count(plan, "GroupTopK") == 2, plan.take(2000)) // partial + final execs
+  }
+
   test("q67: stream-dedup replay keeps one key exchange and one (key, arrival) sort") {
     val plan = finalPlan(q("q67_stream_dedup"))
     assert(count(plan, "Exchange hashpartitioning") == 1, plan.take(2000))

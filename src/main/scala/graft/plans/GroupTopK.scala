@@ -168,8 +168,10 @@ final case class GroupTopKExec(
 object TopKPerKeyRule extends Rule[LogicalPlan] {
 
   private def rewriteMaxK: Int =
-    org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.graft.topk.rewriteMaxK", "1000").toInt
+    // malformed conf falls back to the default rather than crashing every
+    // window query during optimization
+    scala.util.Try(conf.getConfString("spark.graft.topk.rewriteMaxK", "1000").toInt)
+      .getOrElse(1000)
 
   private def keptK(cond: Expression, rn: ExprId): Option[Int] = cond match {
     case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn && k >= 1 => Some(k)
@@ -192,14 +194,9 @@ object TopKPerKeyRule extends Rule[LogicalPlan] {
         case Some(rn) =>
           keptK(cond, rn.exprId) match {
             case Some(k) if k <= rewriteMaxK =>
-              // strip an already-inferred WindowGroupLimit with the same
-              // spec instead of nesting the heap under its sorts
-              val base = w.child match {
-                case wgl: logical.WindowGroupLimit
-                    if wgl.partitionSpec == w.partitionSpec && wgl.orderSpec == w.orderSpec =>
-                  wgl.child
-                case c => c
-              }
+              // strip an already-inferred same-spec WindowGroupLimit
+              // instead of nesting the heap under its sorts
+              val base = WindowPatterns.stripSameSpecGroupLimit(w, k)
               w.copy(child = GroupTopKNode(w.partitionSpec, w.orderSpec, k, base))
             case _ => f
           }

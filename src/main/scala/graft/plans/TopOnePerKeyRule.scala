@@ -47,6 +47,19 @@ private[plans] object WindowPatterns {
         Some(a)
       case _ => None
     }
+
+  /** Strip an InferWindowGroupLimit-inserted node below `w` (it runs in an
+    * earlier batch when these rules are session-installed) so a rewrite
+    * replaces its per-partition sorts instead of nesting under them. Only
+    * a SAME-spec WGL keeping at least `k` rows per group is removable —
+    * a tighter limit would mean the strip widens the result. */
+  def stripSameSpecGroupLimit(w: Window, k: Int): LogicalPlan = w.child match {
+    case wgl: WindowGroupLimit
+        if wgl.partitionSpec == w.partitionSpec && wgl.orderSpec == w.orderSpec &&
+          wgl.limit >= k =>
+      wgl.child
+    case c => c
+  }
 }
 
 object TopOnePerKeyRule extends Rule[LogicalPlan] {
@@ -55,6 +68,10 @@ object TopOnePerKeyRule extends Rule[LogicalPlan] {
     case EqualTo(a: AttributeReference, Literal(1, _)) => a.exprId == rn
     case EqualTo(Literal(1, _), a: AttributeReference) => a.exprId == rn
     case LessThanOrEqual(a: AttributeReference, Literal(1, _)) => a.exprId == rn
+    // mirrored/strict spellings of the same predicate
+    case GreaterThanOrEqual(Literal(1, _), a: AttributeReference) => a.exprId == rn
+    case LessThan(a: AttributeReference, Literal(2, _)) => a.exprId == rn
+    case GreaterThan(Literal(2, _), a: AttributeReference) => a.exprId == rn
     case _ => false
   }
 
@@ -93,16 +110,10 @@ object TopOnePerKeyRule extends Rule[LogicalPlan] {
     if (w.partitionSpec.isEmpty || !w.partitionSpec.forall(_.isInstanceOf[AttributeReference]))
       return None
 
-    // a built-in InferWindowGroupLimit may already sit below (it runs in an
-    // earlier batch when this rule is session-installed): strip it — the
-    // aggregate needs no pre-sorted pre-limit, and WGL's per-partition
-    // sorts are exactly what this rewrite removes
-    val base = w.child match {
-      case wgl: WindowGroupLimit
-          if wgl.partitionSpec == w.partitionSpec && wgl.orderSpec == w.orderSpec =>
-        wgl.child
-      case c => c
-    }
+    // a built-in InferWindowGroupLimit may already sit below: strip it —
+    // the aggregate needs no pre-sorted pre-limit (any limit >= 1 keeps
+    // the top-1 row, so k = 1 here)
+    val base = WindowPatterns.stripSameSpecGroupLimit(w, 1)
     val payload = CreateStruct(base.output)
     val ord = CreateStruct(orderKeys.map(_.child))
     val pick = directions.head match {

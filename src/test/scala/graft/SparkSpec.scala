@@ -24,4 +24,9 @@ trait SparkSpec extends AnyFunSuite {
   }
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Occurrences of `needle` in a rendered plan string — shared by the
+    * plan-shape assertions across suites. */
+  def planCount(plan: String, needle: String): Int =
+    plan.sliding(needle.length).count(_ == needle)
 }

@@ -77,9 +77,8 @@ class TopKPerKeyRuleSpec extends SparkSpec {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }).toString
-    def count(needle: String): Int = plan.sliding(needle.length).count(_ == needle)
-    assert(count("Exchange hashpartitioning") == 1, plan)
-    assert(count("Sort [") == 1, plan)
+    assert(planCount(plan, "Exchange hashpartitioning") == 1, plan)
+    assert(planCount(plan, "Sort [") == 1, plan)
   }
 
   test("mirrored k > rn form rewrites like rn < k") {

@@ -29,9 +29,6 @@ class PlanAuditSpec extends SparkSpec {
     }).toString
   }
 
-  private def count(plan: String, needle: String): Int =
-    plan.sliding(needle.length).count(_ == needle)
-
   test("q01: filters are pushed into the parquet scan and columns pruned") {
     val plan = finalPlan(q("q01_filter_project"))
     assert(plan.contains("PushedFilters: [Is"), plan.linesIterator.take(30).mkString("\n"))
@@ -42,13 +39,13 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q06: star join broadcasts every dim — no fact-side shuffle join") {
     val plan = finalPlan(q("q06_join_star"))
-    assert(count(plan, "BroadcastHashJoin") >= 3, plan.take(2000))
+    assert(planCount(plan, "BroadcastHashJoin") >= 3, plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
   test("q02: aggregation is two-phase (map-side partial + final)") {
     val plan = finalPlan(q("q02_agg_pricing"))
-    assert(count(plan, "HashAggregate") >= 2, plan.take(2000))
+    assert(planCount(plan, "HashAggregate") >= 2, plan.take(2000))
   }
 
   test("q15: top-k plans TakeOrderedAndProject, not a global sort") {
@@ -66,7 +63,7 @@ class PlanAuditSpec extends SparkSpec {
   test("q54/q66: splitter pipelines run on ONE explicit range exchange (no sampling re-execution)") {
     Seq("q54_structured_chunks", "q66_nested_chunks").foreach { name =>
       val plan = finalPlan(q(name))
-      assert(count(plan, "Exchange") == 1, s"$name:\n${plan.take(2000)}")
+      assert(planCount(plan, "Exchange") == 1, s"$name:\n${plan.take(2000)}")
       assert(plan.contains("Exchange rangepartitioning"), name)
     }
   }
@@ -77,12 +74,12 @@ class PlanAuditSpec extends SparkSpec {
       case n: graft.plans.GroupTopKNode => n
     }.nonEmpty, df.queryExecution.optimizedPlan.toString)
     val plan = finalPlan(df)
-    assert(count(plan, "GroupTopK") == 2, plan.take(2000)) // partial + final execs
+    assert(planCount(plan, "GroupTopK") == 2, plan.take(2000)) // partial + final execs
   }
 
   test("q67: stream-dedup replay keeps one key exchange and one (key, arrival) sort") {
     val plan = finalPlan(q("q67_stream_dedup"))
-    assert(count(plan, "Exchange hashpartitioning") == 1, plan.take(2000))
-    assert(count(plan, "Sort [") <= 2, plan.take(2000)) // replay sort + output sortWithinPartitions
+    assert(planCount(plan, "Exchange hashpartitioning") == 1, plan.take(2000))
+    assert(planCount(plan, "Sort [") <= 2, plan.take(2000)) // replay sort + output sortWithinPartitions
   }
 }

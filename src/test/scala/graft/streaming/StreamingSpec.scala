@@ -73,7 +73,6 @@ class StreamingSpec extends SparkSpec {
         case p => p
       }).toString
     }
-    def count(plan: String, needle: String): Int = plan.sliding(needle.length).count(_ == needle)
     // shuffled arrival; replay order is the numeric payload
     val rows = Seq(
       StatefulDedup.Keyed("k1", "3"), StatefulDedup.Keyed("k2", "2"),
@@ -89,13 +88,13 @@ class StreamingSpec extends SparkSpec {
     // partition-local sort satisfies the operator's key-only requirement,
     // which is what makes rows.take(1) = first arrival deterministic
     val plan = finalPlan(out)
-    assert(count(plan, "Sort [") == 1, plan)
-    assert(count(plan, "Exchange hashpartitioning") == 1, plan)
+    assert(planCount(plan, "Sort [") == 1, plan)
+    assert(planCount(plan, "Exchange hashpartitioning") == 1, plan)
     // counter-example: typed groupByKey synthesizes its own grouping column
     // (AppendColumns), forcing a second shuffle + key-only re-sort that
     // destroys within-group order — the reason dedupReplay groups by column
     val typedPlan = finalPlan(StatefulDedup.dedupStream(pre.as[StatefulDedup.Keyed], ttl = None))
-    assert(count(typedPlan, "Exchange hashpartitioning") == 2, typedPlan)
+    assert(planCount(typedPlan, "Exchange hashpartitioning") == 2, typedPlan)
   }
 
   test("sliding windows double-count each event across overlapping windows") {

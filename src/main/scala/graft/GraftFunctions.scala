@@ -28,6 +28,14 @@ object GraftFunctions {
       (text: String) => Kernels.shingleArr(text, 3))
     spark.udf.register("md5_hash60",
       (text: String) => Kernels.hash60(text))
+    // TLSH payload hash + distance (reference qdrant/step.py:259-283; null
+    // for sub-50-byte or low-variation input, like the library's TNULL)
+    spark.udf.register("tlsh_hash",
+      (text: String) => graft.functions.Tlsh.hashText(text).orNull)
+    spark.udf.register("tlsh_diff",
+      (a: String, b: String) =>
+        if (a == null || b == null) null
+        else Integer.valueOf(graft.functions.Tlsh.diff(a, b)))
     val splitter = new SemanticSplitter()
     spark.udf.register("semantic_split",
       (md: String) => splitter.splitMarkdown(md))

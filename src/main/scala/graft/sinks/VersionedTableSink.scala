@@ -167,3 +167,26 @@ final class VersionedTableSink(root: String, name: String, historyLen: Int = 10)
     staleCommitted
   }
 }
+
+/** Payload-hash enrichment (reference `QdrantConnectorStep
+  * .get_available_hashes`, qdrant/step.py:259-283: every upserted point's
+  * payload carries `text_sha256_hash` plus `text_tlsh_hash` when the TLSH
+  * lib is present, step.py:94-101; schema qdrant/data.py:14,22). Attach
+  * before `VersionedTableSink.write` to reproduce the reference payload.
+  * TLSH is nullable by contract — short/low-variation texts have no digest.
+  */
+object VersionedTableSink {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lower, sha2, udf}
+
+  private val tlshUdf = udf((text: String) => graft.functions.Tlsh.hashText(text).orNull)
+
+  /** The reference's available hashes as columns of `textCol`. */
+  def withPayloadHashes(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("text_sha256_hash", sha256Of(col(textCol)))
+      .withColumn("text_tlsh_hash", tlshUdf(col(textCol)))
+
+  /** sha256 hex of the column's UTF-8 bytes (step.py:282 hexdigest —
+    * lowercase). Built-in `sha2` keeps this codegen'd. */
+  def sha256Of(c: Column): Column = lower(sha2(c, 256))
+}

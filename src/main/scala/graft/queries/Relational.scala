@@ -271,6 +271,25 @@ object Relational {
         .orderBy(col("s_suppkey")),
       Some("""SELECT s_suppkey, s_name FROM supplier
         |WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem)
-        |ORDER BY s_suppkey""".stripMargin))
+        |ORDER BY s_suppkey""".stripMargin)),
+
+    // Two-phase salted aggregation (operators/Skew.scala): phase 1 fans a
+    // hot grouping key out over (key, salt) reducers, phase 2 merges the
+    // algebraic partials — value-identical to the direct groupBy the oracle
+    // runs, which is exactly what makes the skew escape hatch safe to
+    // enable. l_returnflag has 3 values over all of lineitem (maximal key
+    // skew at any scale); salts come from hashing the l_orderkey tiebreak.
+    QueryDef("q71_salted_agg",
+      (s, d) => graft.operators.Skew
+        .saltedSumCount(li(s, d), "l_returnflag", "l_extendedprice", "l_orderkey")
+        .select(
+          col("l_returnflag"),
+          col("sum_l_extendedprice").cast("double").as("sum_price"),
+          col("cnt"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -161,6 +161,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** TLSH near-dup pairs: the distributed similarity-comparison companion
+    * to the digest the reference stores per point ("can be used for
+    * similarity comparisons", qdrant/step.py:263-265 — the reference never
+    * operationalizes it; this is the Spark-scale realization).
+    *
+    * Candidate generation bands the 64-hex digest BODY (32 bytes of 2-bit
+    * bucket codes): a near-dup flips few buckets, so most of the `bands`
+    * substrings stay identical and the pair meets in a band equi-join on a
+    * short key. The header (length/quartile bytes) is excluded from band
+    * keys — near-dups of slightly different length would otherwise match in
+    * no band. Candidates are confirmed with the exact TLSH distance
+    * (paper's practical match threshold ~100). Docs with no digest (short/
+    * low-variation) never pair. Single shuffle on the band key; the
+    * 72-char digest is the only payload carried. */
+  def tlshPairs(df: DataFrame, idCol: String, textCol: String,
+                bands: Int = 8, maxDist: Int = 100,
+                capPerBand: Int = 256): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val tlshUdf = udf((t: String) => graft.functions.Tlsh.hashText(t).orNull)
+    val diffUdf = udf((x: String, y: String) => graft.functions.Tlsh.diff(x, y))
+    val digests = df
+      .select(col(idCol).as("id"), tlshUdf(col(textCol)).as("h"))
+      .filter(col("h").isNotNull)
+    // digest layout: "T1" + 6 header hex + 64 body hex -> body at pos 9
+    val banded = capBandFanout(
+      digests.select(col("id"), col("h"),
+        explode(array((0 until bands).map(bnd =>
+          concat_ws(":", lit(bnd), substring(col("h"), 9 + bnd * width, width))): _*))
+          .as("band")),
+      "band", "id", capPerBand)
+    val a = banded.select(col("id").as("id_a"), col("h").as("h_a"), col("band"))
+    val b = banded.select(col("id").as("id_b"), col("h").as("h_b"), col("band"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
+      .distinct() // dedup shared-band pairs BEFORE the exact distance runs
+      .select(col("id_a"), col("id_b"), diffUdf(col("h_a"), col("h_b")).as("tlsh_dist"))
+      .filter(col("tlsh_dist") <= maxDist)
+  }
+
   /** Embedding near-dup: pairs with quantized cosine >= threshold among
     * candidates sharing a random-hyperplane LSH bucket. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -87,6 +87,47 @@ class TlshSpec extends SparkSpec {
     assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
   }
 
+  test("tlshPairs: planted near-dups found, distinct topics stay unpaired, short docs never pair") {
+    import spark.implicits._
+    // 20 docs on clearly distinct topics + 3 planted near-dup partners
+    val topics = (0 until 20).map { i =>
+      val words = Seq("alpha", "ember", "quartz", "violet", "harbor", "meadow",
+        "cobalt", "saffron", "timber", "glacier")
+      val w = words(i % words.size)
+      // ~1 KB per doc: TLSH bucket statistics need a few hundred windows
+      // before a one-word edit stays local (the paper's 50-byte floor is a
+      // validity bound, not an accuracy one)
+      s"doc$i" -> (s"Chapter $i covers the $w protocol in exhaustive detail. " +
+        s"The $w subsystem negotiates ${i * 7} retries before the $w fallback " +
+        s"engages, and operators tune the $w window against observed latency " +
+        s"budgets across deployment region number $i with care and patience. " +
+        s"Rollouts of the $w stack proceed canary-first through ring $i, " +
+        s"holding ${i * 3} percent of traffic until the error budget for the " +
+        s"$w tier recovers; paging thresholds derive from the $w burn rate " +
+        s"over rolling windows, and the runbook for $w incidents names the " +
+        s"owning rotation for escalation path number $i explicitly. Capacity " +
+        s"planning for $w clusters projects quarter $i demand from the " +
+        s"trailing seasonality of $w checkpoints, provisioning headroom of " +
+        s"${i + 11} percent so that $w failover drills never breach the " +
+        s"latency objective recorded for service tier number $i last cycle.")
+    }
+    val nearDups = Seq(0, 7, 13).map { i =>
+      s"doc${i}_dup" -> topics(i)._2.replace("exhaustive", "extensive")
+    }
+    val short = Seq("tiny" -> "too short to hash")
+    val df = (topics ++ nearDups ++ short).toDF("id", "text")
+    val pairs = graft.operators.Dedup.tlshPairs(df, "id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    val pairKeys = pairs.map(p => Set(p._1, p._2)).toSet
+    Seq(0, 7, 13).foreach { i =>
+      assert(pairKeys.contains(Set(s"doc$i", s"doc${i}_dup")), s"planted pair $i missed")
+    }
+    assert(!pairs.exists(p => p._1 == "tiny" || p._2 == "tiny"))
+    pairs.foreach { case (a, b, d) =>
+      assert(d <= 100, s"pair ($a,$b) above threshold: $d")
+    }
+  }
+
   test("withPayloadHashes reproduces the reference payload: sha256 pins from tlsh_test.py") {
     // expected values are the reference test's own vectors
     // (tests/steps/qdrant/tlsh_test.py:20-24)

@@ -77,6 +77,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(planCount(plan, "GroupTopK") == 2, plan.take(2000)) // partial + final execs
   }
 
+  test("q71: salted agg is two shuffled phases, each with map-side partials") {
+    val plan = finalPlan(q("q71_salted_agg"))
+    // phase 1 shuffles on (key, salt), phase 2 on key alone; each phase is
+    // itself a partial+final HashAggregate pair -> 4 HashAggregates total
+    assert(plan.contains("Exchange hashpartitioning(l_returnflag#") &&
+      plan.contains("__salt"), plan.take(3000))
+    assert(planCount(plan, "HashAggregate") >= 4, plan.take(3000))
+  }
+
   test("q67: stream-dedup replay keeps one key exchange and one (key, arrival) sort") {
     val plan = finalPlan(q("q67_stream_dedup"))
     assert(planCount(plan, "Exchange hashpartitioning") == 1, plan.take(2000))

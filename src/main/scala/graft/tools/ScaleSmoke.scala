@@ -57,6 +57,10 @@ object ScaleSmoke {
       graft.operators.Dedup.simhashPairs(docs, "doc_id", "text")
         .queryExecution.toRdd.count()
     }
+    time("tlsh pairs (capped)") {
+      graft.operators.Dedup.tlshPairs(docs, "doc_id", "text")
+        .queryExecution.toRdd.count()
+    }
     // corpus docs are <= 100 words (under the split window); repeat to
     // ~400-800 tokens so the splitter actually assembles and cuts
     val longDocs = docs.select(

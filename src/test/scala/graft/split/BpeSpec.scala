@@ -38,6 +38,29 @@ class BpeSpec extends AnyFunSuite {
     assert(drift > 1.8 && drift < 1.9, s"measured drift ratio moved: $drift")
   }
 
+  test("cut-off boundaries vs the reference's cut_off_test pins (second drift datapoint)") {
+    // tests/splitter/cut_off_test.py:14-24 pins cl100k truncation of this
+    // sentence: 10 tokens -> 44 chars, 20 tokens -> 100 chars, 100 -> whole
+    // (118 chars, so cl100k counts it ~25 tokens). The trained table cuts
+    // finer — same prose, same ~1.8x drift as the markdown.json pin above;
+    // `truncate = exact prefix` (the semantics under test there) holds
+    // regardless of table.
+    val s = "This is a very long long text with many many words that produce " +
+      "a lengthy sentence that is the input for the splitter."
+    assert(s.length == 118)
+    Seq(10, 20, 100).foreach { n =>
+      val t = tk.truncate(s, n)
+      assert(s.startsWith(t), s"truncate($n) must be an exact prefix")
+      assert(tk.count(t) <= n)
+    }
+    // regression pins (update FIXTURES.md §1.5 if the table changes)
+    assert(tk.truncate(s, 10).length == 26) // reference cl100k: 44
+    assert(tk.truncate(s, 20).length == 46) // reference cl100k: 100
+    assert(tk.truncate(s, 100) == s)        // fits whole on both tables
+    val drift = tk.count(s).toDouble / 25   // ~25 cl100k tokens
+    assert(drift > 1.6 && drift < 2.0, s"plain-prose drift moved: $drift")
+  }
+
   test("decode(encode(s)) == s for fixture text, unicode, and edge cases") {
     val samples = Seq(
       fixture("many_rows_table"),

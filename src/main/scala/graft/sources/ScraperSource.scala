@@ -38,13 +38,22 @@ object ScraperSource {
       it.flatMap { item =>
         try {
           val html = retry.run(() => fetcher.fetch(item.url))
-          fetched.add(1)
-          Some(MarkdownDoc(
-            md = HtmlToMd.convert(html, item.url),
-            keywords = item.category.getOrElse(item.title),
-            url = item.url,
-            metadata = Map("title" -> item.title) ++
-              item.description.map("description" -> _).toMap))
+          val md = HtmlToMd.convert(html, item.url)
+          // whitespace-empty conversion output is a convert FAILURE, never
+          // an empty document (reference MarkdownConvertFailed,
+          // html2md.py:102-103) — contained per-URL like fetch failures
+          // rather than failing the job
+          if (md.replace(" ", "").replace("\n", "").isEmpty) {
+            skipped.add(1); None
+          } else {
+            fetched.add(1)
+            Some(MarkdownDoc(
+              md = md,
+              keywords = item.category.getOrElse(item.title),
+              url = item.url,
+              metadata = Map("title" -> item.title) ++
+                item.description.map("description" -> _).toMap))
+          }
         } catch {
           case _: Exception => skipped.add(1); None
         }

@@ -14,8 +14,10 @@ class MockFetcher extends ScraperSource.Fetcher {
   def fetch(url: String): String = {
     val ctr = MockWeb.failures.get(url)
     if (ctr != null && ctr.getAndDecrement() > 0) throw new RetryableFailure(s"503 $url")
-    s"""<html><body><h1>Page $url</h1><p>Body of <b>$url</b>.</p>
-       |<a href="/rel">rel</a><script>junk()</script></body></html>""".stripMargin
+    if (url.contains("empty")) "<a></a>" // converts to whitespace-only markdown
+    else
+      s"""<html><body><h1>Page $url</h1><p>Body of <b>$url</b>.</p>
+         |<a href="/rel">rel</a><script>junk()</script></body></html>""".stripMargin
   }
 }
 
@@ -97,9 +99,14 @@ class SourcesSpec extends SparkSpec {
     val urls = Seq(
       ScraperSource.UrlItem("https://a.io/one", "One", category = Some("cat1")),
       ScraperSource.UrlItem("https://a.io/flaky", "Flaky"),
-      ScraperSource.UrlItem("https://a.io/dead", "Dead")).toDS()
+      ScraperSource.UrlItem("https://a.io/dead", "Dead"),
+      // fetch succeeds but converts to whitespace-only markdown: a convert
+      // failure (reference MarkdownConvertFailed, html2md.py:102-103),
+      // never an empty document
+      ScraperSource.UrlItem("https://a.io/empty", "Empty")).toDS()
     val docs = ScraperSource.scrape(urls, new MockFetcher, noSleep).collect().sortBy(_.url)
-    assert(docs.length == 2) // dead skipped, step not failed
+    assert(docs.length == 2) // dead + empty skipped, step not failed
+    assert(!docs.exists(_.url.contains("empty")))
     val one = docs.find(_.url == "https://a.io/one").get
     assert(one.md.contains("# Page https://a.io/one"))
     assert(one.md.contains("**https://a.io/one**"))

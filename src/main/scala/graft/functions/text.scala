@@ -182,7 +182,19 @@ object text {
     when(frontMatterHeader(md) =!= "", regexp_extract(md, "(?s)^---\\n(.*?)\\n---\\n(.*)$", 2))
       .otherwise(md)
 
-  /** Scalar front-matter field lookup inside the header block. */
-  def frontMatterField(md: Column, field: String): Column =
-    regexp_extract(frontMatterHeader(md), "(?m)^" + field + ":\\s*(.*?)\\s*$", 1)
+  /** Scalar front-matter field lookup inside the header block. YAML-faithful
+    * on the reference's case table (tests/datacontract/md_test.py:11-36,
+    * from_file yaml.safe_load common.py:113-131): uniform leading-SPACE
+    * indentation still parses (YAML permits an indented top-level mapping),
+    * while a TAB in indentation makes the whole header invalid YAML — every
+    * field falls back, though the header block is still stripped from the
+    * body. Divergence note: this regex takes the first `field:` match at
+    * any space-indent, so a header nesting url/keywords under another
+    * mapping key would mis-extract where YAML would not — no reference
+    * test or corpus doc has that shape. */
+  def frontMatterField(md: Column, field: String): Column = {
+    val hdr = frontMatterHeader(md)
+    when(hdr.rlike("(?m)^[ ]*\\t"), lit(""))
+      .otherwise(regexp_extract(hdr, "(?m)^[ ]*" + field + ":\\s*(.*?)\\s*$", 1))
+  }
 }

@@ -30,7 +30,9 @@ object MarkdownSource {
 
   /** Columnar front-matter extraction over (path, raw) rows. */
   def parse(raw: DataFrame, stepName: String): DataFrame = {
-    val stem = regexp_extract(col("path"), "([^/]+)\\.md$", 1)
+    // keywords fallback = filename up to the FIRST dot (reference
+    // `path.name.split(".")[0]`, common.py:148: "file.de.md" -> "file")
+    val stem = regexp_extract(col("path"), "([^/.]+)[^/]*$", 1)
     val kw = frontMatterField(col("raw"), "keywords")
     val u = frontMatterField(col("raw"), "url")
     raw.select(

@@ -28,4 +28,38 @@ class MarkdownSourceSpec extends SparkSpec {
     assert(plain.md.startsWith("# No front matter"))
     assert(plain.metadata.contains("source_path"))
   }
+
+  test("front-matter case table (tests/datacontract/md_test.py:11-36)") {
+    // (md, expected url or "" for fallback, expected keywords or "" for
+    // filename-stem fallback) — the reference's parametrized from_file pins
+    val cases = Seq(
+      ("---\n\nurl: myurl\n---\nText", "myurl", ""),
+      ("---\n\n   url: myurl\n---\nText", "myurl", ""), // space indent parses
+      ("---\n\n\t url: myurl\n---\nText", "", ""),      // tab = invalid YAML, all metadata dropped
+      ("---\nurl: myurl\n---\nText", "myurl", ""),
+      ("---\n\nurl: myurl\n\nkeywords: bread\n---\nText", "myurl", "bread"),
+      ("---\n\nurl: myurl\n\nkeywords: bread,butter\n---\nText", "myurl", "bread,butter"),
+      ("---\n\n\nkeywords: bread,butter\n---\nText", "", "bread,butter"),
+      ("---\n\n\nkeywords: bread,butter\n\n---\nText\nurl:url_body", "", "bread,butter"),
+      ("---\n\n\nkeywords: bread,butter\nurl: url_header\n---\nText", "url_header", "bread,butter"))
+    cases.zipWithIndex.foreach { case ((md, wantUrl, wantKw), i) =>
+      val dir = tmpDir(s"fmcase$i")
+      Files.writeString(Paths.get(s"$dir/file.md"), md)
+      val doc = MarkdownSource.read(spark, dir).collect().head
+      if (wantUrl.nonEmpty) assert(doc.url == wantUrl, s"case $i url")
+      else assert(doc.url.startsWith("ManualMarkdown/") && doc.url.endsWith("file.md"), s"case $i url fallback")
+      assert(doc.keywords == (if (wantKw.nonEmpty) wantKw else "file"), s"case $i keywords")
+      // body: header stripped even when its YAML is invalid; a url: in the
+      // BODY stays in the body
+      if (md.contains("url:url_body")) assert(doc.md == "Text\nurl:url_body", s"case $i body")
+      else assert(doc.md == "Text", s"case $i body")
+    }
+  }
+
+  test("keywords fallback is the filename's first-dot stem (common.py:148)") {
+    val dir = tmpDir("stem")
+    Files.writeString(Paths.get(s"$dir/guide.de.md"), "no front matter body")
+    val doc = MarkdownSource.read(spark, dir).collect().head
+    assert(doc.keywords == "guide")
+  }
 }

@@ -24,6 +24,11 @@ object HtmlToMd {
   // lived inline (one compile per replaceAll per row).
   private val BlockStrip =
     Pattern.compile("(?is)<(script|style|svg|footer|nav|head)\\b[^>]*>.*?</\\1>")
+  // the reference's cleaner also drops the div#js-footer CONTAINER with its
+  // content (clean_tree, html2md.py). Non-greedy: nested divs inside it cut
+  // at the first </div> — within this converter's documented non-parser scope.
+  private val JsFooter  =
+    Pattern.compile("(?is)<div\\b[^>]*\\bid=[\"']js-footer[\"'][^>]*>.*?</div>")
   private val Comment   = Pattern.compile("(?is)<!--.*?-->")
   private val ImgAlt    = Pattern.compile("(?is)<img\\b[^>]*\\balt=[\"']([^\"']*)[\"'][^>]*>")
   private val ImgBare   = Pattern.compile("(?is)<img\\b[^>]*>")
@@ -47,7 +52,10 @@ object HtmlToMd {
   private val BaseTail  = Pattern.compile("(?<!/)/(?!/).*$")
 
   def absolutize(url: String, base: String): String =
-    if (AbsScheme.matcher(url).matches() || base.isEmpty) url
+    // empty and fragment-only hrefs stay untouched (reference
+    // normalize_urls leaves them: html2md_test.py fragment/empty cases)
+    if (url.isEmpty || url.startsWith("#") ||
+        AbsScheme.matcher(url).matches() || base.isEmpty) url
     else {
       val b = base.stripSuffix("/")
       if (url.startsWith("//")) "https:" + url
@@ -61,6 +69,7 @@ object HtmlToMd {
   def convert(html: String, baseUrl: String = ""): String = {
     var s = html
     s = rep(BlockStrip, s, "")
+    s = rep(JsFooter, s, "")
     s = rep(Comment, s, "")
     // images -> alt text (reference drops Image tokens, keeps alt; 107-134)
     s = rep(ImgAlt, s, "$1")

@@ -29,6 +29,16 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(HtmlToMd.absolutize("//cdn.a.b/x", "https://x.y") == "https://cdn.a.b/x")
     assert(HtmlToMd.absolutize("sub/page", "https://x.y/base") == "https://x.y/base/sub/page")
     assert(HtmlToMd.absolutize("mailto:a@b.c", "https://x.y") == "mailto:a@b.c")
+    // untouched specials (reference normalize_urls cases, html2md_test.py)
+    assert(HtmlToMd.absolutize("data:image/png;base64,abc123", "https://x.y") == "data:image/png;base64,abc123")
+    assert(HtmlToMd.absolutize("#fragment", "https://x.y") == "#fragment")
+    assert(HtmlToMd.absolutize("", "https://x.y") == "")
+  }
+
+  test("clean_tree parity: js-footer div removed with content (html2md_test.py)") {
+    val html = """<div><div id="js-footer">Should be removed</div><div>Should stay</div></div>"""
+    val md = HtmlToMd.convert(html)
+    assert(!md.contains("Should be removed") && md.contains("Should stay"))
   }
 
   test("winnowing: any shared >= n+w-1 word run yields a shared fingerprint") {

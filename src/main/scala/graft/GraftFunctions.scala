@@ -30,8 +30,7 @@ object GraftFunctions {
       (text: String) => Kernels.hash60(text))
     // TLSH payload hash + distance (reference qdrant/step.py:259-283; null
     // for sub-50-byte or low-variation input, like the library's TNULL)
-    spark.udf.register("tlsh_hash",
-      (text: String) => graft.functions.Tlsh.hashText(text).orNull)
+    spark.udf.register("tlsh_hash", graft.functions.Tlsh.hashUdf)
     spark.udf.register("tlsh_diff",
       (a: String, b: String) =>
         if (a == null || b == null) null

@@ -25,10 +25,28 @@ object HtmlToMd {
   private val BlockStrip =
     Pattern.compile("(?is)<(script|style|svg|footer|nav|head)\\b[^>]*>.*?</\\1>")
   // the reference's cleaner also drops the div#js-footer CONTAINER with its
-  // content (clean_tree, html2md.py). Non-greedy: nested divs inside it cut
-  // at the first </div> — within this converter's documented non-parser scope.
-  private val JsFooter  =
-    Pattern.compile("(?is)<div\\b[^>]*\\bid=[\"']js-footer[\"'][^>]*>.*?</div>")
+  // content (clean_tree, html2md.py) — depth-counted to the MATCHING close
+  // tag, since real footers nest divs
+  private val JsFooterOpen =
+    Pattern.compile("(?is)<div\\b[^>]*\\bid=[\"']js-footer[\"'][^>]*>")
+  private val DivTag = Pattern.compile("(?is)<(/?)div\\b[^>]*>")
+
+  private def stripJsFooter(html: String): String = {
+    var s = html
+    var m = JsFooterOpen.matcher(s)
+    while (m.find()) {
+      val t = DivTag.matcher(s).region(m.end(), s.length)
+      var depth = 1
+      var end = s.length
+      while (depth > 0 && t.find()) {
+        if (t.group(1).isEmpty) depth += 1 else depth -= 1
+        if (depth == 0) end = t.end()
+      }
+      s = s.substring(0, m.start()) + s.substring(end)
+      m = JsFooterOpen.matcher(s)
+    }
+    s
+  }
   private val Comment   = Pattern.compile("(?is)<!--.*?-->")
   private val ImgAlt    = Pattern.compile("(?is)<img\\b[^>]*\\balt=[\"']([^\"']*)[\"'][^>]*>")
   private val ImgBare   = Pattern.compile("(?is)<img\\b[^>]*>")
@@ -69,7 +87,7 @@ object HtmlToMd {
   def convert(html: String, baseUrl: String = ""): String = {
     var s = html
     s = rep(BlockStrip, s, "")
-    s = rep(JsFooter, s, "")
+    s = stripJsFooter(s)
     s = rep(Comment, s, "")
     // images -> alt text (reference drops Image tokens, keeps alt; 107-134)
     s = rep(ImgAlt, s, "$1")

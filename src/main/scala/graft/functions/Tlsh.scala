@@ -136,6 +136,12 @@ object Tlsh {
   def hashText(text: String): Option[String] =
     if (text == null) None else hashBytes(text.getBytes("UTF-8"))
 
+  /** The single null-wrapping hash UDF shared by every call site (SQL
+    * registration, Dedup.tlshPairs, sink payload enrichment) so a digest
+    * change can never diverge one surface from the others. */
+  lazy val hashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((t: String) => hashText(t).orNull)
+
   @inline private def modDiff(a: Int, aB: Int, ring: Int): Int = {
     val d = math.abs(a - aB)
     math.min(d, ring - d)

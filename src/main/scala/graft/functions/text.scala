@@ -194,7 +194,12 @@ object text {
     * test or corpus doc has that shape. */
   def frontMatterField(md: Column, field: String): Column = {
     val hdr = frontMatterHeader(md)
+    // post-colon whitespace is [ \t]* NOT \s*: \s crosses the newline, so an
+    // empty-valued field would capture the NEXT header line as its value.
+    // An empty value yields "" here and the caller's fallback engages (the
+    // reference gets YAML null and would fail its str contract — returning
+    // the fallback is this engine's containment of that shape).
     when(hdr.rlike("(?m)^[ ]*\\t"), lit(""))
-      .otherwise(regexp_extract(hdr, "(?m)^[ ]*" + field + ":\\s*(.*?)\\s*$", 1))
+      .otherwise(regexp_extract(hdr, "(?m)^[ ]*" + field + ":[ \\t]*(.*?)[ \\t]*$", 1))
   }
 }

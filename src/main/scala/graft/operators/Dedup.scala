@@ -180,10 +180,9 @@ object Dedup {
                 capPerBand: Int = 256): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     val width = 64 / bands
-    val tlshUdf = udf((t: String) => graft.functions.Tlsh.hashText(t).orNull)
     val diffUdf = udf((x: String, y: String) => graft.functions.Tlsh.diff(x, y))
     val digests = df
-      .select(col(idCol).as("id"), tlshUdf(col(textCol)).as("h"))
+      .select(col(idCol).as("id"), graft.functions.Tlsh.hashUdf(col(textCol)).as("h"))
       .filter(col("h").isNotNull)
     // digest layout: "T1" + 6 header hex + 64 body hex -> body at pos 9
     val banded = capBandFanout(

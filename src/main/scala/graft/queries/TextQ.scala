@@ -324,9 +324,9 @@ object TextQ {
         |  regexp_extract(md, '(?s)^---\n(.*?)\n---\n(.*)$', 1) AS hdr,
         |  regexp_extract(md, '(?s)^---\n(.*?)\n---\n(.*)$', 2) AS body FROM m)
         |SELECT doc_id,
-        |CASE WHEN regexp_matches(hdr, '(?m)^[ ]*\t') THEN '' ELSE regexp_extract(hdr, '(?m)^[ ]*keywords:\s*(.*?)\s*$', 1) END AS keywords,
-        |CASE WHEN regexp_matches(hdr, '(?m)^[ ]*\t') THEN '' ELSE regexp_extract(hdr, '(?m)^[ ]*url:\s*(.*?)\s*$', 1) END AS url,
-        |regexp_replace(regexp_extract(CASE WHEN regexp_matches(hdr, '(?m)^[ ]*\t') THEN '' ELSE regexp_extract(hdr, '(?m)^[ ]*url:\s*(.*?)\s*$', 1) END, '^https?://[^/]+/(.*)$', 1), '/+$', '') || '.md' AS filename,
+        |CASE WHEN regexp_matches(hdr, '(?m)^[ ]*\t') THEN '' ELSE regexp_extract(hdr, '(?m)^[ ]*keywords:[ \t]*(.*?)[ \t]*$', 1) END AS keywords,
+        |CASE WHEN regexp_matches(hdr, '(?m)^[ ]*\t') THEN '' ELSE regexp_extract(hdr, '(?m)^[ ]*url:[ \t]*(.*?)[ \t]*$', 1) END AS url,
+        |regexp_replace(regexp_extract(CASE WHEN regexp_matches(hdr, '(?m)^[ ]*\t') THEN '' ELSE regexp_extract(hdr, '(?m)^[ ]*url:[ \t]*(.*?)[ \t]*$', 1) END, '^https?://[^/]+/(.*)$', 1), '/+$', '') || '.md' AS filename,
         |regexp_extract(body, '(?m)^# (.*)$', 1) AS title,
         |CAST(length(body) AS BIGINT) AS body_len
         |FROM p ORDER BY doc_id""".stripMargin)),

@@ -177,14 +177,12 @@ final class VersionedTableSink(root: String, name: String, historyLen: Int = 10)
   */
 object VersionedTableSink {
   import org.apache.spark.sql.Column
-  import org.apache.spark.sql.functions.{col, lower, sha2, udf}
-
-  private val tlshUdf = udf((text: String) => graft.functions.Tlsh.hashText(text).orNull)
+  import org.apache.spark.sql.functions.{col, lower, sha2}
 
   /** The reference's available hashes as columns of `textCol`. */
   def withPayloadHashes(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("text_sha256_hash", sha256Of(col(textCol)))
-      .withColumn("text_tlsh_hash", tlshUdf(col(textCol)))
+      .withColumn("text_tlsh_hash", graft.functions.Tlsh.hashUdf(col(textCol)))
 
   /** sha256 hex of the column's UTF-8 bytes (step.py:282 hexdigest —
     * lowercase). Built-in `sha2` keeps this codegen'd. */

@@ -39,6 +39,13 @@ class TextFunctionsSpec extends AnyFunSuite {
     val html = """<div><div id="js-footer">Should be removed</div><div>Should stay</div></div>"""
     val md = HtmlToMd.convert(html)
     assert(!md.contains("Should be removed") && md.contains("Should stay"))
+    // nested divs inside the footer: removal is depth-counted to the
+    // MATCHING close, not the first </div>
+    val nested = """<p>Keep</p><div id="js-footer"><div class="row">links</div>
+      |Copyright Acme. <a href="/imprint">Imprint</a></div><p>Tail</p>""".stripMargin
+    val md2 = HtmlToMd.convert(nested)
+    assert(!md2.contains("Copyright") && !md2.contains("links") && !md2.contains("Imprint"))
+    assert(md2.contains("Keep") && md2.contains("Tail"))
   }
 
   test("winnowing: any shared >= n+w-1 word run yields a shared fingerprint") {

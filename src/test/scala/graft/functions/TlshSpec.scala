@@ -116,16 +116,18 @@ class TlshSpec extends SparkSpec {
     }
     val short = Seq("tiny" -> "too short to hash")
     val df = (topics ++ nearDups ++ short).toDF("id", "text")
-    val pairs = graft.operators.Dedup.tlshPairs(df, "id", "text")
+    // query with a LOOSER filter (200) than the bound asserted below (100),
+    // so the planted-pair distance claim is tested, not the operator's own
+    // threshold filter echoed back
+    val pairs = graft.operators.Dedup.tlshPairs(df, "id", "text", maxDist = 200)
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
     val pairKeys = pairs.map(p => Set(p._1, p._2)).toSet
     Seq(0, 7, 13).foreach { i =>
       assert(pairKeys.contains(Set(s"doc$i", s"doc${i}_dup")), s"planted pair $i missed")
+      val d = pairs.find(p => Set(p._1, p._2) == Set(s"doc$i", s"doc${i}_dup")).get._3
+      assert(d <= 100, s"planted one-word edit $i should score under the match threshold, got $d")
     }
     assert(!pairs.exists(p => p._1 == "tiny" || p._2 == "tiny"))
-    pairs.foreach { case (a, b, d) =>
-      assert(d <= 100, s"pair ($a,$b) above threshold: $d")
-    }
   }
 
   test("withPayloadHashes reproduces the reference payload: sha256 pins from tlsh_test.py") {

@@ -41,7 +41,10 @@ class MarkdownSourceSpec extends SparkSpec {
       ("---\n\nurl: myurl\n\nkeywords: bread,butter\n---\nText", "myurl", "bread,butter"),
       ("---\n\n\nkeywords: bread,butter\n---\nText", "", "bread,butter"),
       ("---\n\n\nkeywords: bread,butter\n\n---\nText\nurl:url_body", "", "bread,butter"),
-      ("---\n\n\nkeywords: bread,butter\nurl: url_header\n---\nText", "url_header", "bread,butter"))
+      ("---\n\n\nkeywords: bread,butter\nurl: url_header\n---\nText", "url_header", "bread,butter"),
+      // empty-valued field: the value regex must not cross the newline and
+      // swallow the next header line — url falls back, keywords still parse
+      ("---\nurl:\nkeywords: bread\n---\nText", "", "bread"))
     cases.zipWithIndex.foreach { case ((md, wantUrl, wantKw), i) =>
       val dir = tmpDir(s"fmcase$i")
       Files.writeString(Paths.get(s"$dir/file.md"), md)

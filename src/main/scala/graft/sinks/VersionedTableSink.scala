@@ -147,11 +147,17 @@ final class VersionedTableSink(root: String, name: String, historyLen: Int = 10)
     * crash debris older than the alias (version numbers only grow, so
     * pre-alias debris can never complete). The manifest is deleted before
     * its data dir so a kill mid-GC degrades a version to debris, never to
-    * a committed-but-partial table. */
-  def retire(): Seq[Int] = {
+    * a committed-but-partial table.
+    *
+    * `dryRun = true` reports what WOULD retire without deleting (reference
+    * retirement DRY_RUN setting — case "dry_run_retains_all"). Directories
+    * whose name doesn't match `<name>_v<int>` are untracked and never
+    * touched (reference retains malformed/foreign collection names). */
+  def retire(dryRun: Boolean = false): Seq[Int] = {
     val alias = aliasedVersion()
     val committed = versions()
     val staleCommitted = committed.dropRight(historyLen).filterNot(alias.contains)
+    if (dryRun) return staleCommitted
     val debris = allEntries().collect {
       case (v, _, false) if alias.exists(v < _) => v
     }.toSeq.sorted

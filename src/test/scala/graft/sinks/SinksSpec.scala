@@ -35,6 +35,28 @@ class SinksSpec extends SparkSpec {
     assert(sink.readCurrent(spark).as[(Int, String)].collect().toSeq == Seq((5, "v5")))
   }
 
+  test("retirement: dry-run reports without deleting; malformed/untracked names never touched (retirement cases)") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("vsink3b")
+    // build 4 committed versions with a wide history, then retire with a
+    // narrow one — so stale versions exist at retire() time
+    val writer = new VersionedTableSink(root, "kb", historyLen = 10)
+    (1 to 4).foreach(i => writer.write(Seq((i, s"v$i")).toDF("id", "t")))
+    // foreign + malformed version names alongside (reference retains
+    // "abc_dummy", "dummy_v", "dummy_v_abc", "dummy_vabc")
+    Seq("abc_kb", "kb_v", "kb_v_x", "kb_vabc").foreach(n =>
+      Files.createDirectories(Paths.get(root, n)))
+    val sink = new VersionedTableSink(root, "kb", historyLen = 2)
+    // dry run: v1, v2 stale (v3, v4 kept; v4 aliased) — reported, not deleted
+    assert(sink.retire(dryRun = true) == Seq(1, 2))
+    assert(sink.versions() == Seq(1, 2, 3, 4), "dry run must not delete")
+    // real retirement deletes exactly those, never the untracked names
+    assert(sink.retire() == Seq(1, 2))
+    assert(sink.versions() == Seq(3, 4))
+    Seq("abc_kb", "kb_v", "kb_v_x", "kb_vabc").foreach(n =>
+      assert(Files.exists(Paths.get(root, n)), s"untracked $n must survive retirement"))
+  }
+
   test("crash-safe: a mid-write kill leaves the old alias resolving; debris is GC'd after the next swap") {
     import org.apache.spark.sql.functions.{col, udf}
     import java.nio.file.{Files, Paths}

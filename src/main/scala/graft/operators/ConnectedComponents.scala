@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the missing half of
+  * the near-dup story: pair emitters (Dedup.minhashPairs / simhashPairs /
+  * embeddingPairs / tlshPairs) produce EDGES, and a training-data pipeline
+  * needs CLUSTERS with one canonical representative per cluster
+  * (north-star dedup resolution; the reference stops at per-field drop,
+  * wurzel/steps/duplication.py:21-51, so this is engine surface).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+  * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+  * and Beyond", SoCC '14). Each half-round is one window aggregate over the
+  * edge list partitioned by node id; the edge set provably shrinks toward
+  * a forest of stars centered at component minima in O(log^2 n) rounds on
+  * any graph — and in 1-2 rounds on the near-clique clusters duplicate
+  * detection actually produces. Labels are component MINIMA, so the output
+  * is deterministic and oracle-checkable (a transitive-closure recursive
+  * CTE computes the same labels).
+  *
+  * Scale notes (100 TB): per-iteration state is only the oriented distinct
+  * edge list, shuffled on node id — nothing is ever collected to the
+  * driver. Each iteration persists its edge set and unpersists the
+  * previous one; convergence is a single count+checksum aggregate (two
+  * longs to the driver per round). Lineage is cut with a localCheckpoint
+  * every few rounds so plan analysis stays O(1) per iteration instead of
+  * growing with the round count.
+  */
+object ConnectedComponents {
+
+  /** Component labels for every node appearing in `edges`.
+    *
+    * @param edges  DataFrame with two id columns (castable to long);
+    *               self-loops, duplicates and reversed duplicates are fine.
+    * @return       DataFrame(node LONG, component LONG) — one row per
+    *               distinct node; `component` is the minimum node id of the
+    *               node's connected component. Isolated ids that never
+    *               appear in `edges` are absent (callers left-join).
+    */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+          maxIter: Int = 25, checkpointInterval: Int = 5): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // Orient (u > v), drop self-loops and duplicates: the canonical edge
+    // form both star steps preserve.
+    var e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter($"a" =!= $"b" && $"a".isNotNull && $"b".isNotNull)
+      .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
+      .distinct()
+      .persist()
+
+    var prev: DataFrame = null
+    var prevSig = checksum(e)
+    var converged = prevSig._1 == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      var next = smallStar(largeStar(e))
+      if (iter % checkpointInterval == 0) next = next.localCheckpoint(true)
+      next.persist()
+      val sig = checksum(next)
+      if (prev != null) prev.unpersist()
+      prev = e
+      e = next
+      converged = sig == prevSig
+      prevSig = sig
+    }
+
+    // At the fixpoint the edge set is a forest of stars (member -> min);
+    // the min(component) re-group is belt-and-braces for a maxIter bailout
+    // on a pathological graph, where edges may not yet form proper stars.
+    val labels = e.select($"u".as("node"), $"v".as("component"))
+      .union(e.select($"v".as("node"), $"v".as("component")))
+      .groupBy($"node").agg(min($"component").as("component"))
+    if (prev != null) prev.unpersist()
+    labels
+  }
+
+  /** (count, xor-of-hashes) edge-set signature: order-independent,
+    * overflow-free under ANSI (xor, not sum), computed as one aggregate —
+    * the only values that ever reach the driver. */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val row = e.agg(
+      count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Large-star: every node links its LARGER neighbors to the minimum of
+    * its neighborhood (incl. itself). One shuffle: a min window over the
+    * symmetrized edges partitioned by node. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
+    val m = min(least($"v", $"u")).over(Window.partitionBy($"u"))
+    sym.withColumn("m", m)
+      .filter($"v" > $"u")
+      .select($"v".as("u"), $"m".as("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node links its smaller neighbors — and itself — to
+    * the minimum of its smaller neighborhood. Input and output stay in
+    * (u > v) canonical orientation. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val withM = e.withColumn("m", min($"v").over(Window.partitionBy($"u")))
+    val linkNeighbors = withM.select($"v".as("u"), $"m".as("v"))
+    val linkSelf = withM.select($"u", $"m".as("v"))
+    linkNeighbors.union(linkSelf)
+      .filter($"u" =!= $"v")
+      .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      .distinct()
+  }
+}

@@ -222,4 +222,30 @@ object Dedup {
       .distinct()
       .filter(col("cosine") >= threshold)
   }
+
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS with a canonical
+    * representative per cluster — the decision layer a training-data
+    * pipeline needs on top of any pair emitter above: near-duplication is
+    * not transitive, so without component resolution a chain A~B~C either
+    * drops both B and C (over-deletion) or neither (pair-local dedup).
+    *
+    * Clusters are connected components of the pair graph
+    * ([[ConnectedComponents]], alternating star rounds); the
+    * representative is the minimum id, which doubles as the cluster id.
+    *
+    * @return one row per doc: (idCol, cluster_id LONG, is_duplicate BOOL);
+    *         docs in no pair form their own singleton cluster. The
+    *         components frame is pair-graph-sized (usually a small fraction
+    *         of the corpus), so the join back to `docs` broadcasts under
+    *         AQE at typical dup rates. */
+  def resolveClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+                      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val comp = ConnectedComponents.run(pairs, idA, idB)
+      .withColumnRenamed("node", idCol)
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+      .withColumn("is_duplicate", col("cluster_id") =!= col(idCol))
+  }
 }

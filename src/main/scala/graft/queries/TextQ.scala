@@ -34,6 +34,31 @@ object TextQ {
   // DuckDB snippets reused across oracles.
   private val W = "string_split_regex(text, '\\s+')"
 
+  /** CTE chain modeling `Dedup.minhashPairs(k=12, r=4, capPerBand=256)`
+    * exactly (3-gram shingles, md5-derived hash family, default-on
+    * degenerate-band sub-bucketing) — shared by q33 (the pair set) and
+    * q72 (cluster resolution over the same pair set) so the two oracles
+    * can never drift apart. */
+  private val minhashPairCtes: String =
+    s"""tk AS (SELECT doc_id, $W AS w FROM documents),
+       |sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+       |  ELSE list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS s FROM tk),
+       |mh AS (SELECT doc_id, s, list_transform(range(0, 12), j ->
+       |  coalesce(list_min(list_transform(list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 7)) AS BIGINT)),
+       |    h -> ((31*j + 97) * h + 907*j + 13) % 1000000007)), 9223372036854775807)) AS m
+       |  FROM sh),
+       |bd AS (SELECT doc_id, s, unnest(list_transform(range(0, 3), b ->
+       |  CAST(b AS VARCHAR) || ':' || CAST(m[4*b+1] AS VARCHAR) || ':' || CAST(m[4*b+2] AS VARCHAR) || ':' || CAST(m[4*b+3] AS VARCHAR) || ':' || CAST(m[4*b+4] AS VARCHAR))) AS band FROM mh),
+       |bc AS (SELECT doc_id, s, band, count(*) OVER (PARTITION BY band) AS n FROM bd),
+       |capped AS (SELECT doc_id, s,
+       |  CASE WHEN n > 256 THEN band || '#' || CAST(
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#band'), 1, 15)) AS BIGINT)
+       |    % CAST(ceil(n / 256.0) AS BIGINT) AS VARCHAR)
+       |  ELSE band END AS band FROM bc),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q23_dedup_exact",
@@ -215,24 +240,7 @@ object TextQ {
       // by DedupSpec's oracle-model parity test on planted skew.
       (s, d) => Dedup.minhashPairs(docs(s, d), "doc_id", "text", 12, 4, 0.6)
         .orderBy(col("id_a"), col("id_b")),
-      Some(s"""WITH tk AS (SELECT doc_id, $W AS w FROM documents),
-        |sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
-        |  ELSE list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS s FROM tk),
-        |mh AS (SELECT doc_id, s, list_transform(range(0, 12), j ->
-        |  coalesce(list_min(list_transform(list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 7)) AS BIGINT)),
-        |    h -> ((31*j + 97) * h + 907*j + 13) % 1000000007)), 9223372036854775807)) AS m
-        |  FROM sh),
-        |bd AS (SELECT doc_id, s, unnest(list_transform(range(0, 3), b ->
-        |  CAST(b AS VARCHAR) || ':' || CAST(m[4*b+1] AS VARCHAR) || ':' || CAST(m[4*b+2] AS VARCHAR) || ':' || CAST(m[4*b+3] AS VARCHAR) || ':' || CAST(m[4*b+4] AS VARCHAR))) AS band FROM mh),
-        |bc AS (SELECT doc_id, s, band, count(*) OVER (PARTITION BY band) AS n FROM bd),
-        |capped AS (SELECT doc_id, s,
-        |  CASE WHEN n > 256 THEN band || '#' || CAST(
-        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#band'), 1, 15)) AS BIGINT)
-        |    % CAST(ceil(n / 256.0) AS BIGINT) AS VARCHAR)
-        |  ELSE band END AS band FROM bc),
-        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
-        |  FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id)
+      Some(s"""WITH $minhashPairCtes
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef("q34_simhash_near_dups",
@@ -1046,6 +1054,27 @@ object TextQ {
         |  min(CASE WHEN j = 11 THEN mn END) AS u11,
         |  CAST(SUM(mn) AS BIGINT) AS usum
         |  FROM flat GROUP BY source)
-        |SELECT source, u0, u6, u11, usum FROM u ORDER BY source""".stripMargin))
+        |SELECT source, u0, u6, u11, usum FROM u ORDER BY source""".stripMargin)),
+
+    QueryDef("q72_dup_clusters",
+      // Near-dup RESOLUTION: the q33 pair set -> connected components
+      // (alternating large-star/small-star rounds) -> min-id canonical per
+      // cluster. The oracle rebuilds the identical pair set (shared CTE
+      // chain) and labels components with a transitive-closure recursive
+      // CTE — tractable at oracle scale, while the Spark side runs the
+      // O(log n)-round distributed algorithm a 100 TB pair graph needs.
+      (s, d) => Dedup.resolveClusters(docs(s, d), "doc_id",
+          Dedup.minhashPairs(docs(s, d), "doc_id", "text", 12, 4, 0.6))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+        |filt AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.6),
+        |ed AS (SELECT id_a AS u, id_b AS v FROM filt UNION SELECT id_b, id_a FROM filt),
+        |reach AS (SELECT u, v FROM ed
+        |  UNION SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u WHERE e.v <> r.u),
+        |lbl AS (SELECT u AS doc_id, least(min(v), u) AS cluster_id FROM reach GROUP BY u)
+        |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+        |  coalesce(l.cluster_id, d.doc_id) <> d.doc_id AS is_duplicate
+        |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+        |ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -231,4 +231,46 @@ object Kernels {
   /** Deterministic pseudo-random rank of a key (for partition-order-free
     * sampling, e.g. k-means seed selection). */
   def md5RankUdf: UserDefinedFunction = udf((s: String) => hash60(s + "#rank"))
+
+  /** Gopher-style repetition statistics over whitespace tokens (Rae et al.
+    * 2021, "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", appendix A MassiveText quality filters): the most
+    * frequent word `n`-gram with its occurrence count (ties break to the
+    * lexicographically smallest gram, so the value is deterministic and
+    * oracle-checkable), plus the characters covered by duplicate `m`-grams
+    * (count x gram length summed over grams occurring more than once).
+    * All-integer outputs — the fraction divisions happen once, identically,
+    * on the Spark side and in the DuckDB oracle. One token pass, two hash
+    * maps; no hashing of content, so no digest scheme to keep in sync. */
+  def repStats(text: String, n: Int, m: Int): (String, Long, Long) = {
+    val toks = tokenize(text)
+    def gramCounts(g: Int): java.util.HashMap[String, Long] = {
+      val counts = new java.util.HashMap[String, Long]()
+      var i = 0
+      while (i + g <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < g) { sb.append(' ').append(toks(i + j)); j += 1 }
+        counts.merge(sb.toString, 1L, (a, b) => a + b)
+        i += 1
+      }
+      counts
+    }
+    var topGram = ""
+    var topCnt = 0L
+    gramCounts(n).forEach { (gram, cnt) =>
+      if (cnt > topCnt || (cnt == topCnt && (topCnt == 0L || gram < topGram))) {
+        topGram = gram; topCnt = cnt
+      }
+    }
+    var dupChars = 0L
+    gramCounts(m).forEach { (gram, cnt) =>
+      // codepoint count, not UTF-16 units — exact parity with DuckDB len()
+      if (cnt > 1) dupChars += cnt * gram.codePointCount(0, gram.length)
+    }
+    (topGram, topCnt, dupChars)
+  }
+
+  def repStatsUdf(n: Int, m: Int): UserDefinedFunction =
+    udf((text: String) => repStats(text, n, m))
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.text.hash60
+
+/** Deterministic sampling for training-data pipelines (north-star surface;
+  * the reference has no sampling step — its corpora fit one machine).
+  *
+  * Both samplers are pure functions of row content, not of partitioning,
+  * executor count, or row order: re-running the pipeline, rescaling the
+  * cluster, or adding unrelated rows never flips a row's keep/drop
+  * decision (`rand()`/`TABLESAMPLE` give none of these guarantees). The
+  * hash is the engine's md5/hash60 scheme, so a DuckDB oracle reproduces
+  * the exact selection.
+  *
+  * Scale notes (100 TB): [[byHash]] is a map-side filter — no shuffle, no
+  * state, pushdown-friendly. [[perGroup]] is one shuffle on the group key
+  * into bounded per-group heaps (GroupTopKExec) — never a full sort, never
+  * a per-group collect.
+  */
+object Sampling {
+
+  /** The keep/drop decision column: true iff the row is in the sample.
+    * `basisPoints` of 10000 = keep everything; 250 = 2.5 %. Buckets are
+    * `hash60(id || '#' || seed) % 10000`, so samples at different rates
+    * NEST: every row kept at 250 bp is also kept at 500 bp. */
+  def keepCol(id: Column, basisPoints: Int, seed: String): Column =
+    pmod(hash60(id.cast("string"), seed), lit(10000L)) < basisPoints
+
+  /** Deterministic Bernoulli-by-hash sample: keeps ~basisPoints/10000 of
+    * rows, exactly reproducibly. */
+  def byHash(df: DataFrame, idCol: String, basisPoints: Int,
+             seed: String = "sample"): DataFrame = {
+    require(basisPoints >= 0 && basisPoints <= 10000,
+      s"basisPoints must be in [0, 10000], got $basisPoints")
+    df.filter(keepCol(col(idCol), basisPoints, seed))
+  }
+
+  /** Exact deterministic k-per-group sample (stratified): the k rows with
+    * the smallest hash rank within each group — a uniform-without-
+    * replacement draw per stratum, stable across runs. Rides the
+    * GroupTopKExec bounded-heap operator: one shuffle on the group key,
+    * heap memory O(k) per group, no sort of the group's full contents. */
+  def perGroup(df: DataFrame, groupCol: String, idCol: String, k: Int,
+               seed: String = "sample"): DataFrame =
+    graft.plans.GroupTopK.topK(
+      df.withColumn("__rank", hash60(col(idCol).cast("string"), seed)),
+      Seq(groupCol), Seq(col("__rank").asc, col(idCol).asc), k)
+      .drop("__rank")
+}

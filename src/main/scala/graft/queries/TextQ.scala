@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.text._
-import graft.operators.{Chunker, Dedup}
+import graft.operators.{Chunker, Dedup, Sampling}
 import QueryDef._
 
 /** Document/text operators over the `documents` table (SURVEY.md §2.8, §2.9,
@@ -1075,6 +1075,75 @@ object TextQ {
         |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
         |  coalesce(l.cluster_id, d.doc_id) <> d.doc_id AS is_duplicate
         |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
-        |ORDER BY d.doc_id""".stripMargin))
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    QueryDef("q73_repetition",
+      // Gopher/MassiveText repetition filters (Rae et al. 2021, appendix A)
+      // — the quality gate between dedup and training: duplicate-word
+      // fraction, most-frequent-2-gram character fraction, duplicate-5-gram
+      // character fraction. All per-row map-side arithmetic (one UDF token
+      // pass + array built-ins), zero shuffles before the final sort; the
+      // fractions divide the same exact integers on both engines.
+      (s, d) => {
+        import graft.functions.Kernels
+        val t = tokens(col("text"))
+        docs(s, d)
+          .withColumn("__t", t)
+          .withColumn("__rs", Kernels.repStatsUdf(2, 5)(col("text")))
+          .select(
+            col("doc_id"),
+            big(size(col("__t"))).as("n_words"),
+            big(size(array_distinct(col("__t")))).as("n_distinct_words"),
+            (lit(1.0) - size(array_distinct(col("__t"))).cast("double")
+              / size(col("__t")).cast("double")).as("dup_word_frac"),
+            col("__rs._1").as("top_2gram"),
+            ((col("__rs._2") * length(col("__rs._1"))).cast("double")
+              / length(col("text")).cast("double")).as("top2_char_frac"),
+            least(lit(1.0), col("__rs._3").cast("double")
+              / length(col("text")).cast("double")).as("dup5_char_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, text, $W AS w FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram FROM tk),
+        |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+        |top2 AS (SELECT doc_id, gram, cnt FROM (SELECT doc_id, gram, cnt,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn FROM c2) WHERE rn = 1),
+        |g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3), i ->
+        |  w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS gram FROM tk),
+        |c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY doc_id, gram),
+        |d5 AS (SELECT doc_id, CAST(coalesce(SUM(CASE WHEN cnt > 1 THEN cnt * len(gram) END), 0) AS BIGINT) AS dup_chars FROM c5 GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+        |  1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dup_word_frac,
+        |  top2.gram AS top_2gram,
+        |  CAST(top2.cnt * len(top2.gram) AS DOUBLE) / CAST(len(t.text) AS DOUBLE) AS top2_char_frac,
+        |  least(1.0, CAST(coalesce(d5.dup_chars, 0) AS DOUBLE) / CAST(len(t.text) AS DOUBLE)) AS dup5_char_frac
+        |FROM tk t JOIN top2 ON t.doc_id = top2.doc_id LEFT JOIN d5 ON t.doc_id = d5.doc_id
+        |ORDER BY t.doc_id""".stripMargin)),
+
+    QueryDef("q74_sample_hash",
+      // Deterministic Bernoulli-by-hash sampling (Sampling.byHash): a pure
+      // map-side filter on hash60(doc_id) % 10000 — selection is a function
+      // of row identity alone, so reruns/rescales/appends never flip a
+      // decision, unlike rand()/TABLESAMPLE. 20% rate here.
+      (s, d) => Sampling.byHash(docs(s, d), "doc_id", 2000)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 1, 15)) AS BIGINT) % 10000 < 2000
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q75_sample_stratified",
+      // Exact k-per-stratum sampling (Sampling.perGroup): the 20 smallest
+      // hash ranks per lang via the GroupTopKExec bounded-heap operator —
+      // one shuffle on the stratum key, O(k) heap per group, no full sort.
+      (s, d) => Sampling.perGroup(docs(s, d), "lang", "doc_id", 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id")),
+      Some("""WITH r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 1, 15)) AS BIGINT), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin))
   )
 }

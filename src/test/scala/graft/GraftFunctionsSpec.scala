@@ -77,6 +77,22 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(tokens.toSeq == (1 to 700).map(i => s"w$i"))
   }
 
+  test("repStats: top-gram tie breaks lexicographically; dup-gram chars are exact") {
+    import graft.functions.Kernels
+    // "b c" and "a b" both occur twice -> lexicographic tie-break picks "a b"
+    val (g, c, _) = Kernels.repStats("a b c a b c", 2, 5)
+    assert((g, c) == ("a b", 2L))
+    // one duplicated 5-gram "x x x x x": 6 tokens give positions 1-2, both
+    // the same gram (9 chars) occurring twice -> 18 duplicate chars
+    val (_, _, d) = Kernels.repStats("x x x x x x", 2, 5)
+    assert(d == 18L)
+    // no repetition: zero duplicate chars, every 2-gram count 1
+    val (_, c1, d0) = Kernels.repStats("one two three four five six", 2, 5)
+    assert(c1 == 1L && d0 == 0L)
+    // fewer tokens than the gram width: empty top gram, zero everywhere
+    assert(Kernels.repStats("solo", 2, 5) == ("", 0L, 0L))
+  }
+
   test("SQL surface: minhash_union12 UDAF aggregates elementwise minima per group") {
     GraftFunctions.register(spark)
     Seq(("g1", Seq(5L, 9L)), ("g1", Seq(3L, 20L)), ("g2", Seq(7L, 1L)))

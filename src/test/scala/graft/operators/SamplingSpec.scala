@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows = (1L to 2000L).map(i => (i, s"g${i % 5}")).toDF("id", "grp")
+
+  test("byHash is deterministic and close to the nominal rate") {
+    val a = Sampling.byHash(rows, "id", 1000).select("id").as[Long].collect().toSet
+    val b = Sampling.byHash(rows, "id", 1000).select("id").as[Long].collect().toSet
+    assert(a == b)
+    // 10% of 2000 with md5 uniformity: comfortably inside [5%, 15%]
+    assert(a.size > 100 && a.size < 300, s"got ${a.size}")
+  }
+
+  test("byHash samples NEST across rates (monotone in basisPoints)") {
+    val small = Sampling.byHash(rows, "id", 500).select("id").as[Long].collect().toSet
+    val large = Sampling.byHash(rows, "id", 2000).select("id").as[Long].collect().toSet
+    assert(small.subsetOf(large))
+  }
+
+  test("byHash selection is content-addressed: unrelated rows don't flip decisions") {
+    val a = Sampling.byHash(rows, "id", 1000).select("id").as[Long].collect().toSet
+    val withExtra = rows.union(Seq((99999L, "gx")).toDF("id", "grp"))
+    val b = Sampling.byHash(withExtra, "id", 1000)
+      .filter($"id" <= 2000).select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("byHash rate bounds are enforced") {
+    intercept[IllegalArgumentException](Sampling.byHash(rows, "id", 10001))
+    assert(Sampling.byHash(rows, "id", 0).count() == 0)
+    assert(Sampling.byHash(rows, "id", 10000).count() == 2000)
+  }
+
+  test("perGroup draws exactly k per stratum, deterministically") {
+    val s1 = Sampling.perGroup(rows, "grp", "id", 7)
+    val counts = s1.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts.values.toSet == Set(7L) && counts.size == 5)
+    val s2 = Sampling.perGroup(rows, "grp", "id", 7)
+    assert(s1.orderBy("grp", "id").collect().toSeq ==
+      s2.orderBy("grp", "id").collect().toSeq)
+    // helper rank column does not leak into the output
+    assert(s1.columns.toSeq == Seq("id", "grp"))
+  }
+
+  test("perGroup with k >= group size returns the whole group") {
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp")
+    assert(Sampling.perGroup(tiny, "grp", "id", 10).count() == 3)
+  }
+
+  test("perGroup plan uses the bounded-heap operator, not a window sort") {
+    val plan = Sampling.perGroup(rows, "grp", "id", 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK"), plan.take(800))
+    assert(!plan.contains("Window"), "must not fall back to a window sort")
+  }
+}

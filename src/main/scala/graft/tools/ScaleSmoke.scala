@@ -107,6 +107,24 @@ object ScaleSmoke {
         .queryExecution.toRdd.count()
     }
     scored.unpersist()
+    // connected components on an adversarial pair graph: mult chained
+    // 5k-clique-ish bands would be easy — a long path plus many medium
+    // cliques forces several alternating-star rounds, the worst realistic
+    // shape for dup-cluster resolution
+    val pathEdges = spark.range(100000L).toDF("src")
+      .select(col("src"), (col("src") + 1).as("dst"))
+    val cliqueEdges = spark.range(20000L).toDF("i")
+      .select((col("i") % 2000 + 200000).as("c"), col("i"))
+      .select((col("c") * 40 + pmod(hash(col("i")), lit(40))).as("src"),
+        (col("c") * 40 + pmod(hash(col("i") * 13), lit(40))).as("dst"))
+    val ccEdges = pathEdges.union(cliqueEdges).persist()
+    val nEdges = ccEdges.count()
+    time(s"connected components") {
+      graft.operators.ConnectedComponents.run(ccEdges, "src", "dst")
+        .queryExecution.toRdd.count()
+    }
+    println(s"  (edge set: $nEdges edges incl. a 100k-node path)")
+    ccEdges.unpersist()
     time("embed (mock, batched)") {
       val chunks = docs.select(col("text")).as[String]
         .map(t => graft.contracts.Chunk(t, "", "", Map.empty))

@@ -129,6 +129,24 @@ object text {
     * wurzel/steps/embedding/step.py:36, 214-233). */
   def maskUrls(c: Column): Column = regexp_replace(c, "https?://[^\\s]+", "LINK")
 
+  /** PII redaction for training corpora (north-star surface extending the
+    * reference's URL masking): emails, IPv4 addresses, then international
+    * phone numbers are replaced with typed placeholder tokens, in that
+    * order — the phone pattern requires a leading `+` so it can never eat
+    * an IPv4 remnant. Patterns stay inside the RE2 subset (no lookaround,
+    * no backrefs) so the DuckDB oracle applies the byte-identical regexes;
+    * everything is codegen'd `regexp_replace`, zero UDFs. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,3}[ -]?\\d{2,4}[ -]?\\d{3,8}"
+
+  def maskPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Stopword-filtered token array (reference stopword filter,
     * wurzel/steps/embedding/step.py:71-76, 168-181). Keeps duplicates. */
   def removeStopwords(toks: Column, stopwords: Seq[String]): Column =

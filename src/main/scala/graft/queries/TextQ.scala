@@ -1144,6 +1144,60 @@ object TextQ {
         |  row_number() OVER (PARTITION BY lang ORDER BY
         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 1, 15)) AS BIGINT), doc_id) AS rn
         |  FROM documents)
-        |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin))
+        |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin)),
+
+    QueryDef("q76_decontaminate",
+      // Benchmark decontamination (Decontaminate.flag): every corpus doc
+      // sharing >= 1 distinct word 8-gram with the "benchmark" slice
+      // (doc_id % 53 = 0 stands in for an eval suite) is flagged. The
+      // benchmark gram set is hashed, deduped, and broadcast, so the corpus
+      // side joins map-side and only contaminated grams reach the count
+      // shuffle. The oracle joins on the gram STRINGS — identical modulo
+      // 2^-60 hash-collision odds, same documented bound as the LSH bands.
+      (s, d) => {
+        val corpus = docs(s, d)
+        val bench = corpus.filter(col("doc_id") % 53 === 0)
+        graft.operators.Decontaminate.flag(corpus, bench, "doc_id", "text", n = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $W AS w FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(w) < 8 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(range(1, len(w) - 6), i ->
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) END AS s FROM tk),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 53 = 0),
+        |cg AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |ov AS (SELECT cg.doc_id, count(*) AS overlap_grams FROM cg JOIN bench USING (g) GROUP BY cg.doc_id)
+        |SELECT sh.doc_id, CAST(len(sh.s) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(ov.overlap_grams, 0) AS BIGINT) AS overlap_grams,
+        |  coalesce(ov.overlap_grams, 0) >= 1 AS contaminated
+        |FROM sh LEFT JOIN ov ON sh.doc_id = ov.doc_id
+        |ORDER BY sh.doc_id""".stripMargin)),
+
+    QueryDef("q77_pii_mask",
+      // PII redaction (text.maskPii): email -> IPv4 -> phone regex chain,
+      // all codegen'd regexp_replace in the RE2-compatible subset so DuckDB
+      // applies the byte-identical patterns. The synthesized planted PII is
+      // unambiguous by construction (phone digits lpad'd to 5) so both
+      // engines' leftmost-match semantics agree trivially.
+      (s, d) => {
+        val synth = concat(
+          lit("reach "), col("source"), lit("."), col("doc_id"),
+          lit("@corp.example.com or +49-170-"),
+          lpad(col("doc_id").cast("string"), 5, "0"),
+          lit(" node 10.0."), pmod(col("doc_id"), lit(256)), lit(".17 "),
+          substring(col("text"), 1, 40))
+        docs(s, d)
+          .select(col("doc_id"), maskPii(synth).as("masked"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |regexp_replace(regexp_replace(regexp_replace(
+        |  'reach ' || source || '.' || CAST(doc_id AS VARCHAR) || '@corp.example.com or +49-170-'
+        |    || lpad(CAST(doc_id AS VARCHAR), 5, '0') || ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17 '
+        |    || substr(text, 1, 40),
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |  '\+\d{1,3}[ -]?\d{2,4}[ -]?\d{3,8}', '<PHONE>', 'g') AS masked
+        |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -102,4 +102,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(rows(0).getSeq[Long](1).take(2) == Seq(3L, 9L))
     assert(rows(1).getSeq[Long](1).take(2) == Seq(7L, 1L))
   }
+
+  test("maskPii: email -> IPv4 -> phone, typed placeholders, URLs untouched") {
+    import graft.functions.text
+    def mask(s: String): String = Seq(s).toDF("t")
+      .select(text.maskPii($"t").as("m")).head().getString(0)
+    assert(mask("mail a.b+c@sub.example.org now") == "mail <EMAIL> now")
+    assert(mask("host 192.168.0.1 up") == "host <IP> up")
+    assert(mask("call +49-170-12345 or +1 800 5551234") == "call <PHONE> or <PHONE>")
+    // an IPv4 is masked before the phone pass can see its digits
+    assert(mask("10.0.3.17") == "<IP>")
+    // version strings that aren't 4 dotted octets survive
+    assert(mask("v1.2.3 released") == "v1.2.3 released")
+    // plain URLs are left for maskUrls — separate concern
+    assert(mask("see https://x.io/a") == "see https://x.io/a")
+    assert(mask("both bob@x.io at 10.1.1.1 via +49 30 123456") ==
+      "both <EMAIL> at <IP> via <PHONE>")
+  }
 }

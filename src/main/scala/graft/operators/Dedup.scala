@@ -248,4 +248,46 @@ object Dedup {
         coalesce(col("component"), col(idCol)).as("cluster_id"))
       .withColumn("is_duplicate", col("cluster_id") =!= col(idCol))
   }
+
+  /** Line-level boilerplate removal (north-star; the MassiveText "remove
+    * documents' repeated lines" / CCNet paragraph-dedup family — a
+    * different axis than doc-level dedup: a line appearing verbatim in
+    * more than `maxDocs` DISTINCT documents (footers, cookie banners, nav
+    * text) is stripped from every document; everything else keeps its
+    * original position and order.
+    *
+    * Scale shape (100 TB): lines explode map-side; the hot-line census is
+    * two shuffles on the 8-byte line hash (distinct (hash, id), then a
+    * count) — never on line text; the strip is a left_anti join on the
+    * same hash (the hot set is small — boilerplate by definition — so AQE
+    * turns it into a broadcast join); the rebuild is one shuffle on the
+    * doc id with an array_sort regroup, no window. Docs whose every line
+    * was hot survive with empty text (left join back to the id spine), so
+    * row accounting downstream stays exact. Distinct gram strings
+    * colliding in 60 bits could over-strip at ~2^-60 per pair — the same
+    * documented odds as the LSH band keys. */
+  def stripHotLines(df: DataFrame, idCol: String, textCol: String,
+                    maxDocs: Int): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val others = df.columns.filterNot(c => c == idCol || c == textCol)
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", hash60(col("line"), "line"))
+    // empty lines (paragraph separators) are structural, not boilerplate —
+    // they'd be hot in any corpus and stripping them would collapse layout
+    val hot = lines.filter(col("line") =!= "")
+      .select(col("lh"), col(idCol)).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select(col("lh"))
+    val rebuilt = lines.join(hot, Seq("lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("__ls"))
+      .select(col(idCol),
+        concat_ws("\n", transform(col("__ls"), x => x.getField("line"))).as(textCol))
+    df.select(col(idCol) +: others.map(col): _*)
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -1198,6 +1198,46 @@ object TextQ {
         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |  '\+\d{1,3}[ -]?\d{2,4}[ -]?\d{3,8}', '<PHONE>', 'g') AS masked
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q78_line_dedup",
+      // Line-level boilerplate strip (Dedup.stripHotLines): lines verbatim
+      // in > 40 distinct docs vanish from every doc, position order kept.
+      // The synthesized corpus plants a global footer (500 docs), a
+      // per-source nav line (~100 docs each), and a per-doc unique line;
+      // with maxDocs=40 the first two strip and the unique lines plus the
+      // body text survive. The hot census runs on 8-byte line hashes; the
+      // oracle's census joins the line strings — identical modulo the
+      // documented 2^-60 collision odds.
+      (s, d) => {
+        val synth = concat_ws("\n",
+          lit("(c) corpus footer - all rights reserved"),
+          concat(lit("nav: home / "), col("source")),
+          concat(lit("uniq "), col("doc_id")),
+          lit(""),
+          substring(col("text"), 1, 60))
+        val base = docs(s, d).select(col("doc_id"), synth.as("body"))
+        Dedup.stripHotLines(base, "doc_id", "body", maxDocs = 40)
+          .select(col("doc_id"), sha2(col("body"), 256).as("body_sha"),
+            big(size(split(col("body"), "\n"))).as("n_lines"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+        |  '(c) corpus footer - all rights reserved' || chr(10) ||
+        |  'nav: home / ' || source || chr(10) ||
+        |  'uniq ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+        |  substr(text, 1, 60) AS body FROM documents),
+        |sp AS (SELECT doc_id, string_split(body, chr(10)) AS ln FROM m),
+        |l AS (SELECT doc_id, unnest(list_transform(range(1, len(ln) + 1),
+        |  i -> {'pos': i, 'line': ln[i]})) AS s FROM sp),
+        |lf AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM l),
+        |hot AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lf WHERE line <> '')
+        |  GROUP BY line HAVING count(*) > 40),
+        |kept AS (SELECT doc_id, pos, line FROM lf WHERE line NOT IN (SELECT line FROM hot)),
+        |rb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS body FROM kept GROUP BY doc_id)
+        |SELECT m.doc_id, sha256(coalesce(rb.body, '')) AS body_sha,
+        |  CAST(len(string_split(coalesce(rb.body, ''), chr(10))) AS BIGINT) AS n_lines
+        |FROM m LEFT JOIN rb ON m.doc_id = rb.doc_id
+        |ORDER BY m.doc_id""".stripMargin))
   )
 }

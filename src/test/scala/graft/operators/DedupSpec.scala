@@ -190,4 +190,28 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("stripHotLines removes lines in > maxDocs docs, keeps order, blanks, and emptied docs") {
+    val footer = "(c) footer"
+    val docs = (1L to 5L).map { i =>
+      (i, s"$footer\nbody $i line one\n\nbody $i line two", s"g${i % 2}")
+    } :+ ((6L, footer, "g0")) // doc whose every line is hot
+    val out = Dedup.stripHotLines(docs.toDF("doc_id", "body", "grp"),
+        "doc_id", "body", maxDocs = 3)
+      .orderBy("doc_id").select("doc_id", "body", "grp")
+      .as[(Long, String, String)].collect().toSeq
+    // the footer (6 docs > 3) is stripped; blank separators and per-doc
+    // unique lines stay in original order; untouched columns survive
+    assert(out(0) == ((1L, "body 1 line one\n\nbody 1 line two", "g1")))
+    assert(out(4) == ((5L, "body 5 line one\n\nbody 5 line two", "g1")))
+    // a fully-boilerplate doc survives as an empty-text row, not a lost row
+    assert(out(5) == ((6L, "", "g0")))
+  }
+
+  test("stripHotLines: blank lines are never counted as boilerplate") {
+    val docs = (1L to 10L).map(i => (i, s"\nuniq $i\n")).toDF("doc_id", "body")
+    val out = Dedup.stripHotLines(docs, "doc_id", "body", maxDocs = 2)
+      .orderBy("doc_id").select("body").as[String].collect()
+    assert(out(0) == "\nuniq 1\n")
+  }
 }

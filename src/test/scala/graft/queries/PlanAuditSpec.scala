@@ -91,4 +91,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(planCount(plan, "Exchange hashpartitioning") == 1, plan.take(2000))
     assert(planCount(plan, "Sort [") <= 2, plan.take(2000)) // replay sort + output sortWithinPartitions
   }
+
+  test("q76: benchmark gram set is broadcast — the corpus gram stream never shuffles") {
+    val plan = finalPlan(q("q76_decontaminate"))
+    // overlap join AND the flag rejoin both broadcast
+    assert(planCount(plan, "BroadcastHashJoin") >= 2, plan.take(3000))
+    // the only hash exchanges are the benchmark-side distinct (tiny by
+    // definition) and the post-join doc_id count — the corpus' exploded
+    // gram stream stays map-side, so exchanges stay <= 2
+    assert(planCount(plan, "Exchange hashpartitioning") <= 2, plan.take(3000))
+  }
+
+  test("q78: hot-line census shuffles the 8-byte line hash, never line text; rebuild has no window") {
+    val plan = finalPlan(q("q78_line_dedup"))
+    assert(plan.contains("Exchange hashpartitioning(lh#"), plan.take(3000))
+    assert(!plan.contains("Exchange hashpartitioning(line#"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000)) // array_sort regroup, not a window sort
+  }
 }

@@ -1238,6 +1238,36 @@ object TextQ {
         |SELECT m.doc_id, sha256(coalesce(rb.body, '')) AS body_sha,
         |  CAST(len(string_split(coalesce(rb.body, ''), chr(10))) AS BIGINT) AS n_lines
         |FROM m LEFT JOIN rb ON m.doc_id = rb.doc_id
-        |ORDER BY m.doc_id""".stripMargin))
+        |ORDER BY m.doc_id""".stripMargin)),
+
+    QueryDef("q79_sequence_packing",
+      // Greedy sequence packing (Packing.greedy): docs hash-shard into 8
+      // shards, order by (hash, id) within each, and fill 256-token packs
+      // greedily — one groupByKey shuffle with a secondary sort streaming
+      // an O(1)-state accumulator (flatMapSortedGroups), the Spark idiom
+      // for sequential per-group logic a window cumsum can't express. The
+      // oracle replays the identical greedy recurrence as a recursive CTE
+      // chained on the per-shard row_number.
+      (s, d) => graft.operators.Packing.greedy(docs(s, d), "doc_id", "text",
+          budget = 256, shards = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH RECURSIVE tk AS (SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS tok,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#pack'), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |o AS (SELECT doc_id, tok, h, h % 8 AS shard,
+        |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS rn FROM tk),
+        |g AS (
+        |  SELECT shard, rn, doc_id, tok, CAST(0 AS BIGINT) AS pack,
+        |    CAST(tok AS BIGINT) AS acc, CAST(0 AS BIGINT) AS slot
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.doc_id, o.tok,
+        |    CASE WHEN g.acc + o.tok > 256 THEN g.pack + 1 ELSE g.pack END,
+        |    CASE WHEN g.acc + o.tok > 256 THEN CAST(o.tok AS BIGINT) ELSE g.acc + o.tok END,
+        |    CASE WHEN g.acc + o.tok > 256 THEN CAST(0 AS BIGINT) ELSE g.slot + 1 END
+        |  FROM g JOIN o ON o.shard = g.shard AND o.rn = g.rn + 1)
+        |SELECT doc_id, shard, pack, slot, CAST(tok AS BIGINT) AS tok
+        |FROM g ORDER BY doc_id""".stripMargin))
   )
 }

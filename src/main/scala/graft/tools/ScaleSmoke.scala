@@ -132,6 +132,29 @@ object ScaleSmoke {
         chunks, graft.operators.Embedding.MockEmbeddingClient(dim = 32), batchSize = 64)
         .queryExecution.toRdd.count()
     }
+    // decontamination: 500-doc benchmark (1% of the corpus) broadcast
+    // against every salted doc's 8-gram stream
+    time("decontaminate (flag)") {
+      val bench = docs.filter(col("doc_id") % 100 === 0)
+      graft.operators.Decontaminate.flag(docs, bench, "doc_id", "text")
+        .queryExecution.toRdd.count()
+    }
+    // line-level boilerplate: give every doc 5 lines incl. a universal
+    // footer so the census finds real hot lines at corpus width
+    val lined = docs.select(col("doc_id"),
+      concat_ws("\n", lit("(c) footer"), col("text"),
+        lit(""), concat(lit("uniq "), col("doc_id")), col("text")).as("text"))
+      .persist()
+    lined.count()
+    time("strip hot lines") {
+      graft.operators.Dedup.stripHotLines(lined, "doc_id", "text", maxDocs = 1000)
+        .queryExecution.toRdd.count()
+    }
+    lined.unpersist()
+    time("sequence packing") {
+      graft.operators.Packing.greedy(docs, "doc_id", "text",
+        budget = 2048, shards = 256).queryExecution.toRdd.count()
+    }
     spark.stop()
   }
 }

@@ -1268,6 +1268,40 @@ object TextQ {
         |    CASE WHEN g.acc + o.tok > 256 THEN CAST(0 AS BIGINT) ELSE g.slot + 1 END
         |  FROM g JOIN o ON o.shard = g.shard AND o.rn = g.rn + 1)
         |SELECT doc_id, shard, pack, slot, CAST(tok AS BIGINT) AS tok
-        |FROM g ORDER BY doc_id""".stripMargin))
+        |FROM g ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q80_quality_gate",
+      // Composite Gopher gate (QualityFilter.gopherGate): the first failing
+      // rule (word_count -> mean_word_len -> alpha_ratio -> stopwords ->
+      // dup_word_frac -> bullet_lines -> ellipsis_lines) names the drop
+      // reason; keep = no rule failed. One codegen'd expression tree, zero
+      // UDFs, zero shuffles before the output sort — both engines divide
+      // the same exact integers so the threshold comparisons agree.
+      (s, d) => graft.operators.QualityFilter
+        .gopherGate(docs(s, d), "doc_id", "text", minTokens = 30)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH m AS (SELECT doc_id, text, $W AS w,
+        |  string_split(text, chr(10)) AS ln FROM documents),
+        |x AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) AS mean_word_len,
+        |  CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w) AS alpha_ratio,
+        |  len(list_filter(w, t -> t IN ('the','a','and','of','to','in','is'))) AS n_stop,
+        |  1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_frac,
+        |  CAST(len(list_filter(ln, l -> substr(l, 1, 2) IN ('- ', '* '))) AS DOUBLE) / len(ln) AS bullet_ratio,
+        |  CAST(len(list_filter(ln, l -> ends_with(l, '...'))) AS DOUBLE) / len(ln) AS ellipsis_ratio
+        |  FROM m),
+        |r AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN NOT (n_tokens BETWEEN 30 AND 100000) THEN 'word_count'
+        |       WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'mean_word_len'
+        |       WHEN alpha_ratio < 0.8 THEN 'alpha_ratio'
+        |       WHEN n_stop < 2 THEN 'stopwords'
+        |       WHEN dup_frac > 0.3 THEN 'dup_word_frac'
+        |       WHEN bullet_ratio > 0.9 THEN 'bullet_lines'
+        |       WHEN ellipsis_ratio > 0.3 THEN 'ellipsis_lines'
+        |       ELSE NULL END AS reason
+        |  FROM x)
+        |SELECT doc_id, n_tokens, reason IS NULL AS keep, reason
+        |FROM r ORDER BY doc_id""".stripMargin))
   )
 }

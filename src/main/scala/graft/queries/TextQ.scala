@@ -1278,7 +1278,8 @@ object TextQ {
       // UDFs, zero shuffles before the output sort — both engines divide
       // the same exact integers so the threshold comparisons agree.
       (s, d) => graft.operators.QualityFilter
-        .gopherGate(docs(s, d), "doc_id", "text", minTokens = 30)
+        .gopherGate(docs(s, d), "doc_id", "text",
+          graft.operators.QualityFilter.GopherConfig(minTokens = 30))
         .orderBy(col("doc_id")),
       Some(s"""WITH m AS (SELECT doc_id, text, $W AS w,
         |  string_split(text, chr(10)) AS ln FROM documents),

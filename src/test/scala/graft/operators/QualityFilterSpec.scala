@@ -29,7 +29,7 @@ class QualityFilterSpec extends SparkSpec {
       (8L, (1 to 40).map(i =>
         s"the u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g is fine...").mkString("\n"))
     ).toDF("doc_id", "text")
-    val out = QualityFilter.gopherGate(docs, "doc_id", "text", minTokens = 30)
+    val out = QualityFilter.gopherGate(docs, "doc_id", "text", QualityFilter.GopherConfig(minTokens = 30))
       .orderBy("doc_id").select("doc_id", "keep", "reason")
       .as[(Long, Boolean, Option[String])].collect().toSeq
     assert(out(0) == ((1L, true, None)))
@@ -44,7 +44,7 @@ class QualityFilterSpec extends SparkSpec {
 
   test("keep is a pure map-side filter: no exchange, no join in the plan") {
     val docs = Seq((1L, good), (2L, "too short")).toDF("doc_id", "text")
-    val kept = QualityFilter.keep(docs, "text", minTokens = 30)
+    val kept = QualityFilter.keep(docs, "text", QualityFilter.GopherConfig(minTokens = 30))
     assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
     val plan = kept.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)

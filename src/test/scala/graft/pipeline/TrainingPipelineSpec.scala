@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** End-to-end composition of the LLM-training-data operators over real
+  * corpus parquet: quality gate -> eval-set decontamination -> boilerplate
+  * line strip -> near-dup cluster resolution -> deterministic sampling ->
+  * sequence packing. Each stage is the operator the per-query oracles
+  * check in isolation; this spec proves they CHAIN — schemas line up, row
+  * accounting stays exact, and the final packing covers exactly the
+  * surviving docs. */
+class TrainingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gate -> decontaminate -> strip -> dedup -> sample -> pack composes with exact row accounting") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source")
+    val n0 = docs.count()
+
+    // 1. quality gate (map-side), thresholds tuned to the synthetic corpus
+    // (small shared vocabulary -> high duplicate-word fraction by design,
+    // multilingual -> the English stopword rule off)
+    val gated = QualityFilter.keep(docs, "text",
+      QualityFilter.GopherConfig(minTokens = 20, minStopwords = 0,
+        maxDupWordFrac = 0.95))
+    val n1 = gated.count()
+    assert(n1 > 300 && n1 <= n0)
+
+    // 2. decontamination vs a planted benchmark slice
+    val bench = docs.filter(col("doc_id") % 53 === 0)
+    val decon = Decontaminate.clean(gated, bench, "doc_id", "text", n = 8)
+    val n2 = decon.count()
+    // every surviving gated doc that IS a benchmark doc must be gone
+    assert(decon.filter(col("doc_id") % 53 === 0).count() == 0)
+    assert(n2 <= n1)
+
+    // 3. boilerplate strip keeps every row (possibly emptied), same schema
+    val stripped = Dedup.stripHotLines(decon, "doc_id", "text", maxDocs = 40)
+    assert(stripped.count() == n2)
+    assert(stripped.columns.toSeq == decon.columns.toSeq)
+
+    // 4. near-dup cluster resolution, keep canonical per cluster
+    val verdicts = Dedup.resolveClusters(stripped, "doc_id",
+      Dedup.minhashPairs(stripped, "doc_id", "text"))
+    assert(verdicts.count() == n2) // one verdict per doc, none lost
+    val canon = stripped.join(
+      verdicts.filter(!col("is_duplicate")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val n4 = canon.count()
+    assert(n4 > 0 && n4 <= n2)
+
+    // 5. deterministic 50% sample nests inside the 100% "sample"
+    val sampled = Sampling.byHash(canon, "doc_id", 5000)
+    val n5 = sampled.count()
+    assert(n5 > 0 && n5 < n4)
+
+    // 6. packing covers exactly the sampled docs, no multi-doc pack overflows
+    val packs = Packing.greedy(sampled, "doc_id", "text", budget = 512, shards = 4)
+    assert(packs.count() == n5)
+    assert(packs.select("doc_id").distinct().count() == n5)
+    val overflow = Packing.packStats(packs, 512)
+      .filter(col("n_docs") > 1 && col("tok_sum") > 512).count()
+    assert(overflow == 0)
+  }
+}

@@ -273,4 +273,55 @@ object Kernels {
 
   def repStatsUdf(n: Int, m: Int): UserDefinedFunction =
     udf((text: String) => repStats(text, n, m))
+
+  /** One-pass counts for the Gopher quality gate (QualityFilter): token
+    * count, non-whitespace codepoints, tokens containing an ASCII letter,
+    * stopword tokens, distinct tokens, line count, bullet lines ("- "/"* "
+    * prefix), "..."-suffixed lines. All-integer outputs so the threshold
+    * divisions happen once, identically, on the Spark side and in the
+    * DuckDB oracle; semantics are exactly the Column formulation the q80
+    * oracle pins (split("\\s+") tokens incl. a leading empty token,
+    * codepoint lengths, ASCII [A-Za-z] alpha test). Replaces seven
+    * interpreted higher-order lambdas (~ms/row) with one JVM pass. */
+  def gopherStats(text: String, stop: Set[String]):
+      (Long, Long, Long, Long, Long, Long, Long, Long) = {
+    val toks = tokenize(text)
+    var lenNoWs = 0L
+    var nAlpha = 0L
+    var nStop = 0L
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      lenNoWs += t.codePointCount(0, t.length)
+      var hasAlpha = false
+      var j = 0
+      while (j < t.length && !hasAlpha) {
+        val c = t.charAt(j)
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
+        j += 1
+      }
+      if (hasAlpha) nAlpha += 1
+      if (stop.contains(t)) nStop += 1
+      distinct.add(t)
+      i += 1
+    }
+    val lines = text.split("\n", -1)
+    var nBullet = 0L
+    var nEllipsis = 0L
+    var k = 0
+    while (k < lines.length) {
+      val l = lines(k)
+      if (l.startsWith("- ") || l.startsWith("* ")) nBullet += 1
+      if (l.endsWith("...")) nEllipsis += 1
+      k += 1
+    }
+    (toks.length.toLong, lenNoWs, nAlpha, nStop, distinct.size.toLong,
+      lines.length.toLong, nBullet, nEllipsis)
+  }
+
+  def gopherStatsUdf(stop: Seq[String]): UserDefinedFunction = {
+    val set = stop.toSet
+    udf((text: String) => gopherStats(text, set))
+  }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.text
+import graft.functions.{text, Kernels}
 
 /** Composite document-quality gate (north-star; the Gopher/MassiveText
   * rule family, Rae et al. 2021 appendix A — see PAPERS.md). The
@@ -16,10 +16,11 @@ import graft.functions.text
   * pipelines always tune them per corpus (the defaults assume natural
   * English prose; a code or multilingual corpus needs different bounds).
   *
-  * Everything is a codegen'd Column expression over one token-array pass
-  * (no UDFs, no shuffle — a pure map gate): at 100 TB this fuses into the
-  * scan's WholeStageCodegen and filters before anything downstream pays
-  * for the row.
+  * The counting is ONE JVM kernel pass per row (Kernels.gopherStats — the
+  * engine's hot-loop idiom; the equivalent higher-order-lambda formulation
+  * measured ~ms/row interpreted), the thresholds cheap Column arithmetic,
+  * and the whole gate is a pure map — no shuffle, so at 100 TB it drops
+  * rows before anything downstream pays for them.
   */
 object QualityFilter {
 
@@ -38,25 +39,16 @@ object QualityFilter {
   val Rules: Seq[String] = Seq("word_count", "mean_word_len", "alpha_ratio",
     "stopwords", "dup_word_frac", "bullet_lines", "ellipsis_lines")
 
-  /** The first failing rule's name for a text column, null when every rule
-    * passes. A single expression tree, so both the flag and filter forms
-    * stay inside whole-stage codegen. */
-  def failReason(textCol: Column,
-                 cfg: GopherConfig = GopherConfig()): Column = {
-    val t = text.tokens(textCol)
-    val lines = split(textCol, "\n")
-    val nTok = size(t).cast("long")
-    val meanWordLen =
-      length(regexp_replace(textCol, "\\s", "")).cast("double") / nTok
-    val alphaRatio =
-      size(filter(t, x => x.rlike("[A-Za-z]"))).cast("double") / nTok
-    val nStop = size(filter(t, x => x.isin(text.EnStop: _*)))
-    val dupFrac = lit(1.0) - size(array_distinct(t)).cast("double") / nTok
-    val bulletRatio =
-      size(filter(lines, l => substring(l, 1, 2).isin("- ", "* ")))
-        .cast("double") / size(lines)
-    val ellipsisRatio =
-      size(filter(lines, l => l.endsWith("..."))).cast("double") / size(lines)
+  /** Ordered rule chain over the one-pass stat struct (cheap arithmetic —
+    * the expensive token pass happened once in the kernel). */
+  private def reasonFromStats(s: Column, cfg: GopherConfig): Column = {
+    val nTok = s.getField("_1")
+    val meanWordLen = s.getField("_2").cast("double") / nTok
+    val alphaRatio = s.getField("_3").cast("double") / nTok
+    val nStop = s.getField("_4")
+    val dupFrac = lit(1.0) - s.getField("_5").cast("double") / nTok
+    val bulletRatio = s.getField("_7").cast("double") / s.getField("_6")
+    val ellipsisRatio = s.getField("_8").cast("double") / s.getField("_6")
     when(!nTok.between(cfg.minTokens, cfg.maxTokens), lit("word_count"))
       .when(meanWordLen < cfg.minMeanWordLen || meanWordLen > cfg.maxMeanWordLen,
         lit("mean_word_len"))
@@ -68,13 +60,26 @@ object QualityFilter {
       .otherwise(lit(null).cast("string"))
   }
 
-  /** Per-row gate columns: (idCol, n_tokens, keep, reason). */
+  /** The first failing rule's name for a text column, null when every rule
+    * passes. One kernel pass (Kernels.gopherStats), let-bound so the rule
+    * chain's many references share a single evaluation. */
+  def failReason(textCol: Column,
+                 cfg: GopherConfig = GopherConfig()): Column =
+    text.bindOnce(Kernels.gopherStatsUdf(text.EnStop)(textCol))(
+      s => reasonFromStats(s, cfg))
+
+  /** Per-row gate columns: (idCol, n_tokens, keep, reason). The stat
+    * struct is projected once; keep/reason derive from the projected
+    * attribute, so the kernel runs exactly once per row (CollapseProject
+    * keeps non-cheap expressions with multiple references un-inlined). */
   def gopherGate(df: DataFrame, idCol: String, textCol: String,
                  cfg: GopherConfig = GopherConfig()): DataFrame = {
-    val reason = failReason(col(textCol), cfg)
     df.select(col(idCol),
-      size(text.tokens(col(textCol))).cast("long").as("n_tokens"),
-      reason.isNull.as("keep"), reason.as("reason"))
+        Kernels.gopherStatsUdf(text.EnStop)(col(textCol)).as("__s"))
+      .select(col(idCol),
+        col("__s").getField("_1").as("n_tokens"),
+        reasonFromStats(col("__s"), cfg).isNull.as("keep"),
+        reasonFromStats(col("__s"), cfg).as("reason"))
   }
 
   /** The filtering form: original rows that pass every rule — a pure

@@ -151,4 +151,23 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("user_id")).toMap
     assert(users("click") == 1L && users("view") == 1L)
   }
+
+  test("map-side corpus gates stream unchanged: quality gate + PII mask per micro-batch") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.QualityFilter
+    val mem = MemoryStream[(Long, String)]
+    val good = "the a and of to in is " + (1 to 35).map(i => s"word$i").mkString(" ")
+    mem.addData((1L, good + " mail bob@x.io now"), (2L, "too short"))
+    val gated = mem.toDF().toDF("doc_id", "text")
+      .filter(QualityFilter.failReason(col("text"),
+        QualityFilter.GopherConfig(minTokens = 30)).isNull)
+      .withColumn("text", graft.functions.text.maskPii(col("text")))
+    val name = "gate" + System.nanoTime()
+    val q = gated.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table(name).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    assert(out.head.getAs[String]("text").endsWith("mail <EMAIL> now"))
+  }
 }

@@ -285,6 +285,9 @@ object Kernels {
     * interpreted higher-order lambdas (~ms/row) with one JVM pass. */
   def gopherStats(text: String, stop: Set[String]):
       (Long, Long, Long, Long, Long, Long, Long, Long) = {
+    // null text = zero of everything -> fails word_count for any minTokens
+    // >= 1 (a null doc must gate out, not kill the stage with an NPE)
+    if (text == null) return (0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
     val toks = tokenize(text)
     var lenNoWs = 0L
     var nAlpha = 0L

@@ -285,9 +285,14 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("__ls"))
       .select(col(idCol),
         concat_ws("\n", transform(col("__ls"), x => x.getField("line"))).as(textCol))
-    df.select(col(idCol) +: others.map(col): _*)
+    // null text stays null (it produced no lines, so it is absent from the
+    // rebuild — fabricating "" would erase the had-no-text/all-boilerplate
+    // distinction); a doc whose every line was hot comes back as ""
+    df.select(col(idCol) +: (others.map(col) :+ col(textCol).as("__orig")): _*)
       .join(rebuilt, Seq(idCol), "left")
-      .withColumn(textCol, coalesce(col(textCol), lit("")))
+      .withColumn(textCol,
+        when(col("__orig").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col(textCol), lit(""))))
       .select(df.columns.map(col): _*)
   }
 }

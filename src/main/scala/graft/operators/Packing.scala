@@ -37,14 +37,24 @@ object Packing {
              budget: Int, shards: Int): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = df.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"$idCol must be an integral id column, got $dt (string ids would " +
+          "cast to null and crash the encoder — hash them to a long first)")
+    }
     val spark = df.sparkSession
     import spark.implicits._
-    val h = text.hash60(col(idCol).cast("string"), "pack")
+    // stage the select so the md5-based hash evaluates once per row and
+    // shard derives from the projected attribute; null text counts as the
+    // empty string (one empty token), same as the rest of the engine
     val in: Dataset[In] = df.select(
         col(idCol).cast("long").as("id"),
-        pmod(h, lit(shards.toLong)).as("shard"),
-        h.as("h"),
-        size(split(col(textCol), "\\s+")).as("tok"))
+        text.hash60(col(idCol).cast("string"), "pack").as("h"),
+        text.tokenCount(coalesce(col(textCol), lit(""))).as("tok"))
+      .select(col("id"), pmod(col("h"), lit(shards.toLong)).as("shard"),
+        col("h"), col("tok"))
       .as[In]
     in.groupByKey(_.shard)
       .flatMapSortedGroups($"h", $"id") { (shard, it) =>

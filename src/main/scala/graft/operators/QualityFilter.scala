@@ -78,8 +78,9 @@ object QualityFilter {
         Kernels.gopherStatsUdf(text.EnStop)(col(textCol)).as("__s"))
       .select(col(idCol),
         col("__s").getField("_1").as("n_tokens"),
-        reasonFromStats(col("__s"), cfg).isNull.as("keep"),
         reasonFromStats(col("__s"), cfg).as("reason"))
+      .select(col(idCol), col("n_tokens"),
+        col("reason").isNull.as("keep"), col("reason"))
   }
 
   /** The filtering form: original rows that pass every rule — a pure

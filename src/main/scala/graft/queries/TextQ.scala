@@ -1274,9 +1274,10 @@ object TextQ {
       // Composite Gopher gate (QualityFilter.gopherGate): the first failing
       // rule (word_count -> mean_word_len -> alpha_ratio -> stopwords ->
       // dup_word_frac -> bullet_lines -> ellipsis_lines) names the drop
-      // reason; keep = no rule failed. One codegen'd expression tree, zero
-      // UDFs, zero shuffles before the output sort — both engines divide
-      // the same exact integers so the threshold comparisons agree.
+      // reason; keep = no rule failed. ONE kernel pass per row
+      // (Kernels.gopherStats, all-integer outputs) + cheap threshold
+      // arithmetic, zero shuffles before the output sort — both engines
+      // divide the same exact integers so the comparisons agree.
       (s, d) => graft.operators.QualityFilter
         .gopherGate(docs(s, d), "doc_id", "text",
           graft.operators.QualityFilter.GopherConfig(minTokens = 30))

@@ -214,4 +214,12 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").select("body").as[String].collect()
     assert(out(0) == "\nuniq 1\n")
   }
+
+  test("stripHotLines: null text stays null, distinct from an emptied doc") {
+    val docs = Seq((1L, null: String), (2L, "solo line 2"))
+      .toDF("doc_id", "body")
+    val out = Dedup.stripHotLines(docs, "doc_id", "body", maxDocs = 1)
+      .orderBy("doc_id").select("body").as[Option[String]].collect().toSeq
+    assert(out == Seq(None, Some("solo line 2")))
+  }
 }

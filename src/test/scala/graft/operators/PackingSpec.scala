@@ -47,6 +47,17 @@ class PackingSpec extends SparkSpec {
     assert(out.filter(col("pack") === big).count() == 1)
   }
 
+  test("null text packs as one empty token; string ids are rejected up front") {
+    val docs = Seq((1L, null: String), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Packing.greedy(docs, "doc_id", "text", budget = 10, shards = 1)
+      .orderBy("doc_id").select("doc_id", "tok").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 3L)))
+    val strIds = Seq(("doc-1", "a b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Packing.greedy(strIds, "doc_id", "text", 10, 1))
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("packStats: waste is budget minus fill, floored at zero") {
     val docs = Seq((1L, Seq.fill(30)("w").mkString(" "))).toDF("doc_id", "text")
     val st = Packing.packStats(Packing.greedy(docs, "doc_id", "text", 100, 1), 100)

@@ -42,6 +42,15 @@ class QualityFilterSpec extends SparkSpec {
     assert(out(7) == ((8L, false, Some("ellipsis_lines"))))
   }
 
+  test("null text gates out as word_count instead of crashing the kernel") {
+    val docs = Seq((1L, good), (2L, null: String)).toDF("doc_id", "text")
+    val out = QualityFilter.gopherGate(docs, "doc_id", "text",
+        QualityFilter.GopherConfig(minTokens = 30))
+      .orderBy("doc_id").select("doc_id", "keep", "reason")
+      .as[(Long, Boolean, Option[String])].collect().toSeq
+    assert(out == Seq((1L, true, None), (2L, false, Some("word_count"))))
+  }
+
   test("keep is a pure map-side filter: no exchange, no join in the plan") {
     val docs = Seq((1L, good), (2L, "too short")).toDF("doc_id", "text")
     val kept = QualityFilter.keep(docs, "text", QualityFilter.GopherConfig(minTokens = 30))

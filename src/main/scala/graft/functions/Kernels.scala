@@ -62,8 +62,13 @@ object Kernels {
 
   private val WsRun = java.util.regex.Pattern.compile("\\s+")
 
-  /** Whitespace tokens — same as Spark split(col, "\\s+"). */
-  def tokenize(text: String): Array[String] = WsRun.split(text, -1)
+  /** Whitespace tokens — same as Spark split(col, "\\s+") for non-null
+    * input; null tokenizes to NO tokens (Spark UDFs don't null-check
+    * String args, so every kernel flowing through here must degrade to
+    * empty results rather than NPE the stage — TLSH's Option guard is the
+    * same contract). */
+  def tokenize(text: String): Array[String] =
+    if (text == null) Array.empty else WsRun.split(text, -1)
 
   /** Distinct word n-gram shingles, first-seen order. */
   def shingleSet(toks: Array[String], n: Int): java.util.LinkedHashSet[String] = {

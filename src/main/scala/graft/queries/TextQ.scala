@@ -1304,6 +1304,35 @@ object TextQ {
         |       ELSE NULL END AS reason
         |  FROM x)
         |SELECT doc_id, n_tokens, reason IS NULL AS keep, reason
-        |FROM r ORDER BY doc_id""".stripMargin))
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q81_top_terms",
+      // Corpus vocabulary profile: stopword-filtered term frequencies per
+      // source, top 5 via the GroupTopKExec bounded-heap operator on a
+      // REAL text aggregate (q69/q70 cover it on synthetic scores). Plan:
+      // explode -> partial/final count on (source, term) -> partial heap
+      // prune BEFORE the exchange -> final heap; the shuffle after the agg
+      // moves O(k x groups x partitions), never the term list.
+      (s, d) => {
+        val stop = EnStop ++ DeStop ++ EsStop ++ FrStop
+        val terms = docs(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("term"))
+          .filter(!col("term").isin(stop: _*) && col("term") =!= "")
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.plans.GroupTopK.topK(terms,
+            Seq("source"), Seq(col("cnt").desc, col("term").asc), 5)
+          .select(col("source"), col("term"), col("cnt"))
+          .orderBy(col("source"), col("cnt").desc, col("term"))
+      },
+      Some(s"""WITH t AS (SELECT source, unnest($W) AS term FROM documents),
+        |f AS (SELECT source, term FROM t WHERE term <> '' AND term NOT IN (
+        |  'the','a','and','of','to','in','is','der','die','das','und','ist','ein',
+        |  'el','la','de','que','y','los','le','et','les','des','un')),
+        |c AS (SELECT source, term, count(*) AS cnt FROM f GROUP BY source, term),
+        |r AS (SELECT source, term, cnt,
+        |  row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rn FROM c)
+        |SELECT source, term, cnt FROM r WHERE rn <= 5
+        |ORDER BY source, cnt DESC, term""".stripMargin))
   )
 }

@@ -126,4 +126,25 @@ class PropertySpec extends AnyFunSuite {
       joined.filterNot(_.isWhitespace).length >= s.trim.filterNot(_.isWhitespace).length - 0
     }, "sentence char preservation")
   }
+
+  test("gopherStats: count invariants hold on arbitrary text") {
+    import graft.functions.Kernels
+    val stop = Set("the", "a", "is")
+    // constrain to the \s whitespace class so the independent
+    // replaceAll("\\s","") recomputation means the same thing
+    val text: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\n', '\t'),
+      1 -> Gen.oneOf('.', '-', '*'))).map(_.mkString)
+    holds(Prop.forAll(text) { s =>
+      val (nTok, lenNoWs, nAlpha, nStop, nDistinct, nLines, nBullet, nEll) =
+        Kernels.gopherStats(s, stop)
+      val expectNoWs = s.replaceAll("\\s", "")
+      nTok >= nDistinct && nDistinct >= (if (nTok > 0) 1L else 0L) &&
+        nAlpha <= nTok && nStop <= nTok &&
+        lenNoWs == expectNoWs.codePointCount(0, expectNoWs.length) &&
+        nBullet <= nLines && nEll <= nLines &&
+        nLines == s.split("\n", -1).length.toLong
+    }, "gopherStats invariants")
+  }
 }

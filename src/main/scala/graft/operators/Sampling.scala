@@ -48,4 +48,17 @@ object Sampling {
       df.withColumn("__rank", hash60(col(idCol).cast("string"), seed)),
       Seq(groupCol), Seq(col("__rank").asc, col(idCol).asc), k)
       .drop("__rank")
+
+  /** Mixture-weighted sample: the per-ROW rate (a basis-points column,
+    * 0..10000 — typically a CASE over domain/language/quality bucket)
+    * replaces byHash's global rate. This is the training-mixture
+    * reweighting op (sample web at 10 %, wiki at 100 %, ...) — still a
+    * pure map-side filter on the same nested hash buckets, so raising a
+    * stratum's rate only ADDS rows to its sample and reruns never flip a
+    * decision. Rows with a null rate are dropped. */
+  def byHashWeighted(df: DataFrame, idCol: String, rateBpCol: Column,
+                     seed: String = "sample"): DataFrame =
+    df.filter(
+      pmod(hash60(col(idCol).cast("string"), seed), lit(10000L))
+        < least(lit(10000L), greatest(lit(0L), rateBpCol.cast("long"))))
 }

@@ -1333,6 +1333,27 @@ object TextQ {
         |r AS (SELECT source, term, cnt,
         |  row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rn FROM c)
         |SELECT source, term, cnt FROM r WHERE rn <= 5
-        |ORDER BY source, cnt DESC, term""".stripMargin))
+        |ORDER BY source, cnt DESC, term""".stripMargin)),
+
+    QueryDef("q82_mixture_sample",
+      // Training-mixture reweighting (Sampling.byHashWeighted): per-language
+      // sampling rates (en 80 %, de 50 %, es/fr 30 %, zh 10 %) as a CASE
+      // column over the same nested hash buckets as q74 — a pure map-side
+      // filter whose selection both engines reproduce exactly, and whose
+      // en-rows are a superset of any lower-rate run's.
+      (s, d) => {
+        val rate = when(col("lang") === "en", 8000L)
+          .when(col("lang") === "de", 5000L)
+          .when(col("lang").isin("es", "fr"), 3000L)
+          .otherwise(1000L)
+        Sampling.byHashWeighted(docs(s, d), "doc_id", rate)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 1, 15)) AS BIGINT) % 10000
+        |  < CASE WHEN lang = 'en' THEN 8000 WHEN lang = 'de' THEN 5000
+        |         WHEN lang IN ('es', 'fr') THEN 3000 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin))
   )
 }

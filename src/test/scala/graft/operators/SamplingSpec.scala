@@ -36,6 +36,19 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.byHash(rows, "id", 10000).count() == 2000)
   }
 
+  test("byHashWeighted: rate column drives per-row decisions on the same nested buckets") {
+    val rate = when($"grp" === "g0", 10000L).when($"grp" === "g1", 2000L).otherwise(0L)
+    val out = Sampling.byHashWeighted(rows, "id", rate)
+      .select("id", "grp").as[(Long, String)].collect()
+    val byGrp = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byGrp("g0") == 400) // rate 10000 keeps every g0 row
+    assert(!byGrp.contains("g2") && !byGrp.contains("g3") && !byGrp.contains("g4"))
+    // g1 at 2000 bp is exactly the byHash(2000) selection restricted to g1
+    val nested = Sampling.byHash(rows, "id", 2000)
+      .filter($"grp" === "g1").select("id").as[Long].collect().toSet
+    assert(out.filter(_._2 == "g1").map(_._1).toSet == nested)
+  }
+
   test("perGroup draws exactly k per stratum, deterministically") {
     val s1 = Sampling.perGroup(rows, "grp", "id", 7)
     val counts = s1.groupBy("grp").count().as[(String, Long)].collect().toMap

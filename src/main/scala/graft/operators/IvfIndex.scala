@@ -86,8 +86,9 @@ object IvfIndex {
     finally { q.unpersist(); () }
   }
 
-  private def fitCached(spark: org.apache.spark.sql.SparkSession, q: DataFrame,
-                        k: Int, iters: Int): Model = {
+  /** Shared by PqIndex's per-sub-space codebook training. */
+  private[operators] def fitCached(spark: org.apache.spark.sql.SparkSession, q: DataFrame,
+                                   k: Int, iters: Int): Model = {
     // deterministic seed sample: smallest md5-rank ids
     val seeds = q
       .withColumn("rk", Kernels.md5RankUdf(col("id").cast("string")))

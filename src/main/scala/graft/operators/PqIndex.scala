@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Kernels
+
+/** Product quantization for billion-scale ANN (SURVEY.md §2.8 D5 scale
+  * path; Jégou et al. 2011, the IVF-PQ layout every large vector store
+  * uses): the vector splits into `m` equal sub-spaces, each sub-space gets
+  * its own `ksub`-entry codebook (deterministic k-means, reusing the IVF
+  * machinery), and a vector compresses to `m` small codes — 64 float dims
+  * become 2-8 bytes, the difference between holding 100 TB of raw vectors
+  * and holding the codes in executor memory.
+  *
+  * Query scoring is asymmetric distance computation (ADC): ONE m x ksub
+  * table of exact sub-space distances per query, then every candidate
+  * costs m table lookups — no per-pair vector arithmetic. All integer
+  * (quantized sub-vectors, exact squared distances), so ranking is
+  * deterministic and a DuckDB oracle reproduces it bit-for-bit.
+  *
+  * Scale shape: codebooks are m x ksub x (dim/m) longs of driver/broadcast
+  * state (kilobytes); encoding is one map-side UDF pass; the ADC join
+  * broadcasts queries+tables over the code column and ranks through the
+  * GroupTopKExec bounded heaps — partial heaps prune each partition to
+  * kTop rows per query BEFORE the exchange.
+  */
+object PqIndex {
+
+  /** m sub-space codebooks, each ksub x (dim/m). */
+  final case class Model(codebooks: Array[Array[Array[Long]]]) extends Serializable {
+    def m: Int = codebooks.length
+    def ksub: Int = codebooks(0).length
+    def subDim: Int = codebooks(0)(0).length
+  }
+
+  private def subSlice(qv: Array[Long], j: Int, subDim: Int): Array[Long] =
+    java.util.Arrays.copyOfRange(qv, j * subDim, (j + 1) * subDim)
+
+  /** Train per-sub-space codebooks with the IVF deterministic k-means. */
+  def fit(df: DataFrame, idCol: String, vecCol: String,
+          m: Int, ksub: Int, iters: Int = 3): Model = {
+    require(m >= 1 && ksub >= 1, s"m=$m ksub=$ksub must be >= 1")
+    val spark = df.sparkSession
+    val q = df.select(col(idCol).as("id"),
+        Kernels.quantNormUdf(col(vecCol)).getField("_1").as("fullqv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = q.select(size(col("fullqv"))).first().getInt(0)
+      require(dim % m == 0, s"dim $dim must divide into m=$m sub-spaces")
+      val subDim = dim / m
+      val books = (0 until m).map { j =>
+        val qj = q.select(col("id"),
+          slice(col("fullqv"), j * subDim + 1, subDim).as("qv"))
+        IvfIndex.fitCached(spark, qj, ksub, iters).centroids
+      }.toArray
+      Model(books)
+    } finally { q.unpersist(); () }
+  }
+
+  /** Per-sub-space nearest-codeword ids (lowest-id tiebreak — the same
+    * argmin contract as IvfIndex.nearest). */
+  def encodeVec(qv: Array[Long], model: Model): Array[Int] = {
+    val out = new Array[Int](model.m)
+    var j = 0
+    while (j < model.m) {
+      out(j) = IvfIndex.nearest(subSlice(qv, j, model.subDim), model.codebooks(j))
+      j += 1
+    }
+    out
+  }
+
+  /** Compress every row to its m codes: (idCol, codes). */
+  def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val enc = udf((qv: Array[Long]) => encodeVec(qv, bc.value))
+    df.select(col(idCol),
+        Kernels.quantNormUdf(col(vecCol)).getField("_1").as("__qv"))
+      .select(col(idCol), enc(col("__qv")).as("codes"))
+  }
+
+  /** The per-query ADC lookup table: table(j)(c) = exact squared distance
+    * from the query's j-th sub-vector to codeword c. */
+  def adcTable(qv: Array[Long], model: Model): Array[Array[Long]] = {
+    val t = Array.ofDim[Long](model.m, model.ksub)
+    var j = 0
+    while (j < model.m) {
+      val sub = subSlice(qv, j, model.subDim)
+      var c = 0
+      while (c < model.ksub) {
+        var s = 0L
+        var i = 0
+        val cw = model.codebooks(j)(c)
+        while (i < cw.length) { val d = sub(i) - cw(i); s += d * d; i += 1 }
+        t(j)(c) = s
+        c += 1
+      }
+      j += 1
+    }
+    t
+  }
+
+  /** ADC top-k: per query, the kTop candidates with the smallest summed
+    * table distance (ascending (adist, cid) — fully deterministic).
+    * Queries + tables broadcast; candidates contribute only their codes. */
+  def adcTopK(cands: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              model: Model, kTop: Int): DataFrame = {
+    val spark = cands.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val tableUdf = udf((qv: Array[Long]) => adcTable(qv, bc.value))
+    val lookupUdf = udf((t: Seq[Seq[Long]], codes: Seq[Int]) => {
+      var s = 0L
+      var j = 0
+      while (j < codes.length) { s += t(j)(codes(j)); j += 1 }
+      s
+    })
+    val q = queries.select(col(idCol).as("qid"),
+        Kernels.quantNormUdf(col(vecCol)).getField("_1").as("__qv"))
+      .select(col("qid"), tableUdf(col("__qv")).as("__t"))
+    // every candidate scores against every query — by DESIGN: ADC's point
+    // is that the "scan" costs m integer lookups per (query, candidate),
+    // over codes already in memory. For corpus-scale serving, compose with
+    // IvfIndex: probe cells first, ADC-rank only the probed members.
+    val c = encode(cands, idCol, vecCol, model)
+      .withColumnRenamed(idCol, "cid")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), lookupUdf(col("__t"), col("codes")).as("adist"))
+    graft.plans.GroupTopK.topK(scored, Seq("qid"),
+      Seq(col("adist").asc, col("cid").asc), kTop)
+  }
+}

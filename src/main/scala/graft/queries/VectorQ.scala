@@ -281,6 +281,51 @@ object VectorQ {
         |top AS (SELECT qid, cid, cosine,
         |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank FROM scored)
         |SELECT qid, cid, CAST(rank AS BIGINT) AS rank, cosine FROM top WHERE rank <= 5
-        |ORDER BY qid, rank""".stripMargin))
+        |ORDER BY qid, rank""".stripMargin)),
+
+    QueryDef("q83_pq_adc_topk",
+      // Product-quantization ADC top-k (PqIndex; IVF-PQ's compression
+      // half). As with q64, the k-means fit stays test-covered
+      // (PqIndexSpec) — here the m=2 sub-space codebooks are FIXED to the
+      // sub-slices of the first four quantized embeddings so the oracle
+      // can replicate encoding (per-sub-space argmin, lowest-id tiebreak),
+      // the per-query lookup table, the m-lookup candidate scoring, and
+      // the deterministic ascending-(adist, cid) top-5 — all exact integer
+      // arithmetic on both engines.
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.load(s, d, "embeddings")
+        val subDim = 32
+        val books = (0 until 2).map { j =>
+          emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+            .select(slice(
+              graft.functions.Kernels.quantNormUdf(col("embedding")).getField("_1"),
+              j * subDim + 1, subDim).as("sv"))
+            .as[Seq[Long]].collect().map(_.toArray)
+        }.toArray
+        val model = graft.operators.PqIndex.Model(books)
+        graft.operators.PqIndex.adcTopK(emb, emb.filter(col("vec_id") < 6),
+            "vec_id", "embedding", model, kTop = 5)
+          .select(col("qid"), col("cid"), col("adist"))
+          .orderBy(col("qid"), col("adist"), col("cid"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, $QV AS qv FROM embeddings),
+        |sub AS (SELECT vec_id, 0 AS j, qv[1:32] AS sv FROM v
+        |        UNION ALL SELECT vec_id, 1, qv[33:64] FROM v),
+        |cb AS (SELECT vec_id AS cidx, j, sv AS cv FROM sub WHERE vec_id < 4),
+        |d AS (SELECT s.vec_id, s.j, c.cidx,
+        |  list_sum(list_transform(range(1, 33), i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS dist
+        |  FROM sub s JOIN cb c ON s.j = c.j),
+        |enc AS (SELECT vec_id AS cid, j, cidx AS cell FROM (
+        |  SELECT vec_id, j, cidx, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cidx) AS rn FROM d)
+        |  WHERE rn = 1),
+        |scored AS (SELECT dq.vec_id AS qid, e.cid, SUM(dq.dist) AS adist
+        |  FROM enc e JOIN d dq ON dq.j = e.j AND dq.cidx = e.cell
+        |  WHERE dq.vec_id < 6 AND dq.vec_id <> e.cid
+        |  GROUP BY dq.vec_id, e.cid),
+        |top AS (SELECT qid, cid, adist,
+        |  row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn FROM scored)
+        |SELECT qid, cid, CAST(adist AS BIGINT) AS adist FROM top WHERE rn <= 5
+        |ORDER BY qid, adist, cid""".stripMargin))
   )
 }

@@ -155,6 +155,25 @@ object ScaleSmoke {
       graft.operators.Packing.greedy(docs, "doc_id", "text",
         budget = 2048, shards = 256).queryExecution.toRdd.count()
     }
+    // PQ over a synthetic 50k x 32-dim vector corpus: fit 4 codebooks,
+    // encode everything, ADC-rank 100 queries against all 50k codes
+    val dim = 32
+    val vecs = spark.range(total).toDF("vec_id")
+      .select(col("vec_id"), array((0 until dim).map(i =>
+        (pmod(hash(col("vec_id") * (i + 7)), lit(1000)) / lit(1000.0)).cast("float")): _*)
+        .as("embedding"))
+      .persist()
+    vecs.count()
+    val pq = graft.operators.PqIndex.fit(vecs, "vec_id", "embedding", m = 4, ksub = 16)
+    time("pq encode (4x16)") {
+      graft.operators.PqIndex.encode(vecs, "vec_id", "embedding", pq)
+        .queryExecution.toRdd.count()
+    }
+    time("pq ADC top-10 (100 q)") {
+      graft.operators.PqIndex.adcTopK(vecs, vecs.filter(col("vec_id") < 100),
+        "vec_id", "embedding", pq, kTop = 10).queryExecution.toRdd.count()
+    }
+    vecs.unpersist()
     spark.stop()
   }
 }

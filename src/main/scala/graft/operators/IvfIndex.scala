@@ -95,6 +95,13 @@ object IvfIndex {
       .orderBy(col("rk"), col("id"))
       .limit(k)
       .select("qv").collect().map(_.getSeq[Long](0).toArray)
+    lloyd(spark, q, seeds, iters)
+  }
+
+  /** Lloyd iterations from given seeds — PqIndex trains m codebooks from
+    * ONE seed-rank pass by slicing shared seed rows per sub-space. */
+  private[operators] def lloyd(spark: org.apache.spark.sql.SparkSession, q: DataFrame,
+                               seeds: Array[Array[Long]], iters: Int): Model = {
     var centroids = seeds
     var it = 0
     while (it < iters) {

@@ -36,22 +36,40 @@ object PqIndex {
   private def subSlice(qv: Array[Long], j: Int, subDim: Int): Array[Long] =
     java.util.Arrays.copyOfRange(qv, j * subDim, (j + 1) * subDim)
 
-  /** Train per-sub-space codebooks with the IVF deterministic k-means. */
+  /** Train per-sub-space codebooks with the IVF deterministic k-means.
+    * Fails fast on the opaque-failure corpus shapes: empty input, ragged
+    * dimensions (which would silently zero-pad codes downstream), fewer
+    * rows than ksub (which would silently shrink the codebook). */
   def fit(df: DataFrame, idCol: String, vecCol: String,
           m: Int, ksub: Int, iters: Int = 3): Model = {
     require(m >= 1 && ksub >= 1, s"m=$m ksub=$ksub must be >= 1")
     val spark = df.sparkSession
+    import spark.implicits._
     val q = df.select(col(idCol).as("id"),
         Kernels.quantNormUdf(col(vecCol)).getField("_1").as("fullqv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dim = q.select(size(col("fullqv"))).first().getInt(0)
+      val dims = q.select(size(col("fullqv")).as("d")).distinct()
+        .as[Int].collect().sorted
+      require(dims.nonEmpty, "PqIndex.fit on an empty corpus")
+      require(dims.length == 1, s"ragged vector dimensions: ${dims.toSeq}")
+      val dim = dims.head
       require(dim % m == 0, s"dim $dim must divide into m=$m sub-spaces")
       val subDim = dim / m
+      // ONE seed-rank pass: the md5 rank is over ids, so every sub-space
+      // shares the same seed rows — slice them instead of re-ranking m times
+      val seedRows = q
+        .withColumn("rk", Kernels.md5RankUdf(col("id").cast("string")))
+        .orderBy(col("rk"), col("id"))
+        .limit(ksub)
+        .select("fullqv").collect().map(_.getSeq[Long](0).toArray)
+      require(seedRows.length >= ksub,
+        s"corpus has ${seedRows.length} rows < ksub=$ksub")
       val books = (0 until m).map { j =>
         val qj = q.select(col("id"),
           slice(col("fullqv"), j * subDim + 1, subDim).as("qv"))
-        IvfIndex.fitCached(spark, qj, ksub, iters).centroids
+        IvfIndex.lloyd(spark, qj, seedRows.map(subSlice(_, j, subDim)), iters)
+          .centroids
       }.toArray
       Model(books)
     } finally { q.unpersist(); () }
@@ -60,6 +78,8 @@ object PqIndex {
   /** Per-sub-space nearest-codeword ids (lowest-id tiebreak — the same
     * argmin contract as IvfIndex.nearest). */
   def encodeVec(qv: Array[Long], model: Model): Array[Int] = {
+    require(qv.length == model.m * model.subDim,
+      s"vector dim ${qv.length} != model dim ${model.m * model.subDim}")
     val out = new Array[Int](model.m)
     var j = 0
     while (j < model.m) {
@@ -70,8 +90,12 @@ object PqIndex {
   }
 
   /** Compress every row to its m codes: (idCol, codes). */
-  def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(model)
+  def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame =
+    encodeWith(df, idCol, vecCol,
+      df.sparkSession.sparkContext.broadcast(model))
+
+  private def encodeWith(df: DataFrame, idCol: String, vecCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[Model]): DataFrame = {
     val enc = udf((qv: Array[Long]) => encodeVec(qv, bc.value))
     df.select(col(idCol),
         Kernels.quantNormUdf(col(vecCol)).getField("_1").as("__qv"))
@@ -99,12 +123,15 @@ object PqIndex {
     t
   }
 
-  /** ADC top-k: per query, the kTop candidates with the smallest summed
-    * table distance (ascending (adist, cid) — fully deterministic).
-    * Queries + tables broadcast; candidates contribute only their codes. */
-  def adcTopK(cands: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              model: Model, kTop: Int): DataFrame = {
-    val spark = cands.sparkSession
+  /** ADC top-k over PRE-ENCODED candidates — the serving path: encode the
+    * corpus once (`encode`, persist the (cid, codes) frame), then every
+    * query batch scores against the executor-resident codes with m integer
+    * lookups per candidate and never touches a raw vector. `codes` must
+    * have columns (cid, codes). Output: per query, the kTop candidates
+    * ascending (adist, cid) — fully deterministic. */
+  def adcTopKEncoded(codes: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, model: Model, kTop: Int): DataFrame = {
+    val spark = codes.sparkSession
     val bc = spark.sparkContext.broadcast(model)
     val tableUdf = udf((qv: Array[Long]) => adcTable(qv, bc.value))
     val lookupUdf = udf((t: Seq[Seq[Long]], codes: Seq[Int]) => {
@@ -120,12 +147,19 @@ object PqIndex {
     // is that the "scan" costs m integer lookups per (query, candidate),
     // over codes already in memory. For corpus-scale serving, compose with
     // IvfIndex: probe cells first, ADC-rank only the probed members.
-    val c = encode(cands, idCol, vecCol, model)
-      .withColumnRenamed(idCol, "cid")
-    val scored = c.crossJoin(broadcast(q))
+    val scored = codes.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), lookupUdf(col("__t"), col("codes")).as("adist"))
     graft.plans.GroupTopK.topK(scored, Seq("qid"),
       Seq(col("adist").asc, col("cid").asc), kTop)
   }
+
+  /** One-shot convenience: encode + ADC in a single call. Prefer
+    * `encode` once + `adcTopKEncoded` per batch for serving — this form
+    * re-encodes the candidate corpus on every invocation. */
+  def adcTopK(cands: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              model: Model, kTop: Int): DataFrame =
+    adcTopKEncoded(
+      encode(cands, idCol, vecCol, model).withColumnRenamed(idCol, "cid"),
+      queries, idCol, vecCol, model, kTop)
 }

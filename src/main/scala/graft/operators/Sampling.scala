@@ -55,10 +55,16 @@ object Sampling {
     * reweighting op (sample web at 10 %, wiki at 100 %, ...) — still a
     * pure map-side filter on the same nested hash buckets, so raising a
     * stratum's rate only ADDS rows to its sample and reruns never flip a
-    * decision. Rows with a null rate are dropped. */
+    * decision. Rows with a null rate are dropped; a rate outside
+    * [0, 10000] throws at runtime (same fail-fast contract as byHash's
+    * require — a fraction or percent column passed by mistake must not
+    * silently produce an empty or 100x-thinned sample). */
   def byHashWeighted(df: DataFrame, idCol: String, rateBpCol: Column,
-                     seed: String = "sample"): DataFrame =
-    df.filter(
-      pmod(hash60(col(idCol).cast("string"), seed), lit(10000L))
-        < least(lit(10000L), greatest(lit(0L), rateBpCol.cast("long"))))
+                     seed: String = "sample"): DataFrame = {
+    val bp = rateBpCol.cast("long")
+    val checked = when(bp.isNull || (bp >= 0 && bp <= 10000), bp)
+      .otherwise(raise_error(format_string(
+        "byHashWeighted rate out of [0, 10000] basis points: %s", bp)).cast("long"))
+    df.filter(pmod(hash60(col(idCol).cast("string"), seed), lit(10000L)) < checked)
+  }
 }

@@ -165,14 +165,16 @@ object ScaleSmoke {
       .persist()
     vecs.count()
     val pq = graft.operators.PqIndex.fit(vecs, "vec_id", "embedding", m = 4, ksub = 16)
-    time("pq encode (4x16)") {
-      graft.operators.PqIndex.encode(vecs, "vec_id", "embedding", pq)
-        .queryExecution.toRdd.count()
-    }
+    val pqCodes = graft.operators.PqIndex.encode(vecs, "vec_id", "embedding", pq)
+      .withColumnRenamed("vec_id", "cid").persist()
+    time("pq encode (4x16)") { pqCodes.queryExecution.toRdd.count() }
+    // the serving path: queries score against the persisted codes only
     time("pq ADC top-10 (100 q)") {
-      graft.operators.PqIndex.adcTopK(vecs, vecs.filter(col("vec_id") < 100),
+      graft.operators.PqIndex.adcTopKEncoded(pqCodes,
+        vecs.filter(col("vec_id") < 100),
         "vec_id", "embedding", pq, kTop = 10).queryExecution.toRdd.count()
     }
+    pqCodes.unpersist()
     vecs.unpersist()
     spark.stop()
   }

@@ -46,6 +46,28 @@ class PqIndexSpec extends SparkSpec {
     assert(top.forall { case (cid, _) => cid == 50L || cid / 10 == 0 }, top.toString)
   }
 
+  test("adcTopKEncoded serves from pre-encoded codes with identical results") {
+    val model = PqIndex.fit(vecs, "vec_id", "embedding", m = 2, ksub = 4)
+    val codes = PqIndex.encode(vecs, "vec_id", "embedding", model)
+      .withColumnRenamed("vec_id", "cid")
+    val a = PqIndex.adcTopKEncoded(codes, vecs.limit(3), "vec_id", "embedding", model, 4)
+      .select("qid", "cid", "adist").as[(Long, Long, Long)].collect().toSet
+    val b = PqIndex.adcTopK(vecs, vecs.limit(3), "vec_id", "embedding", model, 4)
+      .select("qid", "cid", "adist").as[(Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("fit fails fast on empty, ragged, and under-sized corpora") {
+    val empty = vecs.filter($"vec_id" < 0)
+    assert(intercept[IllegalArgumentException](
+      PqIndex.fit(empty, "vec_id", "embedding", 2, 2)).getMessage.contains("empty"))
+    val ragged = vecs.union(Seq((99L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding"))
+    assert(intercept[IllegalArgumentException](
+      PqIndex.fit(ragged, "vec_id", "embedding", 2, 2)).getMessage.contains("ragged"))
+    assert(intercept[IllegalArgumentException](
+      PqIndex.fit(vecs.limit(2), "vec_id", "embedding", 2, 4)).getMessage.contains("ksub"))
+  }
+
   test("adcTopK ranks through GroupTopK (bounded heaps), not a window sort") {
     val model = PqIndex.fit(vecs, "vec_id", "embedding", m = 2, ksub = 4)
     val plan = PqIndex.adcTopK(vecs, vecs.limit(2), "vec_id", "embedding", model, 3)

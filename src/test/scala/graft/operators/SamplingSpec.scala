@@ -49,6 +49,13 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(_._2 == "g1").map(_._1).toSet == nested)
   }
 
+  test("byHashWeighted fails fast on out-of-range rates (fractions/percents by mistake)") {
+    val e = intercept[Exception](
+      Sampling.byHashWeighted(rows, "id", lit(10001L)).count())
+    assert(e.getMessage.contains("basis points") ||
+      e.getCause.getMessage.contains("basis points"))
+  }
+
   test("perGroup draws exactly k per stratum, deterministically") {
     val s1 = Sampling.perGroup(rows, "grp", "id", 7)
     val counts = s1.groupBy("grp").count().as[(String, Long)].collect().toMap

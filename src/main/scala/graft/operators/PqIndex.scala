@@ -162,4 +162,54 @@ object PqIndex {
     adcTopKEncoded(
       encode(cands, idCol, vecCol, model).withColumnRenamed(idCol, "cid"),
       queries, idCol, vecCol, model, kTop)
+
+  /** The full IVF-PQ layout: the coarse quantizer restricts each query to
+    * its `nprobe` nearest cells' members (an equi-join on the cell id —
+    * the candidate set shrinks by ~k/nprobe), then ADC ranks the probed
+    * members by table lookups. This is THE billion-scale serving shape:
+    * no cross join, no raw-vector arithmetic per candidate, and both
+    * models are kilobytes of broadcast state. `encodedCells` must carry
+    * (cell, cid, codes) — build it once with [[encodeCells]], persist,
+    * serve every batch. */
+  def ivfAdcTopK(encodedCells: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, ivf: IvfIndex.Model, pq: Model,
+                 kTop: Int, nprobe: Int = 2): DataFrame = {
+    val spark = encodedCells.sparkSession
+    val bcIvf = spark.sparkContext.broadcast(ivf.centroids)
+    val bcPq = spark.sparkContext.broadcast(pq)
+    val probesUdf = udf((qv: Array[Long]) => IvfIndex.nearestN(qv, bcIvf.value, nprobe))
+    val tableUdf = udf((qv: Array[Long]) => adcTable(qv, bcPq.value))
+    val lookupUdf = udf((t: Seq[Seq[Long]], codes: Seq[Int]) => {
+      var s = 0L
+      var j = 0
+      while (j < codes.length) { s += t(j)(codes(j)); j += 1 }
+      s
+    })
+    val q = queries.select(col(idCol).as("qid"),
+        Kernels.quantNormUdf(col(vecCol)).getField("_1").as("__qv"))
+      .select(col("qid"), tableUdf(col("__qv")).as("__t"),
+        explode(probesUdf(col("__qv"))).as("cell"))
+    val scored = encodedCells.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), lookupUdf(col("__t"), col("codes")).as("adist"))
+      // a candidate can surface via several probed cells of the same query
+      .distinct()
+    graft.plans.GroupTopK.topK(scored, Seq("qid"),
+      Seq(col("adist").asc, col("cid").asc), kTop)
+  }
+
+  /** Build the serving frame for [[ivfAdcTopK]]: every candidate's coarse
+    * cell plus its PQ codes — one map-side pass, persist and reuse. */
+  def encodeCells(cands: DataFrame, idCol: String, vecCol: String,
+                  ivf: IvfIndex.Model, pq: Model): DataFrame = {
+    val spark = cands.sparkSession
+    val bcIvf = spark.sparkContext.broadcast(ivf.centroids)
+    val bcPq = spark.sparkContext.broadcast(pq)
+    val cellUdf = udf((qv: Array[Long]) => IvfIndex.nearest(qv, bcIvf.value))
+    val encUdf = udf((qv: Array[Long]) => encodeVec(qv, bcPq.value))
+    cands.select(col(idCol).as("cid"),
+        Kernels.quantNormUdf(col(vecCol)).getField("_1").as("__qv"))
+      .select(col("cid"), cellUdf(col("__qv")).as("cell"),
+        encUdf(col("__qv")).as("codes"))
+  }
 }

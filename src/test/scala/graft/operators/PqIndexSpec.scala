@@ -68,6 +68,25 @@ class PqIndexSpec extends SparkSpec {
       PqIndex.fit(vecs.limit(2), "vec_id", "embedding", 2, 4)).getMessage.contains("ksub"))
   }
 
+  test("ivfAdcTopK: probed-cell results are the full-ADC results restricted to the probed members") {
+    val ivf = IvfIndex.fit(vecs, "vec_id", "embedding", k = 3)
+    val pq = PqIndex.fit(vecs, "vec_id", "embedding", m = 2, ksub = 4)
+    val cells = PqIndex.encodeCells(vecs, "vec_id", "embedding", ivf, pq).persist()
+    val queries = vecs.filter($"vec_id" === 15)
+    val probed = PqIndex.ivfAdcTopK(cells, queries, "vec_id", "embedding",
+        ivf, pq, kTop = 5, nprobe = 1)
+      .select("cid", "adist").as[(Long, Long)].collect().toMap
+    // full ADC over the same candidate restriction must agree on distances
+    val full = PqIndex.adcTopK(vecs, queries, "vec_id", "embedding", pq, 30)
+      .select("cid", "adist").as[(Long, Long)].collect().toMap
+    assert(probed.nonEmpty)
+    probed.foreach { case (cid, d) => assert(full(cid) == d, s"cid $cid: $d vs ${full(cid)}") }
+    // with its own cluster probed, the query's nearest heap members are in-cluster
+    assert(probed.keySet.forall(_ / 10 == 1), probed.toString)
+    cells.unpersist()
+    ()
+  }
+
   test("adcTopK ranks through GroupTopK (bounded heaps), not a window sort") {
     val model = PqIndex.fit(vecs, "vec_id", "embedding", m = 2, ksub = 4)
     val plan = PqIndex.adcTopK(vecs, vecs.limit(2), "vec_id", "embedding", model, 3)

@@ -59,5 +59,17 @@ object GraftFunctions {
     // typed UDAF (§2.14 many-rows -> aggregate): group-level minhash union
     spark.udf.register("minhash_union12",
       org.apache.spark.sql.functions.udaf(new graft.functions.MinhashUnionAgg(12)))
+    // round-5 corpus-hygiene surface: PII redaction (same Java regexes as
+    // the Column chain in text.maskPii) and the Gopher gate's one-pass
+    // stat kernel as a SQL struct (fields _1.._8: tokens, non-ws chars,
+    // alpha tokens, stopword tokens, distinct tokens, lines, bullet
+    // lines, '...'-suffixed lines)
+    spark.udf.register("mask_pii", (s: String) =>
+      if (s == null) null
+      else s.replaceAll(graft.functions.text.EmailRe, "<EMAIL>")
+        .replaceAll(graft.functions.text.Ipv4Re, "<IP>")
+        .replaceAll(graft.functions.text.PhoneRe, "<PHONE>"))
+    spark.udf.register("gopher_stats", (s: String) =>
+      Kernels.gopherStats(s, graft.functions.text.EnStop.toSet))
   }
 }

@@ -103,6 +103,17 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(rows(1).getSeq[Long](1).take(2) == Seq(7L, 1L))
   }
 
+  test("SQL surface: mask_pii and gopher_stats match their Column/kernel forms") {
+    GraftFunctions.register(spark)
+    Seq(("bob@x.io at 10.1.1.1 via +49 30 123456", 1))
+      .toDF("t", "i").createOrReplaceTempView("pii")
+    val m = spark.sql("SELECT mask_pii(t) AS m FROM pii").head().getString(0)
+    assert(m == "<EMAIL> at <IP> via <PHONE>")
+    val st = spark.sql("SELECT gopher_stats('the a quick fox') AS s FROM pii")
+      .select("s._1", "s._4").head()
+    assert(st.getLong(0) == 4L && st.getLong(1) == 2L)
+  }
+
   test("maskPii: email -> IPv4 -> phone, typed placeholders, URLs untouched") {
     import graft.functions.text
     def mask(s: String): String = Seq(s).toDF("t")

@@ -147,6 +147,32 @@ object text {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** URL canonicalization for URL-level dedup of web corpora (north-star;
+    * extends the reference's URL handling — filenameFromUrl/maskUrls):
+    * lowercase scheme and host, strip the fragment, drop default ports
+    * (:80/:443), drop tracking params (utm_*, fbclid, gclid), SORT the
+    * surviving query params, and strip trailing path slashes. Non-URLs
+    * (no `scheme://`) pass through unchanged. Pure deterministic
+    * regex/array steps in the RE2-compatible subset, so the DuckDB oracle
+    * applies the byte-identical pipeline. */
+  def canonicalizeUrl(c: Column): Column = {
+    val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*://"
+    val noFrag = regexp_replace(c, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, SchemeRe, "")
+    val hostPort = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val host = regexp_replace(hostPort, ":(80|443)$", "")
+    val pathQ = regexp_replace(rest, "^[^/?]*", "")
+    val path = regexp_replace(regexp_extract(pathQ, "^([^?]*)", 1), "/+$", "")
+    val rawQ = regexp_extract(pathQ, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(rawQ, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)")))
+    val canon = concat(scheme, lit("://"), host, path,
+      when(size(params) > 0, concat(lit("?"), concat_ws("&", params)))
+        .otherwise(lit("")))
+    when(noFrag.rlike(SchemeRe), canon).otherwise(c)
+  }
+
   /** Stopword-filtered token array (reference stopword filter,
     * wurzel/steps/embedding/step.py:71-76, 168-181). Keeps duplicates. */
   def removeStopwords(toks: Column, stopwords: Seq[String]): Column =

@@ -1354,6 +1354,42 @@ object TextQ {
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 1, 15)) AS BIGINT) % 10000
         |  < CASE WHEN lang = 'en' THEN 8000 WHEN lang = 'de' THEN 5000
         |         WHEN lang IN ('es', 'fr') THEN 3000 ELSE 1000 END
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q84_url_canonical",
+      // URL canonicalization (text.canonicalizeUrl) — the prerequisite for
+      // URL-level dedup of web crawls: lowercase scheme/host, default-port
+      // and fragment strip, tracking-param drop, param sort, trailing-slash
+      // strip. Every step is a deterministic regex/array op both engines
+      // apply byte-identically; the synthesized URLs exercise each step.
+      (s, d) => {
+        val synth = concat(
+          lit("HTTPS://CDN.Example.COM:443/docs/"), col("source"),
+          lit("/"), col("doc_id"),
+          lit("/?utm_campaign=x&ref="), col("lang"),
+          lit("&utm_source=y#sec"), col("doc_id"))
+        docs(s, d)
+          .select(col("doc_id"), canonicalizeUrl(synth).as("canon"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+        |  'HTTPS://CDN.Example.COM:443/docs/' || source || '/' || CAST(doc_id AS VARCHAR)
+        |    || '/?utm_campaign=x&ref=' || lang || '&utm_source=y#sec' || CAST(doc_id AS VARCHAR) AS raw
+        |  FROM documents),
+        |p AS (SELECT doc_id, regexp_replace(raw, '#.*', '') AS nf FROM u),
+        |q AS (SELECT doc_id,
+        |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM p),
+        |r AS (SELECT doc_id, scheme,
+        |  regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), ':(80|443)$', '') AS host,
+        |  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM q),
+        |s AS (SELECT doc_id, scheme, host,
+        |  regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path,
+        |  list_sort(list_filter(string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+        |    x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)(=|$)'))) AS params
+        |  FROM r)
+        |SELECT doc_id, scheme || '://' || host || path ||
+        |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canon
+        |FROM s ORDER BY doc_id""".stripMargin))
   )
 }

@@ -114,6 +114,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(st.getLong(0) == 4L && st.getLong(1) == 2L)
   }
 
+  test("canonicalizeUrl: scheme/host case, ports, fragments, tracking params, slash") {
+    import graft.functions.text
+    def canon(s: String): String = Seq(s).toDF("u")
+      .select(text.canonicalizeUrl($"u").as("c")).head().getString(0)
+    assert(canon("HTTPS://Example.COM:443/A/b/?utm_source=x&b=2&a=1#frag")
+      == "https://example.com/A/b?a=1&b=2")
+    assert(canon("http://Host.io:80/") == "http://host.io")
+    assert(canon("https://x.io/p?fbclid=abc&gclid=1") == "https://x.io/p")
+    assert(canon("https://x.io/p?utm_medium") == "https://x.io/p")
+    // path case preserved; non-default port preserved
+    assert(canon("https://X.io:8080/Path") == "https://x.io:8080/Path")
+    // non-URLs pass through untouched
+    assert(canon("not a url #tag") == "not a url #tag")
+  }
+
   test("maskPii: email -> IPv4 -> phone, typed placeholders, URLs untouched") {
     import graft.functions.text
     def mask(s: String): String = Seq(s).toDF("t")

@@ -64,12 +64,17 @@ object GraftFunctions {
     // stat kernel as a SQL struct (fields _1.._8: tokens, non-ws chars,
     // alpha tokens, stopword tokens, distinct tokens, lines, bullet
     // lines, '...'-suffixed lines)
+    val piiPats = Seq(
+      graft.functions.text.EmailRe -> "<EMAIL>",
+      graft.functions.text.Ipv4Re -> "<IP>",
+      graft.functions.text.PhoneRe -> "<PHONE>"
+    ).map { case (re, tag) => java.util.regex.Pattern.compile(re) -> tag }
     spark.udf.register("mask_pii", (s: String) =>
       if (s == null) null
-      else s.replaceAll(graft.functions.text.EmailRe, "<EMAIL>")
-        .replaceAll(graft.functions.text.Ipv4Re, "<IP>")
-        .replaceAll(graft.functions.text.PhoneRe, "<PHONE>"))
-    spark.udf.register("gopher_stats", (s: String) =>
-      Kernels.gopherStats(s, graft.functions.text.EnStop.toSet))
+      else piiPats.foldLeft(s) { case (acc, (p, tag)) =>
+        p.matcher(acc).replaceAll(tag)
+      })
+    spark.udf.register("gopher_stats",
+      Kernels.gopherStatsUdf(graft.functions.text.EnStop))
   }
 }

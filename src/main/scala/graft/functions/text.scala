@@ -160,14 +160,21 @@ object text {
     val noFrag = regexp_replace(c, "#.*", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag, SchemeRe, "")
-    val hostPort = lower(regexp_extract(rest, "^([^/?]*)", 1))
-    val host = regexp_replace(hostPort, ":(80|443)$", "")
+    val authority = regexp_extract(rest, "^([^/?]*)", 1)
+    // only the HOST is case-insensitive (RFC 3986) — userinfo keeps case
+    val userinfo = regexp_extract(authority, "^([^@]*@)", 1)
+    val hostPort = lower(regexp_replace(authority, "^[^@]*@", ""))
+    // default-port strip is scheme-specific: http:80 / https:443 only —
+    // http://host:443 is a DIFFERENT resource and must not merge
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
     val pathQ = regexp_replace(rest, "^[^/?]*", "")
     val path = regexp_replace(regexp_extract(pathQ, "^([^?]*)", 1), "/+$", "")
     val rawQ = regexp_extract(pathQ, "\\?(.*)$", 1)
     val params = array_sort(filter(split(rawQ, "&"),
       p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)")))
-    val canon = concat(scheme, lit("://"), host, path,
+    val canon = concat(scheme, lit("://"), userinfo, host, path,
       when(size(params) > 0, concat(lit("?"), concat_ws("&", params)))
         .otherwise(lit("")))
     when(noFrag.rlike(SchemeRe), canon).otherwise(c)

@@ -129,20 +129,26 @@ object PqIndex {
     * lookups per candidate and never touches a raw vector. `codes` must
     * have columns (cid, codes). Output: per query, the kTop candidates
     * ascending (adist, cid) — fully deterministic. */
+  /** The two ADC scoring lambdas, shared by the flat and IVF-probed
+    * serving paths so the lookup semantics can never diverge. */
+  private def tableUdfFor(
+      bc: org.apache.spark.broadcast.Broadcast[Model]) =
+    udf((qv: Array[Long]) => adcTable(qv, bc.value))
+
+  private val lookupUdf = udf((t: Seq[Seq[Long]], codes: Seq[Int]) => {
+    var s = 0L
+    var j = 0
+    while (j < codes.length) { s += t(j)(codes(j)); j += 1 }
+    s
+  })
+
   def adcTopKEncoded(codes: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, model: Model, kTop: Int): DataFrame = {
     val spark = codes.sparkSession
     val bc = spark.sparkContext.broadcast(model)
-    val tableUdf = udf((qv: Array[Long]) => adcTable(qv, bc.value))
-    val lookupUdf = udf((t: Seq[Seq[Long]], codes: Seq[Int]) => {
-      var s = 0L
-      var j = 0
-      while (j < codes.length) { s += t(j)(codes(j)); j += 1 }
-      s
-    })
     val q = queries.select(col(idCol).as("qid"),
         Kernels.quantNormUdf(col(vecCol)).getField("_1").as("__qv"))
-      .select(col("qid"), tableUdf(col("__qv")).as("__t"))
+      .select(col("qid"), tableUdfFor(bc)(col("__qv")).as("__t"))
     // every candidate scores against every query — by DESIGN: ADC's point
     // is that the "scan" costs m integer lookups per (query, candidate),
     // over codes already in memory. For corpus-scale serving, compose with
@@ -178,22 +184,16 @@ object PqIndex {
     val bcIvf = spark.sparkContext.broadcast(ivf.centroids)
     val bcPq = spark.sparkContext.broadcast(pq)
     val probesUdf = udf((qv: Array[Long]) => IvfIndex.nearestN(qv, bcIvf.value, nprobe))
-    val tableUdf = udf((qv: Array[Long]) => adcTable(qv, bcPq.value))
-    val lookupUdf = udf((t: Seq[Seq[Long]], codes: Seq[Int]) => {
-      var s = 0L
-      var j = 0
-      while (j < codes.length) { s += t(j)(codes(j)); j += 1 }
-      s
-    })
     val q = queries.select(col(idCol).as("qid"),
         Kernels.quantNormUdf(col(vecCol)).getField("_1").as("__qv"))
-      .select(col("qid"), tableUdf(col("__qv")).as("__t"),
+      .select(col("qid"), tableUdfFor(bcPq)(col("__qv")).as("__t"),
         explode(probesUdf(col("__qv"))).as("cell"))
+    // no distinct needed: encodeCells assigns each candidate exactly ONE
+    // cell and nearestN's probes are distinct, so (qid, cid) pairs are
+    // already unique — the partial heaps prune straight to the exchange
     val scored = encodedCells.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), lookupUdf(col("__t"), col("codes")).as("adist"))
-      // a candidate can surface via several probed cells of the same query
-      .distinct()
     graft.plans.GroupTopK.topK(scored, Seq("qid"),
       Seq(col("adist").asc, col("cid").asc), kTop)
   }

@@ -1380,15 +1380,21 @@ object TextQ {
         |q AS (SELECT doc_id,
         |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |  regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM p),
-        |r AS (SELECT doc_id, scheme,
-        |  regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), ':(80|443)$', '') AS host,
-        |  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM q),
-        |s AS (SELECT doc_id, scheme, host,
+        |a AS (SELECT doc_id, scheme, rest,
+        |  regexp_extract(regexp_extract(rest, '^([^/?]*)', 1), '^([^@]*@)', 1) AS userinfo,
+        |  lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1), '^[^@]*@', '')) AS hostport
+        |  FROM q),
+        |r AS (SELECT doc_id, scheme, userinfo,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |       ELSE hostport END AS host,
+        |  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM a),
+        |s AS (SELECT doc_id, scheme, userinfo, host,
         |  regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path,
         |  list_sort(list_filter(string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
         |    x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)(=|$)'))) AS params
         |  FROM r)
-        |SELECT doc_id, scheme || '://' || host || path ||
+        |SELECT doc_id, scheme || '://' || userinfo || host || path ||
         |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canon
         |FROM s ORDER BY doc_id""".stripMargin))
   )

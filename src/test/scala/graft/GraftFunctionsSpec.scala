@@ -125,6 +125,11 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(canon("https://x.io/p?utm_medium") == "https://x.io/p")
     // path case preserved; non-default port preserved
     assert(canon("https://X.io:8080/Path") == "https://x.io:8080/Path")
+    // default-port strip is scheme-specific: :443 on http is a REAL port
+    assert(canon("http://Host.io:443/a") == "http://host.io:443/a")
+    assert(canon("ftp://Host.io:80/a") == "ftp://host.io:80/a")
+    // userinfo keeps its case; only the host lowercases
+    assert(canon("https://TokenA@Api.X.io/r") == "https://TokenA@api.x.io/r")
     // non-URLs pass through untouched
     assert(canon("not a url #tag") == "not a url #tag")
   }

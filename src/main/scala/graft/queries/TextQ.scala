@@ -1396,6 +1396,33 @@ object TextQ {
         |  FROM r)
         |SELECT doc_id, scheme || '://' || userinfo || host || path ||
         |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canon
-        |FROM s ORDER BY doc_id""".stripMargin))
+        |FROM s ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q85_text_normalize",
+      // Unicode hygiene (text.normalizeText): NFC composition + C0/C1
+      // control strip. The synth plants a decomposed e + COMBINING ACUTE
+      // (composes to U+00E9), a BEL control (stripped), and a tab
+      // (kept) — Java's Normalizer and DuckDB's nfc_normalize implement
+      // the same Unicode algorithm, so lengths and sha256 bytes match.
+      (s, d) => {
+        val synth = concat(
+          lit("Cafe"), lit("e\u0301"), lit(" menu\u0007item\t"),
+          substring(col("text"), 1, 30))
+        docs(s, d)
+          .select(col("doc_id"),
+            normalizeText(synth).as("norm"))
+          .select(col("doc_id"),
+            big(length(col("norm"))).as("norm_len"),
+            sha2(col("norm"), 256).as("norm_sha"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+        |  'Cafe' || 'e' || chr(769) || ' menu' || chr(7) || 'item' || chr(9) || substr(text, 1, 30) AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |  regexp_replace(nfc_normalize(raw), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS norm
+        |  FROM m)
+        |SELECT doc_id, CAST(length(norm) AS BIGINT) AS norm_len, sha256(norm) AS norm_sha
+        |FROM n ORDER BY doc_id""".stripMargin))
   )
 }

@@ -134,6 +134,16 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(canon("not a url #tag") == "not a url #tag")
   }
 
+  test("normalizeText: NFC composes accents, strips controls, keeps tab/newline") {
+    import graft.functions.text
+    def norm(s: String): String = Seq(s).toDF("t")
+      .select(text.normalizeText($"t").as("n")).head().getString(0)
+    assert(norm("Café") == "Café")           // e + combining acute -> é
+    assert(norm("a\u0007b\u0000c") == "abc")            // BEL and NUL stripped
+    assert(norm("a\tb\nc\rd") == "a\tb\nc\rd")          // whitespace controls kept
+    assert(norm("plain ascii") == "plain ascii")
+  }
+
   test("maskPii: email -> IPv4 -> phone, typed placeholders, URLs untouched") {
     import graft.functions.text
     def mask(s: String): String = Seq(s).toDF("t")

@@ -17,13 +17,13 @@ import graft.functions.{text, Kernels}
   *    eval suites are a few MB of grams, so the corpus side never shuffles;
   *    the overlap join is a map-side broadcast hash join over the corpus'
   *    exploded grams;
-  *  - corpus grams are computed in one JVM kernel pass per row
+  *  - corpus grams are computed in ONE JVM kernel pass per row
   *    (Kernels.shingleArr — distinct per doc, so the post-join count is
-  *    exactly "distinct contaminated grams") and only the 8-byte hash plus
-  *    the doc id survive the explode;
-  *  - the per-doc overlap count aggregates AFTER the broadcast join has
-  *    discarded every clean gram, so the single shuffle carries only rows
-  *    from contaminated docs;
+  *    exactly "distinct contaminated grams"); n_grams and the exploded
+  *    stream derive from the same projected array, so the corpus is
+  *    scanned and shingled exactly once;
+  *  - the per-doc aggregate's exchange carries one partial row per doc
+  *    per partition (id, n_grams, count — ~tens of bytes), never grams;
   *  - `broadcastBench = false` falls back to a shuffled hash join for the
   *    rare huge-benchmark case.
   *
@@ -44,23 +44,25 @@ object Decontaminate {
     val benchGrams = {
       val g = bench
         .select(explode(grams(col(textCol))).as("gram"))
-        .select(text.hash60(col("gram"), "decon").as("gh"))
+        .select(text.hash60(col("gram"), "decon").as("bh"))
         .distinct()
       if (broadcastBench) broadcast(g) else g
     }
-    val overlap = corpus
-      .select(col(idCol), explode(grams(col(textCol))).as("gram"))
-      .select(col(idCol), text.hash60(col("gram"), "decon").as("gh"))
-      .join(benchGrams, "gh")
-      // grams are distinct within a doc and benchGrams is distinct, so a
-      // plain count is the distinct-overlap count — no count(distinct)
-      // (and its extra Expand/shuffle) needed
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("overlap_grams"))
+    // ONE shingle pass per corpus row: n_grams and the exploded gram stream
+    // come from the same projected array (explode_outer keeps sub-n-token
+    // docs as a null-gram row, so every doc survives to the aggregate);
+    // count(bh) counts only benchmark-matched grams, which are distinct
+    // within a doc and distinct in the benchmark — so the plain count is
+    // the distinct-overlap count, no count(distinct) Expand needed.
     corpus
-      .select(col(idCol), size(grams(col(textCol))).cast("long").as("n_grams"))
-      .join(overlap, Seq(idCol), "left")
-      .withColumn("overlap_grams", coalesce(col("overlap_grams"), lit(0L)))
+      .select(col(idCol), grams(col(textCol)).as("__g"))
+      .select(col(idCol), size(col("__g")).cast("long").as("n_grams"),
+        explode_outer(col("__g")).as("gram"))
+      .select(col(idCol), col("n_grams"),
+        text.hash60(col("gram"), "decon").as("gh"))
+      .join(benchGrams, col("gh") === col("bh"), "left")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(col("bh")).as("overlap_grams"))
       .withColumn("contaminated", col("overlap_grams") >= minOverlap)
   }
 

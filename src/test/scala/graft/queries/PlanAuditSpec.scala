@@ -92,13 +92,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(planCount(plan, "Sort [") <= 2, plan.take(2000)) // replay sort + output sortWithinPartitions
   }
 
-  test("q76: benchmark gram set is broadcast — the corpus gram stream never shuffles") {
+  test("q76: one corpus scan, benchmark grams broadcast, gram stream never shuffles") {
     val plan = finalPlan(q("q76_decontaminate"))
-    // overlap join AND the flag rejoin both broadcast
-    assert(planCount(plan, "BroadcastHashJoin") >= 2, plan.take(3000))
-    // the only hash exchanges are the benchmark-side distinct (tiny by
-    // definition) and the post-join doc_id count — the corpus' exploded
-    // gram stream stays map-side, so exchanges stay <= 2
+    // the overlap join broadcasts the benchmark grams
+    assert(planCount(plan, "BroadcastHashJoin") >= 1, plan.take(3000))
+    // single-pass shape: ONE scan of the documents parquet (grams computed
+    // once), and the only hash exchanges are the benchmark-side distinct
+    // (tiny by definition) and the per-doc count — never exploded grams
+    assert(planCount(plan, "FileScan parquet") == 2, plan.take(3000)) // corpus + bench
     assert(planCount(plan, "Exchange hashpartitioning") <= 2, plan.take(3000))
   }
 

@@ -109,4 +109,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning(line#"), plan.take(3000))
     assert(!plan.contains("Window"), plan.take(3000)) // array_sort regroup, not a window sort
   }
+
+  test("q79: greedy packing is ONE shard exchange + secondary sort — no window, no extra shuffle") {
+    val plan = finalPlan(q("q79_sequence_packing"))
+    assert(planCount(plan, "Exchange hashpartitioning") == 1, plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("q74/q82: hash sampling is a pure map-side filter — zero exchanges before the output sort") {
+    Seq("q74_sample_hash", "q82_mixture_sample").foreach { name =>
+      val plan = finalPlan(q(name))
+      assert(planCount(plan, "Exchange hashpartitioning") == 0, s"$name:\n${plan.take(2000)}")
+      assert(plan.contains("PushedFilters") || plan.contains("Filter"), name)
+    }
+  }
 }

@@ -67,7 +67,8 @@ object Decontaminate {
   }
 
   /** The removal form: corpus rows with fewer than `minOverlap` shared
-    * n-grams. Same plan as `flag` minus the clean-side bookkeeping. */
+    * n-grams — `flag`'s contaminated ids anti-joined back against the
+    * original rows. */
   def clean(corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
             n: Int = 8, minOverlap: Int = 1): DataFrame = {
     val contaminatedIds = flag(corpus, bench, idCol, textCol, n, minOverlap)

@@ -16,6 +16,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_count_native", exprs => TokenCountExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_long", exprs => graft.plans.DotLongExpr(exprs(0), exprs(1)), "scala_udf")
     // table-generating function (§2.14 UDTF shape): LATERAL VIEW splitter
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "semantic_split_rows", exprs => graft.plans.SemanticSplitGen(exprs.head), "scala_udf")

@@ -217,7 +217,7 @@ object Dedup {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (Kernels.dotUdf(col("q_a"), col("q_b")).cast("double")
+        (graft.plans.DotLongExpr.dotLong(col("q_a"), col("q_b")).cast("double")
           / (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double")))).as("cosine"))
       .distinct()
       .filter(col("cosine") >= threshold)

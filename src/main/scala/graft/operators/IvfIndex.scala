@@ -151,7 +151,7 @@ object IvfIndex {
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (Kernels.dotUdf(col("qv"), col("cv")).cast("double")
+        (graft.plans.DotLongExpr.dotLong(col("qv"), col("cv")).cast("double")
           / (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))).as("cosine"))
       .distinct() // a pair can surface via several probed cells
     Similarity.rankTopK(scored, kTop)

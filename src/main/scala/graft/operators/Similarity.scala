@@ -41,7 +41,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        cosine(Kernels.dotUdf(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+        cosine(graft.plans.DotLongExpr.dotLong(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
     rankTopK(scored, kTop)
   }
 
@@ -70,7 +70,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        cosine(Kernels.dotUdf(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+        cosine(graft.plans.DotLongExpr.dotLong(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
     rankTopK(scored, kTop)
   }
 }

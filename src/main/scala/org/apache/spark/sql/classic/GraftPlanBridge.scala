@@ -20,6 +20,18 @@ object GraftPlanBridge {
   def resolver(spark: SparkSession): (String, String) => Boolean =
     spark.sessionState.analyzer.resolver
 
+  /** Expression -> Column (the reverse of `expr`), for using native
+    * codegen Expressions from the DataFrame API without a function-registry
+    * round-trip. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    ExpressionUtils.column(e)
+
+  /** Static Column -> Expression for plain refs/literals (no session
+    * context; fine for attribute references — use `expr` when sort
+    * direction/null ordering must translate). */
+  def staticExpr(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    ExpressionUtils.expression(c)
+
   /** Whether a planner strategy is already registered (via extensions or
     * experimental strategies). */
   def hasStrategy(spark: SparkSession, s: org.apache.spark.sql.execution.SparkStrategy): Boolean =

@@ -112,6 +112,9 @@ class GraftFunctionsSpec extends SparkSpec {
     val st = spark.sql("SELECT gopher_stats('the a quick fox') AS s FROM pii")
       .select("s._1", "s._4").head()
     assert(st.getLong(0) == 4L && st.getLong(1) == 2L)
+    // native codegen dot product on the SQL surface
+    assert(spark.sql("SELECT dot_long(array(1L, 2L), array(3L, 4L)) AS d")
+      .head().getLong(0) == 11L)
   }
 
   test("canonicalizeUrl: scheme/host case, ports, fragments, tracking params, slash") {

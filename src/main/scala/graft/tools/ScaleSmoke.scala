@@ -175,6 +175,13 @@ object ScaleSmoke {
         "vec_id", "embedding", pq, kTop = 10).queryExecution.toRdd.count()
     }
     pqCodes.unpersist()
+    // exact brute-force baseline over the same 100 queries x 50k
+    // candidates: 5M codegen'd integer dots (DotLongExpr) + heap ranking
+    time("brute top-10 (100 q, exact)") {
+      graft.operators.Similarity.bruteTopK(vecs,
+        vecs.filter(col("vec_id") < 100),
+        "vec_id", "embedding", kTop = 10).queryExecution.toRdd.count()
+    }
     vecs.unpersist()
     spark.stop()
   }

@@ -123,25 +123,25 @@ object PqIndex {
     t
   }
 
+  /** The ADC scoring pieces, shared by the flat and IVF-probed serving
+    * paths so the lookup semantics can never diverge. The per-query table
+    * is a UDF (one call per QUERY — negligible); the per-candidate lookup
+    * is a native codegen Expression (plans/AdcLookupExpr — it runs once
+    * per scored pair, and the boxed-UDF form measurably dominated ADC). */
+  private def tableUdfFor(
+      bc: org.apache.spark.broadcast.Broadcast[Model]) =
+    udf((qv: Array[Long]) => adcTable(qv, bc.value))
+
+  private def lookupCol(table: org.apache.spark.sql.Column,
+                        codes: org.apache.spark.sql.Column) =
+    graft.plans.AdcLookupExpr.adcLookup(table, codes)
+
   /** ADC top-k over PRE-ENCODED candidates — the serving path: encode the
     * corpus once (`encode`, persist the (cid, codes) frame), then every
     * query batch scores against the executor-resident codes with m integer
     * lookups per candidate and never touches a raw vector. `codes` must
     * have columns (cid, codes). Output: per query, the kTop candidates
     * ascending (adist, cid) — fully deterministic. */
-  /** The two ADC scoring lambdas, shared by the flat and IVF-probed
-    * serving paths so the lookup semantics can never diverge. */
-  private def tableUdfFor(
-      bc: org.apache.spark.broadcast.Broadcast[Model]) =
-    udf((qv: Array[Long]) => adcTable(qv, bc.value))
-
-  private val lookupUdf = udf((t: Seq[Seq[Long]], codes: Seq[Int]) => {
-    var s = 0L
-    var j = 0
-    while (j < codes.length) { s += t(j)(codes(j)); j += 1 }
-    s
-  })
-
   def adcTopKEncoded(codes: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, model: Model, kTop: Int): DataFrame = {
     val spark = codes.sparkSession
@@ -155,7 +155,7 @@ object PqIndex {
     // IvfIndex: probe cells first, ADC-rank only the probed members.
     val scored = codes.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), lookupUdf(col("__t"), col("codes")).as("adist"))
+      .select(col("qid"), col("cid"), lookupCol(col("__t"), col("codes")).as("adist"))
     graft.plans.GroupTopK.topK(scored, Seq("qid"),
       Seq(col("adist").asc, col("cid").asc), kTop)
   }
@@ -193,7 +193,7 @@ object PqIndex {
     // already unique — the partial heaps prune straight to the exchange
     val scored = encodedCells.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), lookupUdf(col("__t"), col("codes")).as("adist"))
+      .select(col("qid"), col("cid"), lookupCol(col("__t"), col("codes")).as("adist"))
     graft.plans.GroupTopK.topK(scored, Seq("qid"),
       Seq(col("adist").asc, col("cid").asc), kTop)
   }

@@ -147,18 +147,21 @@ object text {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
-  /** Unicode text normalization for corpus hygiene (north-star): NFC
-    * composition (so `e` + COMBINING ACUTE and precomposed `é` hash, dedup,
-    * and tokenize identically) followed by a C0/C1-control strip (tab,
-    * newline, CR survive). Java's Normalizer and DuckDB's nfc_normalize
-    * implement the same Unicode algorithm, so the oracle reproduces the
-    * bytes exactly. */
+  /** Unicode text normalization for corpus hygiene (north-star): a
+    * C0/C1-control strip (tab, newline, CR survive) followed by NFC
+    * composition (so `e` + COMBINING ACUTE and precomposed `é` hash,
+    * dedup, and tokenize identically). Order matters for idempotence —
+    * stripping AFTER NFC can juxtapose a letter with a combining mark the
+    * next pass would compose (caught by the PropertySpec fixpoint check);
+    * stripping first is a fixpoint because NFC never emits controls.
+    * Java's Normalizer and DuckDB's nfc_normalize implement the same
+    * Unicode algorithm, so the oracle reproduces the bytes exactly. */
   private lazy val NfcUdf = org.apache.spark.sql.functions.udf(
     (s: String) => if (s == null) null
       else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
 
   def normalizeText(c: Column): Column =
-    regexp_replace(NfcUdf(c), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    NfcUdf(regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))
 
   /** URL canonicalization for URL-level dedup of web corpora (north-star;
     * extends the reference's URL handling — filenameFromUrl/maskUrls):

@@ -1420,7 +1420,7 @@ object TextQ {
         |  'Cafe' || 'e' || chr(769) || ' menu' || chr(7) || 'item' || chr(9) || substr(text, 1, 30) AS raw
         |  FROM documents),
         |n AS (SELECT doc_id,
-        |  regexp_replace(nfc_normalize(raw), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS norm
+        |  nfc_normalize(regexp_replace(raw, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS norm
         |  FROM m)
         |SELECT doc_id, CAST(length(norm) AS BIGINT) AS norm_len, sha256(norm) AS norm_sha
         |FROM n ORDER BY doc_id""".stripMargin))

@@ -127,6 +127,32 @@ class PropertySpec extends AnyFunSuite {
     }, "sentence char preservation")
   }
 
+  test("canonicalizeUrl and normalizeText are idempotent (canonical forms are fixpoints)") {
+    val spark = graft.TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "ftp")
+      host <- Gen.oneOf("Example.COM", "x.io", "API.host.Org:8080", "h.io:443")
+      path <- Gen.oneOf("", "/a/B", "/a/", "/p%20q")
+      q <- Gen.oneOf("", "?b=2&a=1", "?utm_source=x&k=v", "?fbclid=1")
+      frag <- Gen.oneOf("", "#sec")
+    } yield s"$scheme://$host$path$q$frag"
+    val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar, 1 -> Gen.oneOf('\u0301', '\u0007', '\t', ' ', '\u00e9')
+    )).map(_.mkString)
+    def once(c: org.apache.spark.sql.Column => org.apache.spark.sql.Column, vs: List[String]): List[String] =
+      if (vs.isEmpty) Nil
+      else vs.toDF("v").select(c(col("v")).as("o")).as[String].collect().toList
+    // batch the generated cases through Spark in one pass per function
+    val urls = Gen.listOfN(60, urlGen).sample.get
+    val u1 = once(graft.functions.text.canonicalizeUrl, urls)
+    assert(once(graft.functions.text.canonicalizeUrl, u1) == u1)
+    val texts = Gen.listOfN(60, textGen).sample.get
+    val t1 = once(graft.functions.text.normalizeText, texts)
+    assert(once(graft.functions.text.normalizeText, t1) == t1)
+  }
+
   test("gopherStats: count invariants hold on arbitrary text") {
     import graft.functions.Kernels
     val stop = Set("the", "a", "is")

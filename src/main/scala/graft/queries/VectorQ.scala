@@ -326,6 +326,60 @@ object VectorQ {
         |top AS (SELECT qid, cid, adist,
         |  row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn FROM scored)
         |SELECT qid, cid, CAST(adist AS BIGINT) AS adist FROM top WHERE rn <= 5
+        |ORDER BY qid, adist, cid""".stripMargin)),
+
+    QueryDef("q86_ivfpq_topk",
+      // The COMPOSED IVF-PQ serving path under oracle coverage: coarse
+      // cells restrict each query's candidates (q64's fixed-centroid
+      // model), PQ codes + ADC lookups score the probed members (q83's
+      // fixed codebooks), GroupTopK ranks ascending (adist, cid). Both
+      // fits stay test-covered; this hash-checks the full encodeCells ->
+      // ivfAdcTopK pipeline end-to-end symbolically.
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.load(s, d, "embeddings")
+        val qv4 = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(graft.functions.Kernels.quantNormUdf(col("embedding")).getField("_1").as("qv"))
+          .as[Seq[Long]].collect().map(_.toArray)
+        val ivf = graft.operators.IvfIndex.Model(qv4)
+        val subDim = 32
+        val pq = graft.operators.PqIndex.Model(
+          (0 until 2).map(j => qv4.map(v =>
+            java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))).toArray)
+        val cells = graft.operators.PqIndex.encodeCells(emb, "vec_id", "embedding", ivf, pq)
+        graft.operators.PqIndex.ivfAdcTopK(cells, emb.filter(col("vec_id") < 6),
+            "vec_id", "embedding", ivf, pq, kTop = 5, nprobe = 2)
+          .select(col("qid"), col("cid"), col("adist"))
+          .orderBy(col("qid"), col("adist"), col("cid"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, $QV AS qv FROM embeddings),
+        |cent AS (SELECT vec_id AS cidx, qv AS cv FROM v WHERE vec_id < 4),
+        |dc AS (SELECT v.vec_id, c.cidx,
+        |  list_sum(list_transform(range(1, len(v.qv) + 1),
+        |    i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS dist
+        |  FROM v CROSS JOIN cent c),
+        |rc AS (SELECT vec_id, cidx,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn FROM dc),
+        |cellof AS (SELECT vec_id, cidx AS cell FROM rc WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, cidx AS cell FROM rc WHERE rn <= 2 AND vec_id < 6),
+        |sub AS (SELECT vec_id, 0 AS j, qv[1:32] AS sv FROM v
+        |        UNION ALL SELECT vec_id, 1, qv[33:64] FROM v),
+        |cb AS (SELECT vec_id AS cidx, j, sv AS cv FROM sub WHERE vec_id < 4),
+        |d AS (SELECT s.vec_id, s.j, c.cidx,
+        |  list_sum(list_transform(range(1, 33), i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS dist
+        |  FROM sub s JOIN cb c ON s.j = c.j),
+        |enc AS (SELECT vec_id AS cid, j, cidx AS cell FROM (
+        |  SELECT vec_id, j, cidx, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cidx) AS rn FROM d)
+        |  WHERE rn = 1),
+        |scored AS (SELECT p.qid, cf.vec_id AS cid, SUM(dq.dist) AS adist
+        |  FROM probes p
+        |  JOIN cellof cf ON cf.cell = p.cell AND cf.vec_id <> p.qid
+        |  JOIN enc e ON e.cid = cf.vec_id
+        |  JOIN d dq ON dq.vec_id = p.qid AND dq.j = e.j AND dq.cidx = e.cell
+        |  GROUP BY p.qid, cf.vec_id),
+        |top AS (SELECT qid, cid, adist,
+        |  row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn FROM scored)
+        |SELECT qid, cid, CAST(adist AS BIGINT) AS adist FROM top WHERE rn <= 5
         |ORDER BY qid, adist, cid""".stripMargin))
   )
 }

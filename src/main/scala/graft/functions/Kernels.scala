@@ -230,8 +230,6 @@ object Kernels {
   def quantNormUdf: UserDefinedFunction =
     udf((v: Array[Float]) => { val qv = quantizeVec(v); (qv, dotLong(qv, qv)) })
 
-  def dotUdf: UserDefinedFunction =
-    udf((a: Array[Long], b: Array[Long]) => dotLong(a, b))
 
   /** Deterministic pseudo-random rank of a key (for partition-order-free
     * sampling, e.g. k-means seed selection). */

@@ -148,7 +148,8 @@ object text {
       PhoneRe, "<PHONE>")
 
   /** Unicode text normalization for corpus hygiene (north-star): a
-    * C0/C1-control strip (tab, newline, CR survive) followed by NFC
+    * C0/C1-control strip (C0 minus tab/newline/CR, DEL, and C1
+    * U+0080-U+009F — the cp1252-mojibake band) followed by NFC
     * composition (so `e` + COMBINING ACUTE and precomposed `é` hash,
     * dedup, and tokenize identically). Order matters for idempotence —
     * stripping AFTER NFC can juxtapose a letter with a combining mark the
@@ -161,7 +162,7 @@ object text {
       else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
 
   def normalizeText(c: Column): Column =
-    NfcUdf(regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))
+    NfcUdf(regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]", ""))
 
   /** URL canonicalization for URL-level dedup of web corpora (north-star;
     * extends the reference's URL handling — filenameFromUrl/maskUrls):

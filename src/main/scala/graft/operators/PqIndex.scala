@@ -50,14 +50,22 @@ object PqIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dims = q.select(size(col("fullqv")).as("d")).distinct()
-        .as[Int].collect().sorted
-      require(dims.nonEmpty, "PqIndex.fit on an empty corpus")
-      require(dims.length == 1, s"ragged vector dimensions: ${dims.toSeq}")
-      val dim = dims.head
+        .as[Option[Int]].collect().toSeq
+      require(!dims.contains(None),
+        "corpus contains null vectors — filter null embeddings before fit")
+      val flat = dims.flatten.sorted
+      require(flat.nonEmpty, "PqIndex.fit on an empty corpus")
+      require(flat.length == 1, s"ragged vector dimensions: $flat")
+      val dim = flat.head
       require(dim % m == 0, s"dim $dim must divide into m=$m sub-spaces")
       val subDim = dim / m
       // ONE seed-rank pass: the md5 rank is over ids, so every sub-space
-      // shares the same seed rows — slice them instead of re-ranking m times
+      // shares the same seed rows — slice them instead of re-ranking m
+      // times. The Lloyd loop below is m-way sequential (m * iters cached
+      // scans + small driver collects) — acceptable for the typical
+      // m <= 16 over an in-memory projection; a fused per-iteration pass
+      // updating all sub-spaces at once is the next optimization if fit
+      // time ever matters (serving never refits).
       val seedRows = q
         .withColumn("rk", Kernels.md5RankUdf(col("id").cast("string")))
         .orderBy(col("rk"), col("id"))
@@ -78,6 +86,7 @@ object PqIndex {
   /** Per-sub-space nearest-codeword ids (lowest-id tiebreak — the same
     * argmin contract as IvfIndex.nearest). */
   def encodeVec(qv: Array[Long], model: Model): Array[Int] = {
+    require(qv != null, "null vector — filter null embeddings before encoding")
     require(qv.length == model.m * model.subDim,
       s"vector dim ${qv.length} != model dim ${model.m * model.subDim}")
     val out = new Array[Int](model.m)

@@ -62,9 +62,15 @@ object Sampling {
   def byHashWeighted(df: DataFrame, idCol: String, rateBpCol: Column,
                      seed: String = "sample"): DataFrame = {
     val bp = rateBpCol.cast("long")
-    val checked = when(bp.isNull || (bp >= 0 && bp <= 10000), bp)
+    // integrality check: a fraction column (0.5 meaning 50%) would truncate
+    // to 0 bp and silently empty the sample — exactly the mistake the
+    // fail-fast contract exists for
+    val valid = bp.isNull ||
+      (bp >= 0 && bp <= 10000 && rateBpCol.cast("double") === bp.cast("double"))
+    val checked = when(valid, bp)
       .otherwise(raise_error(format_string(
-        "byHashWeighted rate out of [0, 10000] basis points: %s", bp)).cast("long"))
+        "byHashWeighted rate must be integral basis points in [0, 10000], got %s",
+        rateBpCol.cast("string"))).cast("long"))
     df.filter(pmod(hash60(col(idCol).cast("string"), seed), lit(10000L)) < checked)
   }
 }

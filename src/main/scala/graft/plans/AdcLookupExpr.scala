@@ -41,12 +41,29 @@ case class AdcLookupExpr(left: Expression, right: Expression) extends BinaryExpr
 }
 
 object AdcLookupExpr {
-  /** In-place nested ArrayData lookup sum; called from generated code. */
+  /** In-place nested ArrayData lookup sum; called from generated code.
+    * Shape-checked: UnsafeArrayData.getLong does NO bounds checking, so a
+    * codes/table mismatch (codes persisted under one PQ model, tables
+    * built from another) would otherwise read adjacent raw memory and
+    * return silently wrong distances instead of failing. */
   def lookup(t: ArrayData, codes: ArrayData): Long = {
     val m = codes.numElements()
+    if (t.numElements() != m)
+      throw new IllegalArgumentException(
+        s"ADC table has ${t.numElements()} sub-spaces but codes have $m — " +
+          "were the codes encoded with a different PQ model?")
     var s = 0L
     var j = 0
-    while (j < m) { s += t.getArray(j).getLong(codes.getInt(j)); j += 1 }
+    while (j < m) {
+      val sub = t.getArray(j)
+      val c = codes.getInt(j)
+      if (c < 0 || c >= sub.numElements())
+        throw new IllegalArgumentException(
+          s"code $c out of range for a ${sub.numElements()}-entry codebook " +
+            s"(sub-space $j) — were the codes encoded with a different PQ model?")
+      s += sub.getLong(c)
+      j += 1
+    }
     s
   }
 

@@ -1406,7 +1406,7 @@ object TextQ {
       // the same Unicode algorithm, so lengths and sha256 bytes match.
       (s, d) => {
         val synth = concat(
-          lit("Cafe"), lit("e\u0301"), lit(" menu\u0007item\t"),
+          lit("Cafe"), lit("e\u0301"), lit(" menu\u0007item\u0085x\t"),
           substring(col("text"), 1, 30))
         docs(s, d)
           .select(col("doc_id"),
@@ -1417,10 +1417,10 @@ object TextQ {
           .orderBy(col("doc_id"))
       },
       Some("""WITH m AS (SELECT doc_id,
-        |  'Cafe' || 'e' || chr(769) || ' menu' || chr(7) || 'item' || chr(9) || substr(text, 1, 30) AS raw
+        |  'Cafe' || 'e' || chr(769) || ' menu' || chr(7) || 'item' || chr(133) || 'x' || chr(9) || substr(text, 1, 30) AS raw
         |  FROM documents),
         |n AS (SELECT doc_id,
-        |  nfc_normalize(regexp_replace(raw, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS norm
+        |  nfc_normalize(regexp_replace(raw, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x80-\x9F]', '', 'g')) AS norm
         |  FROM m)
         |SELECT doc_id, CAST(length(norm) AS BIGINT) AS norm_len, sha256(norm) AS norm_sha
         |FROM n ORDER BY doc_id""".stripMargin))

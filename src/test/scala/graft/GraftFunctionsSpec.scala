@@ -143,6 +143,7 @@ class GraftFunctionsSpec extends SparkSpec {
       .select(text.normalizeText($"t").as("n")).head().getString(0)
     assert(norm("Café") == "Café")           // e + combining acute -> é
     assert(norm("a\u0007b\u0000c") == "abc")            // BEL and NUL stripped
+    assert(norm("a\u0085b\u0092c") == "abc")            // C1 (NEL, cp1252 band) stripped
     assert(norm("a\tb\nc\rd") == "a\tb\nc\rd")          // whitespace controls kept
     assert(norm("plain ascii") == "plain ascii")
   }

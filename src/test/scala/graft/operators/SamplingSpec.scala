@@ -49,11 +49,18 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(_._2 == "g1").map(_._1).toSet == nested)
   }
 
-  test("byHashWeighted fails fast on out-of-range rates (fractions/percents by mistake)") {
-    val e = intercept[Exception](
-      Sampling.byHashWeighted(rows, "id", lit(10001L)).count())
-    assert(e.getMessage.contains("basis points") ||
-      e.getCause.getMessage.contains("basis points"))
+  test("byHashWeighted fails fast on out-of-range AND fractional rates") {
+    def fails(rate: org.apache.spark.sql.Column): Unit = {
+      val e = intercept[Exception](
+        Sampling.byHashWeighted(rows, "id", rate).count())
+      assert(e.getMessage.contains("basis points") ||
+        e.getCause.getMessage.contains("basis points"))
+    }
+    fails(lit(10001L))
+    fails(lit(0.5)) // a fraction column would truncate to 0 bp silently
+    fails(lit(-1L))
+    // integral-valued doubles are fine (e.g. a computed CASE of constants)
+    assert(Sampling.byHashWeighted(rows, "id", lit(2000.0)).count() > 0)
   }
 
   test("perGroup draws exactly k per stratum, deterministically") {

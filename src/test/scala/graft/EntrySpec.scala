@@ -13,7 +13,9 @@ class EntrySpec extends SparkSpec {
   test("driver contract: every oracleSql key exists in queries; names are stable") {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
-    assert(qs.size >= 51)
+    // a dropped QueryDef silently shrinks the correctness gate — pin the
+    // round-5 floor so the regression fails here, not in the driver
+    assert(qs.size >= 86, s"query count regressed: ${qs.size}")
   }
 
   test("approx_count_distinct (HLL++) tracks exact distinct within 5% (A6 sketch path)") {

@@ -249,6 +249,83 @@ object Dedup {
       .withColumn("is_duplicate", col("cluster_id") =!= col(idCol))
   }
 
+  /** Duplicated-window census at `w`-token granularity — the analysis
+    * surface behind [[stripDupSpans]]. One row per window: (idCol, pos,
+    * wh, n_occ, is_first), where `pos` is the 0-based token offset, `wh`
+    * the 60-bit window hash, `n_occ` the corpus-wide occurrence count of
+    * that window (including within-doc repeats), and `is_first` marks the
+    * global first occurrence in (id, pos) order. */
+  def dupWindows(df: DataFrame, idCol: String, textCol: String,
+                 w: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = df.select(col(idCol),
+      posexplode(windowHashes(col(textCol), w)).as(Seq("pos", "wh")))
+    val byHash = Window.partitionBy(col("wh"))
+    wins.select(col(idCol), col("pos"), col("wh"),
+      count(lit(1)).over(byHash).as("n_occ"),
+      (row_number().over(byHash.orderBy(col(idCol), col("pos"))) === 1).as("is_first"))
+  }
+
+  /** Rolling `w`-token window hashes of a text column: element i (0-based)
+    * is hash60 of the space-joined tokens [i, i+w). Empty array when the
+    * doc has fewer than w tokens. One md5 per window, computed map-side. */
+  private def windowHashes(textCol: Column, w: Int): Column = {
+    val t = tokens(textCol)
+    when(size(t) < w, array().cast("array<long>")).otherwise(
+      transform(sequence(lit(1), size(t) - (w - 1)),
+        i => hash60(concat_ws(" ", slice(t, i, lit(w))), "win")))
+  }
+
+  /** Exact duplicated-substring removal at `w`-token granularity — the
+    * north-star ExactSubstr dedup of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"), re-expressed for a
+    * cluster: their single-node suffix array becomes a distributed census
+    * of rolling w-token window hashes, exact at window granularity (any
+    * duplicated run of >= w tokens is caught; shorter repeats are not,
+    * matching the paper's min-match-length parameter).
+    *
+    * Every occurrence of a window that appears more than once corpus-wide
+    * (any doc, any position — within-doc repeats count) is flagged EXCEPT
+    * the global first occurrence in (id, pos) order, so each duplicated
+    * span survives exactly once. Flagged docs have every token covered by
+    * a flagged window removed and their text rebuilt space-joined
+    * (overlapping windows merge into maximal spans via the coverage mask);
+    * untouched docs keep their original text byte-for-byte. Null text
+    * stays null. Adds `dup_windows` and `covered_tokens` columns.
+    *
+    * Scale shape (100 TB): window hashes are computed map-side and the
+    * census is ONE shuffle of (id, pos, 8-byte hash) — O(total tokens)
+    * rows, the same asymptotic cost as the paper's suffix array but
+    * horizontally partitioned. The flagged set is dup-rate-sized, so the
+    * per-doc position lists regroup small and the join back to the corpus
+    * broadcasts under AQE at typical dup rates; the rebuild is map-side.
+    * Distinct grams colliding in 60 bits could over-strip at ~2^-60 per
+    * pair — the same documented odds as the LSH band keys and the
+    * line-dedup census. */
+  def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
+                    w: Int = 15): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val flagged = dupWindows(df, idCol, textCol, w)
+      .filter(col("n_occ") > 1 && !col("is_first"))
+    val perDoc = flagged.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__ps"),
+        count(lit(1)).as("dup_windows"))
+    val t2 = tokens(col("__orig"))
+    // kept token indices: not covered by any flagged window [p, p+w)
+    val keptIdx = filter(sequence(lit(0), size(t2) - 1),
+      i => !exists(col("__ps"), p => p <= i && i < p + w))
+    df.withColumnRenamed(textCol, "__orig")
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__ps").isNull, col("__orig"))
+          .otherwise(concat_ws(" ", transform(keptIdx, i => element_at(t2, i + 1)))))
+      .withColumn("covered_tokens",
+        when(col("__ps").isNull, lit(0L))
+          .otherwise((size(t2) - size(keptIdx)).cast("long")))
+      .withColumn("dup_windows", coalesce(col("dup_windows"), lit(0L)))
+      .select(df.columns.map(c => col(c)) :+ col("dup_windows") :+ col("covered_tokens"): _*)
+  }
+
   /** Line-level boilerplate removal (north-star; the MassiveText "remove
     * documents' repeated lines" / CCNet paragraph-dedup family — a
     * different axis than doc-level dedup: a line appearing verbatim in

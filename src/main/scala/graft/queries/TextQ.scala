@@ -1423,6 +1423,45 @@ object TextQ {
         |  nfc_normalize(regexp_replace(raw, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x80-\x9F]', '', 'g')) AS norm
         |  FROM m)
         |SELECT doc_id, CAST(length(norm) AS BIGINT) AS norm_len, sha256(norm) AS norm_sha
-        |FROM n ORDER BY doc_id""".stripMargin))
+        |FROM n ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q87_dup_spans",
+      // ExactSubstr dedup (Lee et al. 2022) at 15-token window granularity
+      // (Dedup.stripDupSpans): every occurrence of a duplicated window
+      // except the global first is stripped; the corpus genuinely carries
+      // duplicated spans (857 duplicated 15-gram windows at sf0.01), so
+      // both the census and the rebuild do real work. The oracle replays
+      // the census on gram STRINGS (Spark shuffles only the 60-bit window
+      // hash — the documented 2^-60 collision odds, line-dedup precedent)
+      // and the coverage-mask rebuild symbolically.
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"),
+          big(size(tokens(col("text")))).as("n_tokens"))
+        Dedup.stripDupSpans(base, "doc_id", "text", w = 15)
+          .select(col("doc_id"), col("n_tokens"), col("dup_windows"),
+            col("covered_tokens"), sha2(col("text"), 256).as("kept_sha"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, text, $W AS t FROM documents),
+        |wins AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i : i + 14], ' ') AS g
+        |  FROM tk, LATERAL unnest(range(1, CASE WHEN len(t) >= 15 THEN len(t) - 13 ELSE 1 END)) AS u(i)),
+        |wc AS (SELECT doc_id, pos,
+        |  count(*) OVER (PARTITION BY g) AS n,
+        |  row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn FROM wins),
+        |fl AS (SELECT doc_id, list_sort(list(pos)) AS ps, count(*) AS dup_windows
+        |  FROM wc WHERE n > 1 AND rn > 1 GROUP BY doc_id),
+        |out AS (SELECT tk.doc_id, len(t) AS n_tokens,
+        |  coalesce(fl.dup_windows, 0) AS dup_windows,
+        |  CASE WHEN fl.ps IS NULL THEN 0 ELSE
+        |    len(list_filter(range(0, len(t)), i -> len(list_filter(fl.ps, p -> p <= i AND i < p + 15)) > 0)) END AS covered,
+        |  CASE WHEN fl.ps IS NULL THEN text ELSE
+        |    coalesce(array_to_string(list_transform(
+        |      list_filter(range(0, len(t)), i -> len(list_filter(fl.ps, p -> p <= i AND i < p + 15)) = 0),
+        |      i -> t[i + 1]), ' '), '') END AS kept
+        |  FROM tk LEFT JOIN fl USING (doc_id))
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |CAST(dup_windows AS BIGINT) AS dup_windows, CAST(covered AS BIGINT) AS covered_tokens,
+        |sha256(kept) AS kept_sha
+        |FROM out ORDER BY doc_id""".stripMargin))
   )
 }

@@ -222,4 +222,67 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").select("body").as[Option[String]].collect().toSeq
     assert(out == Seq(None, Some("solo line 2")))
   }
+
+  // ---- stripDupSpans (ExactSubstr, Lee et al. 2022 family) ---------------
+
+  // 30 distinct filler tokens so cross-doc windows never collide by accident
+  private def filler(tag: String, n: Int): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+
+  test("stripDupSpans: a shared >= w-token run survives only in the first doc") {
+    val run = filler("dup", 8) // 8-token shared run, w = 4
+    val docs = Seq(
+      (1L, s"${filler("a", 5)} $run ${filler("b", 5)}"),
+      (2L, s"${filler("c", 5)} $run ${filler("d", 5)}")).toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(docs, "doc_id", "text", w = 4)
+      .orderBy("doc_id")
+      .select("text", "dup_windows", "covered_tokens")
+      .as[(String, Long, Long)].collect().toSeq
+    // doc 1 holds every global-first occurrence — untouched, byte-for-byte
+    assert(out(0) == ((s"${filler("a", 5)} $run ${filler("b", 5)}", 0L, 0L)))
+    // doc 2: 5 flagged windows (positions 5..9) merge into one maximal
+    // 8-token span; the flanks survive
+    assert(out(1) == ((s"${filler("c", 5)} ${filler("d", 5)}", 5L, 8L)))
+  }
+
+  test("stripDupSpans: within-doc repetition is stripped after the first occurrence") {
+    val run = filler("rep", 6)
+    val docs = Seq((1L, s"$run ${filler("mid", 4)} $run")).toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(docs, "doc_id", "text", w = 6)
+      .select("text", "dup_windows", "covered_tokens")
+      .as[(String, Long, Long)].collect().head
+    assert(out == ((s"$run ${filler("mid", 4)}", 1L, 6L)))
+  }
+
+  test("stripDupSpans: docs shorter than w produce no windows and keep exact text") {
+    val docs = Seq((1L, "tiny  doc\twith\nodd   whitespace"),
+      (2L, "tiny  doc\twith\nodd   whitespace")).toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(docs, "doc_id", "text", w = 15)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    // both under w tokens: even the exact duplicate is out of scope (the
+    // paper's min-match-length), and original whitespace is untouched
+    assert(out == Seq("tiny  doc\twith\nodd   whitespace",
+      "tiny  doc\twith\nodd   whitespace"))
+  }
+
+  test("stripDupSpans: a doc that is entirely a duplicate is emptied, null stays null") {
+    val run = filler("whole", 10)
+    val docs = Seq((1L, run), (2L, run), (3L, null: String)).toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(docs, "doc_id", "text", w = 5)
+      .orderBy("doc_id").select("text", "covered_tokens")
+      .as[(Option[String], Long)].collect().toSeq
+    assert(out == Seq((Some(run), 0L), (Some(""), 10L), (None, 0L)))
+  }
+
+  test("dupWindows census: n_occ counts all occurrences, is_first marks (id, pos) order") {
+    val run = filler("cen", 5)
+    val docs = Seq(
+      (1L, s"$run ${filler("x", 3)} $run"), // positions 0 and 8
+      (2L, run)).toDF("doc_id", "text")
+    val wins = Dedup.dupWindows(docs, "doc_id", "text", w = 5)
+      .filter($"n_occ" > 1).orderBy("doc_id", "pos")
+      .select("doc_id", "pos", "n_occ", "is_first")
+      .as[(Long, Int, Long, Boolean)].collect().toSeq
+    assert(wins == Seq((1L, 0, 3L, true), (1L, 8, 3L, false), (2L, 0, 3L, false)))
+  }
 }

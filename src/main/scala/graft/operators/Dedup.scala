@@ -125,6 +125,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental MinHash-LSH: near-dup pairs that INVOLVE a new batch —
+    * the steady-state ingest path, where re-pairing the whole corpus per
+    * arrival would redo O(corpus²-candidate) work for pairs already known.
+    * Emits batch×existing and batch×batch pairs (id_a < id_b, confirmed by
+    * exact shingle Jaccard like [[minhashPairs]]); existing×existing pairs
+    * are assumed already resolved and are never candidates, so the
+    * expensive shingle-confirm join scales with batch-linked candidates,
+    * not the corpus.
+    *
+    * Band keys (and the fan-out cap's sub-bucketing) are computed over the
+    * UNION of both frames, so a batch arriving in one ingest or split
+    * across two produces the same per-pair band keys — results compose
+    * across arrivals. In production the existing side's (id, band) rows
+    * are the persistable index: write them once via a versioned sink and
+    * feed them back, and each ingest computes signatures only for the
+    * batch. Ids must be disjoint across the two frames. */
+  def minhashPairsIncremental(existing: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              k: Int = 12, r: Int = 4, threshold: Double = 0.6,
+                              capPerBand: Int = 256): DataFrame = {
+    import graft.functions.Kernels
+    val tagged = existing.select(col(idCol).as("id"), col(textCol).as("__t"), lit(false).as("__new"))
+      .unionByName(batch.select(col(idCol).as("id"), col(textCol).as("__t"), lit(true).as("__new")))
+    val bandRows = capBandFanout(
+      tagged.select(col("id"), col("__new"),
+        explode(bindOnce(Kernels.minhashSigUdf(k, 3)(col("__t")))(s => bandKeys(s, k, r)))
+          .as("band")),
+      "band", "id", capPerBand)
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id") &&
+          (col("a.__new") || col("b.__new")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val shs = tagged.select(col("id"), Kernels.shinglesUdf(3)(col("__t")).as("sh"))
+    cand
+      .join(shs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash fingerprints (`bits`-bit) per row. 48 bits default: wide enough
     * to discriminate on a homogeneous corpus, and every band/shift stays in
     * positive i64 territory for the SQL oracle. */

@@ -1462,6 +1462,25 @@ object TextQ {
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |CAST(dup_windows AS BIGINT) AS dup_windows, CAST(covered AS BIGINT) AS covered_tokens,
         |sha256(kept) AS kept_sha
-        |FROM out ORDER BY doc_id""".stripMargin))
+        |FROM out ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q88_incremental_pairs",
+      // Incremental ingest dedup (Dedup.minhashPairsIncremental): docs with
+      // even ids are the already-resolved corpus, odd ids the arriving
+      // batch. Bands (and the cap's sub-bucketing) are computed over the
+      // union — identical to q33's — so the oracle is the SAME shared pair
+      // CTE chain with an at-least-one-new filter; the engine must produce
+      // exactly the batch-involving subset of q33's pair set.
+      (s, d) => {
+        val all = docs(s, d)
+        Dedup.minhashPairsIncremental(
+            all.filter(col("doc_id") % 2 === 0), all.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", 12, 4, 0.6)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $minhashPairCtes
+        |SELECT id_a, id_b, jaccard FROM pairs
+        |WHERE jaccard >= 0.6 AND (id_a % 2 = 1 OR id_b % 2 = 1)
+        |ORDER BY id_a, id_b""".stripMargin))
   )
 }

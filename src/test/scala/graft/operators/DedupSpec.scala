@@ -223,6 +223,20 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(None, Some("solo line 2")))
   }
 
+  test("minhashPairsIncremental: exactly the batch-involving subset of the full pair set") {
+    val existing = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    val inc = Dedup.minhashPairsIncremental(existing, batch, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(inc == full.filter { case (a, b) => a % 2 == 1 || b % 2 == 1 })
+    // existing x existing pairs exist in the full set (0~100, 0~102 are all
+    // even) but must never be re-emitted by the incremental path
+    assert((full -- inc).nonEmpty)
+    assert(inc.forall { case (a, b) => a % 2 == 1 || b % 2 == 1 })
+  }
+
   // ---- stripDupSpans (ExactSubstr, Lee et al. 2022 family) ---------------
 
   // 30 distinct filler tokens so cross-doc windows never collide by accident

@@ -32,6 +32,29 @@ object Chunker {
         col("token_len"), col("chunk_sha"), col("chunk_text"))
   }
 
+  /** Sliding-window chunker with overlap — the LM-pretraining stride
+    * window (each training sequence carries `windowTokens - stride` tokens
+    * of left context). Window k covers tokens [k*stride, k*stride +
+    * windowTokens); windows start while k*stride < n, so every token is
+    * covered and `stride == windowTokens` degenerates to
+    * [[fixedTokenChunks]]. Same map-side shape: one posexplode per doc,
+    * indices computed in-row, no window functions. */
+  def strideChunks(df: DataFrame, idCol: String, textCol: String,
+                   windowTokens: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && stride <= windowTokens,
+      s"stride must be in [1, windowTokens], got $stride/$windowTokens")
+    val toks = tokens(col(textCol))
+    val nChunks = ceil(size(toks).cast("double") / stride).cast("int")
+    val chunksArr = transform(sequence(lit(0), nChunks - 1), k =>
+      concat_ws(" ", slice(toks, k * stride + 1, lit(windowTokens))))
+    df.withColumn("chunks_count", nChunks)
+      .select(col(idCol), col("chunks_count"), posexplode(chunksArr).as(Seq("chunk_index", "chunk_text")))
+      .withColumn("token_len", tokenCount(col("chunk_text")))
+      .withColumn("chunk_sha", sha2(col("chunk_text"), 256))
+      .select(col(idCol), col("chunk_index"), col("chunks_count"),
+        col("token_len"), col("chunk_sha"), col("chunk_text"))
+  }
+
   /** Splitter metrics (reference markdown_table_splitter.py:404-425 /
     * SURVEY.md A3): chunk_count, total/avg/min/max tokens per group. */
   def chunkMetrics(chunks: DataFrame, groupCol: String): DataFrame =

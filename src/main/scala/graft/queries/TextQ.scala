@@ -1481,6 +1481,24 @@ object TextQ {
       Some(s"""WITH $minhashPairCtes
         |SELECT id_a, id_b, jaccard FROM pairs
         |WHERE jaccard >= 0.6 AND (id_a % 2 = 1 OR id_b % 2 = 1)
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("q89_stride_chunks",
+      // LM-pretraining sliding windows (Chunker.strideChunks): 48-token
+      // windows at stride 32, so consecutive chunks share 16 tokens of
+      // left context. Same map-side posexplode shape as q39's hard cut.
+      (s, d) => Chunker.strideChunks(docs(s, d), "doc_id", "text", 48, 32)
+        .select(col("doc_id"), big(col("chunk_index")).as("chunk_index"),
+          big(col("chunks_count")).as("chunks_count"), big(col("token_len")).as("token_len"),
+          col("chunk_sha"))
+        .orderBy(col("doc_id"), col("chunk_index")),
+      Some(s"""WITH tk AS (SELECT doc_id, $W AS w FROM documents),
+        |ck AS (SELECT doc_id, CAST(ceil(len(w) / 32.0) AS INT) AS chunks_count, k,
+        |  array_to_string(w[k*32+1 : k*32+48], ' ') AS chunk_text
+        |  FROM tk, (SELECT unnest(generate_series(0, 199)) AS k) g WHERE k * 32 < len(w))
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_index, CAST(chunks_count AS BIGINT) AS chunks_count,
+        |CAST(len(string_split_regex(chunk_text, '\\s+')) AS BIGINT) AS token_len,
+        |sha256(chunk_text) AS chunk_sha
+        |FROM ck ORDER BY doc_id, chunk_index""".stripMargin))
   )
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.text._
+
+/** Corpus-LM quality scoring — the CCNet / RedPajama "perplexity bucket"
+  * family (Wenzek et al. 2020: score documents with a reference language
+  * model, keep the head of the distribution, drop or down-weight the tail).
+  * North-star quality axis alongside the rule-based Gopher gate
+  * ([[QualityFilter]]): rules catch structural junk, LM surprise catches
+  * fluent-vocabulary outliers (gibberish, wrong-language, boilerplate).
+  *
+  * Determinism: the per-token surprise is the INTEGER
+  * `-floor(1e6 * ln(c / N))` — ln runs once per (count, total) pair and is
+  * floored to micro-nats before the per-doc sum, so aggregation is exact
+  * integer arithmetic in any order on any engine; the only doubles in the
+  * output are single divisions of exact integers (the engine-wide rule,
+  * functions/text.scala). A last-ulp ln difference between JVMs and DuckDB
+  * could flip one floor only when 1e6*ln(c/N) lands within ~1e-10 of an
+  * integer — odds per distinct count value, not per token.
+  *
+  * Scale shape (100 TB): the LM is one hash aggregation on the token
+  * (vocabulary-sized result); scoring is explode → shuffled equi-join on
+  * the token → per-doc sum (all map-side combinable); the bucket thresholds
+  * are a 1-row aggregate broadcast back, never a driver collect. With a
+  * trained external LM (the CCNet setup — wiki-LM scoring CommonCrawl) the
+  * join side is the static vocabulary and broadcasts when it fits.
+  */
+object LmScore {
+
+  /** Unigram LM counts over a corpus: (token, c). Feed back into
+    * [[surprise]] for self-scoring, or persist and reuse as the reference
+    * LM for later corpora. */
+  def unigramLm(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+
+  /** Per-doc integer surprise under `lm`: one row per doc with
+    * `sum_surprise` (micro-nats, long) and `n_tokens`. Tokens absent from
+    * the LM score as count 1 (add-one floor), so an external LM never
+    * drops rows or produces nulls. */
+  def surprise(df: DataFrame, idCol: String, textCol: String,
+               lm: DataFrame): DataFrame = {
+    val tot = lm.agg(sum(col("c")).as("n_total"))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(lm, Seq("token"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        (-floor(log(coalesce(col("c"), lit(1L)).cast("double")
+          / col("n_total").cast("double")) * 1e6)).cast("long").as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(col("s")).as("sum_surprise"), count(lit(1)).as("n_tokens"))
+  }
+
+  /** CCNet bucketing: `head` = mean surprise at or below the loQ quantile
+    * (most fluent under the LM), `tail` = above the hiQ quantile, `middle`
+    * otherwise. Adds `avg_surprise` and `bucket`. Quantiles default to the
+    * exactly-representable 0.25/0.75 so the interpolation arithmetic is
+    * bit-identical across engines (q45 precedent). */
+  def qualityBuckets(scored: DataFrame, loQ: Double = 0.25,
+                     hiQ: Double = 0.75): DataFrame = {
+    val sc = scored.withColumn("avg_surprise",
+      col("sum_surprise").cast("double") / col("n_tokens").cast("double"))
+    val th = sc.agg(
+      percentile(col("avg_surprise"), lit(loQ)).as("__t_lo"),
+      percentile(col("avg_surprise"), lit(hiQ)).as("__t_hi"))
+    sc.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("avg_surprise") <= col("__t_lo"), "head")
+          .when(col("avg_surprise") > col("__t_hi"), "tail")
+          .otherwise("middle"))
+      .drop("__t_lo", "__t_hi")
+  }
+}

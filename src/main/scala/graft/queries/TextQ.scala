@@ -1499,6 +1499,37 @@ object TextQ {
         |SELECT doc_id, CAST(k AS BIGINT) AS chunk_index, CAST(chunks_count AS BIGINT) AS chunks_count,
         |CAST(len(string_split_regex(chunk_text, '\\s+')) AS BIGINT) AS token_len,
         |sha256(chunk_text) AS chunk_sha
-        |FROM ck ORDER BY doc_id, chunk_index""".stripMargin))
+        |FROM ck ORDER BY doc_id, chunk_index""".stripMargin)),
+
+    QueryDef("q90_lm_quality",
+      // CCNet-style LM quality bucketing (LmScore): self-trained unigram
+      // LM, integer micro-nat surprise per token (exact sums any order),
+      // head/middle/tail split at the 0.25/0.75 quantiles of mean
+      // surprise. The only doubles are single divisions of exact integers
+      // plus the q45-proven percentile interpolation.
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val scored = graft.operators.LmScore.surprise(
+          base, "doc_id", "text", graft.operators.LmScore.unigramLm(base, "text"))
+        graft.operators.LmScore.qualityBuckets(scored)
+          .select(col("doc_id"), big(col("sum_surprise")).as("sum_surprise"),
+            big(col("n_tokens")).as("n_tokens"), col("avg_surprise"), col("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($W) AS token FROM documents),
+        |lm AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM lm),
+        |sc AS (SELECT doc_id,
+        |  CAST(sum(CAST(-floor(ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS sum_surprise,
+        |  count(*) AS n_tokens
+        |  FROM tok JOIN lm USING (token) CROSS JOIN tot GROUP BY doc_id),
+        |av AS (SELECT doc_id, sum_surprise, n_tokens,
+        |  CAST(sum_surprise AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_surprise FROM sc),
+        |th AS (SELECT quantile_cont(avg_surprise, 0.25) AS t_lo,
+        |  quantile_cont(avg_surprise, 0.75) AS t_hi FROM av)
+        |SELECT doc_id, sum_surprise, CAST(n_tokens AS BIGINT) AS n_tokens, avg_surprise,
+        |CASE WHEN avg_surprise <= t_lo THEN 'head' WHEN avg_surprise > t_hi THEN 'tail'
+        |ELSE 'middle' END AS bucket
+        |FROM av CROSS JOIN th ORDER BY doc_id""".stripMargin))
   )
 }

@@ -265,6 +265,43 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication over embeddings —
+    * drops documents whose EMBEDDINGS are near-identical even when their
+    * text is not (translations, templated rewrites, paraphrases), the
+    * complement of the token-level dedup family above. Vectors are
+    * partitioned by a k-means coarse quantizer ([[IvfIndex]] model — fit
+    * once on a sample, reuse across corpora), pairwise quantized cosine
+    * runs only WITHIN a cell (the SemDeDup observation: epsilon-balls
+    * don't straddle clusters, so the all-pairs comparison becomes
+    * per-cell), and pairs at or above `threshold` resolve into clusters
+    * with a min-id canonical via [[resolveClusters]].
+    *
+    * Scale shape (100 TB): assignment is map-side against broadcast k x
+    * dim centroids; the pair comparison is an equi-join on the cell id
+    * with [[capBandFanout]] bounding degenerate cells (recall caveat
+    * documented there); CC rounds are pair-graph-sized. Returns one row
+    * per input: (idCol, cluster_id, is_duplicate) — filter
+    * `!is_duplicate` to keep one representative per semantic ball. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    model: IvfIndex.Model, threshold: Double = 0.95,
+                    capPerCell: Int = 256): DataFrame = {
+    val assigned = IvfIndex.assign(df, idCol, vecCol, model)
+      .withColumnRenamed("cid", "id")
+    val banded = capBandFanout(assigned, "cell", "id", capPerCell)
+    val a = banded.select(col("id").as("id_a"), col("cv").as("q_a"), col("cn").as("n_a"), col("cell"))
+    val b = banded.select(col("id").as("id_b"), col("cv").as("q_b"), col("cn").as("n_b"), col("cell"))
+    // one cell per vector (and the cap's sub-buckets partition a cell), so
+    // a pair meets in at most one band — no distinct needed before the
+    // threshold filter
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (graft.plans.DotLongExpr.dotLong(col("q_a"), col("q_b")).cast("double")
+          / (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double")))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    resolveClusters(df, idCol, pairs)
+  }
+
   /** Resolve near-dup PAIRS into duplicate CLUSTERS with a canonical
     * representative per cluster — the decision layer a training-data
     * pipeline needs on top of any pair emitter above: near-duplication is

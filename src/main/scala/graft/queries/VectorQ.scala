@@ -380,6 +380,66 @@ object VectorQ {
         |top AS (SELECT qid, cid, adist,
         |  row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn FROM scored)
         |SELECT qid, cid, CAST(adist AS BIGINT) AS adist FROM top WHERE rn <= 5
-        |ORDER BY qid, adist, cid""".stripMargin))
+        |ORDER BY qid, adist, cid""".stripMargin)),
+
+    QueryDef("q91_semdedup",
+      // SemDeDup (Dedup.semanticDedup): k-means cells -> within-cell
+      // cosine pairs -> connected components -> min-id canonical. The
+      // corpus has no natural near-dup embeddings (max pairwise cosine
+      // 0.51), so the query plants exact-copy twins — ids +100000 for
+      // vec_id < 10 and +200000 for vec_id < 5, giving clusters of size 3
+      // and 2 whose members share a cell by construction — while all ~31k
+      // same-cell corpus pairs flow through scoring as true negatives.
+      // Centroids are FIXED to the first four quantized embeddings (q64
+      // precedent) and the oracle replays assignment, the fan-out cap's
+      // sub-bucketing (q35 scheme), pairing, and a recursive-CTE closure
+      // (q72 scheme) symbolically.
+      (s, d) => {
+        import s.implicits._
+        val base = emb(s, d).select(col("vec_id"), col("embedding"))
+        val planted = base
+          .unionByName(base.filter(col("vec_id") < 10)
+            .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+          .unionByName(base.filter(col("vec_id") < 5)
+            .select((col("vec_id") + 200000).as("vec_id"), col("embedding")))
+        val centroids = emb(s, d).filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(graft.functions.Kernels.quantNormUdf(col("embedding")).getField("_1").as("qv"))
+          .as[Seq[Long]].collect().map(_.toArray)
+        Dedup.semanticDedup(planted, "vec_id", "embedding",
+            graft.operators.IvfIndex.Model(centroids), threshold = 0.999)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH RECURSIVE v0 AS (SELECT vec_id, $QV AS qv FROM embeddings),
+        |v AS (SELECT vec_id, qv FROM v0
+        |  UNION ALL SELECT vec_id + 100000, qv FROM v0 WHERE vec_id < 10
+        |  UNION ALL SELECT vec_id + 200000, qv FROM v0 WHERE vec_id < 5),
+        |cent AS (SELECT vec_id AS cidx, qv AS cv FROM v0 WHERE vec_id < 4),
+        |dd AS (SELECT v.vec_id, v.qv, c.cidx,
+        |  list_sum(list_transform(range(1, len(v.qv) + 1),
+        |    i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS dist
+        |  FROM v CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, qv, cidx AS cell FROM (
+        |  SELECT vec_id, qv, cidx, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+        |  FROM dd) WHERE rn = 1),
+        |bc AS (SELECT vec_id, qv, cell, count(*) OVER (PARTITION BY cell) AS n FROM asg),
+        |capped AS (SELECT vec_id, qv,
+        |  CASE WHEN n > 256 THEN CAST(cell AS VARCHAR) || '#' || CAST(
+        |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR) || '#band'), 1, 15)) AS BIGINT)
+        |    % CAST(ceil(n / 256.0) AS BIGINT) AS VARCHAR)
+        |  ELSE CAST(cell AS VARCHAR) END AS cell FROM bc),
+        |pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+        |  CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b2.qv[i])) AS DOUBLE)
+        |  / (sqrt(CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * a.qv[i])) AS DOUBLE))
+        |     * sqrt(CAST(list_sum(list_transform(range(1, len(b2.qv) + 1), i -> b2.qv[i] * b2.qv[i])) AS DOUBLE))) AS cosine
+        |  FROM capped a JOIN capped b2 ON a.cell = b2.cell AND a.vec_id < b2.vec_id),
+        |filt AS (SELECT id_a, id_b FROM pairs WHERE cosine >= 0.999),
+        |ed AS (SELECT id_a AS u, id_b AS v2 FROM filt UNION SELECT id_b, id_a FROM filt),
+        |reach AS (SELECT u, v2 FROM ed
+        |  UNION SELECT r.u, e.v2 FROM reach r JOIN ed e ON r.v2 = e.u WHERE e.v2 <> r.u),
+        |lbl AS (SELECT u, least(min(v2), u) AS cluster_id FROM reach GROUP BY u)
+        |SELECT s.vec_id, coalesce(l.cluster_id, s.vec_id) AS cluster_id,
+        |  coalesce(l.cluster_id, s.vec_id) <> s.vec_id AS is_duplicate
+        |FROM v s LEFT JOIN lbl l ON s.vec_id = l.u
+        |ORDER BY s.vec_id""".stripMargin))
   )
 }

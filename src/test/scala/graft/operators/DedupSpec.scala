@@ -237,6 +237,26 @@ class DedupSpec extends SparkSpec {
     assert(inc.forall { case (a, b) => a % 2 == 1 || b % 2 == 1 })
   }
 
+  test("semanticDedup: same-cell near-identical vectors cluster, min id is canonical") {
+    // two well-separated directions; c/d are exact copies of a twin
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.1f)), (2L, Array(1.0f, 0.01f, 0.1f)), // near-dups
+      (3L, Array(0.0f, 1.0f, 0.1f)),                                 // lone in cell 2
+      (4L, Array(1.0f, 0.0f, 0.1f)),                                 // exact copy of 1
+      (5L, Array(0.0f, 1.0f, 0.9f))                                  // cell 2, dissimilar
+    ).toDF("vec_id", "embedding")
+    val model = IvfIndex.fit(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding", model, threshold = 0.99)
+      .orderBy("vec_id")
+      .select("vec_id", "cluster_id", "is_duplicate")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out(0) == ((1L, 1L, false))) // canonical
+    assert(out(1) == ((2L, 1L, true)))
+    assert(out(2) == ((3L, 3L, false))) // no pair above threshold
+    assert(out(3) == ((4L, 1L, true)))
+    assert(out(4) == ((5L, 5L, false)))
+  }
+
   // ---- stripDupSpans (ExactSubstr, Lee et al. 2022 family) ---------------
 
   // 30 distinct filler tokens so cross-doc windows never collide by accident

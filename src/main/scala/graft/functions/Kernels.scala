@@ -167,6 +167,33 @@ object Kernels {
   def winnowUdf(n: Int, w: Int): UserDefinedFunction =
     udf((text: String) => winnow(text, n, w))
 
+  /** Rolling `w`-token window hashes for ExactSubstr dedup: element i is
+    * hash60 of the space-joined tokens [i, i+w) + "#win" — byte-identical
+    * to the Column form `hash60(concat_ws(" ", slice(tokens, i+1, w)),
+    * "win")` and to the oracle's md5-prefix scheme, but one JVM pass per
+    * doc instead of an interpreted per-window lambda chain. Empty when the
+    * doc has fewer than w tokens; null tokenizes to no windows. */
+  def windowHashes(text: String, w: Int): Array[Long] = {
+    val toks = tokenize(text)
+    if (toks.length < w) return Array.empty
+    val out = new Array[Long](toks.length - w + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + w <= toks.length) {
+      sb.setLength(0)
+      sb.append(toks(i))
+      var j = 1
+      while (j < w) { sb.append(' ').append(toks(i + j)); j += 1 }
+      sb.append("#win")
+      out(i) = hash60(sb.toString)
+      i += 1
+    }
+    out
+  }
+
+  def windowHashesUdf(w: Int): UserDefinedFunction =
+    udf((text: String) => windowHashes(text, w))
+
   // ---- vector kernels -----------------------------------------------------
 
   /** Quantize float vector to exact longs (== vectors.quantize). */

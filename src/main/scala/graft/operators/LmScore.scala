@@ -57,7 +57,13 @@ object LmScore {
     * (most fluent under the LM), `tail` = above the hiQ quantile, `middle`
     * otherwise. Adds `avg_surprise` and `bucket`. Quantiles default to the
     * exactly-representable 0.25/0.75 so the interpolation arithmetic is
-    * bit-identical across engines (q45 precedent). */
+    * bit-identical across engines (q45 precedent).
+    *
+    * The threshold aggregate re-evaluates `scored`'s lineage (the declared
+    * plan stays pure); in a long-lived pipeline persist the compact
+    * `scored` frame (3 longs per doc) before bucketing so the token
+    * explode+join runs once — the same fit-once/reuse convention as
+    * [[IvfIndex]]. */
   def qualityBuckets(scored: DataFrame, loQ: Double = 0.25,
                      hiQ: Double = 0.75): DataFrame = {
     val sc = scored.withColumn("avg_surprise",

@@ -194,6 +194,34 @@ object Kernels {
   def windowHashesUdf(w: Int): UserDefinedFunction =
     udf((text: String) => windowHashes(text, w))
 
+  /** Stride-window chunk texts: chunk k covers tokens [k*stride,
+    * min(k*stride + window, n)), space-joined — byte-identical to the
+    * Column form `concat_ws(" ", slice(tokens, k*stride + 1, window))`
+    * over `ceil(n / stride)` chunks, one JVM pass per doc instead of an
+    * interpreted per-chunk slice+join. Empty text yields one "" chunk
+    * (tokenize("") is [""], matching Spark split); null yields none. */
+  def strideChunkTexts(text: String, window: Int, stride: Int): Array[String] = {
+    val t = tokenize(text)
+    if (t.isEmpty) return Array.empty
+    val n = t.length
+    val nc = (n + stride - 1) / stride
+    val out = new Array[String](nc)
+    var k = 0
+    while (k < nc) {
+      val start = k * stride
+      val end = math.min(start + window, n)
+      val sb = new java.lang.StringBuilder()
+      var i = start
+      while (i < end) { if (i > start) sb.append(' '); sb.append(t(i)); i += 1 }
+      out(k) = sb.toString
+      k += 1
+    }
+    out
+  }
+
+  def strideChunksUdf(window: Int, stride: Int): UserDefinedFunction =
+    udf((text: String) => strideChunkTexts(text, window, stride))
+
   // ---- vector kernels -----------------------------------------------------
 
   /** Quantize float vector to exact longs (== vectors.quantize). */

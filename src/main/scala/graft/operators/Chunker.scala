@@ -43,10 +43,11 @@ object Chunker {
                    windowTokens: Int, stride: Int): DataFrame = {
     require(stride >= 1 && stride <= windowTokens,
       s"stride must be in [1, windowTokens], got $stride/$windowTokens")
-    val toks = tokens(col(textCol))
-    val nChunks = ceil(size(toks).cast("double") / stride).cast("int")
-    val chunksArr = transform(sequence(lit(0), nChunks - 1), k =>
-      concat_ws(" ", slice(toks, k * stride + 1, lit(windowTokens))))
+    // chunk texts come from a JVM kernel: the equivalent per-chunk
+    // slice+concat_ws transform is interpreted and measured ~10x slower on
+    // long docs (Kernels.strideChunkTexts is byte-identical)
+    val chunksArr = graft.functions.Kernels.strideChunksUdf(windowTokens, stride)(col(textCol))
+    val nChunks = ceil(size(tokens(col(textCol))).cast("double") / stride).cast("int")
     df.withColumn("chunks_count", nChunks)
       .select(col(idCol), col("chunks_count"), posexplode(chunksArr).as(Seq("chunk_index", "chunk_text")))
       .withColumn("token_len", tokenCount(col("chunk_text")))

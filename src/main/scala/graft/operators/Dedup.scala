@@ -382,6 +382,8 @@ object Dedup {
   def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
                     w: Int = 15): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
+    require(!df.columns.contains("dup_windows") && !df.columns.contains("covered_tokens"),
+      "input already has a dup_windows/covered_tokens column — rename it first")
     val flagged = dupWindows(df, idCol, textCol, w)
       .filter(col("n_occ") > 1 && !col("is_first"))
     val perDoc = flagged.groupBy(col(idCol))

@@ -155,6 +155,31 @@ object ScaleSmoke {
       graft.operators.Packing.greedy(docs, "doc_id", "text",
         budget = 2048, shards = 256).queryExecution.toRdd.count()
     }
+    // ExactSubstr dedup on the salted corpus — the adversarial case: every
+    // non-zero copy shares nearly all 15-token windows with its original,
+    // so most of the corpus's windows are flagged and most docs rebuild
+    time("dup-span strip (w=15)") {
+      graft.operators.Dedup.stripDupSpans(docs, "doc_id", "text", 15)
+        .queryExecution.toRdd.count()
+    }
+    // steady-state ingest: 1% batch against the 99% corpus
+    time("incremental pairs (1%)") {
+      graft.operators.Dedup.minhashPairsIncremental(
+        docs.filter(col("doc_id") % 100 =!= 0), docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text").queryExecution.toRdd.count()
+    }
+    // CCNet LM buckets: self-trained unigram LM + integer surprise + the
+    // two-pass quantile thresholds
+    time("lm quality buckets") {
+      graft.operators.LmScore.qualityBuckets(
+        graft.operators.LmScore.surprise(docs, "doc_id", "text",
+          graft.operators.LmScore.unigramLm(docs, "text")))
+        .queryExecution.toRdd.count()
+    }
+    time("stride windows (256/224)") {
+      graft.operators.Chunker.strideChunks(longDocs.withColumn("doc_id", monotonically_increasing_id()),
+        "doc_id", "text", 256, 224).queryExecution.toRdd.count()
+    }
     // PQ over a synthetic 50k x 32-dim vector corpus: fit 4 codebooks,
     // encode everything, ADC-rank 100 queries against all 50k codes
     val dim = 32
@@ -181,6 +206,13 @@ object ScaleSmoke {
       graft.operators.Similarity.bruteTopK(vecs,
         vecs.filter(col("vec_id") < 100),
         "vec_id", "embedding", kTop = 10).queryExecution.toRdd.count()
+    }
+    // SemDeDup on the same 50k vectors: 16-cell coarse quantizer, cosine
+    // only within (capped) cells, CC resolution
+    val ivf = graft.operators.IvfIndex.fit(vecs, "vec_id", "embedding", k = 16)
+    time("semantic dedup (16 cells)") {
+      graft.operators.Dedup.semanticDedup(vecs, "vec_id", "embedding", ivf,
+        threshold = 0.999).queryExecution.toRdd.count()
     }
     vecs.unpersist()
     spark.stop()

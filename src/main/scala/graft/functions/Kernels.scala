@@ -219,8 +219,44 @@ object Kernels {
     out
   }
 
+  /** Stride chunks as (chunks_count, chunk_text) structs: the count rides
+    * in every element so the chunker reads it off the exploded row — one
+    * kernel evaluation, one tokenization, and the count structurally
+    * cannot disagree with the number of rows. */
   def strideChunksUdf(window: Int, stride: Int): UserDefinedFunction =
-    udf((text: String) => strideChunkTexts(text, window, stride))
+    udf { text: String =>
+      val a = strideChunkTexts(text, window, stride)
+      a.map(s => (a.length, s))
+    }
+
+  /** Span-removal rebuild: drop every token covered by a flagged window
+    * [p, p+w), p from the ASCENDING `sortedPos`, and space-join the rest.
+    * Returns (keptText, coveredCount). One pass with a rolling cover-end
+    * pointer — O(n + |positions|), where the equivalent filter/exists
+    * Column form is O(n x |positions|) in interpreted lambdas (a fully-
+    * duplicated 20k-token doc would pay ~4e8 lambda steps). */
+  def stripCovered(text: String, sortedPos: Seq[Int], w: Int): (String, Long) = {
+    val t = tokenize(text)
+    val sb = new java.lang.StringBuilder()
+    var coverEnd = -1
+    var covered = 0L
+    var pi = 0
+    var i = 0
+    while (i < t.length) {
+      while (pi < sortedPos.length && sortedPos(pi) <= i) {
+        val e = sortedPos(pi) + w
+        if (e > coverEnd) coverEnd = e
+        pi += 1
+      }
+      if (i < coverEnd) covered += 1
+      else { if (sb.length > 0) sb.append(' '); sb.append(t(i)) }
+      i += 1
+    }
+    (sb.toString, covered)
+  }
+
+  def stripCoveredUdf(w: Int): UserDefinedFunction =
+    udf((text: String, ps: Seq[Int]) => stripCovered(text, ps, w))
 
   // ---- vector kernels -----------------------------------------------------
 

@@ -45,11 +45,13 @@ object Chunker {
       s"stride must be in [1, windowTokens], got $stride/$windowTokens")
     // chunk texts come from a JVM kernel: the equivalent per-chunk
     // slice+concat_ws transform is interpreted and measured ~10x slower on
-    // long docs (Kernels.strideChunkTexts is byte-identical)
+    // long docs (Kernels.strideChunkTexts is byte-identical). The count
+    // rides in each struct, so text tokenizes once and the count cannot
+    // disagree with the exploded rows.
     val chunksArr = graft.functions.Kernels.strideChunksUdf(windowTokens, stride)(col(textCol))
-    val nChunks = ceil(size(tokens(col(textCol))).cast("double") / stride).cast("int")
-    df.withColumn("chunks_count", nChunks)
-      .select(col(idCol), col("chunks_count"), posexplode(chunksArr).as(Seq("chunk_index", "chunk_text")))
+    df.select(col(idCol), posexplode(chunksArr).as(Seq("chunk_index", "__c")))
+      .select(col(idCol), col("chunk_index"), col("__c._1").as("chunks_count"),
+        col("__c._2").as("chunk_text"))
       .withColumn("token_len", tokenCount(col("chunk_text")))
       .withColumn("chunk_sha", sha2(col("chunk_text"), 256))
       .select(col(idCol), col("chunk_index"), col("chunks_count"),

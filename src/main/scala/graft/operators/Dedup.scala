@@ -104,20 +104,32 @@ object Dedup {
     * one signature pass total. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 12, r: Int = 4, threshold: Double = 0.6,
-                   capPerBand: Int = 256): DataFrame = {
+                   capPerBand: Int = 256): DataFrame =
+    minhashPairsImpl(
+      df.select(col(idCol).as("id"), col(textCol).as("__t"), lit(true).as("__new")),
+      k, r, threshold, capPerBand)
+
+  /** Shared MinHash-LSH pair pipeline over rows of (id, __t, __new):
+    * band + cap, candidate self-join keeping pairs where at least one side
+    * is new (all-new == the full pair set), candidate dedup BEFORE the
+    * shingle arrays are fetched, exact-Jaccard confirm. */
+  private def minhashPairsImpl(rows: DataFrame, k: Int, r: Int,
+                               threshold: Double, capPerBand: Int): DataFrame = {
     import graft.functions.Kernels
     // bindOnce: the signature (one md5 pass over all shingles) is computed
     // once per row, not once per band-key reference.
     val bandRows = capBandFanout(
-      df.select(col(idCol).as("id"),
-        explode(bindOnce(Kernels.minhashSigUdf(k, 3)(col(textCol)))(s => bandKeys(s, k, r)))
+      rows.select(col("id"), col("__new"),
+        explode(bindOnce(Kernels.minhashSigUdf(k, 3)(col("__t")))(s => bandKeys(s, k, r)))
           .as("band")),
       "band", "id", capPerBand)
     val cand = bandRows.as("a")
-      .join(bandRows.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id") &&
+          (col("a.__new") || col("b.__new")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val shs = df.select(col(idCol).as("id"), Kernels.shinglesUdf(3)(col(textCol)).as("sh"))
+    val shs = rows.select(col("id"), Kernels.shinglesUdf(3)(col("__t")).as("sh"))
     cand
       .join(shs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -134,38 +146,26 @@ object Dedup {
     * expensive shingle-confirm join scales with batch-linked candidates,
     * not the corpus.
     *
-    * Band keys (and the fan-out cap's sub-bucketing) are computed over the
-    * UNION of both frames, so a batch arriving in one ingest or split
-    * across two produces the same per-pair band keys — results compose
-    * across arrivals. In production the existing side's (id, band) rows
-    * are the persistable index: write them once via a versioned sink and
-    * feed them back, and each ingest computes signatures only for the
-    * batch. Ids must be disjoint across the two frames. */
+    * Band keys are computed over the UNION of both frames, so a given
+    * ingest's pair set equals the batch-involving subset of a full-corpus
+    * run on the same union. Raw band keys are stable across ingest
+    * schedules, so below the fan-out cap results compose exactly across
+    * arrivals; a band whose size crosses `capPerBand` as the corpus grows
+    * re-sub-buckets on the CURRENT union size, so pair discovery inside
+    * degenerate bands depends on when members arrived (the documented
+    * recall trade of [[capBandFanout]], now schedule-dependent). In
+    * production the existing side's (id, band) rows are the persistable
+    * index: write them once via a versioned sink and feed them back, and
+    * each ingest computes signatures only for the batch. Ids must be
+    * disjoint across the two frames. */
   def minhashPairsIncremental(existing: DataFrame, batch: DataFrame,
                               idCol: String, textCol: String,
                               k: Int = 12, r: Int = 4, threshold: Double = 0.6,
-                              capPerBand: Int = 256): DataFrame = {
-    import graft.functions.Kernels
-    val tagged = existing.select(col(idCol).as("id"), col(textCol).as("__t"), lit(false).as("__new"))
-      .unionByName(batch.select(col(idCol).as("id"), col(textCol).as("__t"), lit(true).as("__new")))
-    val bandRows = capBandFanout(
-      tagged.select(col("id"), col("__new"),
-        explode(bindOnce(Kernels.minhashSigUdf(k, 3)(col("__t")))(s => bandKeys(s, k, r)))
-          .as("band")),
-      "band", "id", capPerBand)
-    val cand = bandRows.as("a")
-      .join(bandRows.as("b"),
-        col("a.band") === col("b.band") && col("a.id") < col("b.id") &&
-          (col("a.__new") || col("b.__new")))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val shs = tagged.select(col("id"), Kernels.shinglesUdf(3)(col("__t")).as("sh"))
-    cand
-      .join(shs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
+                              capPerBand: Int = 256): DataFrame =
+    minhashPairsImpl(
+      existing.select(col(idCol).as("id"), col(textCol).as("__t"), lit(false).as("__new"))
+        .unionByName(batch.select(col(idCol).as("id"), col(textCol).as("__t"), lit(true).as("__new"))),
+      k, r, threshold, capPerBand)
 
   /** SimHash fingerprints (`bits`-bit) per row. 48 bits default: wide enough
     * to discriminate on a homogeneous corpus, and every band/shift stays in
@@ -243,6 +243,28 @@ object Dedup {
       .filter(col("tlsh_dist") <= maxDist)
   }
 
+  /** Quantized-cosine pairs from a banded frame of (id, q, n, <bandCol>):
+    * equi-join on the band, ordered ids, cosine >= threshold. Zero-norm
+    * vectors (failed embeds, padding rows) never pair: their cosine is
+    * 0/0 = NaN, and Spark orders NaN GREATER than any number, so without
+    * the explicit norm guard a single zero vector would "match" every
+    * member of its band and collapse the band into one duplicate cluster
+    * downstream. `dedup` adds a distinct for banding schemes where a pair
+    * can meet in more than one band (hyperplane multi-probe); cell
+    * assignment partitions rows, so [[semanticDedup]] skips it. */
+  private def bandedCosinePairs(banded: DataFrame, bandCol: String,
+                                threshold: Double, dedup: Boolean): DataFrame = {
+    val a = banded.select(col("id").as("id_a"), col("q").as("q_a"), col("n").as("n_a"), col(bandCol))
+    val b = banded.select(col("id").as("id_b"), col("q").as("q_b"), col("n").as("n_b"), col(bandCol))
+    val scored = a.join(b, Seq(bandCol))
+      .filter(col("id_a") < col("id_b") && col("n_a") > 0 && col("n_b") > 0)
+      .select(col("id_a"), col("id_b"),
+        (graft.plans.DotLongExpr.dotLong(col("q_a"), col("q_b")).cast("double")
+          / (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double")))).as("cosine"))
+    (if (dedup) scored.distinct() else scored)
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding near-dup: pairs with quantized cosine >= threshold among
     * candidates sharing a random-hyperplane LSH bucket. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
@@ -254,15 +276,7 @@ object Dedup {
       df.select(col(idCol).as("id"), feat(col(vecCol)).as("f"))
         .select(col("id"), col("f._1").as("q"), col("f._2").as("n"), col("f._3").as("bucket")),
       "bucket", "id", capPerBand)
-    val a = q.select(col("id").as("id_a"), col("q").as("q_a"), col("n").as("n_a"), col("bucket"))
-    val b = q.select(col("id").as("id_b"), col("q").as("q_b"), col("n").as("n_b"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (graft.plans.DotLongExpr.dotLong(col("q_a"), col("q_b")).cast("double")
-          / (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double")))).as("cosine"))
-      .distinct()
-      .filter(col("cosine") >= threshold)
+    bandedCosinePairs(q, "bucket", threshold, dedup = true)
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic deduplication over embeddings —
@@ -286,19 +300,11 @@ object Dedup {
                     model: IvfIndex.Model, threshold: Double = 0.95,
                     capPerCell: Int = 256): DataFrame = {
     val assigned = IvfIndex.assign(df, idCol, vecCol, model)
-      .withColumnRenamed("cid", "id")
+      .select(col("cid").as("id"), col("cv").as("q"), col("cn").as("n"), col("cell"))
     val banded = capBandFanout(assigned, "cell", "id", capPerCell)
-    val a = banded.select(col("id").as("id_a"), col("cv").as("q_a"), col("cn").as("n_a"), col("cell"))
-    val b = banded.select(col("id").as("id_b"), col("cv").as("q_b"), col("cn").as("n_b"), col("cell"))
     // one cell per vector (and the cap's sub-buckets partition a cell), so
-    // a pair meets in at most one band — no distinct needed before the
-    // threshold filter
-    val pairs = a.join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (graft.plans.DotLongExpr.dotLong(col("q_a"), col("q_b")).cast("double")
-          / (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double")))).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    // a pair meets in at most one band — no distinct needed
+    val pairs = bandedCosinePairs(banded, "cell", threshold, dedup = false)
     resolveClusters(df, idCol, pairs)
   }
 
@@ -389,18 +395,17 @@ object Dedup {
     val perDoc = flagged.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__ps"),
         count(lit(1)).as("dup_windows"))
-    val t2 = tokens(col("__orig"))
-    // kept token indices: not covered by any flagged window [p, p+w)
-    val keptIdx = filter(sequence(lit(0), size(t2) - 1),
-      i => !exists(col("__ps"), p => p <= i && i < p + w))
+    // rebuild in one kernel pass (rolling cover-end over the sorted
+    // positions); the when-guard keeps untouched docs byte-identical and
+    // only evaluates the kernel on flagged rows
+    val strip = graft.functions.Kernels.stripCoveredUdf(w)(col("__orig"), col("__ps"))
     df.withColumnRenamed(textCol, "__orig")
       .join(perDoc, Seq(idCol), "left")
+      .withColumn("__sc", when(col("__ps").isNotNull, strip))
       .withColumn(textCol,
-        when(col("__ps").isNull, col("__orig"))
-          .otherwise(concat_ws(" ", transform(keptIdx, i => element_at(t2, i + 1)))))
+        when(col("__ps").isNull, col("__orig")).otherwise(col("__sc._1")))
       .withColumn("covered_tokens",
-        when(col("__ps").isNull, lit(0L))
-          .otherwise((size(t2) - size(keptIdx)).cast("long")))
+        when(col("__ps").isNull, lit(0L)).otherwise(col("__sc._2")))
       .withColumn("dup_windows", coalesce(col("dup_windows"), lit(0L)))
       .select(df.columns.map(c => col(c)) :+ col("dup_windows") :+ col("covered_tokens"): _*)
   }

@@ -36,10 +36,14 @@ object LmScore {
     df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
 
-  /** Per-doc integer surprise under `lm`: one row per doc with
+  /** Per-doc integer surprise under `lm`: one row per SCORABLE doc with
     * `sum_surprise` (micro-nats, long) and `n_tokens`. Tokens absent from
     * the LM score as count 1 (add-one floor), so an external LM never
-    * drops rows or produces nulls. */
+    * loses docs to vocabulary mismatch. Docs with NULL text have no
+    * tokens and therefore no score — they produce NO row (a mean over
+    * zero tokens is undefined, and fabricating one would skew the bucket
+    * quantiles); a pipeline that must keep them left-joins the result
+    * back to its id spine. */
   def surprise(df: DataFrame, idCol: String, textCol: String,
                lm: DataFrame): DataFrame = {
     val tot = lm.agg(sum(col("c")).as("n_total"))

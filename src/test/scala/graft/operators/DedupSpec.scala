@@ -237,6 +237,22 @@ class DedupSpec extends SparkSpec {
     assert(inc.forall { case (a, b) => a % 2 == 1 || b % 2 == 1 })
   }
 
+  test("zero-norm vectors never pair: a failed-embed row cannot collapse its cell/bucket") {
+    // cosine with a zero vector is 0/0 = NaN, and Spark orders NaN above
+    // every number — without the norm guard the zero row would "match"
+    // everything it shares a band with and CC would merge the whole cell
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f)), (4L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    assert(Dedup.embeddingPairs(vecs, "vec_id", "embedding", planes = 2, threshold = 0.5)
+      .count() == 0)
+    val model = IvfIndex.fit(vecs, "vec_id", "embedding", k = 1, iters = 1)
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding", model, threshold = 0.5)
+      .orderBy("vec_id").select("is_duplicate").as[Boolean].collect().toSeq
+    assert(out == Seq(false, false, false, false))
+  }
+
   test("semanticDedup: same-cell near-identical vectors cluster, min id is canonical") {
     // two well-separated directions; c/d are exact copies of a twin
     val vecs = Seq(

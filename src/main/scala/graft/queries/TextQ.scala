@@ -1530,6 +1530,92 @@ object TextQ {
         |SELECT doc_id, sum_surprise, CAST(n_tokens AS BIGINT) AS n_tokens, avg_surprise,
         |CASE WHEN avg_surprise <= t_lo THEN 'head' WHEN avg_surprise > t_hi THEN 'tail'
         |ELSE 'middle' END AS bucket
-        |FROM av CROSS JOIN th ORDER BY doc_id""".stripMargin))
+        |FROM av CROSS JOIN th ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q92_corpus_build",
+      // The training-corpus build, composed end-to-end from the operators
+      // above into ONE decision record per doc: Gopher gate on the
+      // original text (q80), ExactSubstr span strip (q87), exact dedup on
+      // the REBUILT text (q23's sha-group shape), benchmark
+      // decontamination of the rebuilt text (q76's 8-gram flag,
+      // doc_id % 53 slice), final_keep = passed gate AND canonical AND
+      // clean. Each stage's oracle CTEs are the proven q80/q87/q76
+      // formulations renamed and wired so downstream stages read upstream
+      // OUTPUT (grams over the stripped text, not the original).
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        // thresholds adapted to the synthetic corpus (small shared
+        // vocabulary, no English stopwords): the strict q80 defaults gate
+        // 499/500 docs, which would make every downstream stage vacuous
+        val gate = graft.operators.QualityFilter
+          .gopherGate(base, "doc_id", "text",
+            graft.operators.QualityFilter.GopherConfig(
+              minTokens = 30, minStopwords = 0, maxDupWordFrac = 0.9))
+          .select(col("doc_id"), col("keep").as("gopher_keep"))
+        val stripped = Dedup.stripDupSpans(base, "doc_id", "text", w = 15)
+          .select(col("doc_id"), col("text"), col("covered_tokens"))
+        val canon = stripped
+          .withColumn("__sha", sha2(col("text"), 256))
+          .withColumn("is_canonical",
+            col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("__sha"))))
+        val deco = graft.operators.Decontaminate
+          .flag(stripped, stripped.filter(col("doc_id") % 53 === 0), "doc_id", "text", n = 8)
+          .select(col("doc_id"), col("contaminated"))
+        canon.join(gate, Seq("doc_id")).join(deco, Seq("doc_id"))
+          .select(col("doc_id"), col("gopher_keep"), col("covered_tokens"),
+            col("is_canonical"), col("contaminated"),
+            (col("gopher_keep") && col("is_canonical") && !col("contaminated")).as("final_keep"),
+            col("__sha").as("kept_sha"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, text, $W AS t FROM documents),
+        |wins AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i : i + 14], ' ') AS g
+        |  FROM tk, LATERAL unnest(range(1, CASE WHEN len(t) >= 15 THEN len(t) - 13 ELSE 1 END)) AS u(i)),
+        |wc AS (SELECT doc_id, pos,
+        |  count(*) OVER (PARTITION BY g) AS n,
+        |  row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn FROM wins),
+        |fl AS (SELECT doc_id, list_sort(list(pos)) AS ps, count(*) AS dup_windows
+        |  FROM wc WHERE n > 1 AND rn > 1 GROUP BY doc_id),
+        |strip AS (SELECT tk.doc_id,
+        |  CASE WHEN fl.ps IS NULL THEN 0 ELSE
+        |    len(list_filter(range(0, len(t)), i -> len(list_filter(fl.ps, p -> p <= i AND i < p + 15)) > 0)) END AS covered_tokens,
+        |  CASE WHEN fl.ps IS NULL THEN text ELSE
+        |    coalesce(array_to_string(list_transform(
+        |      list_filter(range(0, len(t)), i -> len(list_filter(fl.ps, p -> p <= i AND i < p + 15)) = 0),
+        |      i -> t[i + 1]), ' '), '') END AS kept
+        |  FROM tk LEFT JOIN fl USING (doc_id)),
+        |gm AS (SELECT doc_id, text, $W AS w, string_split(text, chr(10)) AS ln FROM documents),
+        |gx AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) AS mean_word_len,
+        |  CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w) AS alpha_ratio,
+        |  len(list_filter(w, t -> t IN ('the','a','and','of','to','in','is'))) AS n_stop,
+        |  1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_frac,
+        |  CAST(len(list_filter(ln, l -> substr(l, 1, 2) IN ('- ', '* '))) AS DOUBLE) / len(ln) AS bullet_ratio,
+        |  CAST(len(list_filter(ln, l -> ends_with(l, '...'))) AS DOUBLE) / len(ln) AS ellipsis_ratio
+        |  FROM gm),
+        |gate AS (SELECT doc_id,
+        |  (n_tokens BETWEEN 30 AND 100000) AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND alpha_ratio >= 0.8 AND dup_frac <= 0.9
+        |   AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3 AS gopher_keep
+        |  FROM gx),
+        |canon AS (SELECT doc_id, kept, covered_tokens,
+        |  min(doc_id) OVER (PARTITION BY kept) = doc_id AS is_canonical FROM strip),
+        |ks AS (SELECT doc_id, string_split_regex(kept, '\\s+') AS kw FROM strip),
+        |ksh AS (SELECT doc_id, CASE WHEN len(kw) < 8 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(range(1, len(kw) - 6), i ->
+        |    kw[i] || ' ' || kw[i+1] || ' ' || kw[i+2] || ' ' || kw[i+3] || ' ' || kw[i+4] || ' ' || kw[i+5] || ' ' || kw[i+6] || ' ' || kw[i+7])) END AS s FROM ks),
+        |bench AS (SELECT DISTINCT unnest(s) AS bg FROM ksh WHERE doc_id % 53 = 0),
+        |cg AS (SELECT doc_id, unnest(s) AS bg FROM ksh),
+        |ov AS (SELECT cg.doc_id, count(*) AS overlap_grams FROM cg JOIN bench USING (bg) GROUP BY cg.doc_id),
+        |deco AS (SELECT ksh.doc_id, coalesce(ov.overlap_grams, 0) >= 1 AS contaminated
+        |  FROM ksh LEFT JOIN ov ON ksh.doc_id = ov.doc_id)
+        |SELECT c.doc_id, g.gopher_keep, CAST(c.covered_tokens AS BIGINT) AS covered_tokens,
+        |  c.is_canonical, dc.contaminated,
+        |  g.gopher_keep AND c.is_canonical AND NOT dc.contaminated AS final_keep,
+        |  sha256(c.kept) AS kept_sha
+        |FROM canon c JOIN gate g ON c.doc_id = g.doc_id JOIN deco dc ON c.doc_id = dc.doc_id
+        |ORDER BY c.doc_id""".stripMargin))
   )
 }

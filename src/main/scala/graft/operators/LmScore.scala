@@ -57,6 +57,49 @@ object LmScore {
       .agg(sum(col("s")).as("sum_surprise"), count(lit(1)).as("n_tokens"))
   }
 
+  /** Bigram LM counts over a corpus: (bg, c2) where `bg` is the
+    * space-joined token pair. Built map-side from the token array (no
+    * window function); one hash aggregation, persistable like
+    * [[unigramLm]]. */
+  def bigramLm(df: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(explode(when(size(t) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+  }
+
+  /** Per-doc integer surprise under an add-one-smoothed bigram LM: for
+    * each of the n-1 transitions, `-floor(1e6 * ln((c2 + 1) / (c1 + V)))`
+    * with c2 the bigram count, c1 the unigram count of the left token and
+    * V the vocabulary size — the conditional-probability refinement of
+    * [[surprise]] (CCNet scores with a KenLM n-gram model; bigrams are
+    * the distributed-friendly first step). All counts are exact integers
+    * inside one ln per transition, so per-doc sums are order-independent.
+    * Unseen bigrams under an external LM score as c2 = 0 (the add-one
+    * numerator keeps ln finite); unseen left tokens as c1 = 0. Docs with
+    * fewer than 2 tokens have no transitions and produce no row.
+    * `n_tokens` counts TRANSITIONS (feeds [[qualityBuckets]] unchanged). */
+  def bigramSurprise(df: DataFrame, idCol: String, textCol: String,
+                     uni: DataFrame, bi: DataFrame): DataFrame = {
+    val t = tokens(col(textCol))
+    val voc = uni.agg(count(lit(1)).as("v"))
+    df.select(col(idCol),
+        explode(when(size(t) < 2, array().cast("array<struct<bg:string,w1:string>>"))
+          .otherwise(transform(sequence(lit(1), size(t) - 1),
+            i => struct(concat_ws(" ", element_at(t, i), element_at(t, i + 1)).as("bg"),
+              element_at(t, i).as("w1"))))).as("x"))
+      .select(col(idCol), col("x.bg").as("bg"), col("x.w1").as("token"))
+      .join(bi, Seq("bg"), "left")
+      .join(uni, Seq("token"), "left")
+      .crossJoin(broadcast(voc))
+      .select(col(idCol),
+        (-floor(log((coalesce(col("c2"), lit(0L)) + 1).cast("double")
+          / (coalesce(col("c"), lit(0L)) + col("v")).cast("double")) * 1e6)).cast("long").as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(col("s")).as("sum_surprise"), count(lit(1)).as("n_tokens"))
+  }
+
   /** CCNet bucketing: `head` = mean surprise at or below the loQ quantile
     * (most fluent under the LM), `tail` = above the hiQ quantile, `middle`
     * otherwise. Adds `avg_surprise` and `bucket`. Quantiles default to the

@@ -1532,6 +1532,43 @@ object TextQ {
         |ELSE 'middle' END AS bucket
         |FROM av CROSS JOIN th ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q93_bigram_lm",
+      // Conditional (bigram) LM surprise with add-one smoothing: s(w1,w2)
+      // = -floor(1e6 * ln((c2+1)/(c1+V))) summed over the n-1 transitions
+      // (LmScore.bigramSurprise), bucketed like q90. Exact integers inside
+      // one ln per transition; V is the vocabulary size.
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val scored = graft.operators.LmScore.bigramSurprise(base, "doc_id", "text",
+          graft.operators.LmScore.unigramLm(base, "text"),
+          graft.operators.LmScore.bigramLm(base, "text"))
+        graft.operators.LmScore.qualityBuckets(scored)
+          .select(col("doc_id"), big(col("sum_surprise")).as("sum_surprise"),
+            big(col("n_tokens")).as("n_transitions"), col("avg_surprise"), col("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $W AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM tk),
+        |cnt1 AS (SELECT t, count(*) AS c1 FROM tok GROUP BY t),
+        |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cnt1),
+        |big AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM tk WHERE len(w) >= 2),
+        |cnt2 AS (SELECT bg, count(*) AS c2 FROM big GROUP BY bg),
+        |sc AS (SELECT doc_id,
+        |  CAST(sum(CAST(-floor(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS sum_surprise,
+        |  count(*) AS n_transitions
+        |  FROM big JOIN cnt2 USING (bg)
+        |  JOIN cnt1 ON cnt1.t = split_part(big.bg, ' ', 1)
+        |  CROSS JOIN voc GROUP BY doc_id),
+        |av AS (SELECT doc_id, sum_surprise, n_transitions,
+        |  CAST(sum_surprise AS DOUBLE) / CAST(n_transitions AS DOUBLE) AS avg_surprise FROM sc),
+        |th AS (SELECT quantile_cont(avg_surprise, 0.25) AS t_lo,
+        |  quantile_cont(avg_surprise, 0.75) AS t_hi FROM av)
+        |SELECT doc_id, sum_surprise, CAST(n_transitions AS BIGINT) AS n_transitions, avg_surprise,
+        |CASE WHEN avg_surprise <= t_lo THEN 'head' WHEN avg_surprise > t_hi THEN 'tail'
+        |ELSE 'middle' END AS bucket
+        |FROM av CROSS JOIN th ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q92_corpus_build",
       // The training-corpus build, composed end-to-end from the operators
       // above into ONE decision record per doc: Gopher gate on the

@@ -42,6 +42,36 @@ class LmScoreSpec extends SparkSpec {
     assert(row.getAs[Long]("sum_surprise") == expected)
   }
 
+  test("bigram surprise: exact add-one value; predictable transitions score lower") {
+    val uni = LmScore.unigramLm(docs, "text")
+    val bi = LmScore.bigramLm(docs, "text")
+    val out = LmScore.bigramSurprise(docs, "doc_id", "text", uni, bi)
+      .select("doc_id", "sum_surprise", "n_tokens").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1's 11 tokens -> 10 transitions
+    assert(out(1L)._2 == 10L)
+    // recompute doc 9 by hand: all its bigrams appear exactly once corpus-
+    // wide, each left token twice (docs 9+10 share 4 rare tokens)
+    val toks = docs.select(explode(split($"text", "\\s+")).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    val bgs = docs.filter($"doc_id" === 9L).select($"text").as[String].collect().head
+      .split(" ").sliding(2).map(a => (a(0), a(1))).toSeq
+    val bgCounts = docs.select(explode(split($"text", "\\s+")).as("t")) // not needed; bigrams below
+    val allBgs = docs.select($"text").as[String].collect()
+      .flatMap(_.split(" ").sliding(2).map(a => a(0) + " " + a(1)).toSeq)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val v = toks.size.toLong
+    val expected = bgs.map { case (w1, w2) =>
+      -math.floor(math.log((allBgs(w1 + " " + w2) + 1).toDouble / (toks(w1) + v).toDouble) * 1e6).toLong
+    }.sum
+    assert(out(9L)._1 == expected)
+    // the repeated template doc transitions are highly predictable:
+    // its mean bigram surprise is below the rare doc's
+    val avg1 = out(1L)._1.toDouble / out(1L)._2
+    val avg9 = out(9L)._1.toDouble / out(9L)._2
+    assert(avg1 < avg9)
+  }
+
   test("external LM: OOV tokens score as count 1, no dropped rows") {
     val lm = Seq(("the", 100L), ("cat", 50L)).toDF("token", "c")
     val out = LmScore.surprise(docs, "doc_id", "text", lm)

@@ -112,12 +112,19 @@ object LmScore {
     * explode+join runs once — the same fit-once/reuse convention as
     * [[IvfIndex]]. */
   def qualityBuckets(scored: DataFrame, loQ: Double = 0.25,
-                     hiQ: Double = 0.75): DataFrame = {
+                     hiQ: Double = 0.75, approx: Boolean = false): DataFrame = {
+    // exact percentile buffers every value in the final aggregate — fine
+    // to ~1e8 docs and required for the oracle; at larger corpus counts
+    // pass approx=true for the fixed-size KLL-style sketch
+    // (percentile_approx, ~1e-4 rank error at accuracy 10000)
+    def pct(c: org.apache.spark.sql.Column, q: Double) =
+      if (approx) percentile_approx(c, lit(q), lit(10000))
+      else percentile(c, lit(q))
     val sc = scored.withColumn("avg_surprise",
       col("sum_surprise").cast("double") / col("n_tokens").cast("double"))
     val th = sc.agg(
-      percentile(col("avg_surprise"), lit(loQ)).as("__t_lo"),
-      percentile(col("avg_surprise"), lit(hiQ)).as("__t_hi"))
+      pct(col("avg_surprise"), loQ).as("__t_lo"),
+      pct(col("avg_surprise"), hiQ).as("__t_hi"))
     sc.crossJoin(broadcast(th))
       .withColumn("bucket",
         when(col("avg_surprise") <= col("__t_lo"), "head")

@@ -72,6 +72,16 @@ class LmScoreSpec extends SparkSpec {
     assert(avg1 < avg9)
   }
 
+  test("approx thresholds bucket identically to exact on a small frame") {
+    val lm = LmScore.unigramLm(docs, "text")
+    val scored = LmScore.surprise(docs, "doc_id", "text", lm)
+    val exact = LmScore.qualityBuckets(scored)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    val approx = LmScore.qualityBuckets(scored, approx = true)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(exact == approx)
+  }
+
   test("external LM: OOV tokens score as count 1, no dropped rows") {
     val lm = Seq(("the", 100L), ("cat", 50L)).toDF("token", "c")
     val out = LmScore.surprise(docs, "doc_id", "text", lm)

@@ -324,6 +324,41 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((Some(run), 0L), (Some(""), 10L), (None, 0L)))
   }
 
+  test("stripDupSpans property: matches a brute-force reference on a random collision-heavy corpus") {
+    // tiny vocabulary + short docs force genuine cross-doc and within-doc
+    // window collisions; the brute force recomputes the whole semantics
+    // independently of the operator's census/join/kernel machinery
+    val w = 3
+    val r = new scala.util.Random(42)
+    val corpus = (1L to 60L).map { id =>
+      (id, Vector.fill(3 + r.nextInt(12))(vocab(r.nextInt(5))).mkString(" "))
+    }
+    def brute(): Map[Long, (String, Long, Long)] = {
+      val wins = corpus.flatMap { case (id, text) =>
+        val t = text.split(" ")
+        (0 to t.length - w).map(p => (t.slice(p, p + w).mkString(" "), id, p))
+      }
+      val byGram = wins.groupBy(_._1)
+      val flagged = wins.filter { case (g, id, p) =>
+        val occ = byGram(g)
+        occ.length > 1 && (id, p) != occ.map(o => (o._2, o._3)).min
+      }.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+      corpus.map { case (id, text) =>
+        val t = text.split(" ")
+        val ps = flagged.getOrElse(id, Set.empty)
+        val keptIdx = t.indices.filterNot(i => ps.exists(p => p <= i && i < p + w))
+        val kept = if (ps.isEmpty) text else keptIdx.map(t).mkString(" ")
+        (id, (kept, ps.size.toLong, (t.length - keptIdx.length).toLong))
+      }.toMap
+    }
+    val expected = brute()
+    val out = Dedup.stripDupSpans(corpus.toDF("doc_id", "text"), "doc_id", "text", w)
+      .select("doc_id", "text", "dup_windows", "covered_tokens")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == expected)
+  }
+
   test("dupWindows census: n_occ counts all occurrences, is_first marks (id, pos) order") {
     val run = filler("cen", 5)
     val docs = Seq(

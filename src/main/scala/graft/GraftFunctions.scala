@@ -78,5 +78,11 @@ object GraftFunctions {
       })
     spark.udf.register("gopher_stats",
       Kernels.gopherStatsUdf(graft.functions.text.EnStop))
+    // ExactSubstr building blocks (Dedup.stripDupSpans is the table-level
+    // op; these expose the per-row kernels for ad-hoc SQL analysis)
+    spark.udf.register("window_hashes",
+      (text: String, w: Int) => Kernels.windowHashes(text, w))
+    spark.udf.register("stride_chunks",
+      (text: String, w: Int, s: Int) => Kernels.strideChunkTexts(text, w, s))
   }
 }

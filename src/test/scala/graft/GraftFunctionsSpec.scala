@@ -117,6 +117,15 @@ class GraftFunctionsSpec extends SparkSpec {
       .head().getLong(0) == 11L)
   }
 
+  test("SQL surface: window_hashes and stride_chunks match their kernels") {
+    GraftFunctions.register(spark)
+    val wh = spark.sql("SELECT window_hashes('a b c d', 3) AS h").head().getSeq[Long](0)
+    assert(wh == graft.functions.Kernels.windowHashes("a b c d", 3).toSeq)
+    assert(wh.length == 2)
+    val ch = spark.sql("SELECT stride_chunks('a b c d e', 3, 2) AS c").head().getSeq[String](0)
+    assert(ch == Seq("a b c", "c d e", "e"))
+  }
+
   test("canonicalizeUrl: scheme/host case, ports, fragments, tracking params, slash") {
     import graft.functions.text
     def canon(s: String): String = Seq(s).toDF("u")

@@ -170,4 +170,23 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
     assert(out.head.getAs[String]("text").endsWith("mail <EMAIL> now"))
   }
+
+  test("LM surprise streams: static reference LM joined per micro-batch (the CCNet serving shape)") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.LmScore
+    // static LM (in production: persisted wiki-LM counts), streamed docs
+    val lm = Seq(("the", 90L), ("cat", 9L)).toDF("token", "c")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "the the the"), (2L, "cat rare"))
+    val scored = LmScore.surprise(mem.toDF().toDF("doc_id", "text"), "doc_id", "text", lm)
+    val name = "lm" + System.nanoTime()
+    val q = scored.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table(name).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("sum_surprise"), r.getAs[Long]("n_tokens")))).toMap
+    def s(c: Long) = -math.floor(math.log(c / 99.0) * 1e6).toLong
+    assert(out(1L) == ((3 * s(90), 3L)))
+    assert(out(2L) == ((s(9) + s(1), 2L))) // "rare" is OOV -> count 1
+  }
 }

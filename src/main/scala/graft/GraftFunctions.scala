@@ -79,10 +79,17 @@ object GraftFunctions {
     spark.udf.register("gopher_stats",
       Kernels.gopherStatsUdf(graft.functions.text.EnStop))
     // ExactSubstr building blocks (Dedup.stripDupSpans is the table-level
-    // op; these expose the per-row kernels for ad-hoc SQL analysis)
-    spark.udf.register("window_hashes",
-      (text: String, w: Int) => Kernels.windowHashes(text, w))
-    spark.udf.register("stride_chunks",
-      (text: String, w: Int, s: Int) => Kernels.strideChunkTexts(text, w, s))
+    // op; these expose the per-row kernels for ad-hoc SQL analysis). Arg
+    // checks mirror the table operators' requires — without them a bad
+    // literal kills the stage with an opaque executor ArrayIndex/divide
+    // error instead of failing fast with a message
+    spark.udf.register("window_hashes", (text: String, w: Int) => {
+      require(w >= 2, s"window_hashes: window must be >= 2 tokens, got $w")
+      Kernels.windowHashes(text, w)
+    })
+    spark.udf.register("stride_chunks", (text: String, w: Int, s: Int) => {
+      require(s >= 1 && s <= w, s"stride_chunks: stride must be in [1, window], got $s/$w")
+      Kernels.strideChunkTexts(text, w, s)
+    })
   }
 }

@@ -50,13 +50,13 @@ class LmScoreSpec extends SparkSpec {
       .collect().map(r => r._1 -> ((r._2, r._3))).toMap
     // doc 1's 11 tokens -> 10 transitions
     assert(out(1L)._2 == 10L)
-    // recompute doc 9 by hand: all its bigrams appear exactly once corpus-
-    // wide, each left token twice (docs 9+10 share 4 rare tokens)
+    // recompute doc 9's exact sum from independently-derived corpus counts
+    // (doc 10 shares two of doc 9's bigrams and four of its tokens, so the
+    // counts genuinely vary per transition)
     val toks = docs.select(explode(split($"text", "\\s+")).as("t"))
       .groupBy("t").count().as[(String, Long)].collect().toMap
     val bgs = docs.filter($"doc_id" === 9L).select($"text").as[String].collect().head
       .split(" ").sliding(2).map(a => (a(0), a(1))).toSeq
-    val bgCounts = docs.select(explode(split($"text", "\\s+")).as("t")) // not needed; bigrams below
     val allBgs = docs.select($"text").as[String].collect()
       .flatMap(_.split(" ").sliding(2).map(a => a(0) + " " + a(1)).toSeq)
       .groupBy(identity).view.mapValues(_.length.toLong).toMap

@@ -428,11 +428,16 @@ object Dedup {
     * colliding in 60 bits could over-strip at ~2^-60 per pair — the same
     * documented odds as the LSH band keys. */
   def stripHotLines(df: DataFrame, idCol: String, textCol: String,
-                    maxDocs: Int): DataFrame = {
+                    maxDocs: Int, sep: String = "\n"): DataFrame = {
     require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    require(sep.nonEmpty, "separator must be non-empty")
     val others = df.columns.filterNot(c => c == idCol || c == textCol)
+    // `sep` is a LITERAL unit separator (split quotes it, the rebuild
+    // joins with it): "\n" = MassiveText line dedup (default, q78),
+    // "\n\n" = CCNet paragraph dedup — same census either way
     val lines = df
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
       .withColumn("lh", hash60(col("line"), "line"))
     // empty lines (paragraph separators) are structural, not boilerplate —
     // they'd be hot in any corpus and stripping them would collapse layout
@@ -445,7 +450,7 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("__ls"))
       .select(col(idCol),
-        concat_ws("\n", transform(col("__ls"), x => x.getField("line"))).as(textCol))
+        concat_ws(sep, transform(col("__ls"), x => x.getField("line"))).as(textCol))
     // null text stays null (it produced no lines, so it is absent from the
     // rebuild — fabricating "" would erase the had-no-text/all-boilerplate
     // distinction); a doc whose every line was hot comes back as ""

@@ -215,6 +215,17 @@ class DedupSpec extends SparkSpec {
     assert(out(0) == "\nuniq 1\n")
   }
 
+  test("stripHotLines paragraph mode: \\n\\n units dedup whole paragraphs, inner newlines survive") {
+    val boiler = "subscribe to\nour newsletter"
+    val docs = (1L to 5L).map(i => (i, s"intro $i line\nsecond\n\n$boiler\n\nbody $i"))
+      .toDF("doc_id", "body")
+    val out = Dedup.stripHotLines(docs, "doc_id", "body", maxDocs = 3, sep = "\n\n")
+      .orderBy("doc_id").select("body").as[String].collect().toSeq
+    // the 2-line boilerplate paragraph (5 docs > 3) goes as one unit;
+    // the multi-line intro paragraph survives with its inner newline
+    assert(out(0) == "intro 1 line\nsecond\n\nbody 1")
+  }
+
   test("stripHotLines: null text stays null, distinct from an emptied doc") {
     val docs = Seq((1L, null: String), (2L, "solo line 2"))
       .toDF("doc_id", "body")

@@ -1569,6 +1569,40 @@ object TextQ {
         |ELSE 'middle' END AS bucket
         |FROM av CROSS JOIN th ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q94_top_dup_spans",
+      // Boilerplate census report: the 20 most-duplicated 15-token spans
+      // corpus-wide (Dedup.dupWindows analysis surface) with occurrence
+      // and distinct-doc counts. The span text is recovered by slicing the
+      // FIRST occurrence's doc at its recorded position — cheap (20 rows)
+      // and byte-identical to the gram the census hashed. Global top-k =
+      // orderBy+limit (TakeOrderedAndProject); ties break on the window
+      // hash, which the oracle recomputes with the same md5 scheme.
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val agg = Dedup.dupWindows(base, "doc_id", "text", 15)
+          .groupBy(col("wh"))
+          .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"),
+            min(struct(col("doc_id"), col("pos"))).as("first"))
+          .filter(col("n_occ") > 1)
+          .orderBy(col("n_occ").desc, col("wh")).limit(20)
+        agg.join(base, agg("first.doc_id") === base("doc_id"))
+          .select(col("wh"), big(col("n_occ")).as("n_occ"), big(col("n_docs")).as("n_docs"),
+            sha2(concat_ws(" ",
+              slice(tokens(col("text")), col("first.pos") + 1, lit(15))), 256).as("span_sha"))
+          .orderBy(col("n_occ").desc, col("wh"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $W AS t FROM documents),
+        |wins AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i : i + 14], ' ') AS g
+        |  FROM tk, LATERAL unnest(range(1, CASE WHEN len(t) >= 15 THEN len(t) - 13 ELSE 1 END)) AS u(i)),
+        |ag AS (SELECT g, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        |  FROM wins GROUP BY g HAVING count(*) > 1),
+        |top AS (SELECT g, n_occ, n_docs,
+        |  CAST(concat('0x', substr(md5(g || '#win'), 1, 15)) AS BIGINT) AS wh
+        |  FROM ag ORDER BY n_occ DESC, wh LIMIT 20)
+        |SELECT wh, CAST(n_occ AS BIGINT) AS n_occ, CAST(n_docs AS BIGINT) AS n_docs,
+        |sha256(g) AS span_sha
+        |FROM top ORDER BY n_occ DESC, wh""".stripMargin)),
+
     QueryDef("q92_corpus_build",
       // The training-corpus build, composed end-to-end from the operators
       // above into ONE decision record per doc: Gopher gate on the

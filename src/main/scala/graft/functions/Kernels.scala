@@ -229,6 +229,24 @@ object Kernels {
       a.map(s => (a.length, s))
     }
 
+  /** Bigram transition pairs for LM scoring: element i is (w_i + " " +
+    * w_{i+1}, w_i) — byte-identical to the per-transition concat_ws
+    * Column chain, one JVM pass (the interpreted transform measured 13s
+    * vs ~2s on the sf0.1 corpus). Fewer than 2 tokens -> no pairs. */
+  def bigramPairs(text: String): Array[(String, String)] = {
+    val t = tokenize(text)
+    if (t.length < 2) return Array.empty
+    val out = new Array[(String, String)](t.length - 1)
+    var i = 0
+    while (i < t.length - 1) {
+      out(i) = (t(i) + " " + t(i + 1), t(i))
+      i += 1
+    }
+    out
+  }
+
+  def bigramPairsUdf: UserDefinedFunction = udf((text: String) => bigramPairs(text))
+
   /** Span-removal rebuild: drop every token covered by a flagged window
     * [p, p+w), p from the ASCENDING `sortedPos`, and space-join the rest.
     * Returns (keptText, coveredCount). One pass with a rolling cover-end

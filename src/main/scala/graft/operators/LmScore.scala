@@ -61,13 +61,10 @@ object LmScore {
     * space-joined token pair. Built map-side from the token array (no
     * window function); one hash aggregation, persistable like
     * [[unigramLm]]. */
-  def bigramLm(df: DataFrame, textCol: String): DataFrame = {
-    val t = tokens(col(textCol))
-    df.select(explode(when(size(t) < 2, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(t) - 1),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))).as("bg"))
+  def bigramLm(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(graft.functions.Kernels.bigramPairsUdf(col(textCol))).as("x"))
+      .select(col("x._1").as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-  }
 
   /** Per-doc integer surprise under an add-one-smoothed bigram LM: for
     * each of the n-1 transitions, `-floor(1e6 * ln((c2 + 1) / (c1 + V)))`
@@ -82,14 +79,12 @@ object LmScore {
     * `n_tokens` counts TRANSITIONS (feeds [[qualityBuckets]] unchanged). */
   def bigramSurprise(df: DataFrame, idCol: String, textCol: String,
                      uni: DataFrame, bi: DataFrame): DataFrame = {
-    val t = tokens(col(textCol))
     val voc = uni.agg(count(lit(1)).as("v"))
+    // transition pairs come from a JVM kernel: the per-transition
+    // struct+concat transform is interpreted and measured ~6x slower
     df.select(col(idCol),
-        explode(when(size(t) < 2, array().cast("array<struct<bg:string,w1:string>>"))
-          .otherwise(transform(sequence(lit(1), size(t) - 1),
-            i => struct(concat_ws(" ", element_at(t, i), element_at(t, i + 1)).as("bg"),
-              element_at(t, i).as("w1"))))).as("x"))
-      .select(col(idCol), col("x.bg").as("bg"), col("x.w1").as("token"))
+        explode(graft.functions.Kernels.bigramPairsUdf(col(textCol))).as("x"))
+      .select(col(idCol), col("x._1").as("bg"), col("x._2").as("token"))
       .join(bi, Seq("bg"), "left")
       .join(uni, Seq("token"), "left")
       .crossJoin(broadcast(voc))

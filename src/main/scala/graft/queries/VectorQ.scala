@@ -382,6 +382,42 @@ object VectorQ {
         |SELECT qid, cid, CAST(adist AS BIGINT) AS adist FROM top WHERE rn <= 5
         |ORDER BY qid, adist, cid""".stripMargin)),
 
+    QueryDef("q95_cluster_sample",
+      // Cluster-balanced sampling — the diversity-curation composition
+      // (embedding k-means cells x exact k-per-stratum): every cell
+      // contributes its 25 smallest content-hash ranks through the
+      // bounded-heap GroupTopKExec, so a dominant cluster cannot flood
+      // the sample. Centroids fixed to the first four quantized
+      // embeddings (q64 precedent); the oracle replays assignment and
+      // the hash-rank window.
+      (s, d) => {
+        import s.implicits._
+        val emb0 = emb(s, d)
+        val centroids = emb0.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(graft.functions.Kernels.quantNormUdf(col("embedding")).getField("_1").as("qv"))
+          .as[Seq[Long]].collect().map(_.toArray)
+        val assigned = graft.operators.IvfIndex
+          .assign(emb0, "vec_id", "embedding", graft.operators.IvfIndex.Model(centroids))
+          .select(col("cid").as("vec_id"), col("cell"))
+        graft.operators.Sampling.perGroup(assigned, "cell", "vec_id", 25)
+          .select(col("vec_id"), big(col("cell")).as("cell"))
+          .orderBy(col("cell"), col("vec_id"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, $QV AS qv FROM embeddings),
+        |cent AS (SELECT vec_id AS cidx, qv AS cv FROM v WHERE vec_id < 4),
+        |dd AS (SELECT v.vec_id, c.cidx,
+        |  list_sum(list_transform(range(1, len(v.qv) + 1),
+        |    i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS dist
+        |  FROM v CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, cidx AS cell FROM (
+        |  SELECT vec_id, cidx, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+        |  FROM dd) WHERE rn = 1),
+        |r AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell ORDER BY
+        |  CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR) || '#sample'), 1, 15)) AS BIGINT), vec_id) AS rn
+        |  FROM asg)
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM r WHERE rn <= 25
+        |ORDER BY cell, vec_id""".stripMargin)),
+
     QueryDef("q91_semdedup",
       // SemDeDup (Dedup.semanticDedup): k-means cells -> within-cell
       // cosine pairs -> connected components -> min-id canonical. The

@@ -176,6 +176,13 @@ object ScaleSmoke {
           graft.operators.LmScore.unigramLm(docs, "text")))
         .queryExecution.toRdd.count()
     }
+    time("bigram lm buckets") {
+      graft.operators.LmScore.qualityBuckets(
+        graft.operators.LmScore.bigramSurprise(docs, "doc_id", "text",
+          graft.operators.LmScore.unigramLm(docs, "text"),
+          graft.operators.LmScore.bigramLm(docs, "text")))
+        .queryExecution.toRdd.count()
+    }
     time("stride windows (256/224)") {
       graft.operators.Chunker.strideChunks(longDocs.withColumn("doc_id", monotonically_increasing_id()),
         "doc_id", "text", 256, 224).queryExecution.toRdd.count()
@@ -213,6 +220,12 @@ object ScaleSmoke {
     time("semantic dedup (16 cells)") {
       graft.operators.Dedup.semanticDedup(vecs, "vec_id", "embedding", ivf,
         threshold = 0.999).queryExecution.toRdd.count()
+    }
+    time("cluster-balanced sample") {
+      graft.operators.Sampling.perGroup(
+        graft.operators.IvfIndex.assign(vecs, "vec_id", "embedding", ivf)
+          .select(col("cid").as("vec_id"), col("cell")),
+        "cell", "vec_id", 100).queryExecution.toRdd.count()
     }
     vecs.unpersist()
     spark.stop()

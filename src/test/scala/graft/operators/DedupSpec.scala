@@ -234,6 +234,22 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(None, Some("solo line 2")))
   }
 
+  test("incremental pairing composes across arrivals below the cap") {
+    // one-shot ingest of {100..103} vs the same docs in two arrivals: raw
+    // band keys don't depend on corpus size, so with no band above the
+    // cap the union of the two ingests' pair sets equals the one-shot set
+    val existing = docs.filter($"doc_id" < 100)
+    val batch1 = docs.filter($"doc_id".isin(100L, 101L))
+    val batch2 = docs.filter($"doc_id".isin(102L, 103L))
+    def pairs(ex: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashPairsIncremental(ex, b, "doc_id", "text")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val oneShot = pairs(existing, batch1.unionByName(batch2))
+    val twoStep = pairs(existing, batch1) ++ pairs(existing.unionByName(batch1), batch2)
+    assert(oneShot == twoStep)
+    assert(oneShot.nonEmpty) // 100-103 are near-dups of docs 0/1 — real pairs
+  }
+
   test("minhashPairsIncremental: exactly the batch-involving subset of the full pair set") {
     val existing = docs.filter($"doc_id" % 2 === 0)
     val batch = docs.filter($"doc_id" % 2 === 1)

@@ -407,7 +407,7 @@ object Dedup {
       .withColumn("covered_tokens",
         when(col("__ps").isNull, lit(0L)).otherwise(col("__sc._2")))
       .withColumn("dup_windows", coalesce(col("dup_windows"), lit(0L)))
-      .select(df.columns.map(c => col(c)) :+ col("dup_windows") :+ col("covered_tokens"): _*)
+      .select((df.columns.map(c => col(c)) :+ col("dup_windows") :+ col("covered_tokens")).toIndexedSeq: _*)
   }
 
   /** Line-level boilerplate removal (north-star; the MassiveText "remove
@@ -454,11 +454,11 @@ object Dedup {
     // null text stays null (it produced no lines, so it is absent from the
     // rebuild — fabricating "" would erase the had-no-text/all-boilerplate
     // distinction); a doc whose every line was hot comes back as ""
-    df.select(col(idCol) +: (others.map(col) :+ col(textCol).as("__orig")): _*)
+    df.select((col(idCol) +: (others.map(col) :+ col(textCol).as("__orig"))).toIndexedSeq: _*)
       .join(rebuilt, Seq(idCol), "left")
       .withColumn(textCol,
         when(col("__orig").isNull, lit(null).cast("string"))
           .otherwise(coalesce(col(textCol), lit(""))))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 }

@@ -48,7 +48,7 @@ object Events {
     * like the row_number window form (q22 keeps the window form because the
     * oracle replicates it; this is the operator to call in pipelines). */
   def lastWins(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
     val ord = struct(orderCols.map(col): _*)
     df.groupBy(keyCols.map(col): _*)
       .agg(max_by(payload, ord).as("__last"))
@@ -58,7 +58,7 @@ object Events {
   /** First-wins twin (min_by): keep the earliest row per group — the
     * aggregate form of exact dedup's keep-min-tiebreak representative. */
   def firstWins(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
     val ord = struct(orderCols.map(col): _*)
     df.groupBy(keyCols.map(col): _*)
       .agg(min_by(payload, ord).as("__first"))

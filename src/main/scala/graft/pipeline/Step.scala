@@ -61,7 +61,7 @@ final case class DropDuplicationStep(fields: Seq[String] = Seq("md")) extends St
         val keyed = mapCols.foldLeft(in)((df, m) => df.withColumn(s"__k_$m", to_json(col(m))))
         keyed
           .dropDuplicates((in.columns.filterNot(mapCols.contains) ++ mapCols.map("__k_" + _)).toSeq)
-          .drop(mapCols.map("__k_" + _): _*)
+          .drop(mapCols.map("__k_" + _).toIndexedSeq: _*)
       }
     } else in.dropDuplicates(fields)
 }

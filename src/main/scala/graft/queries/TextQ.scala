@@ -1603,6 +1603,42 @@ object TextQ {
         |sha256(g) AS span_sha
         |FROM top ORDER BY n_occ DESC, wh""".stripMargin)),
 
+    QueryDef("q96_ccnet_mixture",
+      // The CCNet endpoint: LM quality buckets DRIVE the training mixture —
+      // head kept at 100 %, middle at 50 %, tail at 10 % — by feeding
+      // q90's buckets into q82's content-addressed weighted sampler. Same
+      // nested hash buckets, so re-running with a raised tail rate only
+      // ADDS rows. The oracle chains q90's scoring/threshold CTEs into
+      // q82's hash-rate predicate.
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val bucketed = graft.operators.LmScore.qualityBuckets(
+          graft.operators.LmScore.surprise(base, "doc_id", "text",
+            graft.operators.LmScore.unigramLm(base, "text")))
+        val rate = when(col("bucket") === "head", 10000L)
+          .when(col("bucket") === "middle", 5000L).otherwise(1000L)
+        graft.operators.Sampling.byHashWeighted(bucketed, "doc_id", rate)
+          .select(col("doc_id"), col("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($W) AS token FROM documents),
+        |lm AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM lm),
+        |sc AS (SELECT doc_id,
+        |  CAST(sum(CAST(-floor(ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS sum_surprise,
+        |  count(*) AS n_tokens
+        |  FROM tok JOIN lm USING (token) CROSS JOIN tot GROUP BY doc_id),
+        |av AS (SELECT doc_id, CAST(sum_surprise AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_surprise FROM sc),
+        |th AS (SELECT quantile_cont(avg_surprise, 0.25) AS t_lo,
+        |  quantile_cont(avg_surprise, 0.75) AS t_hi FROM av),
+        |bk AS (SELECT doc_id,
+        |  CASE WHEN avg_surprise <= t_lo THEN 'head' WHEN avg_surprise > t_hi THEN 'tail'
+        |  ELSE 'middle' END AS bucket FROM av CROSS JOIN th)
+        |SELECT doc_id, bucket FROM bk
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 1, 15)) AS BIGINT) % 10000
+        |  < CASE WHEN bucket = 'head' THEN 10000 WHEN bucket = 'middle' THEN 5000 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q92_corpus_build",
       // The training-corpus build, composed end-to-end from the operators
       // above into ONE decision record per doc: Gopher gate on the

@@ -63,4 +63,41 @@ class TrainingPipelineSpec extends SparkSpec {
       .filter(col("n_docs") > 1 && col("tok_sum") > 512).count()
     assert(overflow == 0)
   }
+
+  test("span strip -> LM mixture -> versioned sink serves the curated corpus atomically") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val n0 = docs.count()
+
+    // 1. ExactSubstr span removal (every doc survives, possibly rebuilt)
+    val stripped = Dedup.stripDupSpans(docs, "doc_id", "text", w = 15)
+    assert(stripped.count() == n0)
+
+    // 2. CCNet mixture: LM buckets drive the weighted sampler
+    val bucketed = LmScore.qualityBuckets(
+      LmScore.surprise(stripped, "doc_id", "text",
+        LmScore.unigramLm(stripped, "text")))
+    val rate = when(col("bucket") === "head", 10000L)
+      .when(col("bucket") === "middle", 5000L).otherwise(1000L)
+    val kept = Sampling.byHashWeighted(
+      stripped.join(bucketed.select("doc_id", "bucket"), Seq("doc_id")),
+      "doc_id", rate)
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept < n0)
+
+    // 3. versioned sink: write, serve through the alias, re-curate, re-swap
+    val root = java.nio.file.Files.createTempDirectory("curated").toString
+    val sink = new graft.sinks.VersionedTableSink(root, "corpus")
+    val v1 = sink.write(kept.select("doc_id", "text", "bucket"))
+    assert(sink.readCurrent(spark).count() == nKept)
+
+    // a stricter re-curation (tail dropped entirely) publishes v2 and the
+    // alias repoints atomically; served rows are exactly the new set
+    val v2 = sink.write(kept.filter(col("bucket") =!= "tail")
+      .select("doc_id", "text", "bucket"))
+    assert(v2 == v1 + 1)
+    val served = sink.readCurrent(spark)
+    assert(served.count() == kept.filter(col("bucket") =!= "tail").count())
+    assert(served.filter(col("bucket") === "tail").count() == 0)
+  }
 }

@@ -117,8 +117,12 @@ object HtmlToMd {
     s = rep(ParaClose, s, "\n\n")
     // strip all remaining tags, decode the common entities
     s = rep(AnyTag, s, "")
-    s = s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+    // &amp; decodes LAST: decoding it first would turn double-escaped
+    // entities ("&amp;lt;", rendering as the literal text "&lt;") into
+    // "&lt;" and then wrongly decode that to "<" in the second pass
+    s = s.replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
+      .replace("&amp;", "&")
     // canonicalize whitespace
     rep(NlRun, rep(NlPad, rep(Spaces, s, " "), "\n"), "\n\n").trim
   }

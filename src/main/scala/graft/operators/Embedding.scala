@@ -89,8 +89,10 @@ object Embedding {
           val inputs = batch.map(c => prefix + clean(c.md))
           try {
             val vecs = cl.embed(inputs)
-            batch.lazyZip(vecs).map { (c, v) =>
-              EmbeddingRow(c.md, c.url, v, c.keywords, prefix + clean(c.md), c.metadata)
+            // reuse `inputs` — clean() is a multi-regex markdown walk per
+            // chunk; recomputing it per row doubled the hot-path cost
+            batch.lazyZip(inputs).lazyZip(vecs).map { (c, in, v) =>
+              EmbeddingRow(c.md, c.url, v, c.keywords, in, c.metadata)
             }
           } catch { case _: Exception => skp.add(batch.size); Seq.empty[EmbeddingRow] }
         }

@@ -38,7 +38,7 @@ object Events {
       .withColumn("session_start",
         date_format(min(col(tsCol)).over(
           Window.partitionBy(col(keyCol), col("session_seq"))), "yyyy-MM-dd HH:mm:ss"))
-      .drop("__new")
+      .drop("__new", "session_seq") // internal helpers — the contract is input + session_start
   }
 
   /** Last-wins dedup as an aggregation (SURVEY.md §2.7 U3 — the 100 TB

@@ -95,6 +95,12 @@ object IvfIndex {
       .orderBy(col("rk"), col("id"))
       .limit(k)
       .select("qv").collect().map(_.getSeq[Long](0).toArray)
+    // fail fast with context (PqIndex.fit's contract): an empty corpus
+    // would otherwise surface as an opaque ArrayIndexOutOfBounds inside
+    // lloyd, and fewer rows than k would silently yield an under-sized model
+    require(seeds.nonEmpty, "IvfIndex.fit: empty corpus — nothing to cluster")
+    require(seeds.length == k,
+      s"IvfIndex.fit: corpus has only ${seeds.length} rows, need >= k = $k")
     lloyd(spark, q, seeds, iters)
   }
 

@@ -49,7 +49,12 @@ object QualityFilter {
     val dupFrac = lit(1.0) - s.getField("_5").cast("double") / nTok
     val bulletRatio = s.getField("_7").cast("double") / s.getField("_6")
     val ellipsisRatio = s.getField("_8").cast("double") / s.getField("_6")
-    when(!nTok.between(cfg.minTokens, cfg.maxTokens), lit("word_count"))
+    // a 0-token doc is degenerate regardless of config: every ratio below
+    // would be 0/0 (NaN under IEEE double division, whose Spark ordering
+    // quirks would pick an arbitrary-looking rule) — name it word_count
+    // even when minTokens = 0 "disables" that rule
+    when(nTok === 0, lit("word_count"))
+      .when(!nTok.between(cfg.minTokens, cfg.maxTokens), lit("word_count"))
       .when(meanWordLen < cfg.minMeanWordLen || meanWordLen > cfg.maxMeanWordLen,
         lit("mean_word_len"))
       .when(alphaRatio < cfg.minAlphaRatio, lit("alpha_ratio"))

@@ -48,7 +48,13 @@ object Skew {
 
   /** Column-count variant: the number of sub-buckets can be computed per
     * row (e.g. `ceil(band_size / cap)` so the cap bounds sub-bucket SIZE
-    * rather than sub-bucket count). */
+    * rather than sub-bucket count).
+    *
+    * Uses the engine's md5/hash60 id-hash — the SAME scheme
+    * Dedup.capBandFanout inlines (there with the per-row window count as
+    * nSub) — so sub-buckets built through this helper stay reproducible
+    * in the DuckDB oracles; Spark's Murmur3 `hash` would not be. */
   def subBucket(bandCol: Column, idCol: Column, nSub: Column): Column =
-    concat_ws("#", bandCol, pmod(hash(idCol), nSub))
+    concat_ws("#", bandCol,
+      pmod(graft.functions.text.hash60(idCol.cast("string"), "band"), nSub))
 }

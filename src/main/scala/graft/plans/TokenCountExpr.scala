@@ -38,16 +38,30 @@ case class TokenCountExpr(child: Expression) extends UnaryExpression {
 }
 
 object TokenCountExpr {
-  /** Byte-level token count; called from generated code. */
+  /** Byte-level token count; called from generated code.
+    *
+    * Boundary semantics match WhitespaceTokenizer.count exactly: that
+    * counter runs String.trim first, which strips ALL chars <= U+0020 at
+    * the ends (a superset of the six \s chars), so a leading " "
+    * must not count as its own token. Chars <= U+0020 are single UTF-8
+    * bytes, so the byte-level boundary skip ((b & 0xFF) <= 0x20 — the
+    * mask keeps multi-byte sequences, whose bytes are >= 0x80, out) is
+    * equivalent to trim. Interior scanning keeps the six-char \s set,
+    * also matching the post-trim scan. */
   def count(s: UTF8String): Int = {
     val n = s.numBytes()
     val base = s.getBaseObject
     val offset = s.getBaseOffset
-    var i = 0
+    def at(i: Int): Byte = org.apache.spark.unsafe.Platform.getByte(base, offset + i)
+    var lo = 0
+    while (lo < n && (at(lo) & 0xff) <= 0x20) lo += 1
+    var hi = n
+    while (hi > lo && (at(hi - 1) & 0xff) <= 0x20) hi -= 1
+    var i = lo
     var tokens = 0
     var inTok = false
-    while (i < n) {
-      val b = org.apache.spark.unsafe.Platform.getByte(base, offset + i)
+    while (i < hi) {
+      val b = at(i)
       val ws = b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
         b == 0x0b.toByte || b == '\f'.toByte || b == '\r'.toByte
       if (!ws && !inTok) { tokens += 1; inTok = true }

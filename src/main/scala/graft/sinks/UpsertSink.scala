@@ -67,7 +67,10 @@ object UpsertSink {
               (idempotent && e.isInstanceOf[ReadTimeoutFailure]) =>
             tryNo += 1
             if (tryNo >= attempts) throw e
-            sleeper(jitter(math.min(capMillis, baseMillis * (1L << tryNo))))
+            // attempt index starts at 0: the FIRST retry's jitter window is
+            // [0, base], matching the documented reference base 0.5s — the
+            // pre-increment shift (1 << tryNo) doubled every tier
+            sleeper(jitter(math.min(capMillis, baseMillis * (1L << (tryNo - 1)))))
           case e: Exception => throw e // non-retryable or non-idempotent-ambiguous
         }
       }

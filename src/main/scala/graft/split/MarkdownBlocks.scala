@@ -54,7 +54,6 @@ object MarkdownBlocks {
       else if (FenceRe.findFirstIn(line).isDefined) {
         val start = i; i += 1
         while (i < lines.length && FenceRe.findFirstIn(lines(i)).isEmpty) i += 1
-        val end = math.min(i, lines.length - 1)
         if (i < lines.length) i += 1
         out += CodeFence(lines.slice(start, math.min(i, lines.length)).mkString("\n"))
       } else {

@@ -24,7 +24,12 @@ object SelfConsuming {
     val existing =
       if (new java.io.File(path).exists()) Some(spark.read.parquet(path)) else None
     val unioned = existing.map(_.unionByName(increment)).getOrElse(increment)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc)
+    // version ties (an ingest re-run unions an identical-version row with
+    // the existing one) break on a content hash — arbitrary but
+    // deterministic, so two runs of the same merge persist the same row;
+    // ordering by version alone would pick by partition arrival order
+    val tiebreak = xxhash64(unioned.columns.sorted.map(col): _*)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc, tiebreak)
     val merged = unioned
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

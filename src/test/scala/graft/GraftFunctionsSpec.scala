@@ -7,7 +7,8 @@ class GraftFunctionsSpec extends SparkSpec {
 
   test("token_count_native: codegen Expression matches WhitespaceTokenizer.count") {
     GraftFunctions.register(spark)
-    val samples = Seq("", "a", "a b  c", "  lead", "trail  ", "\ttab\nnl  x", "one")
+    val samples = Seq("", "a", "a b  c", "  lead", "trail  ", "\ttab\nnl  x", "one",
+      "\u0001 a", "b \u0002", "a\u0001b") // boundary C0 controls: String.trim strips them
     val out = samples.toDF("t")
       .selectExpr("t", "token_count_native(t) AS n")
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap

@@ -29,6 +29,10 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(HtmlToMd.absolutize("//cdn.a.b/x", "https://x.y") == "https://cdn.a.b/x")
     assert(HtmlToMd.absolutize("sub/page", "https://x.y/base") == "https://x.y/base/sub/page")
     assert(HtmlToMd.absolutize("mailto:a@b.c", "https://x.y") == "mailto:a@b.c")
+    // entity decode order: &amp; decodes LAST, so double-escaped entities
+    // yield their literal text instead of being decoded twice
+    assert(HtmlToMd.convert("<p>a &amp;lt; b</p>") == "a &lt; b")
+    assert(HtmlToMd.convert("<p>x &lt; y &amp; z</p>") == "x < y & z")
     // untouched specials (reference normalize_urls cases, html2md_test.py)
     assert(HtmlToMd.absolutize("data:image/png;base64,abc123", "https://x.y") == "data:image/png;base64,abc123")
     assert(HtmlToMd.absolutize("#fragment", "https://x.y") == "#fragment")

@@ -51,6 +51,20 @@ class QualityFilterSpec extends SparkSpec {
     assert(out == Seq((1L, true, None), (2L, false, Some("word_count"))))
   }
 
+  test("degenerate docs gate deterministically when minTokens = 0 disables word_count") {
+    // empty/blank text tokenizes to empty-string tokens (1 and 2 of them —
+    // the oracle's string_split_regex semantics), so those docs fail
+    // mean_word_len (mean 0 < 3). NULL text is the true 0-token case: the
+    // explicit guard names it word_count — without it the ratio rules
+    // would evaluate 0/0 = NaN and Spark's NaN ordering would pick an
+    // arbitrary-looking reason
+    val docs = Seq((1L, ""), (2L, "   "), (3L, null: String)).toDF("doc_id", "text")
+    val out = QualityFilter.gopherGate(docs, "doc_id", "text",
+        QualityFilter.GopherConfig(minTokens = 0, minStopwords = 0))
+      .orderBy("doc_id").select("reason").as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("mean_word_len"), Some("mean_word_len"), Some("word_count")))
+  }
+
   test("keep is a pure map-side filter: no exchange, no join in the plan") {
     val docs = Seq((1L, good), (2L, "too short")).toDF("doc_id", "text")
     val kept = QualityFilter.keep(docs, "text", QualityFilter.GopherConfig(minTokens = 30))

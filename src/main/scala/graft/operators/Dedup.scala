@@ -167,6 +167,33 @@ object Dedup {
         .unionByName(batch.select(col(idCol).as("id"), col(textCol).as("__t"), lit(true).as("__new"))),
       k, r, threshold, capPerBand)
 
+  /** Winnowing-fingerprint near-dup pairs (Schleimer et al. 2003): docs
+    * sharing at least `minShared` winnowing fingerprints. The DETERMINISTIC
+    * complement to [[minhashPairs]]: winnowing guarantees every shared run
+    * of >= n+w-1 words contributes a shared fingerprint, so a pair with a
+    * long verbatim overlap can never be missed the way a probabilistic
+    * band scheme can — at the cost of candidate volume scaling with
+    * fingerprint density rather than band collisions. Same plan shape:
+    * fingerprints explode map-side (8-byte values), the self-join is a
+    * fingerprint equi-join with the fan-out cap, and `n_shared` counts
+    * distinct shared fingerprints (per-doc sets are already distinct). */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, w: Int = 4, minShared: Int = 2,
+                  capPerBand: Int = 256): DataFrame = {
+    import graft.functions.Kernels
+    val fps = capBandFanout(
+      df.select(col(idCol).as("id"),
+        explode(Kernels.winnowUdf(n, w)(col(textCol))).as("fp")),
+      "fp", "id", capPerBand)
+    val a = fps.select(col("id").as("id_a"), col("fp"))
+    val b = fps.select(col("id").as("id_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash fingerprints (`bits`-bit) per row. 48 bits default: wide enough
     * to discriminate on a homogeneous corpus, and every band/shift stays in
     * positive i64 territory for the SQL oracle. */

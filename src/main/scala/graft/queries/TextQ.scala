@@ -1639,6 +1639,38 @@ object TextQ {
         |  < CASE WHEN bucket = 'head' THEN 10000 WHEN bucket = 'middle' THEN 5000 ELSE 1000 END
         |ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q97_winnow_pairs",
+      // Winnowing-fingerprint pairs (Dedup.winnowPairs): the DETERMINISTIC
+      // near-dup candidate generator — any shared verbatim run of >= 6
+      // words (n+w-1) must produce a shared fingerprint, a guarantee the
+      // probabilistic MinHash bands cannot make. The oracle extends q52's
+      // fingerprint CTEs with the fan-out-cap sub-bucketing (q33 scheme;
+      // inert at this scale — max fp membership 7 — but exact at any) and
+      // the shared-count join. 103 pairs at sf0.01, max 37 shared.
+      (s, d) => Dedup.winnowPairs(docs(s, d), "doc_id", "text", 3, 4, minShared = 2)
+        .select(col("id_a"), col("id_b"), big(col("n_shared")).as("n_shared"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH tk AS (SELECT doc_id, $W AS w FROM documents),
+        |hs AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN CAST([] AS BIGINT[]) ELSE
+        |  list_transform(range(1, len(w) - 1), i ->
+        |    CAST(concat('0x', substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 7)) AS BIGINT)) END AS h
+        |  FROM tk),
+        |fp AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+        |  WHEN len(h) <= 4 THEN [list_min(h)]
+        |  ELSE list_sort(list_distinct(list_transform(range(1, len(h) - 2), s -> list_min(h[s : s+3])))) END AS f
+        |  FROM hs),
+        |ex AS (SELECT doc_id, unnest(f) AS fpv FROM fp),
+        |bc AS (SELECT doc_id, fpv, count(*) OVER (PARTITION BY fpv) AS nb FROM ex),
+        |capped AS (SELECT doc_id, CASE WHEN nb > 256 THEN CAST(fpv AS VARCHAR) || '#' || CAST(
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#band'), 1, 15)) AS BIGINT)
+        |    % CAST(ceil(nb / 256.0) AS BIGINT) AS VARCHAR)
+        |  ELSE CAST(fpv AS VARCHAR) END AS fpv FROM bc),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |  FROM capped a JOIN capped b ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM p WHERE n_shared >= 2 ORDER BY id_a, id_b""".stripMargin)),
+
     QueryDef("q92_corpus_build",
       // The training-corpus build, composed end-to-end from the operators
       // above into ONE decision record per doc: Gopher gate on the

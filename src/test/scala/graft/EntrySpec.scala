@@ -15,7 +15,7 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
     // a dropped QueryDef silently shrinks the correctness gate — pin the
     // round-5 floor so the regression fails here, not in the driver
-    assert(qs.size >= 96, s"query count regressed: ${qs.size}")
+    assert(qs.size >= 97, s"query count regressed: ${qs.size}")
   }
 
   test("approx_count_distinct (HLL++) tracks exact distinct within 5% (A6 sketch path)") {

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an edge list — the missing half of
@@ -13,13 +12,18 @@ import org.apache.spark.sql.functions._
   *
   * Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
   * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
-  * and Beyond", SoCC '14). Each half-round is one window aggregate over the
-  * edge list partitioned by node id; the edge set provably shrinks toward
-  * a forest of stars centered at component minima in O(log^2 n) rounds on
-  * any graph — and in 1-2 rounds on the near-clique clusters duplicate
-  * detection actually produces. Labels are component MINIMA, so the output
-  * is deterministic and oracle-checkable (a transitive-closure recursive
-  * CTE computes the same labels).
+  * and Beyond", SoCC '14). Each half-round computes the per-node
+  * neighborhood minimum as a groupBy aggregate joined back to the edges —
+  * NOT a window over the node id: a window sorts each neighborhood inside
+  * one task, so a degenerate star center (the exact shape late CC rounds
+  * produce) becomes a single straggler task, while the groupBy absorbs the
+  * hot node with map-side partial aggregation and the join's probe side
+  * stays AQE-splittable. The edge set provably shrinks toward a forest of
+  * stars centered at component minima in O(log^2 n) rounds on any graph —
+  * and in 1-2 rounds on the near-clique clusters duplicate detection
+  * actually produces. Labels are component MINIMA, so the output is
+  * deterministic and oracle-checkable (a transitive-closure recursive CTE
+  * computes the same labels).
   *
   * Scale notes (100 TB): per-iteration state is only the oriented distinct
   * edge list, shuffled on node id — nothing is ever collected to the
@@ -98,16 +102,17 @@ object ConnectedComponents {
   }
 
   /** Large-star: every node links its LARGER neighbors to the minimum of
-    * its neighborhood (incl. itself). One shuffle: a min window over the
-    * symmetrized edges partitioned by node. */
+    * its neighborhood (incl. itself). The neighborhood min is a groupBy on
+    * the node joined back — skew-safe for degenerate star centers (see
+    * object doc). */
   private def largeStar(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
-    val m = min(least($"v", $"u")).over(Window.partitionBy($"u"))
-    // no distinct here: the output feeds smallStar's window + final
+    val mins = sym.groupBy($"u").agg(min(least($"v", $"u")).as("m"))
+    // no distinct here: the output feeds smallStar's aggregate + final
     // distinct, which absorb duplicates — saves one exchange per round
-    sym.withColumn("m", m)
+    sym.join(mins, Seq("u"))
       .filter($"v" > $"u")
       .select($"v".as("u"), $"m".as("v"))
   }
@@ -118,7 +123,8 @@ object ConnectedComponents {
   private def smallStar(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val withM = e.withColumn("m", min($"v").over(Window.partitionBy($"u")))
+    val mins = e.groupBy($"u").agg(min($"v").as("m"))
+    val withM = e.join(mins, Seq("u"))
     val linkNeighbors = withM.select($"v".as("u"), $"m".as("v"))
     val linkSelf = withM.select($"u", $"m".as("v"))
     linkNeighbors.union(linkSelf)

@@ -31,6 +31,13 @@ object Dedup {
     * near-identical members), transitive links inside sub-buckets preserve
     * cluster discovery.
     *
+    * The census runs as groupBy + join-back rather than
+    * `count().over(Window.partitionBy(band))`: a window would funnel the
+    * whole hot band into ONE sorting task — the very skew this cap exists
+    * to defuse — while groupBy absorbs it with map-side partial
+    * aggregation and the join's probe side stays AQE-splittable. The
+    * over-cap set is boilerplate-sized, so the join back broadcasts.
+    *
     * The sub-bucket index hashes the id with the engine's md5/hash60
     * scheme rather than Spark's Murmur3 so the DuckDB oracle can model the
     * cap exactly (q34's bands exceed the cap at sf0.1 — the capped join is
@@ -38,17 +45,19 @@ object Dedup {
   private def capBandFanout(rows: DataFrame, bandCol: String, idCol: String,
                             cap: Int): DataFrame = {
     if (cap <= 0) return rows
-    import org.apache.spark.sql.expressions.Window
-    val size = count(lit(1)).over(Window.partitionBy(col(bandCol)))
+    val census = rows.groupBy(col(bandCol)).agg(count(lit(1)).as("__band_n"))
+      .filter(col("__band_n") > cap)
     val sub = pmod(hash60(col(idCol).cast("string"), "band"),
-      ceil(size / lit(cap)).cast("long"))
+      ceil(col("__band_n") / lit(cap)).cast("long"))
     // Normalize the band to string BEFORE branching: with a numeric band
     // column (embedding buckets) the when/otherwise common type would
     // otherwise resolve by casting the sub-bucketed string branch to the
     // numeric type — an ANSI cast error the moment the cap first fires.
     val base = col(bandCol).cast("string")
-    rows.withColumn(bandCol,
-      when(size > cap, concat_ws("#", base, sub)).otherwise(base))
+    rows.join(census, Seq(bandCol), "left")
+      .withColumn(bandCol,
+        when(col("__band_n").isNotNull, concat_ws("#", base, sub)).otherwise(base))
+      .drop("__band_n")
   }
 
   /** Exact dedup by field list — reference semantics (`DROP_BY_FIELDS`,
@@ -155,25 +164,40 @@ object Dedup {
     * degenerate bands depends on when members arrived (the documented
     * recall trade of [[capBandFanout]], now schedule-dependent). In
     * production the existing side's (id, band) rows are the persistable
-    * index: write them once via a versioned sink and feed them back, and
-    * each ingest computes signatures only for the batch. Ids must be
-    * disjoint across the two frames. */
+    * index ([[minhashIndex]] / [[minhashPairsAgainstIndex]]), and each
+    * ingest computes signatures only for the batch. Ids must be disjoint
+    * across the two frames — overlapping ids would silently duplicate
+    * band rows and emit wrong pairs, so pass `validateDisjoint = true`
+    * (one extra semi-join count, batch-sized) to fail fast in pipelines
+    * where the invariant is not structural. */
   def minhashPairsIncremental(existing: DataFrame, batch: DataFrame,
                               idCol: String, textCol: String,
                               k: Int = 12, r: Int = 4, threshold: Double = 0.6,
-                              capPerBand: Int = 256): DataFrame =
+                              capPerBand: Int = 256,
+                              validateDisjoint: Boolean = false): DataFrame = {
+    if (validateDisjoint) {
+      val overlap = batch.select(col(idCol))
+        .join(existing.select(col(idCol)), Seq(idCol), "left_semi").limit(1).count()
+      require(overlap == 0,
+        s"minhashPairsIncremental: batch and existing share ids on '$idCol'")
+    }
     minhashPairsImpl(
       existing.select(col(idCol).as("id"), col(textCol).as("__t"), lit(false).as("__new"))
         .unionByName(batch.select(col(idCol).as("id"), col(textCol).as("__t"), lit(true).as("__new"))),
       k, r, threshold, capPerBand)
+  }
 
   /** Winnowing-fingerprint near-dup pairs (Schleimer et al. 2003): docs
     * sharing at least `minShared` winnowing fingerprints. The DETERMINISTIC
     * complement to [[minhashPairs]]: winnowing guarantees every shared run
     * of >= n+w-1 words contributes a shared fingerprint, so a pair with a
-    * long verbatim overlap can never be missed the way a probabilistic
-    * band scheme can — at the cost of candidate volume scaling with
-    * fingerprint density rather than band collisions. Same plan shape:
+    * long verbatim overlap cannot be missed the way a probabilistic band
+    * scheme can — at the cost of candidate volume scaling with fingerprint
+    * density rather than band collisions. The guarantee holds while no
+    * shared fingerprint's band exceeds `capPerBand`: once the cap fires on
+    * a hot fingerprint, the two docs can land in different sub-buckets and
+    * that fingerprint stops contributing to `n_shared` (the same recall
+    * trade documented on [[capBandFanout]]). Same plan shape:
     * fingerprints explode map-side (8-byte values), the self-join is a
     * fingerprint equi-join with the fan-out cap, and `n_shared` counts
     * distinct shared fingerprints (per-doc sets are already distinct). */
@@ -415,8 +439,10 @@ object Dedup {
   def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
                     w: Int = 15): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
-    require(!df.columns.contains("dup_windows") && !df.columns.contains("covered_tokens"),
-      "input already has a dup_windows/covered_tokens column — rename it first")
+    val reserved = Seq("dup_windows", "covered_tokens", "__orig", "__ps", "__sc")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input already has reserved column(s) ${clash.mkString(", ")} — rename them first")
     val flagged = dupWindows(df, idCol, textCol, w)
       .filter(col("n_occ") > 1 && !col("is_first"))
     val perDoc = flagged.groupBy(col(idCol))

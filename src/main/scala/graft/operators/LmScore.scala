@@ -21,11 +21,13 @@ import graft.functions.text._
   * integer — odds per distinct count value, not per token.
   *
   * Scale shape (100 TB): the LM is one hash aggregation on the token
-  * (vocabulary-sized result); scoring is explode → shuffled equi-join on
-  * the token → per-doc sum (all map-side combinable); the bucket thresholds
-  * are a 1-row aggregate broadcast back, never a driver collect. With a
-  * trained external LM (the CCNet setup — wiki-LM scoring CommonCrawl) the
-  * join side is the static vocabulary and broadcasts when it fits.
+  * (vocabulary-sized result); scoring is explode → BROADCAST equi-join on
+  * the token (forced under a row-count guard — see `maybeBroadcast`; the
+  * corpus side never shuffles and Zipf-hot tokens never concentrate) →
+  * per-doc sum (map-side combinable); the bucket thresholds are a 1-row
+  * aggregate broadcast back, never a driver collect. With a trained
+  * external LM (the CCNet setup — wiki-LM scoring CommonCrawl) the
+  * broadcast side is the static vocabulary.
   */
 object LmScore {
 
@@ -36,6 +38,18 @@ object LmScore {
     df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
 
+  /** Broadcast an LM side when its row count fits `maxRows` (vocabulary-
+    * sized LMs always do). The LM's size ESTIMATE derives from corpus
+    * lineage, so without the hint the planner can shuffle BOTH sides of
+    * the token join at 100× scale — and the exploded-token side is
+    * Zipf-skewed ("the"-class tokens concentrate in single tasks), while
+    * the LM side is small and skew-free. The guard is one bounded count
+    * (limit short-circuits oversized LMs); persist the LM frame
+    * (fit-once/reuse, object doc) so its lineage isn't re-aggregated by
+    * the probe. */
+  private def maybeBroadcast(lm: DataFrame, maxRows: Int): DataFrame =
+    if (maxRows > 0 && lm.limit(maxRows + 1).count() <= maxRows) broadcast(lm) else lm
+
   /** Per-doc integer surprise under `lm`: one row per SCORABLE doc with
     * `sum_surprise` (micro-nats, long) and `n_tokens`. Tokens absent from
     * the LM score as count 1 (add-one floor), so an external LM never
@@ -45,10 +59,10 @@ object LmScore {
     * quantiles); a pipeline that must keep them left-joins the result
     * back to its id spine. */
   def surprise(df: DataFrame, idCol: String, textCol: String,
-               lm: DataFrame): DataFrame = {
+               lm: DataFrame, maxBroadcastRows: Int = 8000000): DataFrame = {
     val tot = lm.agg(sum(col("c")).as("n_total"))
     df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-      .join(lm, Seq("token"), "left")
+      .join(maybeBroadcast(lm, maxBroadcastRows), Seq("token"), "left")
       .crossJoin(broadcast(tot))
       .select(col(idCol),
         (-floor(log(coalesce(col("c"), lit(1L)).cast("double")
@@ -78,15 +92,16 @@ object LmScore {
     * fewer than 2 tokens have no transitions and produce no row.
     * `n_tokens` counts TRANSITIONS (feeds [[qualityBuckets]] unchanged). */
   def bigramSurprise(df: DataFrame, idCol: String, textCol: String,
-                     uni: DataFrame, bi: DataFrame): DataFrame = {
+                     uni: DataFrame, bi: DataFrame,
+                     maxBroadcastRows: Int = 8000000): DataFrame = {
     val voc = uni.agg(count(lit(1)).as("v"))
     // transition pairs come from a JVM kernel: the per-transition
     // struct+concat transform is interpreted and measured ~6x slower
     df.select(col(idCol),
         explode(graft.functions.Kernels.bigramPairsUdf(col(textCol))).as("x"))
       .select(col(idCol), col("x._1").as("bg"), col("x._2").as("token"))
-      .join(bi, Seq("bg"), "left")
-      .join(uni, Seq("token"), "left")
+      .join(maybeBroadcast(bi, maxBroadcastRows), Seq("bg"), "left")
+      .join(maybeBroadcast(uni, maxBroadcastRows), Seq("token"), "left")
       .crossJoin(broadcast(voc))
       .select(col(idCol),
         (-floor(log((coalesce(col("c2"), lit(0L)) + 1).cast("double")

@@ -1495,7 +1495,9 @@ object TextQ {
       Some(s"""WITH tk AS (SELECT doc_id, $W AS w FROM documents),
         |ck AS (SELECT doc_id, CAST(ceil(len(w) / 32.0) AS INT) AS chunks_count, k,
         |  array_to_string(w[k*32+1 : k*32+48], ' ') AS chunk_text
-        |  FROM tk, (SELECT unnest(generate_series(0, 199)) AS k) g WHERE k * 32 < len(w))
+        |  FROM tk, (SELECT unnest(generate_series(0,
+        |    (SELECT CAST(ceil(max(len(w)) / 32.0) AS INT) FROM tk))) AS k) g
+        |  WHERE k * 32 < len(w))
         |SELECT doc_id, CAST(k AS BIGINT) AS chunk_index, CAST(chunks_count AS BIGINT) AS chunks_count,
         |CAST(len(string_split_regex(chunk_text, '\\s+')) AS BIGINT) AS token_len,
         |sha256(chunk_text) AS chunk_sha

@@ -27,8 +27,18 @@ object SelfConsuming {
     // version ties (an ingest re-run unions an identical-version row with
     // the existing one) break on a content hash — arbitrary but
     // deterministic, so two runs of the same merge persist the same row;
-    // ordering by version alone would pick by partition arrival order
-    val tiebreak = xxhash64(unioned.columns.sorted.map(col): _*)
+    // ordering by version alone would pick by partition arrival order.
+    // MapType columns can't feed xxhash64 directly (Spark rejects hashing
+    // maps: unordered); serialize them through to_json first.
+    val tiebreak = xxhash64(unioned.schema.fields.sortBy(_.name).map { f =>
+      def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => true
+        case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+        case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+        case _ => false
+      }
+      if (hasMap(f.dataType)) to_json(col(f.name)) else col(f.name)
+    }: _*)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc, tiebreak)
     val merged = unioned
       .withColumn("__rn", row_number().over(w))

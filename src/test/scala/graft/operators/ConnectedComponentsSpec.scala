@@ -46,6 +46,22 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("a planted 1M-edge star (degenerate hot node) resolves without a straggler task") {
+    // the exact shape late CC rounds produce: one center, 10^6 spokes. The
+    // old Window.partitionBy(node) neighborhood-min sorted all 2M
+    // symmetrized rows of the center inside ONE task; the groupBy+join
+    // form absorbs the hot node map-side. Runs distributed (spark.range),
+    // nothing star-sized ever reaches the driver.
+    val n = 1000000L
+    val star = spark.range(2L, n + 2L)
+      .select(lit(1L).as("src"), col("id").as("dst"))
+    val out = ConnectedComponents.run(star, "src", "dst", maxIter = 6)
+    val agg = out.agg(count(lit(1)), sum(when(col("component") === 1L, 1L).otherwise(0L)))
+      .head()
+    assert(agg.getLong(0) == n + 1)
+    assert(agg.getLong(1) == n + 1)
+  }
+
   test("resolveClusters: singleton docs keep their own id, members point to the min") {
     val docs = (1L to 8L).toDF("doc_id")
     val pairs = Seq((2L, 4L), (4L, 6L), (7L, 8L)).toDF("id_a", "id_b")

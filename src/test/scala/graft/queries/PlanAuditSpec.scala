@@ -116,6 +116,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(3000))
   }
 
+  test("q33/q52/q97: the LSH fan-out cap censuses via groupBy+join — no per-band window sort") {
+    // a Window.partitionBy(band) census would funnel the hot band this cap
+    // exists to defuse into ONE sorting task; the groupBy form absorbs it
+    // with map-side partial aggregation
+    Seq("q33_minhash_near_dups", "q52_winnow_fingerprint", "q97_winnow_pairs").foreach { name =>
+      val plan = finalPlan(q(name))
+      assert(!plan.contains("Window"), s"$name:\n${plan.take(2000)}")
+    }
+  }
+
+  test("q90/q93: the Zipf-skewed token joins broadcast the vocabulary-sized LM side") {
+    Seq("q90_lm_quality" -> 1, "q93_bigram_lm" -> 2).foreach { case (name, minBhj) =>
+      val plan = finalPlan(q(name))
+      // LM join(s) + the 1-row total/threshold joins are all broadcast —
+      // the exploded corpus side never shuffles INTO a join (the LM's own
+      // vocabulary-building groupBy shuffle is fine: vocabulary-sized)
+      assert(planCount(plan, "BroadcastHashJoin") >= minBhj, s"$name:\n${plan.take(3000)}")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"$name:\n${plan.take(3000)}")
+    }
+  }
+
   test("q74/q82: hash sampling is a pure map-side filter — zero exchanges before the output sort") {
     Seq("q74_sample_hash", "q82_mixture_sample").foreach { name =>
       val plan = finalPlan(q(name))

@@ -40,11 +40,79 @@ final case class GroupTopKNode(
 }
 
 object GroupTopKStrategy extends SparkStrategy {
+  /** Final-phase selection. The hash final holds its partition's exact
+    * RESULT (k rows x co-located groups) on-heap with no spill — optimal
+    * while that fits; the sort final streams groups in O(1) memory behind
+    * Spark's own external (spilling) SortExec, inserted by
+    * EnsureRequirements from the declared child ordering. The sort only
+    * ever sees POST-PARTIAL data (<= k x groups x maps rows), so choosing
+    * it too eagerly costs little; choosing hash on a group-explosive input
+    * costs an executor OOM — hence `auto` falls back to sort as soon as
+    * the logical child's row-count estimate (an upper bound on group
+    * cardinality) puts k x groups past the conf, and stays hash when
+    * stats are absent (toy/test scale).
+    * `spark.graft.topk.finalMode`: auto (default) | hash | sort. */
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupTopKNode(g, o, k, child) =>
-      GroupTopKExec(g, o, k, partial = false,
-        GroupTopKExec(g, o, k, partial = true, planLater(child))) :: Nil
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val mode = conf.getConfString("spark.graft.topk.finalMode", "auto")
+      val sortFallbackRows =
+        conf.getConfString("spark.graft.topk.sortFallbackRows", (1L << 26).toString).toLong
+      val sortFinal = mode match {
+        case "sort" => true
+        case "hash" => false
+        case _ => child.stats.rowCount.exists(rc => rc * k > sortFallbackRows)
+      }
+      val partial = GroupTopKExec(g, o, k, partial = true, planLater(child))
+      if (sortFinal) GroupTopKSortExec(g, o, k, partial) :: Nil
+      else GroupTopKExec(g, o, k, partial = false, partial) :: Nil
     case _ => Nil
+  }
+}
+
+/** Sort-based streaming final phase — the spill-safe fallback for group
+  * cardinalities whose k x groups result outgrows executor memory. Declares
+  * a (grouping, order) child ordering, so EnsureRequirements plans the
+  * exchange plus an external SortExec over the partial phase's pruned
+  * output; this node then streams each group's first k rows with O(1)
+  * state (current group key + a counter) — the SortAggregate counterpart
+  * to [[GroupTopKExec]]'s hash final. */
+final case class GroupTopKSortExec(
+    grouping: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(grouping))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(grouping.map(SortOrder(_, Ascending)) ++ order)
+
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+
+  override protected def withNewChildInternal(c: SparkPlan): GroupTopKSortExec = copy(child = c)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupingExprs = grouping
+    val childOutput = child.output
+    val limit = k
+    child.execute().mapPartitions { rows =>
+      val keyProj = UnsafeProjection.create(groupingExprs, childOutput)
+      var current: UnsafeRow = null
+      var emitted = 0
+      rows.filter { row =>
+        val key = keyProj(row)
+        if (current == null || key != current) { current = key.copy(); emitted = 0 }
+        emitted += 1
+        emitted <= limit
+      }
+    }
   }
 }
 
@@ -70,11 +138,12 @@ final case class GroupTopKExec(
 
   override protected def withNewChildInternal(c: SparkPlan): GroupTopKExec = copy(child = c)
 
-  /** Memory contract. The FINAL phase holds its partition's exact RESULT
-    * (k rows x co-located groups) — the floor for any hash-based exact
-    * operator; a sort-based fallback that streams groups is the upgrade
-    * path if group cardinality per partition ever outgrows executor
-    * memory. The PARTIAL phase is memory-bounded regardless: it processes
+  /** Memory contract. The hash FINAL phase holds its partition's exact
+    * RESULT (k rows x co-located groups) — the floor for any hash-based
+    * exact operator; when group cardinality outgrows that,
+    * [[GroupTopKStrategy]] plans [[GroupTopKSortExec]] instead (streaming
+    * over an external sort, O(1) state). The PARTIAL phase is
+    * memory-bounded regardless: it processes
     * the input in chunks of at most `PartialFlushGroups` distinct groups,
     * draining each chunk's heaps downstream before building the next —
     * partial output is a superset pruning (a group split across chunks
@@ -156,9 +225,10 @@ final case class GroupTopKExec(
   * re-evaluates keys per comparison/phase, so a nondeterministic key
   * would diverge from the window's evaluate-once semantics), and
   * k <= spark.graft.topk.rewriteMaxK (default 1000 — the automatic
-  * rewrite stays conservative because the final phase's memory is
-  * proportional to its partition's k x groups RESULT, with no spill;
-  * the explicit GroupTopK.topK API documents and owns that contract).
+  * rewrite stays conservative because the hash final phase's memory is
+  * proportional to its partition's k x groups RESULT; past the
+  * stats-estimated spark.graft.topk.sortFallbackRows the strategy swaps
+  * in the spill-safe [[GroupTopKSortExec]] final instead).
   *
   * Spark 4's built-in InferWindowGroupLimit may have already inserted a
   * WindowGroupLimit under the window (it runs in an earlier batch when

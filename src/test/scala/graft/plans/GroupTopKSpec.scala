@@ -57,6 +57,40 @@ class GroupTopKSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.partialFlushGroups")
   }
 
+  test("sort-based final phase: group cardinality >> partialFlushGroups stays exact under a small heap budget") {
+    // 5000 distinct groups against a partial flush budget of 16: the hash
+    // final would hold all 5000 groups' heaps; finalMode=sort streams them
+    // behind Spark's external SortExec instead — O(1) operator state
+    spark.conf.set("spark.graft.topk.partialFlushGroups", "16")
+    spark.conf.set("spark.graft.topk.finalMode", "sort")
+    try {
+      val rnd = new scala.util.Random(23)
+      val df = (1 to 20000).map(i =>
+        (s"g${rnd.nextInt(5000)}", i.toLong, rnd.nextInt(100))).toDF("g", "id", "score")
+        .repartition(8)
+      val top = GroupTopK.topK(df, Seq("g"), Seq(col("score").desc, col("id").asc), 2)
+      val plan = finalPlan(top)
+      assert(plan.contains("GroupTopKSort"), plan)
+      assert(plan.contains("Sort ["), plan) // EnsureRequirements inserted the external sort
+      val got = top.orderBy("g", "id").collect().toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("score").desc, col("id").asc)
+      val expected = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .drop("rn").orderBy("g", "id").collect().toSeq
+      assert(got == expected)
+    } finally {
+      spark.conf.unset("spark.graft.topk.partialFlushGroups")
+      spark.conf.unset("spark.graft.topk.finalMode")
+    }
+  }
+
+  test("finalMode=hash keeps the heap final; auto without stats defaults to hash") {
+    val df = (1 to 500).map(i => (s"g${i % 5}", i.toLong, i % 13)).toDF("g", "id", "score")
+      .repartition(4)
+    val plan = finalPlan(GroupTopK.topK(df, Seq("g"), Seq(col("score").desc, col("id")), 2))
+    assert(!plan.contains("GroupTopKSort"), plan)
+  }
+
   test("ambiguous or missing group columns fail fast instead of binding silently") {
     val df = Seq(("a", 1)).toDF("g", "x")
     intercept[IllegalArgumentException] {

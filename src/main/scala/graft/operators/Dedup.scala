@@ -127,23 +127,76 @@ object Dedup {
     import graft.functions.Kernels
     // bindOnce: the signature (one md5 pass over all shingles) is computed
     // once per row, not once per band-key reference.
-    val bandRows = capBandFanout(
-      rows.select(col("id"), col("__new"),
-        explode(bindOnce(Kernels.minhashSigUdf(k, 3)(col("__t")))(s => bandKeys(s, k, r)))
-          .as("band")),
-      "band", "id", capPerBand)
-    val cand = bandRows.as("a")
-      .join(bandRows.as("b"),
+    val bandRows = rows.select(col("id"), col("__new"),
+      explode(bindOnce(Kernels.minhashSigUdf(k, 3)(col("__t")))(s => bandKeys(s, k, r)))
+        .as("band"))
+    val shs = rows.select(col("id"), Kernels.shinglesUdf(3)(col("__t")).as("sh"))
+    minhashPairsFromParts(bandRows, shs, threshold, capPerBand)
+  }
+
+  /** Pair pipeline over pre-computed parts: `bandRows` (id, __new, band —
+    * RAW band keys, pre-cap) and `shs` (id, sh). The cap's sub-bucketing
+    * runs here over the union-at-join-time band sizes, so index-fed and
+    * from-text runs produce identical pairs on the same underlying docs. */
+  private def minhashPairsFromParts(bandRows: DataFrame, shs: DataFrame,
+                                    threshold: Double, capPerBand: Int): DataFrame = {
+    val capped = capBandFanout(bandRows, "band", "id", capPerBand)
+    val cand = capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id") &&
           (col("a.__new") || col("b.__new")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val shs = rows.select(col("id"), Kernels.shinglesUdf(3)(col("__t")).as("sh"))
     cand
       .join(shs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Persistable MinHash-LSH index: one row per doc — (id, sh, bands),
+    * the full signature state the pair pipeline needs from an
+    * already-ingested corpus (`bands` drive candidate generation, `sh`
+    * the exact-Jaccard confirm). Computing it is the ONLY signature pass
+    * a doc ever needs: write it through a versioned/self-consuming sink
+    * at ingest and feed it to [[minhashPairsAgainstIndex]] on the next
+    * arrival, and steady-state ingest signatures only the batch. Band
+    * keys are raw (pre-cap) and depend only on the doc's own text, so
+    * index rows compose across arrivals byte-for-byte. */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 12, r: Int = 4): DataFrame = {
+    import graft.functions.Kernels
+    df.select(col(idCol).as("id"),
+        Kernels.shinglesUdf(3)(col(textCol)).as("sh"),
+        bindOnce(Kernels.minhashSigUdf(k, 3)(col(textCol)))(s => bandKeys(s, k, r)).as("bands"))
+  }
+
+  /** Near-dup pairs of a new `batch` against a stored [[minhashIndex]] —
+    * the operationalized steady-state ingest: the corpus side contributes
+    * only its persisted (id, sh, bands) rows (NO re-signaturing, no text
+    * scan), the batch is signatured once here, and emitted pairs involve
+    * at least one batch doc (existing×existing is already resolved).
+    * Equals [[minhashPairsIncremental]] on the same docs — and therefore
+    * composes across arrivals the same way (q88 oracle). `k`/`r` must
+    * match the index's; ids disjoint (guard as in the incremental path). */
+  def minhashPairsAgainstIndex(index: DataFrame, batch: DataFrame,
+                               idCol: String, textCol: String,
+                               k: Int = 12, r: Int = 4, threshold: Double = 0.6,
+                               capPerBand: Int = 256,
+                               validateDisjoint: Boolean = false): DataFrame = {
+    if (validateDisjoint) {
+      val overlap = batch.select(col(idCol))
+        .join(index.select(col("id").as(idCol)), Seq(idCol), "left_semi").limit(1).count()
+      require(overlap == 0,
+        s"minhashPairsAgainstIndex: batch and index share ids on '$idCol'")
+    }
+    val batchIdx = minhashIndex(batch, idCol, textCol, k, r)
+    val parts = index.select(col("id"), col("sh"), col("bands"), lit(false).as("__new"))
+      .unionByName(batchIdx.withColumn("__new", lit(true)))
+    minhashPairsFromParts(
+      parts.select(col("id"), col("__new"), explode(col("bands")).as("band")),
+      parts.select(col("id"), col("sh")),
+      threshold, capPerBand)
   }
 
   /** Incremental MinHash-LSH: near-dup pairs that INVOLVE a new batch —

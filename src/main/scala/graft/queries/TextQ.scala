@@ -1673,6 +1673,30 @@ object TextQ {
         |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
         |FROM p WHERE n_shared >= 2 ORDER BY id_a, id_b""".stripMargin)),
 
+    QueryDef("q98_index_pairs",
+      // Operationalized incremental LSH (Dedup.minhashIndex +
+      // minhashPairsAgainstIndex): the even-id corpus contributes ONLY its
+      // persisted (id, sh, bands) index rows — materialized to parquet
+      // first, exactly the steady-state ingest shape where the corpus text
+      // is never re-read or re-signatured — and the odd-id batch is
+      // signatured here. Raw band keys are per-doc deterministic, so the
+      // pair set must equal q88's (the from-text incremental run on the
+      // same docs): the oracle IS q88's.
+      (s, d) => {
+        val all = docs(s, d)
+        val idxPath = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+        Dedup.minhashIndex(all.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+          .write.mode("overwrite").parquet(idxPath)
+        Dedup.minhashPairsAgainstIndex(
+            s.read.parquet(idxPath), all.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", 12, 4, 0.6)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $minhashPairCtes
+        |SELECT id_a, id_b, jaccard FROM pairs
+        |WHERE jaccard >= 0.6 AND (id_a % 2 = 1 OR id_b % 2 = 1)
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     QueryDef("q92_corpus_build",
       // The training-corpus build, composed end-to-end from the operators
       // above into ONE decision record per doc: Gopher gate on the

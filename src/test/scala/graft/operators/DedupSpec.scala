@@ -250,6 +250,45 @@ class DedupSpec extends SparkSpec {
     assert(oneShot.nonEmpty) // 100-103 are near-dups of docs 0/1 — real pairs
   }
 
+  test("minhashIndex + pairsAgainstIndex == from-text incremental run (steady-state ingest)") {
+    val existing = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    // round-trip the index through parquet: the production shape — the
+    // corpus text is never re-read, only its persisted signature rows
+    val idxDir = java.nio.file.Files.createTempDirectory("mh_idx").toString
+    Dedup.minhashIndex(existing, "doc_id", "text").write.mode("overwrite").parquet(idxDir)
+    val viaIndex = Dedup.minhashPairsAgainstIndex(
+        spark.read.parquet(idxDir), batch, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val fromText = Dedup.minhashPairsIncremental(existing, batch, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaIndex == fromText)
+    assert(viaIndex.nonEmpty)
+  }
+
+  test("index ingest composes across arrivals: append batch index rows, pairs match one-shot") {
+    val arrival1 = docs.filter($"doc_id" < 100)
+    val b1 = docs.filter($"doc_id".isin(100L, 101L))
+    val b2 = docs.filter($"doc_id".isin(102L, 103L))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    var index = Dedup.minhashIndex(arrival1, "doc_id", "text")
+    val p1 = pairSet(Dedup.minhashPairsAgainstIndex(index, b1, "doc_id", "text"))
+    index = index.unionByName(Dedup.minhashIndex(b1, "doc_id", "text"))
+    val p2 = pairSet(Dedup.minhashPairsAgainstIndex(index, b2, "doc_id", "text"))
+    val oneShot = pairSet(Dedup.minhashPairsIncremental(
+      arrival1, b1.unionByName(b2), "doc_id", "text"))
+    assert((p1 ++ p2) == oneShot)
+  }
+
+  test("pairsAgainstIndex validateDisjoint rejects overlapping ids") {
+    val idx = Dedup.minhashIndex(docs.filter($"doc_id" < 5), "doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashPairsAgainstIndex(idx, docs.filter($"doc_id" < 3),
+        "doc_id", "text", validateDisjoint = true).count()
+    }
+  }
+
   test("minhashPairsIncremental: exactly the batch-involving subset of the full pair set") {
     val existing = docs.filter($"doc_id" % 2 === 0)
     val batch = docs.filter($"doc_id" % 2 === 1)

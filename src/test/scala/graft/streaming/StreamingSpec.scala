@@ -171,6 +171,42 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getAs[String]("text").endsWith("mail <EMAIL> now"))
   }
 
+  test("LSH index ingest streams: pairs against the versioned index, then index append per micro-batch") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Dedup
+    // the steady-state ingest loop (Dedup.minhashIndex scaladoc) under
+    // Structured Streaming: each micro-batch pairs against the CURRENT
+    // versioned index (no corpus re-signaturing), then commits index +=
+    // its own signature rows through the transactional sink
+    val root = java.nio.file.Files.createTempDirectory("lsh_ingest").toString
+    val sink = new graft.sinks.VersionedTableSink(root, "mh_index")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val nearDup = base.replace("kappa", "lambda")
+    val other = "one two three four five six seven eight nine ten"
+    // seed the index with doc 1 (arrival 0)
+    sink.write(Dedup.minhashIndex(Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((2L, nearDup), (3L, other))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val idx = sink.readCurrent(spark)
+        collected ++= Dedup.minhashPairsAgainstIndex(idx, batch, "doc_id", "text",
+            threshold = 0.5, validateDisjoint = true)
+          .select("id_a", "id_b").as[(Long, Long)].collect()
+        sink.write(idx.unionByName(Dedup.minhashIndex(batch, "doc_id", "text"))): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(collected.toSet == Set((1L, 2L))) // near-dup found, `other` clean
+    // a second arrival pairs against the GROWN index (docs 1..3)
+    val batch2 = Seq((4L, other + " eleven")).toDF("doc_id", "text")
+    val p2 = Dedup.minhashPairsAgainstIndex(sink.readCurrent(spark), batch2,
+        "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p2 == Set((3L, 4L)))
+  }
+
   test("LM surprise streams: static reference LM joined per micro-batch (the CCNet serving shape)") {
     implicit val sq = spark.sqlContext
     import graft.operators.LmScore

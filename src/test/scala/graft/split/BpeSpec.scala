@@ -15,11 +15,16 @@ class BpeSpec extends AnyFunSuite {
     // The reference's own e2e pins this corpus's cl100k chunking
     // (tests/steps/simple_splitter/e2e_simple_splitter_test.py:44-53):
     // 11 chunks, token_lens summing 2072 over 6701 chars = 3.23 chars per
-    // cl100k token. Our fixture-trained merge table is finer out of
-    // domain: the same corpus splits into 17 chunks at ~1.85 chars/token,
-    // i.e. the table over-counts Latin prose by ~1.75x per char. This pin
-    // is the measured bound (round-2 ask) — it is NOT parity; parity is
-    // certified only on the fixture boundary windows (6/6 byte-exact).
+    // cl100k token. The corpus is classical LATIN prose and is HELD OUT
+    // of merge-table training (TrainBpe excludes the tests subtree), so
+    // this stays an honest out-of-domain bound. The round-6 table
+    // (fixtures + reference markdown prose) lands at 16 chunks /
+    // 2.03 chars per token = 1.67x token over-count — down from the
+    // round-5 fixtures-only table's 17 chunks / 1.86x; the residual gap
+    // is Latin morphology the all-English training corpus cannot teach
+    // (English prose drift is ~1.3x — see the cut-off pin below). This
+    // pin is the measured bound — it is NOT parity; parity is certified
+    // only on the fixture boundary windows (6/6 byte-exact).
     import scala.jdk.CollectionConverters._
     val in = getClass.getResourceAsStream("/markdown_corpus/markdown.json")
     val root = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in) finally in.close()
@@ -29,20 +34,21 @@ class BpeSpec extends AnyFunSuite {
     val chunks = docs.flatMap(sp.splitMarkdown)
     // regression pin: a merge-table or splitter change that moves these
     // numbers must re-measure and update FIXTURES.md §1.5
-    assert(chunks.length == 17)
+    assert(chunks.length == 16)
     val ourTokens = chunks.map(c => sp.tk.count(c)).sum
     val ourChars = chunks.map(_.length).sum
-    assert(ourTokens == 3846 && ourChars == 7122, s"tokens=$ourTokens chars=$ourChars")
+    assert(ourTokens == 3456 && ourChars == 7003, s"tokens=$ourTokens chars=$ourChars")
     val refTokens = Seq(236, 74, 243, 278, 240, 225, 247, 136, 245, 67, 81).sum // = 2072
     val drift = ourTokens.toDouble / refTokens
-    assert(drift > 1.8 && drift < 1.9, s"measured drift ratio moved: $drift")
+    assert(drift > 1.6 && drift < 1.75, s"measured drift ratio moved: $drift")
   }
 
   test("cut-off boundaries vs the reference's cut_off_test pins (second drift datapoint)") {
     // tests/splitter/cut_off_test.py:14-24 pins cl100k truncation of this
     // sentence: 10 tokens -> 44 chars, 20 tokens -> 100 chars, 100 -> whole
-    // (118 chars, so cl100k counts it ~25 tokens). The trained table cuts
-    // finer — same prose, same ~1.8x drift as the markdown.json pin above;
+    // (118 chars, so cl100k counts it ~25 tokens). The round-6 table
+    // counts 32 (1.28x, down from the round-5 table's 46 = 1.84x): on
+    // ENGLISH prose — the training domain — the residual drift is ~1.3x;
     // `truncate = exact prefix` (the semantics under test there) holds
     // regardless of table.
     val s = "This is a very long long text with many many words that produce " +
@@ -54,11 +60,11 @@ class BpeSpec extends AnyFunSuite {
       assert(tk.count(t) <= n)
     }
     // regression pins (update FIXTURES.md §1.5 if the table changes)
-    assert(tk.truncate(s, 10).length == 26) // reference cl100k: 44
-    assert(tk.truncate(s, 20).length == 46) // reference cl100k: 100
+    assert(tk.truncate(s, 10).length == 34) // reference cl100k: 44
+    assert(tk.truncate(s, 20).length == 69) // reference cl100k: 100
     assert(tk.truncate(s, 100) == s)        // fits whole on both tables
     val drift = tk.count(s).toDouble / 25   // ~25 cl100k tokens
-    assert(drift > 1.6 && drift < 2.0, s"plain-prose drift moved: $drift")
+    assert(drift > 1.1 && drift < 1.5, s"plain-prose drift moved: $drift")
   }
 
   test("decode(encode(s)) == s for fixture text, unicode, and edge cases") {
@@ -89,7 +95,14 @@ class BpeSpec extends AnyFunSuite {
     val s = fixture("many_columns_table")
     val chunks = tk.chunkTokens(s, 64)
     assert(chunks.mkString("") == s)
-    chunks.init.foreach(c => assert(tk.count(c) == 64))
+    // each non-final piece is EXACTLY 64 tokens of the original id stream
+    // by construction; RE-encoding the decoded piece standalone may merge
+    // differently right at the cut (a mid-pretoken boundary), so the
+    // re-measured count is pinned to a +-1 boundary-token band, not ==
+    chunks.init.foreach { c =>
+      val n = tk.count(c)
+      assert(n >= 63 && n <= 65, s"re-encoded piece count $n strayed from 64")
+    }
   }
 
   test("pretokenization is a partition of the input (no bytes lost)") {

@@ -29,6 +29,8 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          e.getStackTrace.take(8).foreach(f => System.err.println(s"[verify]   at $f"))
+          Option(e.getCause).foreach(c => System.err.println(s"[verify]   caused by ${c}"))
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

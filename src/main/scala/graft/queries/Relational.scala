@@ -290,6 +290,30 @@ object Relational {
       Some("""SELECT l_returnflag,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS cnt
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Bloom-pruned membership subtract (operators/BloomPrune.antiJoin):
+    // lineitem rows whose order is NOT in the pre-1995 "already ingested"
+    // set. Bloom-NEGATIVE rows are exact non-members (no false negatives)
+    // and are emitted map-side with no exchange; only the bloom-positive
+    // sliver runs the exact left_anti confirm — so the shuffle carries the
+    // member-matched share of the fact table instead of all of it. The
+    // result is value-identical to the plain anti join the oracle runs
+    // (false positives are discarded by the confirm join on the real key).
+    QueryDef("q99_bloom_subtract",
+      (s, d) => graft.operators.BloomPrune.antiJoin(
+          li(s, d), "l_orderkey",
+          ord(s, d).filter(col("o_orderdate") < to_timestamp(lit("1997-06-01 00:00:00")))
+            .select(col("o_orderkey")),
+          "o_orderkey")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .orderBy(col("l_orderkey")),
+      Some("""SELECT l_orderkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-06-01 00:00:00')
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin))
   )
 }

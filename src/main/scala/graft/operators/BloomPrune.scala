@@ -45,17 +45,26 @@ object BloomPrune {
   def keyFilter(members: DataFrame, keyCol: String,
                 expectedItems: Long = -1L, fpp: Double = 0.03): BloomFilter = {
     val keyed = members.select(xxhash64(col(keyCol)).as("__h"))
-    val n = if (expectedItems >= 0) expectedItems else keyed.count()
-    // Zero member rows: the aggregate underlying stat.bloomFilter returns
-    // null (nothing to build from) — an empty filter (contains nothing) is
-    // the correct value: semi yields nothing, anti passes everything.
-    try keyed.stat.bloomFilter("__h", math.max(n, 1L), fpp)
-    catch { case _: NullPointerException => BloomFilter.create(1, fpp) }
+    // Zero member rows: stat.bloomFilter's aggregate has nothing to build
+    // from (NPEs driver-side) — an empty filter (contains nothing) is the
+    // correct value: semi yields nothing, anti passes everything. The
+    // emptiness check is explicit (head-1 probe, short-circuits) rather
+    // than a blanket NPE catch: mapping an unexpected failure on a
+    // NON-empty member side to an empty filter would silently void the
+    // no-false-negative guarantee antiJoin's map-side branch relies on.
+    if (keyed.isEmpty) BloomFilter.create(1, fpp)
+    else {
+      val n = if (expectedItems >= 0) expectedItems else keyed.count()
+      keyed.stat.bloomFilter("__h", math.max(n, 1L), fpp)
+    }
   }
 
-  /** `mightContain` probe column over the broadcast filter. */
-  private def probe(df: DataFrame, keyCol: String, bf: BloomFilter): Column = {
-    val bc = df.sparkSession.sparkContext.broadcast(bf)
+  /** `mightContain` probe column over an already-broadcast filter — the
+    * caller broadcasts ONCE and derives every probe from the same handle
+    * (antiJoin probes twice; two broadcasts would ship and pin the
+    * ~GB-scale filter twice per executor). */
+  private def probe(bc: org.apache.spark.broadcast.Broadcast[BloomFilter],
+                    keyCol: String): Column = {
     val contains = udf((h: Long) => bc.value.mightContainLong(h))
     contains(xxhash64(col(keyCol)))
   }
@@ -67,7 +76,8 @@ object BloomPrune {
                members: DataFrame, memberKey: String,
                expectedItems: Long = -1L, fpp: Double = 0.03): DataFrame = {
     val bf = keyFilter(members, memberKey, expectedItems, fpp)
-    corpus.filter(probe(corpus, corpusKey, bf))
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    corpus.filter(probe(bc, corpusKey))
       .join(members.select(col(memberKey).as(corpusKey)), Seq(corpusKey), "left_semi")
   }
 
@@ -79,8 +89,9 @@ object BloomPrune {
                members: DataFrame, memberKey: String,
                expectedItems: Long = -1L, fpp: Double = 0.03): DataFrame = {
     val bf = keyFilter(members, memberKey, expectedItems, fpp)
-    val definitelyAbsent = corpus.filter(!probe(corpus, corpusKey, bf))
-    val confirmed = corpus.filter(probe(corpus, corpusKey, bf))
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val definitelyAbsent = corpus.filter(!probe(bc, corpusKey))
+    val confirmed = corpus.filter(probe(bc, corpusKey))
       .join(members.select(col(memberKey).as(corpusKey)), Seq(corpusKey), "left_anti")
     definitelyAbsent.unionByName(confirmed)
   }

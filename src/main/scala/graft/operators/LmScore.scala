@@ -43,12 +43,28 @@ object LmScore {
     * lineage, so without the hint the planner can shuffle BOTH sides of
     * the token join at 100× scale — and the exploded-token side is
     * Zipf-skewed ("the"-class tokens concentrate in single tasks), while
-    * the LM side is small and skew-free. The guard is one bounded count
-    * (limit short-circuits oversized LMs); persist the LM frame
-    * (fit-once/reuse, object doc) so its lineage isn't re-aggregated by
-    * the probe. */
+    * the LM side is small and skew-free. The guard is one DISTRIBUTED
+    * count (a limit-then-count would funnel up to maxRows+1 rows through
+    * one GlobalLimit task just to learn "it fits"), memoized on the LM's
+    * analyzed plan so the streaming shape — the same static LM frame
+    * scored against every micro-batch — pays it once, not per batch.
+    * Persist the LM frame (fit-once/reuse, object doc) so the one count
+    * doesn't re-run its aggregation lineage. `maxRows < 0` skips the
+    * guard and broadcasts unconditionally (caller knows the LM is small);
+    * `maxRows == 0` never broadcasts. */
+  private val lmCounts = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]())
+
   private def maybeBroadcast(lm: DataFrame, maxRows: Int): DataFrame =
-    if (maxRows > 0 && lm.limit(maxRows + 1).count() <= maxRows) broadcast(lm) else lm
+    if (maxRows < 0) broadcast(lm)
+    else if (maxRows == 0) lm
+    else {
+      val key = lm.queryExecution.analyzed
+      val n = Option(lmCounts.get(key)).map(_.longValue).getOrElse {
+        val c = lm.count(); lmCounts.put(key, c); c
+      }
+      if (n <= maxRows) broadcast(lm) else lm
+    }
 
   /** Per-doc integer surprise under `lm`: one row per SCORABLE doc with
     * `sum_surprise` (micro-nats, long) and `n_tokens`. Tokens absent from

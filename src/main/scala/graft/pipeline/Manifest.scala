@@ -131,7 +131,8 @@ object Manifest {
   // exceptions; empty = valid) --------------------------------------------
 
   def validate(m: PipelineManifest): Seq[String] =
-    validateStepRefs(m) ++ validateDuplicateNames(m) ++ validateNoCycles(m)
+    validateStepRefs(m) ++ validateDuplicateNames(m) ++
+      validateSettingsCollisions(m) ++ validateNoCycles(m)
 
   def validateStepRefs(m: PipelineManifest): Seq[String] = {
     val defined = m.spec.steps.map(_.name).toSet
@@ -146,24 +147,47 @@ object Manifest {
       case (n, ss) if ss.length > 1 => s"Step name '$n' is defined ${ss.length} times."
     }.toSeq.sorted
 
+  /** The merged environment keys step settings by CLASS name
+    * (pydantic-settings contract), so two steps of the same class with
+    * DIFFERENT settings would silently last-wins-overwrite each other in
+    * [[environment]] — surface that as a validation error instead. Same
+    * class with identical (or absent) settings is fine and common. */
+  def validateSettingsCollisions(m: PipelineManifest): Seq[String] =
+    m.spec.steps.filter(_.settings.nonEmpty).groupBy(_.simpleClassName).collect {
+      case (cls, ss) if ss.map(_.settings).distinct.length > 1 =>
+        s"Steps ${ss.map(s => s"'${s.name}'").mkString(", ")} share settings class " +
+          s"'$cls' with conflicting settings; class-keyed env expansion would drop all but the last."
+    }.toSeq.sorted
+
   /** DFS three-colour cycle detection (validator.py:62-80); undefined refs
     * are validateStepRefs' finding and are skipped here like the
-    * reference does. */
+    * reference does. Explicit-stack DFS — the contract is "error strings,
+    * never throws", which recursion would break with StackOverflowError on
+    * a deep (legal) linear chain. */
   def validateNoCycles(m: PipelineManifest): Seq[String] = {
     val adjacency = m.spec.steps.map(s => s.name -> s.dependsOn).toMap
     val colour = scala.collection.mutable.Map.empty[String, Int] // 0 white 1 gray 2 black
     adjacency.keys.foreach(colour(_) = 0)
     val errors = Vector.newBuilder[String]
-    def dfs(node: String): Unit = {
-      colour(node) = 1
-      adjacency.getOrElse(node, Vector.empty).foreach { n =>
-        colour.get(n) match {
-          case Some(1) => errors += s"Cycle detected involving step '$node' -> '$n'."
-          case Some(0) => dfs(n)
-          case _ => ()
-        }
+    def dfs(root: String): Unit = {
+      // frames: (node, next child index); colour set to gray on push,
+      // black on pop — identical visit order to the recursive form
+      val stack = scala.collection.mutable.Stack[(String, Int)]()
+      colour(root) = 1
+      stack.push((root, 0))
+      while (stack.nonEmpty) {
+        val (node, ci) = stack.pop()
+        val children = adjacency.getOrElse(node, Vector.empty)
+        if (ci < children.length) {
+          stack.push((node, ci + 1))
+          val n = children(ci)
+          colour.get(n) match {
+            case Some(1) => errors += s"Cycle detected involving step '$node' -> '$n'."
+            case Some(0) => colour(n) = 1; stack.push((n, 0))
+            case _ => ()
+          }
+        } else colour(node) = 2
       }
-      colour(node) = 2
     }
     m.spec.steps.map(_.name).foreach(n => if (colour(n) == 0) dfs(n))
     errors.result()

@@ -293,8 +293,8 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // Bloom-pruned membership subtract (operators/BloomPrune.antiJoin):
-    // lineitem rows whose order is NOT in the pre-1995 "already ingested"
-    // set. Bloom-NEGATIVE rows are exact non-members (no false negatives)
+    // lineitem rows whose order is NOT in the pre-1997-06 "already
+    // ingested" set. Bloom-NEGATIVE rows are exact non-members (no false negatives)
     // and are emitted map-side with no exchange; only the bloom-positive
     // sliver runs the exact left_anti confirm — so the shuffle carries the
     // member-matched share of the fact table instead of all of it. The

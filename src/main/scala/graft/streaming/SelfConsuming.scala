@@ -29,15 +29,34 @@ object SelfConsuming {
     // deterministic, so two runs of the same merge persist the same row;
     // ordering by version alone would pick by partition arrival order.
     // MapType columns can't feed xxhash64 directly (Spark rejects hashing
-    // maps: unordered); serialize them through to_json first.
+    // maps: unordered); serialize them through to_json — over KEY-SORTED
+    // entry arrays, because a map's to_json preserves its internal entry
+    // order and two value-equal maps built through different paths
+    // (repartitioned collect_list, map_from_entries order) would otherwise
+    // hash differently, breaking exactly the determinism the tiebreak
+    // exists for. Maps nested under arrays/structs are canonicalized
+    // recursively; canonicalized maps become sorted entry arrays, which
+    // ARE orderable, so nesting composes.
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case a: ArrayType => hasMap(a.elementType)
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    def canonical(c: org.apache.spark.sql.Column, dt: DataType): org.apache.spark.sql.Column = dt match {
+      case m: MapType =>
+        array_sort(transform(map_entries(c), e =>
+          struct(canonical(e.getField("key"), m.keyType).as("key"),
+            canonical(e.getField("value"), m.valueType).as("value"))))
+      case a: ArrayType if hasMap(a.elementType) =>
+        transform(c, e => canonical(e, a.elementType))
+      case s: StructType if hasMap(s) =>
+        struct(s.fields.toSeq.map(f => canonical(c.getField(f.name), f.dataType).as(f.name)): _*)
+      case _ => c
+    }
     val tiebreak = xxhash64(unioned.schema.fields.sortBy(_.name).map { f =>
-      def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-        case _: org.apache.spark.sql.types.MapType => true
-        case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
-        case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
-        case _ => false
-      }
-      if (hasMap(f.dataType)) to_json(col(f.name)) else col(f.name)
+      if (hasMap(f.dataType)) to_json(canonical(col(f.name), f.dataType)) else col(f.name)
     }: _*)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc, tiebreak)
     val merged = unioned

@@ -1,7 +1,7 @@
 package graft.tools
 
 import scala.jdk.CollectionConverters._
-import graft.split.{BpeTokenizer, SemanticSplitter}
+import graft.split.{Bpe, BpeTokenizer, SemanticSplitter}
 
 /** Measure the out-of-domain cl100k drift (FIXTURES.md §1.5) at candidate
   * merge-table granularities: chunk count + token sum of the reference's
@@ -13,7 +13,14 @@ import graft.split.{BpeTokenizer, SemanticSplitter}
   */
 object DriftProbe {
   def main(args: Array[String]): Unit = {
-    val candidates = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(Int.MaxValue)
+    // Default: the calibrated production prefix AND the full trained table.
+    // (NOT Int.MaxValue — BpeTokenizer special-cases that to the CALIBRATED
+    // defaultVocab, so it would silently re-measure the 3480-merge prefix
+    // while printing a misleading nMerges.)
+    val candidates =
+      if (args.nonEmpty) args.map(_.toInt).toSeq
+      else Seq(Bpe.CalibratedMerges,
+        Bpe.loadMerges("/graft/bpe/merges.txt").length).distinct
     // test resource, not on the main classpath — read from the repo tree
     val root = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(new java.io.File("src/test/resources/markdown_corpus/markdown.json"))

@@ -94,7 +94,12 @@ object TrainBpe {
         // deterministic argmax: highest freq, then smallest (a, b)
         val ((a, b), f) = pairFreq.toVector.minBy { case ((x, y), fr) => (-fr, x, y) }
         // hapax stop, weight-aware: a pure-fixture hapax pair weighs
-        // exactly fixtureWeight, a pure-prose hapax 1 — both memorize
+        // exactly fixtureWeight, a pure-prose hapax 1 — both memorize.
+        // Deliberately conservative: this also stops on a genuine prose
+        // pair repeated 2..fixtureWeight times, trading a few tail merges
+        // (negligible drift effect at these corpus sizes — merges down
+        // here fire on a handful of strings) for a hard guarantee that no
+        // memorization-only merge enters the table.
         if (f < fixtureWeight + 1) iter = maxMerges
         else {
           merges += ((a, b))

@@ -81,6 +81,33 @@ class ManifestLoaderSpec extends SparkSpec {
     assert(errs.exists(_.toLowerCase.contains("cycle")), errs)
   }
 
+  test("conflicting settings under one class are a validation error; identical settings are not") {
+    def m(s2: String) = Manifest.parse(
+      s"""kind: Pipeline
+         |metadata: {name: col}
+         |spec:
+         |  backend: dvc
+         |  steps:
+         |    - {name: a, class: pkg.Splitter, settings: {BATCH: "100"}}
+         |    - {name: b, class: pkg.Splitter, settings: $s2}
+         |""".stripMargin)
+    // env keys by class name: {BATCH:100} vs {BATCH:500} would silently
+    // last-wins in environment() — must be reported, not dropped
+    val conflicting = Manifest.validate(m("""{BATCH: "500"}"""))
+    assert(conflicting.exists(_.contains("conflicting settings")), conflicting)
+    assert(Manifest.validate(m("""{BATCH: "100"}""")).isEmpty)
+  }
+
+  test("validator never throws on a deep linear chain (explicit-stack DFS)") {
+    val steps = (0 until 10000).map { i =>
+      if (i == 0) s"    - {name: s$i, class: X}"
+      else s"    - {name: s$i, class: X, dependsOn: [s${i - 1}]}"
+    }.mkString("\n")
+    val deep = Manifest.parse(
+      s"kind: Pipeline\nmetadata: {name: deep}\nspec:\n  backend: dvc\n  steps:\n$steps\n")
+    assert(Manifest.validate(deep).isEmpty)
+  }
+
   test("env expansion matches the reference's expander semantics") {
     assert(Manifest.expandStepSettings("ManualMarkdownStep",
       VectorMap("FOLDER_PATH" -> "./data")) ==

@@ -150,4 +150,24 @@ class SinksSpec extends SparkSpec {
     val out = r2.orderBy("id").as[(Int, String, Long)].collect().toSeq
     assert(out == Seq((1, "a", 1L), (2, "b2", 2L), (3, "c", 2L)))
   }
+
+  test("merge tiebreak is insensitive to map entry order (canonicalized hash)") {
+    // Same-version ties resolve on a content hash; a map column serialized
+    // in raw entry order would make the winner depend on HOW the map was
+    // built. 20 ids × 2 candidate rows each: the winner set must be
+    // identical whether maps were constructed (a,b) or (b,a). With
+    // order-sensitive hashing the chance all 20 winners agree is ~2^-20.
+    def run(reversed: Boolean): Seq[(Int, String)] = {
+      val path = tmpDir(s"selfc_map_$reversed") + "/state"
+      val rows = (0 until 20).flatMap { id =>
+        val m =
+          if (reversed) Map(s"k$id-b" -> "2", s"k$id-a" -> "1")
+          else Map(s"k$id-a" -> "1", s"k$id-b" -> "2")
+        Seq((id, "x", m, 1L), (id, "y", m, 1L))
+      }
+      SelfConsuming.merge(spark, path, rows.toDF("id", "v", "m", "ver"), "id", "ver")
+        .select("id", "v").as[(Int, String)].collect().toSeq.sorted
+    }
+    assert(run(reversed = false) == run(reversed = true))
+  }
 }

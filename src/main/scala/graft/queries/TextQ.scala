@@ -998,17 +998,23 @@ object TextQ {
     QueryDef("q63_mdformat_lite",
       // F11's canonicalization math under oracle coverage: a deliberately
       // ragged 2x2 pipe table (cell widths vary per corpus row), messy
-      // bullets, and a blank-line run. The oracle recomputes the
-      // mdformat-tables column widths (max over header/delimiter/data cell
-      // lengths, min 3) and rebuilds the padded table, dash-stretched
-      // separator, '-' bullets, and collapsed blanks byte-for-byte.
+      // bullets, a blank-line run, a non-consecutively numbered ordered
+      // list (R8: every item renders with the first item's number), and a
+      // truncated link (R9: the dangling [ escapes). The oracle recomputes
+      // the mdformat-tables column widths (max over header/delimiter/data
+      // cell lengths, min 3) and rebuilds the padded table, dash-stretched
+      // separator, '-' bullets, renumbered items, escaped bracket, and
+      // collapsed blanks byte-for-byte.
       (s, d) => {
         val w = split(col("text"), "\\s+")
         val md = concat(
           lit("Intro "), element_at(w, 1),
           lit("\n\n\n|k|v|\n|---|---|\n|"), element_at(w, 2), lit("|"), element_at(w, 3),
           lit("|\n| "), element_at(w, 4), lit(" |"), element_at(w, 5),
-          lit("|\n\n* item "), element_at(w, 6))
+          lit("|\n\n* item "), element_at(w, 6),
+          lit("\n\n2. first "), element_at(w, 7),
+          lit("\n5. second "), element_at(w, 8),
+          lit("\n\nSee ["), element_at(w, 9))
         val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
         docs(s, d)
           .select(col("doc_id"), fmtUdf(md).as("canon"))
@@ -1026,7 +1032,10 @@ object TextQ {
         |  '| ' || repeat('-', c1) || ' | ' || repeat('-', c2) || ' |' || chr(10) ||
         |  '| ' || rpad(t[2], c1, ' ') || ' | ' || rpad(t[3], c2, ' ') || ' |' || chr(10) ||
         |  '| ' || rpad(t[4], c1, ' ') || ' | ' || rpad(t[5], c2, ' ') || ' |' || chr(10) || chr(10) ||
-        |  '- item ' || t[6] AS canon
+        |  '- item ' || t[6] || chr(10) || chr(10) ||
+        |  '2. first ' || t[7] || chr(10) ||
+        |  '2. second ' || t[8] || chr(10) || chr(10) ||
+        |  'See \\[' || t[9] AS canon
         |  FROM wd)
         |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
         |FROM e ORDER BY doc_id""".stripMargin)),

@@ -21,10 +21,28 @@ package graft.split
   *      alignment colons, leading/trailing pipes with single-space gutters
   *  R7. no trailing newline (output is .strip()-ed like the reference's
   *      `mdformat.text(doc.md).strip()`)
+  *  R8. ordered lists, mdformat default (no --number): EVERY item renders
+  *      with the list's FIRST item number — "3. a / 7. b" -> "3. a / 3. b"
+  *      and even consecutive "1. / 2. / 3." collapses to "1. / 1. / 1." —
+  *      marker type (. or )) preserved from source, single space after the
+  *      marker, and a marker-type switch starts a new list (CommonMark)
+  *      with its own first number. Applied only to flat blocks where every
+  *      line is an item (nested/loose lists pass through — divergence).
+  *  R9. bracket escape normalization: [ and ] in TEXT — not part of a
+  *      complete inline/reference link or image, not in a code span, not
+  *      already escaped — render as \[ \] (mdformat's text renderer
+  *      escapes all brackets in text tokens; a truncation that cuts a
+  *      link's (url) off leaves exactly such text, the reference's own
+  *      splitter_test.py:179 expected output). Fences and table cells are
+  *      not text tokens and pass through.
   *
-  * Not implemented (documented divergence): emphasis-marker rewriting,
-  * escape normalization, ordered-list renumbering, paragraph re-wrapping
-  * (mdformat's default wrap mode keeps source line breaks anyway).
+  * Not implemented (documented divergence): emphasis-marker handling
+  * needs none (mdformat renders em/strong with the SOURCE marker,
+  * `node.markup` — markers are preserved, not rewritten); remaining gaps
+  * are the other text-token escapes (contextual * _ , < ` &, line-start
+  * block-syntax escapes inside paragraphs), backslash doubling, and
+  * paragraph re-wrapping (mdformat's default wrap mode keeps source line
+  * breaks anyway).
   */
 object MdFormatLite {
 
@@ -37,6 +55,54 @@ object MdFormatLite {
   private val PipeSplit = java.util.regex.Pattern.compile("\\|")
 
   private def isSep(l: String): Boolean = TableSepRe.matches(l)
+
+  private val OrderedItemRe = "^(\\d{1,9})([.)])\\s+(\\S.*)$".r
+  // code spans: longest backtick run, non-greedy body, same-length closer
+  private val CodeSpanRe = "(`+)([\\s\\S]*?)\\1".r
+  // inline link/image [text](dest...) with one paren-nesting level (titles
+  // and <>-wrapped dests fall inside [^()]*), or reference-style [t][ref]
+  private val LinkRe =
+    ("!?\\[[^\\[\\]]*\\]" +
+      "(?:\\([^()]*(?:\\([^()]*\\)[^()]*)*\\)|\\[[^\\[\\]]*\\])").r
+
+  /** R8: a flat block whose every line is an ordered item renders all
+    * items with the first item's number (per marker-type run). */
+  private def renumberOrdered(block: Vector[String]): Vector[String] = {
+    val items = block.map {
+      case OrderedItemRe(n, m, rest) => Some((n, m, rest))
+      case _ => None
+    }
+    if (block.isEmpty || items.exists(_.isEmpty)) block
+    else {
+      var runNum = ""
+      var runMarker = ""
+      items.flatten.map { case (n, m, rest) =>
+        if (m != runMarker) { runNum = n; runMarker = m }
+        s"$runNum$m $rest"
+      }
+    }
+  }
+
+  /** R9: escape [ ] outside code spans, complete link/image constructs,
+    * and existing escapes. Runs over a whole block so links spanning a
+    * soft line break stay protected. Idempotent (an escaped bracket is
+    * skipped on re-entry). */
+  private def escapeDanglingBrackets(s: String): Vector[String] = {
+    if (!s.contains('[') && !s.contains(']')) return s.split("\n", -1).toVector
+    val prot = new Array[Boolean](s.length)
+    for (m <- CodeSpanRe.findAllMatchIn(s); k <- m.start until m.end) prot(k) = true
+    for (m <- LinkRe.findAllMatchIn(s) if !prot(m.start); k <- m.start until m.end) prot(k) = true
+    val sb = new StringBuilder(s.length + 8)
+    var k = 0
+    while (k < s.length) {
+      val c = s.charAt(k)
+      if ((c == '[' || c == ']') && !prot(k) && (k == 0 || s.charAt(k - 1) != '\\'))
+        sb.append('\\')
+      sb.append(c)
+      k += 1
+    }
+    sb.toString.split("\n", -1).toVector
+  }
 
   private def cells(row: String): Vector[String] =
     PipeSplit.split(row.trim.stripPrefix("|").stripSuffix("|"), -1).toVector.map(_.trim)
@@ -73,7 +139,13 @@ object MdFormatLite {
     // blocks are separated by exactly one blank line
     val blocks = Vector.newBuilder[Vector[String]]
     var para = Vector.empty[String] // open paragraph/list run
-    def closePara(): Unit = { if (para.nonEmpty) { blocks += para; para = Vector.empty } }
+    def closePara(): Unit = {
+      if (para.nonEmpty) {
+        // R8 then R9 over the joined block (multi-line links stay whole)
+        blocks += escapeDanglingBrackets(renumberOrdered(para).mkString("\n"))
+        para = Vector.empty
+      }
+    }
     var i = 0
     while (i < lines.length) {
       val l = lines(i)
@@ -96,7 +168,9 @@ object MdFormatLite {
         i = j
       } else l match {
         case HeadingRe(hashes, title) =>
-          closePara(); blocks += Vector(s"$hashes $title"); i += 1
+          closePara()
+          blocks += escapeDanglingBrackets(s"$hashes $title")
+          i += 1
         case BulletRe(indent, rest) =>
           para = para :+ s"$indent- $rest"; i += 1
         case other =>

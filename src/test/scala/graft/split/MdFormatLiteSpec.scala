@@ -82,4 +82,35 @@ class MdFormatLiteSpec extends AnyFunSuite {
     val md = "```scala\n# not a heading\n| not | a table |\n```"
     assert(MdFormatLite.normalize(md) == md)
   }
+
+  test("R8: ordered items all take the first item's number (mdformat default, no --number)") {
+    assert(MdFormatLite.normalize("3. a\n7. b\n9.  c") == "3. a\n3. b\n3. c")
+    // even already-consecutive lists collapse — the striking mdformat default
+    assert(MdFormatLite.normalize("1. a\n2. b\n3. c") == "1. a\n1. b\n1. c")
+    // marker-type switch = new CommonMark list with its own first number
+    assert(MdFormatLite.normalize("2. a\n4. b\n5) c\n7) d") == "2. a\n2. b\n5) c\n5) d")
+    // mixed block (not every line an item) passes through untouched
+    assert(MdFormatLite.normalize("intro\n3. not renumbered") == "intro\n3. not renumbered")
+  }
+
+  test("R9: dangling brackets escape; links, code spans, existing escapes stay intact") {
+    // the reference's own truncation shape (splitter_test.py:179): a link
+    // whose (url) was cut off leaves a bare [ that mdformat escapes
+    assert(MdFormatLite.normalize("Gerne beraten wir. [Beratung Heimnetzwerk")
+      == "Gerne beraten wir. \\[Beratung Heimnetzwerk")
+    // complete inline + reference links and images are NOT escaped
+    val links = "see [docs](https://x.y/a_(b)) and [ref][r1] and ![img](p.png \"t\")"
+    assert(MdFormatLite.normalize(links) == links)
+    // code spans protect their brackets; text brackets around them escape
+    assert(MdFormatLite.normalize("use `arr[0]` for [first") == "use `arr[0]` for \\[first")
+    // a link spanning a soft line break inside one paragraph stays whole
+    val wrapped = "x [two\nline](u) y"
+    assert(MdFormatLite.normalize(wrapped) == wrapped)
+    // idempotent: already-escaped brackets are not double-escaped
+    val once = MdFormatLite.normalize("stray ] and [ here")
+    assert(once == "stray \\] and \\[ here")
+    assert(MdFormatLite.normalize(once) == once)
+    // headings get the same text-token escape
+    assert(MdFormatLite.normalize("# Results [draft") == "# Results \\[draft")
+  }
 }

@@ -1811,6 +1811,38 @@ object TextQ {
         |  g.gopher_keep AND c.is_canonical AND NOT dc.contaminated AS final_keep,
         |  sha256(c.kept) AS kept_sha
         |FROM canon c JOIN gate g ON c.doc_id = g.doc_id JOIN deco dc ON c.doc_id = dc.doc_id
-        |ORDER BY c.doc_id""".stripMargin))
+        |ORDER BY c.doc_id""".stripMargin)),
+
+    QueryDef("q100_token_shards",
+      // Token-budget sharding (operators/Sharding.assignShards) — the
+      // training-output stage: content-hash total order (q46's
+      // sha256(text), doc_id), whitespace token weights (q26's count),
+      // 2000-token budget. The engine computes each doc's global start
+      // offset via the two-pass distributed prefix sum (range partition +
+      // per-partition subtotal offsets, never a single-task global
+      // window); the oracle IS the single global window — floor(exclusive
+      // cumulative sum / budget) — which the distributed assignment must
+      // reproduce exactly, boundary-sampling invariance included. Per-doc
+      // membership plus per-shard totals, both pinned.
+      (s, d) => {
+        val assigned = graft.operators.Sharding.assignShards(
+          docs(s, d).select(col("doc_id"), col("text"),
+            big(tokenCount(col("text"))).as("n_tokens"),
+            sha256Hex(col("text")).as("h")),
+          "n_tokens", 2000L, Seq("h", "doc_id"))
+        assigned.groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+            min(col("doc_id")).as("min_doc"), big(sum(col("doc_id"))).as("doc_id_sum"))
+          .orderBy(col("shard_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, sha256(text) AS h,
+        |  CAST(len($W) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  coalesce(SUM(n_tokens) OVER (ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start FROM t),
+        |a AS (SELECT doc_id, n_tokens, CAST(floor(start / 2000) AS BIGINT) AS shard_id FROM c)
+        |SELECT shard_id, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+        |  MIN(doc_id) AS min_doc, CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+        |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin))
   )
 }

@@ -145,4 +145,16 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.contains("PushedFilters") || plan.contains("Filter"), name)
     }
   }
+
+  test("q100: shard assignment is a window-free distributed prefix sum") {
+    // the oracle is a global `sum over (ORDER BY ...)` — a single-task
+    // sort at scale; the engine must reproduce it with range partition +
+    // broadcast offsets + map-side running sum, so the assignment side of
+    // the plan has NO WindowExec and exactly one range Exchange
+    val plan = finalPlan(q("q100_token_shards"))
+    assert(!plan.contains("Window"), plan.take(3000))
+    // exactly one range exchange on the content-hash total order (the
+    // assignment); the other rangepartitioning is the output ORDER BY
+    assert(planCount(plan, "Exchange rangepartitioning(h#") == 1, plan.take(3000))
+  }
 }

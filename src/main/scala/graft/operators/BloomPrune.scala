@@ -62,11 +62,15 @@ object BloomPrune {
   /** `mightContain` probe column over an already-broadcast filter — the
     * caller broadcasts ONCE and derives every probe from the same handle
     * (antiJoin probes twice; two broadcasts would ship and pin the
-    * ~GB-scale filter twice per executor). */
+    * ~GB-scale filter twice per executor). The probe is a native codegen
+    * Expression (plans/BloomProbeExpr), so the corpus scan it runs on
+    * stays inside WholeStageCodegen — a ScalaUDF here would fence the
+    * exact full-table scan this operator exists to keep cheap. */
   private def probe(bc: org.apache.spark.broadcast.Broadcast[BloomFilter],
                     keyCol: String): Column = {
-    val contains = udf((h: Long) => bc.value.mightContainLong(h))
-    contains(xxhash64(col(keyCol)))
+    import org.apache.spark.sql.classic.GraftPlanBridge
+    GraftPlanBridge.column(graft.plans.BloomProbeExpr(
+      GraftPlanBridge.staticExpr(xxhash64(col(keyCol))), bc))
   }
 
   /** Exact left-semi join, Bloom-pruned: corpus rows whose key appears in

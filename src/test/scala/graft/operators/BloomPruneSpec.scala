@@ -59,13 +59,19 @@ class BloomPruneSpec extends SparkSpec {
     val c = spark.range(2000).select(col("id").as("row_id"),
       (col("id") % 400).as("key"))
     val m = spark.range(400).filter(col("id") % 37 < 11).select(col("id").as("mkey"))
-    val plan = BloomPrune.antiJoin(c, "key", m, "mkey")
-      .queryExecution.executedPlan.toString
+    val df = BloomPrune.antiJoin(c, "key", m, "mkey")
+    df.collect() // run so AQE finalizes and WholeStageCodegen spans appear
+    // drop the "== Initial Plan ==" echo so node counts aren't doubled
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     // Two scans of the corpus (documented trade), exactly one join — the
     // bloom-negative branch reaches the union through a plain Filter.
     assert(planCount(plan, "Union") == 1, plan)
     assert(planCount(plan, "Join") == 1, plan)
-    // The probe UDF runs in both branch filters, map-side.
-    assert(planCount(plan, "UDF") >= 2, plan)
+    // The probe is a native codegen expression in both branch filters —
+    // no ScalaUDF fencing the corpus scan out of WholeStageCodegen.
+    assert(planCount(plan, "bloom_probe") >= 2, plan)
+    assert(planCount(plan, "UDF") == 0, plan)
+    // the probe filters sit INSIDE WholeStageCodegen spans ("*(n) Filter")
+    assert(planCount(plan, "*(") >= 2 && plan.contains(") Filter"), plan)
   }
 }

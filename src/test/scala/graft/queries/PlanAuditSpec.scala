@@ -157,4 +157,22 @@ class PlanAuditSpec extends SparkSpec {
     // assignment); the other rangepartitioning is the output ORDER BY
     assert(planCount(plan, "Exchange rangepartitioning(h#") == 1, plan.take(3000))
   }
+
+  test("q101: bucketed fact-fact join runs with no Exchange on the join key") {
+    // with broadcast off (the 100 TB condition: neither fact side fits),
+    // the bucketed layout must carry the join on scan partitioning alone —
+    // the only hash exchange left is the small post-join agg on priority
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = finalPlan(q("q101_bucketed_join"))
+      assert(plan.contains("SortMergeJoin"), plan.take(2500))
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey"), plan.take(2500))
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), plan.take(2500))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_q101_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_q101_lineitem")
+    }
+  }
 }

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical relevance ranking — Okapi BM25 (Robertson et al., TREC-3), the
+  * lexical complement to the embedding ANN stack ([[Similarity]],
+  * [[IvfIndex]], [[PqIndex]]). The reference delegates retrieval entirely to
+  * its vector stores (wurzel/steps/qdrant/step.py, milvus/step.py — cosine
+  * only); a curation engine also needs term-level scoring: probe-query
+  * auditing ("which corpus docs answer our eval questions" — the lexical
+  * side of [[Decontaminate]]), quality-by-query sampling, and hybrid
+  * lexical+vector retrieval.
+  *
+  * Scale design (100 TB corpus, probe-sized query set):
+  *  - The query side is SMALL by construction (a probe set, like
+  *    [[Similarity]]'s broadcast queries); the corpus is the big side and
+  *    is never joined, shuffled, or collected.
+  *  - Pass 1 tokenizes each doc ONCE in a tight-loop kernel UDF that keeps
+  *    only probe-vocabulary term frequencies, then computes corpus size N,
+  *    total token count, and per-term document frequencies in one
+  *    partially-aggregated `groupBy().agg` — exactly ONE 1-row result
+  *    reaches the driver (|terms|+2 longs, bounded like [[IvfIndex]]'s
+  *    centroid collect).
+  *  - Pass 2 re-scans and scores entirely map-side: idf weights are
+  *    driver-embedded literals (|terms|-sized — below even broadcast), so
+  *    scoring is a codegen-able projection with NO join. The only exchange
+  *    in the whole plan is GroupTopKExec's bounded k-per-query shuffle,
+  *    fed by map-side partial heaps.
+  *
+  * Determinism: scores are integer micro-units — each term contribution is
+  * floor'd at 1e-6 granularity (the [[LmScore]] micro-nat convention) so
+  * per-doc sums are exact in any partition order; ranking ties break on the
+  * doc id. The idf is the standard BM25+ form ln(1 + (N-df+0.5)/(df+0.5))
+  * (always positive, so stopword-heavy probe terms can't flip signs).
+  */
+object Rank {
+
+  /** One tight-loop pass per doc: (token_count, tf over `terms` only).
+    * Token semantics match the oracle's `string_split_regex(text, '\s+')`
+    * (leading whitespace yields an empty first token on both engines). */
+  private def tfUdf(terms: Seq[String], lowercase: Boolean) = {
+    val keep = terms.toSet
+    udf((text: String) => {
+      if (text == null) (0, Map.empty[String, Int])
+      else {
+        val base = if (lowercase) text.toLowerCase else text
+        val toks = base.split("\\s+")
+        val m = scala.collection.mutable.HashMap.empty[String, Int]
+        var i = 0
+        while (i < toks.length) {
+          val t = toks(i)
+          if (keep.contains(t)) m.update(t, m.getOrElse(t, 0) + 1)
+          i += 1
+        }
+        (toks.length, m.toMap)
+      }
+    })
+  }
+
+  /** BM25 scores of every doc against every query: (query_id, idCol,
+    * score_micro), docs with no matching term (or a zero-micro score)
+    * dropped. `queries` maps query id -> term list. */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 queries: Map[String, Seq[String]],
+                 k1: Double = 1.2, b: Double = 0.75,
+                 lowercase: Boolean = true): DataFrame = {
+    require(queries.nonEmpty, "bm25Scores: need at least one query")
+    val norm: String => String = t => if (lowercase) t.toLowerCase else t
+    val qTerms = queries.map { case (q, ts) =>
+      val n = ts.map(norm).distinct
+      require(n.nonEmpty, s"bm25Scores: query '$q' has no terms")
+      q -> n
+    }
+    val allTerms = qTerms.values.flatten.toSeq.distinct.sorted
+    val f = tfUdf(allTerms, lowercase)
+    def proj = docs
+      .select(col(idCol), f(col(textCol).cast("string")).as("__f"))
+      .select(col(idCol), col("__f._1").as("__dl"), col("__f._2").as("__tf"))
+
+    // Pass 1: one partial-aggregated corpus pass -> a single driver row.
+    val aggCols =
+      sum(col("__dl").cast("long")).as("sumdl") +:
+      allTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("__tf").getItem(t).isNotNull, 1L).otherwise(0L)).as(s"df_$i")
+      }
+    val stats = proj.agg(count(lit(1)).as("n"), aggCols: _*).head()
+    val n = stats.getLong(0)
+    require(n > 0, "bm25Scores: empty corpus")
+    val avgdl = stats.getLong(1).toDouble / n.toDouble
+    val idf: Map[String, Long] = allTerms.zipWithIndex.map { case (t, i) =>
+      val dft = stats.getLong(2 + i)
+      t -> math.floor(1e6 * math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))).toLong
+    }.toMap
+
+    // Pass 2: map-side scoring against driver-embedded idf literals. The
+    // arithmetic shape is mirrored token-for-token by the q102 oracle (all
+    // doubles, left-associated) so both engines floor the same value.
+    def contribution(t: String): Column = {
+      val tf = col("__tf").getItem(t).cast("double")
+      when(col("__tf").getItem(t).isNotNull,
+        floor(lit(idf(t)).cast("double") *
+          ((tf * lit(k1 + 1)) /
+            (tf + lit(k1) * (lit(1 - b) + lit(b) * col("__dl").cast("double") / lit(avgdl)))))
+          .cast("long"))
+        .otherwise(lit(0L))
+    }
+    val perQuery = qTerms.keys.toSeq.sorted.map { q =>
+      struct(lit(q).as("query_id"),
+        qTerms(q).map(contribution).reduce(_ + _).as("score_micro"))
+    }
+    proj.select(col(idCol), explode(array(perQuery: _*)).as("__q"))
+      .select(col("__q.query_id").as("query_id"), col(idCol),
+        col("__q.score_micro").as("score_micro"))
+      .filter(col("score_micro") > 0)
+  }
+
+  /** Top-k docs per query by BM25: (query_id, idCol, rank, score_micro).
+    * GroupTopKExec heap-prunes map-side before the only exchange; the rank
+    * window then sorts <= k rows per query, never the full score set. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Map[String, Seq[String]], kTop: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               lowercase: Boolean = true): DataFrame = {
+    require(kTop > 0, "bm25TopK: kTop must be positive")
+    val scored = bm25Scores(docs, idCol, textCol, queries, k1, b, lowercase)
+    val pruned = graft.plans.GroupTopK.topK(
+      scored, Seq("query_id"), Seq(col("score_micro").desc, col(idCol).asc), kTop)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+    pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.text._
-import graft.operators.{Chunker, Dedup, Sampling}
+import graft.operators.{Chunker, Dedup, Rank, Sampling}
 import QueryDef._
 
 /** Document/text operators over the `documents` table (SURVEY.md §2.8, §2.9,
@@ -1843,6 +1843,51 @@ object TextQ {
         |a AS (SELECT doc_id, n_tokens, CAST(floor(start / 2000) AS BIGINT) AS shard_id FROM c)
         |SELECT shard_id, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
         |  MIN(doc_id) AS min_doc, CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
-        |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin))
+        |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin)),
+
+    QueryDef("q102_bm25_topk",
+      // Okapi BM25 probe-query ranking (operators/Rank.bm25TopK): three
+      // fixed probe queries over the documents corpus, k=15 each. Corpus
+      // side: one kernel tokenize pass for (N, avgdl, per-term df) -> a
+      // single driver row; scoring is map-side against embedded integer
+      // micro-unit idf literals; the only exchange is GroupTopKExec's
+      // bounded k-per-query prune. The oracle replays the identical
+      // double arithmetic (left-associated, micro-floor per term) so the
+      // BIGINT scores match exactly.
+      (s, d) => Rank.bm25TopK(docs(s, d), "doc_id", "text",
+          Map("agg_pipeline" -> Seq("spark", "join", "agg"),
+            "scan_perf" -> Seq("scan", "fast", "filter"),
+            "stream_state" -> Seq("stream", "window", "batch")),
+          kTop = 15)
+        .select(col("query_id"), col("doc_id"), big(col("rank")).as("rank"),
+          col("score_micro"))
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH dd AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+        |dl AS (SELECT doc_id, w, len(w) AS dl FROM dd),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |q(query_id, term) AS (VALUES
+        |  ('agg_pipeline', 'spark'), ('agg_pipeline', 'join'), ('agg_pipeline', 'agg'),
+        |  ('scan_perf', 'scan'), ('scan_perf', 'fast'), ('scan_perf', 'filter'),
+        |  ('stream_state', 'stream'), ('stream_state', 'window'), ('stream_state', 'batch')),
+        |terms AS (SELECT DISTINCT term FROM q),
+        |dfreq AS (SELECT t.term,
+        |  sum(CASE WHEN list_contains(dl.w, t.term) THEN 1 ELSE 0 END) AS dft
+        |  FROM terms t CROSS JOIN dl GROUP BY t.term),
+        |idf AS (SELECT term, CAST(floor(1e6 * ln(1 + ((SELECT n FROM st) - dft + 0.5e0)
+        |  / (dft + 0.5e0))) AS BIGINT) AS idf FROM dfreq),
+        |tfq AS (SELECT dl.doc_id, q.query_id, q.term,
+        |  len(list_filter(dl.w, x -> x = q.term)) AS tf, dl.dl
+        |  FROM dl CROSS JOIN q),
+        |co AS (SELECT doc_id, query_id,
+        |  CAST(floor(i.idf * ((tf * (1.2e0 + 1)) / (tf + 1.2e0 * ((1 - 0.75e0)
+        |    + 0.75e0 * dl / (SELECT avgdl FROM st))))) AS BIGINT) AS c
+        |  FROM tfq JOIN idf i USING (term) WHERE tf > 0),
+        |sc AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+        |  FROM co GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, score_micro,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+        |  FROM sc WHERE score_micro > 0)
+        |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score_micro FROM rk
+        |WHERE rank <= 15 ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.window.WindowExec
+
+class RankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 docs, hand-checkable counts: "spark" appears in docs 1 and 2.
+  private def corpus = Seq(
+    (1L, "spark join spark agg"),
+    (2L, "spark scan"),
+    (3L, "filter scan scan scan"),
+    (4L, "window batch stream stream")
+  ).toDF("doc_id", "text")
+
+  private def handBm25(tf: Long, dl: Long, n: Long, df: Long, avgdl: Double,
+                       k1: Double = 1.2, b: Double = 0.75): Long = {
+    val idf = math.floor(1e6 * math.log(1.0 + (n - df + 0.5) / (df + 0.5))).toLong
+    math.floor(idf.toDouble *
+      ((tf.toDouble * (k1 + 1)) /
+        (tf.toDouble + k1 * ((1 - b) + b * dl.toDouble / avgdl)))).toLong
+  }
+
+  test("bm25Scores matches a hand computation (single-term query)") {
+    val out = Rank.bm25Scores(corpus, "doc_id", "text", Map("q" -> Seq("spark")))
+      .as[(String, Long, Long)].collect().map { case (_, id, s) => (id, s) }.toMap
+    val avgdl = (4 + 2 + 4 + 4).toDouble / 4.0
+    assert(out == Map(
+      1L -> handBm25(tf = 2, dl = 4, n = 4, df = 2, avgdl),
+      2L -> handBm25(tf = 1, dl = 2, n = 4, df = 2, avgdl)))
+  }
+
+  test("multi-term scores are the exact sum of per-term micro contributions") {
+    val single = Map("a" -> Seq("spark"), "b" -> Seq("scan"))
+    val solo = Rank.bm25Scores(corpus, "doc_id", "text", single)
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val both = Rank.bm25Scores(corpus, "doc_id", "text", Map("q" -> Seq("spark", "scan")))
+      .as[(String, Long, Long)].collect().map { case (_, id, s) => id -> s }.toMap
+    assert(both == solo)
+  }
+
+  test("bm25TopK ranks by score desc with doc-id tiebreak and respects k") {
+    // docs 5 and 6 are identical -> identical scores, tie broken by id
+    val ties = corpus.union(Seq((5L, "scan scan"), (6L, "scan scan")).toDF("doc_id", "text"))
+    val out = Rank.bm25TopK(ties, "doc_id", "text", Map("q" -> Seq("scan")), kTop = 2)
+      .select("doc_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.map(_._1).toSeq == Seq(5L, 6L)) // shortest docs score highest
+    assert(out.map(_._2).toSeq == Seq(1, 2))
+  }
+
+  test("case folding: query terms and text are lowercased by default") {
+    val mixed = Seq((1L, "Spark SPARK spark")).toDF("doc_id", "text")
+    val on = Rank.bm25Scores(mixed, "doc_id", "text", Map("q" -> Seq("SPARK")))
+    assert(on.count() == 1)
+    val off = Rank.bm25Scores(mixed, "doc_id", "text", Map("q" -> Seq("SPARK")),
+      lowercase = false)
+    assert(off.select("score_micro").as[Long].head() > 0) // matches literal "SPARK" once
+  }
+
+  test("docs matching no query term are absent; guards fail fast") {
+    val out = Rank.bm25Scores(corpus, "doc_id", "text", Map("q" -> Seq("spark")))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    intercept[IllegalArgumentException](
+      Rank.bm25Scores(corpus, "doc_id", "text", Map.empty))
+    intercept[IllegalArgumentException](
+      Rank.bm25Scores(corpus, "doc_id", "text", Map("q" -> Seq.empty)))
+    intercept[IllegalArgumentException](
+      Rank.bm25TopK(corpus, "doc_id", "text", Map("q" -> Seq("spark")), kTop = 0))
+  }
+
+  test("plan: scoring is map-side — no Exchange and no WindowExec before the top-k prune") {
+    val scored = Rank.bm25Scores(corpus, "doc_id", "text",
+      Map("a" -> Seq("spark", "agg"), "b" -> Seq("scan")))
+    val plan = scored.queryExecution.executedPlan
+    assert(plan.collect { case e: Exchange => e }.isEmpty, plan.toString)
+    assert(plan.collect { case w: WindowExec => w }.isEmpty, plan.toString)
+  }
+}

@@ -175,4 +175,14 @@ class PlanAuditSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_q101_lineitem")
     }
   }
+
+  test("q102: BM25 scoring scans map-side into the heap prune — no scoring join, no corpus window") {
+    // idf weights are driver-embedded literals, so the plan must contain NO
+    // join at all; the heap prune (partial+final GroupTopK) is the only
+    // aggregation-side pair, and the rank window runs on <= k rows per
+    // query AFTER the prune's exchange
+    val plan = finalPlan(q("q102_bm25_topk"))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(planCount(plan, "GroupTopK") == 2, plan.take(3000))
+  }
 }

@@ -438,6 +438,46 @@ object Dedup {
       .withColumn("is_duplicate", col("cluster_id") =!= col(idCol))
   }
 
+  /** Elect one KEEPER per duplicate cluster by a quality score — the
+    * decision [[resolveClusters]]' min-id canonical cannot make: when a
+    * cluster mixes a clean original with truncated/boilerplate-wrapped
+    * copies, a training pipeline keeps the HIGHEST-QUALITY member, not the
+    * smallest id. `quality` is any non-null orderable expression over
+    * `docs` (Gopher stats, LM bucket score, distinct-word count...);
+    * ties break on the smaller id so election is total.
+    *
+    * Scale shape (100 TB): the election groupBy runs over PAIR-GRAPH
+    * members only (an inner join against the components frame), never the
+    * corpus — singleton docs skip election entirely and are labeled
+    * keepers map-side through two left joins whose right sides are
+    * pair-graph- and cluster-sized (AQE broadcasts them at typical dup
+    * rates). The keeper pick is an aggregate max over (quality, -id) —
+    * no per-cluster window sort.
+    *
+    * @return one row per doc: (idCol, cluster_id, cluster_size,
+    *         is_keeper); `filter(col("is_keeper"))` is the deduplicated
+    *         corpus. */
+  def selectKeepers(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    quality: Column,
+                    idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val comp = ConnectedComponents.run(pairs, idA, idB)
+      .withColumnRenamed("node", idCol)
+    val base = docs.select(col(idCol).cast("long").as(idCol),
+      quality.cast("double").as("__q"))
+    val elect = base.join(comp, Seq(idCol))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("__q").as("q"), (-col(idCol)).as("nid"))).as("__k"))
+      .select(col("component"), col("cluster_size"),
+        (-col("__k.nid")).as("__keeper"))
+    base.join(comp, Seq(idCol), "left")
+      .join(elect, Seq("component"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        coalesce(col(idCol) === col("__keeper"), lit(true)).as("is_keeper"))
+  }
+
   /** Duplicated-window census at `w`-token granularity — the analysis
     * surface behind [[stripDupSpans]]. One row per window: (idCol, pos,
     * wh, n_occ, is_first), where `pos` is the 0-based token offset, `wh`

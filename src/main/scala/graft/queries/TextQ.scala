@@ -1888,6 +1888,41 @@ object TextQ {
         |  row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
         |  FROM sc WHERE score_micro > 0)
         |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score_micro FROM rk
-        |WHERE rank <= 15 ORDER BY query_id, rank""".stripMargin))
+        |WHERE rank <= 15 ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef("q103_cluster_keeper",
+      // Keeper election per duplicate cluster (Dedup.selectKeepers): the
+      // q72 cluster resolution plus a QUALITY-based pick — highest
+      // distinct-word count wins, id breaks ties. Election aggregates run
+      // over pair-graph members only (singletons never shuffle); the pick
+      // is max(struct(quality, -id)) — no per-cluster window. The oracle
+      // reuses q72's recursive transitive closure and elects with a
+      // window (tractable at oracle scale).
+      (s, d) => {
+        val base = docs(s, d)
+        Dedup.selectKeepers(base, "doc_id",
+            Dedup.minhashPairs(base, "doc_id", "text", 12, 4, 0.6),
+            size(array_distinct(split(col("text"), "\\s+"))))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+        |filt AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.6),
+        |ed AS (SELECT id_a AS u, id_b AS v FROM filt UNION SELECT id_b, id_a FROM filt),
+        |reach AS (SELECT u, v FROM ed
+        |  UNION SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u WHERE e.v <> r.u),
+        |lbl AS (SELECT u AS doc_id, least(min(v), u) AS cluster_id FROM reach GROUP BY u),
+        |qv AS (SELECT doc_id, len(list_distinct($W)) AS q FROM documents),
+        |mem AS (SELECT l.doc_id, l.cluster_id, qv.q FROM lbl l JOIN qv USING (doc_id)),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM mem GROUP BY 1),
+        |rk AS (SELECT doc_id, cluster_id,
+        |  row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn FROM mem)
+        |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+        |  coalesce(s.cluster_size, 1) AS cluster_size,
+        |  CASE WHEN l.cluster_id IS NULL THEN true ELSE (r.rn = 1) END AS is_keeper
+        |FROM documents d
+        |LEFT JOIN lbl l ON d.doc_id = l.doc_id
+        |LEFT JOIN sz s ON l.cluster_id = s.cluster_id
+        |LEFT JOIN rk r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin))
   )
 }

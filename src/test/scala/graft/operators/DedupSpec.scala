@@ -436,4 +436,36 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Int, Long, Boolean)].collect().toSeq
     assert(wins == Seq((1L, 0, 3L, true), (1L, 8, 3L, false), (2L, 0, 3L, false)))
   }
+
+  test("selectKeepers: quality elects the keeper, not the min id; singletons keep themselves") {
+    // cluster {1,2,3}: doc 3 has the highest quality -> keeper despite max id
+    val docs = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (9L, 5.0)).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.selectKeepers(docs, "doc_id", pairs, $"q")
+      .select("doc_id", "cluster_id", "cluster_size", "is_keeper")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1L, 3L, false), (2L, 1L, 3L, false),
+      (3L, 1L, 3L, true), (9L, 9L, 1L, true)))
+  }
+
+  test("selectKeepers: quality ties break on the smaller id; one keeper per cluster always") {
+    val docs = (1L to 6L).map(i => (i, 7.0)).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.selectKeepers(docs, "doc_id", pairs, $"q")
+      .select("doc_id", "cluster_id", "is_keeper")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.filter(_._3).map(_._1).sorted.toSeq == Seq(1L, 3L, 6L))
+    val perCluster = out.groupBy(_._2).view.mapValues(_.count(_._3)).toMap
+    assert(perCluster.values.forall(_ == 1), perCluster.toString)
+  }
+
+  test("selectKeepers plan: election is aggregate-shaped — no per-cluster window sort") {
+    val docs = Seq((1L, 1.0), (2L, 2.0)).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val plan = Dedup.selectKeepers(docs, "doc_id", pairs, $"q")
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, plan.toString)
+  }
 }

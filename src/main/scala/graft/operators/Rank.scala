@@ -116,6 +116,38 @@ object Rank {
       .filter(col("score_micro") > 0)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    * several per-query rankings into one — the standard hybrid-retrieval
+    * combiner for the engine's lexical ([[bm25TopK]]) and vector
+    * ([[Similarity]]/[[IvfIndex]]/[[PqIndex]] `topK`) stacks, which score
+    * on incomparable scales but rank comparably. Each input frame must
+    * have columns (query_id, doc_id, rank).
+    *
+    * Per-source contribution is floor(1e6 / (kRrf + rank)) — the RRF term
+    * in integer micro-units (the [[LmScore]] floor convention) so fused
+    * sums are exact in any partition or source order. Fusion is a hash agg
+    * on (query_id, doc_id) over k·|sources| rows per query — input-sized,
+    * tiny by construction since every input is already a top-k — followed
+    * by GroupTopKExec's bounded prune; ties break on doc_id.
+    *
+    * @return (query_id, doc_id, rank, rrf_micro, n_sources) — n_sources
+    *         is how many input rankings contained the doc. */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int = 60, kTop: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    require(kRrf > 0 && kTop > 0, "rrfFuse: kRrf and kTop must be positive")
+    val contribs = rankings.map(_.select(col("query_id"), col("doc_id"),
+      floor(lit(1e6) / (lit(kRrf).cast("double") + col("rank").cast("double")))
+        .cast("long").as("__c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("rrf_micro"), count(lit(1)).as("n_sources"))
+    val pruned = graft.plans.GroupTopK.topK(
+      fused, Seq("query_id"), Seq(col("rrf_micro").desc, col("doc_id").asc), kTop)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
+  }
+
   /** Top-k docs per query by BM25: (query_id, idCol, rank, score_micro).
     * GroupTopKExec heap-prunes map-side before the only exchange; the rank
     * window then sorts <= k rows per query, never the full score set. */

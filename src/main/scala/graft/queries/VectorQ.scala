@@ -476,6 +476,81 @@ object VectorQ {
         |SELECT s.vec_id, coalesce(l.cluster_id, s.vec_id) AS cluster_id,
         |  coalesce(l.cluster_id, s.vec_id) <> s.vec_id AS is_duplicate
         |FROM v s LEFT JOIN lbl l ON s.vec_id = l.u
-        |ORDER BY s.vec_id""".stripMargin))
+        |ORDER BY s.vec_id""".stripMargin)),
+
+    QueryDef("q104_hybrid_rrf",
+      // Hybrid retrieval: reciprocal-rank fusion (Rank.rrfFuse) of the
+      // lexical BM25 ranking (q102's probes, k=20) with the vector cosine
+      // ranking (q36's brute top-k from the probe docs' embeddings,
+      // k=20). RRF terms are integer micro-units floor(1e6/(60+rank)) so
+      // fused sums are exact in any source/partition order; the fusion
+      // agg runs over <= 40 rows per query and GroupTopKExec prunes to
+      // 10. The oracle replays both rankings and the identical fusion.
+      (s, d) => {
+        import graft.operators.Rank
+        val lex = Rank.bm25TopK(Tables.load(s, d, "documents"), "doc_id", "text",
+            Map("agg_pipeline" -> Seq("spark", "join", "agg"),
+              "scan_perf" -> Seq("scan", "fast", "filter"),
+              "stream_state" -> Seq("stream", "window", "batch")),
+            kTop = 20)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        val vec = Similarity.bruteTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 3),
+            "vec_id", "embedding", 20)
+          .select(when(col("qid") === 0, "agg_pipeline")
+              .when(col("qid") === 1, "scan_perf")
+              .otherwise("stream_state").as("query_id"),
+            col("cid").as("doc_id"), col("rank"))
+        Rank.rrfFuse(Seq(lex, vec), kRrf = 60, kTop = 10)
+          .select(col("query_id"), col("doc_id"), big(col("rank")).as("rank"),
+            col("rrf_micro"), big(col("n_sources")).as("n_sources"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH dd AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+        |dl AS (SELECT doc_id, w, len(w) AS dl FROM dd),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |q(query_id, term) AS (VALUES
+        |  ('agg_pipeline', 'spark'), ('agg_pipeline', 'join'), ('agg_pipeline', 'agg'),
+        |  ('scan_perf', 'scan'), ('scan_perf', 'fast'), ('scan_perf', 'filter'),
+        |  ('stream_state', 'stream'), ('stream_state', 'window'), ('stream_state', 'batch')),
+        |terms AS (SELECT DISTINCT term FROM q),
+        |dfreq AS (SELECT t.term,
+        |  sum(CASE WHEN list_contains(dl.w, t.term) THEN 1 ELSE 0 END) AS dft
+        |  FROM terms t CROSS JOIN dl GROUP BY t.term),
+        |idf AS (SELECT term, CAST(floor(1e6 * ln(1 + ((SELECT n FROM st) - dft + 0.5e0)
+        |  / (dft + 0.5e0))) AS BIGINT) AS idf FROM dfreq),
+        |tfq AS (SELECT dl.doc_id, q.query_id, q.term,
+        |  len(list_filter(dl.w, x -> x = q.term)) AS tf, dl.dl
+        |  FROM dl CROSS JOIN q),
+        |co AS (SELECT doc_id, query_id,
+        |  CAST(floor(i.idf * ((tf * (1.2e0 + 1)) / (tf + 1.2e0 * ((1 - 0.75e0)
+        |    + 0.75e0 * dl / (SELECT avgdl FROM st))))) AS BIGINT) AS c
+        |  FROM tfq JOIN idf i USING (term) WHERE tf > 0),
+        |sc AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+        |  FROM co GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+        |  FROM sc WHERE score_micro > 0),
+        |lexk AS (SELECT query_id, doc_id, rank FROM lex WHERE rank <= 20),
+        |vq AS (SELECT vec_id AS qid, $QV AS qv FROM embeddings WHERE vec_id < 3),
+        |vc AS (SELECT vec_id AS cid, $QV AS cv FROM embeddings),
+        |vp AS (SELECT qid, cid,
+        |  CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) AS DOUBLE)
+        |  / (sqrt(CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS DOUBLE))
+        |     * sqrt(CAST(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])) AS DOUBLE))) AS cosine
+        |  FROM vq, vc WHERE qid <> cid),
+        |vr AS (SELECT qid, cid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank FROM vp),
+        |veck AS (SELECT CASE WHEN qid = 0 THEN 'agg_pipeline'
+        |    WHEN qid = 1 THEN 'scan_perf' ELSE 'stream_state' END AS query_id,
+        |  cid AS doc_id, rank FROM vr WHERE rank <= 20),
+        |uni AS (SELECT query_id, doc_id, CAST(floor(1e6 / (60 + rank)) AS BIGINT) AS c FROM lexk
+        |  UNION ALL
+        |  SELECT query_id, doc_id, CAST(floor(1e6 / (60 + rank)) AS BIGINT) AS c FROM veck),
+        |fu AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+        |  CAST(count(*) AS BIGINT) AS n_sources FROM uni GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, rrf_micro, n_sources,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rank FROM fu)
+        |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, rrf_micro, n_sources
+        |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -71,6 +71,27 @@ class RankSpec extends SparkSpec {
       Rank.bm25TopK(corpus, "doc_id", "text", Map("q" -> Seq("spark")), kTop = 0))
   }
 
+  test("rrfFuse sums exact micro contributions and counts sources") {
+    val a = Seq(("q", 1L, 1), ("q", 2L, 2)).toDF("query_id", "doc_id", "rank")
+    val b = Seq(("q", 2L, 1), ("q", 3L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = Rank.rrfFuse(Seq(a, b), kRrf = 60, kTop = 10)
+      .select("doc_id", "rrf_micro", "n_sources", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    def c(r: Int): Long = math.floor(1e6 / (60.0 + r)).toLong
+    // doc 2 appears in both rankings (ranks 2 and 1) -> highest fused score
+    assert(out.map(x => (x._1, x._2, x._3)).toSeq == Seq(
+      (2L, c(2) + c(1), 2L), (1L, c(1), 1L), (3L, c(2), 1L)))
+  }
+
+  test("rrfFuse breaks fused-score ties on doc_id and respects kTop") {
+    val a = Seq(("q", 5L, 1), ("q", 3L, 1)).toDF("query_id", "doc_id", "rank")
+    // same rank in disjoint sources -> identical scores; doc 3 wins the tie
+    val out = Rank.rrfFuse(Seq(a), kTop = 1)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(3L))
+    intercept[IllegalArgumentException](Rank.rrfFuse(Seq.empty))
+  }
+
   test("plan: scoring is map-side — no Exchange and no WindowExec before the top-k prune") {
     val scored = Rank.bm25Scores(corpus, "doc_id", "text",
       Map("a" -> Seq("spark", "agg"), "b" -> Seq("scan")))

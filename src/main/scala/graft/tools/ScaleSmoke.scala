@@ -168,6 +168,24 @@ object ScaleSmoke {
         docs.filter(col("doc_id") % 100 =!= 0), docs.filter(col("doc_id") % 100 === 0),
         "doc_id", "text").queryExecution.toRdd.count()
     }
+    // BM25 probe ranking: 3 probe queries against every salted doc — one
+    // kernel stats pass (1 driver row), map-side scoring, GroupTopK prune
+    time("bm25 top-20 (3 queries)") {
+      graft.operators.Rank.bm25TopK(docs, "doc_id", "text",
+        Map("q1" -> Seq("spark", "join", "agg"),
+          "q2" -> Seq("scan", "fast", "filter"),
+          "q3" -> Seq("stream", "window", "batch")), kTop = 20)
+        .queryExecution.toRdd.count()
+    }
+    // keeper election on the near-dup clusters: election aggregates touch
+    // pair-graph members only; the salted corpus is ~90% duplicates, so
+    // this is the adversarial (election-heavy) case
+    time("cluster keepers") {
+      graft.operators.Dedup.selectKeepers(docs, "doc_id",
+        graft.operators.Dedup.minhashPairs(docs, "doc_id", "text"),
+        size(array_distinct(split(col("text"), "\\s+"))))
+        .queryExecution.toRdd.count()
+    }
     // bloom-pruned subtract: drop the 20% "already ingested" ids from the
     // corpus; the 80% non-member bulk must exit map-side (no exchange)
     time("bloom anti-join (20% mem)") {

@@ -59,6 +59,41 @@ object Sampling {
     * [0, 10000] throws at runtime (same fail-fast contract as byHash's
     * require — a fraction or percent column passed by mistake must not
     * silently produce an empty or 100x-thinned sample). */
+  /** Temperature-resampled group mixture — the multilingual/domain
+    * balancing op (mT5/XLM-R style): group g keeps rate
+    * (n_min / n_g)^(1-alpha) of its rows, so the smallest group keeps
+    * everything (10000 bp), bigger groups are thinned toward it, alpha=1
+    * keeps the natural distribution and alpha->0 flattens toward equal
+    * group volumes. Rates are computed from one tiny groupBy(count) and
+    * broadcast-joined back; selection is [[byHashWeighted]]'s map-side
+    * content-addressed filter, so the corpus never shuffles and reruns
+    * never flip a row's decision.
+    *
+    * Determinism: at the default alpha=0.5 the ratio is
+    * sqrt(n_min)/sqrt(n_g) — IEEE sqrt is correctly rounded, so the
+    * basis-point floor is bit-identical across engines (the q105 oracle).
+    * Other alphas go through pow(), which may differ in the last ulp
+    * across math libraries; at basis-point granularity that is safe in
+    * practice but not certified exact.
+    *
+    * @return the sampled rows: `df`'s columns plus `rate_bp`. */
+  def temperatureMixture(df: DataFrame, idCol: String, groupCol: String,
+                         alpha: Double = 0.5, seed: String = "sample"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "temperatureMixture: alpha must be in (0, 1]")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val ratio: Column =
+      if (alpha == 0.5)
+        sqrt(col("__nmin").cast("double")) / sqrt(col("__n").cast("double"))
+      else
+        pow(col("__nmin").cast("double"), lit(1 - alpha)) /
+          pow(col("__n").cast("double"), lit(1 - alpha))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col(groupCol), floor(lit(1e4) * ratio).cast("long").as("rate_bp"))
+    byHashWeighted(df.join(broadcast(rates), Seq(groupCol)), idCol,
+      col("rate_bp"), seed)
+  }
+
   def byHashWeighted(df: DataFrame, idCol: String, rateBpCol: Column,
                      seed: String = "sample"): DataFrame = {
     val bp = rateBpCol.cast("long")

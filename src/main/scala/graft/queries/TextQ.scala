@@ -1923,6 +1923,25 @@ object TextQ {
         |LEFT JOIN lbl l ON d.doc_id = l.doc_id
         |LEFT JOIN sz s ON l.cluster_id = s.cluster_id
         |LEFT JOIN rk r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    QueryDef("q105_temperature_mix",
+      // Temperature-resampled language mixture (Sampling.temperatureMixture,
+      // alpha=0.5): each language keeps sqrt(n_min/n_lang) of its docs —
+      // the smallest language keeps all, English (the largest) is thinned
+      // hardest. Rates come from one tiny count agg broadcast back; the
+      // selection is the same content-addressed map-side hash filter as
+      // q74/q82, and sqrt's correct rounding makes the basis-point floors
+      // bit-identical across engines.
+      (s, d) => Sampling.temperatureMixture(docs(s, d), "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("rate_bp"))
+        .orderBy(col("doc_id")),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS nmin FROM c),
+        |r AS (SELECT lang, CAST(floor(1e4 * (sqrt(CAST((SELECT nmin FROM m) AS DOUBLE))
+        |  / sqrt(CAST(n AS DOUBLE)))) AS BIGINT) AS rate_bp FROM c)
+        |SELECT d.doc_id, d.lang, r.rate_bp FROM documents d JOIN r USING (lang)
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 1, 15)) AS BIGINT) % 10000 < r.rate_bp
         |ORDER BY d.doc_id""".stripMargin))
   )
 }

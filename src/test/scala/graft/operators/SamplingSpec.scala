@@ -85,4 +85,30 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("GroupTopK"), plan.take(800))
     assert(!plan.contains("Window"), "must not fall back to a window sort")
   }
+
+  test("temperatureMixture: smallest group keeps everything, larger thin by sqrt(nmin/n)") {
+    // groups: a=100 rows, b=400 rows, c=25 rows -> nmin=25;
+    // rates: c=10000, a=floor(1e4*sqrt(25)/sqrt(100))=5000, b=2500
+    val df = ((1L to 100L).map((_, "a")) ++ (101L to 500L).map((_, "b")) ++
+      (501L to 525L).map((_, "c"))).toDF("id", "grp")
+    val out = Sampling.temperatureMixture(df, "id", "grp")
+      .select("id", "grp", "rate_bp").as[(Long, String, Long)].collect()
+    val rates = out.map(r => r._2 -> r._3).distinct.toMap
+    assert(rates == Map("a" -> 5000L, "b" -> 2500L, "c" -> 10000L))
+    assert(out.count(_._2 == "c") == 25) // rate 10000 keeps every row
+    // selection is exactly byHashWeighted at the computed rates (same seed)
+    val expected = Sampling.byHashWeighted(df,
+      "id", when($"grp" === "a", 5000L).when($"grp" === "b", 2500L).otherwise(10000L))
+      .select("id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet == expected)
+  }
+
+  test("temperatureMixture: alpha=1 keeps the natural distribution; bounds enforced") {
+    val df = ((1L to 50L).map((_, "a")) ++ (51L to 60L).map((_, "b"))).toDF("id", "grp")
+    assert(Sampling.temperatureMixture(df, "id", "grp", alpha = 1.0).count() == 60)
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMixture(df, "id", "grp", alpha = 0.0))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMixture(df, "id", "grp", alpha = 1.5))
+  }
 }

@@ -1841,7 +1841,7 @@ object TextQ {
         |  coalesce(SUM(n_tokens) OVER (ORDER BY h, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start FROM t),
         |a AS (SELECT doc_id, n_tokens, CAST(floor(start / 2000) AS BIGINT) AS shard_id FROM c)
-        |SELECT shard_id, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+        |SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
         |  MIN(doc_id) AS min_doc, CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
         |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin)),
 

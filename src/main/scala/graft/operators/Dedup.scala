@@ -478,6 +478,37 @@ object Dedup {
         coalesce(col(idCol) === col("__keeper"), lit(true)).as("is_keeper"))
   }
 
+  /** Duplicate-aware SOFT dedup: every member of a near-dup cluster of
+    * size n is kept with probability 1/n, so in expectation each cluster
+    * contributes ONE document — but WHICH member survives is decided by
+    * content-addressed hash, preserving the within-cluster diversity that
+    * [[selectKeepers]]' hard election always discards (the "soft dedup"
+    * used by duplicate-aware samplers: downweight, don't delete). Rates
+    * are exact integer basis points `10000 div n` and selection rides
+    * [[Sampling.byHashWeighted]]'s nested hash buckets, so the decision is
+    * rerun-stable and composes with every other hash sample in the
+    * pipeline (a doc kept here stays kept when a later stage samples at a
+    * lower rate). Singletons get rate 10000 and are always kept.
+    *
+    * Scale shape (100 TB): cluster labels come from [[resolveClusters]]
+    * (pair-graph-sized CC rounds); sizes are one `groupBy` over the
+    * (id, cluster_id) label frame — 16-byte rows, partial-aggregated —
+    * and the keep decision itself is a map-side filter. The corpus text
+    * never shuffles.
+    *
+    * @return the KEPT rows: (idCol, cluster_id, cluster_size, rate_bp). */
+  def softDedupSample(docs: DataFrame, idCol: String, pairs: DataFrame,
+                      idA: String = "id_a", idB: String = "id_b",
+                      seed: String = "sample"): DataFrame = {
+    val labeled = resolveClusters(docs, idCol, pairs, idA, idB)
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val rated = labeled.join(sizes, Seq("cluster_id"))
+      .withColumn("rate_bp", expr("10000 div cluster_size"))
+    Sampling.byHashWeighted(rated, idCol, col("rate_bp"), seed)
+      .select(col(idCol), col("cluster_id"), col("cluster_size"), col("rate_bp"))
+  }
+
   /** Duplicated-window census at `w`-token granularity — the analysis
     * surface behind [[stripDupSpans]]. One row per window: (idCol, pos,
     * wh, n_occ, is_first), where `pos` is the 0-based token offset, `wh`

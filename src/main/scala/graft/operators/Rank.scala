@@ -148,6 +148,53 @@ object Rank {
     pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
   }
 
+  /** Champion-list inverted index (impact-ordered posting prefixes —
+    * Manning/Raghavan/Schütze, *Introduction to Information Retrieval*
+    * §7.1.3): the SERVING-side complement of [[bm25TopK]]'s probe-side
+    * scoring. Per term it emits document frequency, collection frequency,
+    * and the top-`m` postings by term frequency — the "champions" a query
+    * server scores first for early termination. [[bm25TopK]] answers "score
+    * these few probe queries against the whole corpus"; this builds the
+    * persistable index that answers arbitrary future queries without
+    * re-scanning text.
+    *
+    * Scale shape (100 TB):
+    *  - ONE kernel pass per doc emits the per-doc tf map
+    *    ([[graft.functions.Kernels.termFreq]]) so within-doc repetition
+    *    collapses before any exchange; the explode produces the (term, id,
+    *    tf) census directly — no groupBy over raw tokens.
+    *  - per-term df/cf is one partially-aggregated `groupBy(term)`; a
+    *    stopword key is absorbed map-side before the exchange.
+    *  - champion selection rides GroupTopKExec's bounded per-term heaps: a
+    *    stopword's full posting list (potentially corpus-sized at 100 TB)
+    *    is never materialized or sorted — map-side heaps prune to m rows
+    *    per term before the shuffle.
+    *  - `minDf` prunes the hapax long tail (at web scale, MOST of the
+    *    vocabulary) via the stats join, bounding the index size.
+    *
+    * @return (term, df, cf, rank, idCol, tf), rank 1..m by (tf desc, id
+    *         asc) — ties broken on id so the index is deterministic. */
+  def championIndex(docs: DataFrame, idCol: String, textCol: String,
+                    m: Int, minDf: Long = 1L,
+                    lowercase: Boolean = true): DataFrame = {
+    require(m > 0, "championIndex: m must be positive")
+    require(minDf >= 1, "championIndex: minDf must be >= 1")
+    val tf = docs
+      .select(col(idCol), explode(graft.functions.Kernels.termFreqUdf(lowercase)(
+        col(textCol).cast("string"))).as(Seq("term", "tf")))
+      .select(col("term"), col(idCol), col("tf").cast("long").as("tf"))
+    val stats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .filter(col("df") >= minDf)
+    val champs = graft.plans.GroupTopK.topK(
+      tf, Seq("term"), Seq(col("tf").desc, col(idCol).asc), m)
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("tf").desc, col(idCol).asc)
+    champs.join(stats, Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .select(col("term"), col("df"), col("cf"), col("rank"), col(idCol), col("tf"))
+  }
+
   /** Top-k docs per query by BM25: (query_id, idCol, rank, score_micro).
     * GroupTopKExec heap-prunes map-side before the only exchange; the rank
     * window then sorts <= k rows per query, never the full score set. */

@@ -200,6 +200,50 @@ object EventsQ {
         |strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
         |      FROM events)
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+    QueryDef("q108_pagerank",
+      // Link-graph centrality (operators/PageRank): the clickstream
+      // transition graph — per-user consecutive (props.k) page visits form
+      // directed edges — ranked by 5 fixed PageRank iterations in exact
+      // scaled-integer arithmetic (every division integral, every sum an
+      // integer hash-agg), so the oracle's chained-CTE replay of the same
+      // recurrence matches bit-for-bit. Per-iteration state is node-sized;
+      // hot destinations are absorbed by map-side partial sums; each
+      // round's ranks are eagerly localCheckpoint'd (CC's plan-truncation
+      // lesson). Dangling mass dropped (documented simplification).
+      (s, d) => {
+        val e = ev(s, d).select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val edges = e.withColumn("pk", lag(col("k"), 1).over(w))
+          .filter(col("pk").isNotNull && col("pk") =!= col("k"))
+          .select(col("pk").as("src"), col("k").as("dst"))
+        graft.operators.PageRank.run(edges, "src", "dst", iterations = 5)
+          .select(col("node"), col("pr").as("pr_scaled"))
+          .orderBy(col("node"))
+      },
+      Some {
+        val iters = (1 to 5).map { i =>
+          s"""p$i AS (SELECT n.node,
+             |  CAST((SELECT tp FROM c) + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS pr
+             |  FROM nd n LEFT JOIN (
+             |    SELECT e.dst AS node, sum(p.pr // o.odeg) AS m
+             |    FROM ed e JOIN p${i - 1} p ON e.src = p.node JOIN odeg o ON e.src = o.src
+             |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ev AS (SELECT user_id, event_id, ts,
+           |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events),
+           |tr AS (SELECT k, lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pk FROM ev),
+           |ed AS (SELECT DISTINCT pk AS src, k AS dst FROM tr WHERE pk IS NOT NULL AND pk <> k),
+           |nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+           |c AS (SELECT count(*) AS n,
+           |  CAST(1000000000000 // count(*) AS BIGINT) AS init,
+           |  CAST((15 * 1000000000000) // (100 * count(*)) AS BIGINT) AS tp FROM nd),
+           |odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM ed GROUP BY 1),
+           |p0 AS (SELECT node, (SELECT init FROM c) AS pr FROM nd),
+           |$iters
+           |SELECT node, pr AS pr_scaled FROM p5 ORDER BY node""".stripMargin
+      })
   )
 }

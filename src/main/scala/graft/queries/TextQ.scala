@@ -1942,6 +1942,63 @@ object TextQ {
         |  / sqrt(CAST(n AS DOUBLE)))) AS BIGINT) AS rate_bp FROM c)
         |SELECT d.doc_id, d.lang, r.rate_bp FROM documents d JOIN r USING (lang)
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 1, 15)) AS BIGINT) % 10000 < r.rate_bp
-        |ORDER BY d.doc_id""".stripMargin))
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    QueryDef("q106_champion_index",
+      // Champion-list inverted index (Rank.championIndex, IIR §7.1.3):
+      // the persistable serving-side index that complements q102's
+      // probe-side BM25. One kernel pass per doc emits the tf MAP (within-
+      // doc repetition collapses before any exchange), per-term df/cf is
+      // one partial-aggregated groupBy, and champion selection rides
+      // GroupTopKExec's bounded heaps so a stopword's posting list is
+      // never materialized. minDf=50 prunes the rare tail ('dup', df=25 at
+      // sf0.01); the oracle replays the census + window formulation.
+      (s, d) => Rank.championIndex(docs(s, d), "doc_id", "text",
+          m = 8, minDf = 50L)
+        .select(col("term"), col("df"), col("cf"), big(col("rank")).as("rank"),
+          col("doc_id"), col("tf"))
+        .orderBy(col("term"), col("rank")),
+      Some(s"""WITH tk AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+        |tl AS (SELECT doc_id, unnest(w) AS term FROM tk),
+        |tfc AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tl GROUP BY 1, 2),
+        |st AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        |  FROM tfc GROUP BY 1 HAVING count(*) >= 50),
+        |rk AS (SELECT term, doc_id, tf,
+        |  row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank FROM tfc)
+        |SELECT r.term, s.df, s.cf, CAST(r.rank AS BIGINT) AS rank, r.doc_id, r.tf
+        |FROM rk r JOIN st s USING (term) WHERE r.rank <= 8
+        |ORDER BY r.term, r.rank""".stripMargin)),
+
+    QueryDef("q107_soft_dedup",
+      // Duplicate-aware SOFT dedup (Dedup.softDedupSample): members of a
+      // near-dup cluster of size n survive with probability 1/n — in
+      // expectation one doc per cluster, but the survivor varies by
+      // content hash (diversity selectKeepers' hard election discards).
+      // Rates are exact integer basis points 10000 div n on q72's cluster
+      // resolution; the keep decision is q74/q82's content-addressed hash
+      // filter, so it composes with every other sample. The oracle chains
+      // the shared minhash-pair CTEs, the recursive closure, and the
+      // byHashWeighted predicate.
+      (s, d) => {
+        val base = docs(s, d)
+        Dedup.softDedupSample(base, "doc_id",
+            Dedup.minhashPairs(base, "doc_id", "text", 12, 4, 0.6))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+        |filt AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.6),
+        |ed AS (SELECT id_a AS u, id_b AS v FROM filt UNION SELECT id_b, id_a FROM filt),
+        |reach AS (SELECT u, v FROM ed
+        |  UNION SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u WHERE e.v <> r.u),
+        |lbl AS (SELECT u AS doc_id, least(min(v), u) AS cluster_id FROM reach GROUP BY u),
+        |alldocs AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM alldocs GROUP BY 1),
+        |rated AS (SELECT a.doc_id, a.cluster_id, s.cluster_size,
+        |  CAST(10000 // s.cluster_size AS BIGINT) AS rate_bp
+        |  FROM alldocs a JOIN sz s USING (cluster_id))
+        |SELECT doc_id, cluster_id, cluster_size, rate_bp FROM rated
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 1, 15)) AS BIGINT) % 10000 < rate_bp
+        |ORDER BY doc_id""".stripMargin))
   )
 }

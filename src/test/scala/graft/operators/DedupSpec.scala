@@ -468,4 +468,40 @@ class DedupSpec extends SparkSpec {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.isEmpty, plan.toString)
   }
+
+  test("softDedupSample: rate is 10000 div cluster_size; membership is the hash filter") {
+    // cluster {3,4,5} via 3-4, 4-5 (id 4 hashes into the 1/3 keep bucket,
+    // ids 3 and 5 hash out — both filter directions exercised); 7, 8 singletons
+    val docs = Seq(3L, 4L, 5L, 7L, 8L).toDF("doc_id")
+    val pairs = Seq((3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.softDedupSample(docs, "doc_id", pairs)
+      .select("doc_id", "cluster_id", "cluster_size", "rate_bp")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // expected keeps: singletons always (rate 10000); cluster members iff
+    // hash60(id#sample) % 10000 < 3333 — the same kernel the filter uses
+    val expCluster = Seq(3L, 4L, 5L)
+      .filter(id => Kernels.hash60(s"$id#sample") % 10000 < 3333)
+      .map(id => (id, 3L, 3L, 3333L)).toSet
+    val expSingle = Set((7L, 7L, 1L, 10000L), (8L, 8L, 1L, 10000L))
+    assert(out == expCluster ++ expSingle)
+    assert(expCluster == Set((4L, 3L, 3L, 3333L)),
+      "planted ids pin one kept member and two dropped members")
+  }
+
+  test("softDedupSample: keeps compose with independent hash samples (nested buckets)") {
+    val docs = (1L to 200L).toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val kept = Dedup.softDedupSample(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // every doc that a downstream 30% sample keeps and soft-dedup kept
+    // stays kept when the two filters compose in either order
+    val downstream = graft.operators.Sampling
+      .byHash(docs, "doc_id", 3000).select("doc_id").as[Long].collect().toSet
+    val composed = graft.operators.Sampling
+      .byHash(Dedup.softDedupSample(docs, "doc_id", pairs), "doc_id", 3000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(composed == (kept intersect downstream))
+    // singletons (everything but maybe 1, 2) always survive soft dedup
+    assert((3L to 200L).forall(kept.contains))
+  }
 }

@@ -92,6 +92,46 @@ class RankSpec extends SparkSpec {
     intercept[IllegalArgumentException](Rank.rrfFuse(Seq.empty))
   }
 
+  test("championIndex matches a hand computation (df, cf, champions, rank)") {
+    val out = Rank.championIndex(corpus, "doc_id", "text", m = 2)
+      .select("term", "df", "cf", "rank", "doc_id", "tf")
+      .as[(String, Long, Long, Int, Long, Long)].collect().toSet
+    // corpus: 1:"spark join spark agg" 2:"spark scan" 3:"filter scan scan scan"
+    //         4:"window batch stream stream"
+    val expected = Set(
+      ("spark", 2L, 3L, 1, 1L, 2L), ("spark", 2L, 3L, 2, 2L, 1L),
+      ("scan", 2L, 4L, 1, 3L, 3L), ("scan", 2L, 4L, 2, 2L, 1L),
+      ("join", 1L, 1L, 1, 1L, 1L), ("agg", 1L, 1L, 1, 1L, 1L),
+      ("filter", 1L, 1L, 1, 3L, 1L), ("window", 1L, 1L, 1, 4L, 1L),
+      ("batch", 1L, 1L, 1, 4L, 1L), ("stream", 1L, 2L, 1, 4L, 2L))
+    assert(out == expected)
+  }
+
+  test("championIndex: minDf prunes the rare tail; m bounds every posting list") {
+    val out = Rank.championIndex(corpus, "doc_id", "text", m = 1, minDf = 2L)
+      .select("term", "rank", "doc_id").as[(String, Int, Long)].collect()
+    assert(out.map(_._1).toSet == Set("spark", "scan")) // only df >= 2 terms
+    assert(out.forall(_._2 == 1))                       // one champion each
+    assert(out.toSet == Set(("spark", 1, 1L), ("scan", 1, 3L)))
+  }
+
+  test("championIndex: equal tf ties break on doc id; case folds by default") {
+    val ties = Seq((9L, "Spark"), (7L, "spark"), (8L, "SPARK")).toDF("doc_id", "text")
+    val out = Rank.championIndex(ties, "doc_id", "text", m = 3)
+      .select("rank", "doc_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1, 7L), (2, 8L), (3, 9L)))
+    intercept[IllegalArgumentException](
+      Rank.championIndex(ties, "doc_id", "text", m = 0))
+    intercept[IllegalArgumentException](
+      Rank.championIndex(ties, "doc_id", "text", m = 1, minDf = 0L))
+  }
+
+  test("plan: championIndex prunes champions through GroupTopK bounded heaps") {
+    val plan = Rank.championIndex(corpus, "doc_id", "text", m = 2)
+      .queryExecution.executedPlan.toString
+    assert(planCount(plan, "GroupTopK") == 2, plan.take(3000)) // partial + final
+  }
+
   test("plan: scoring is map-side — no Exchange and no WindowExec before the top-k prune") {
     val scored = Rank.bm25Scores(corpus, "doc_id", "text",
       Map("a" -> Seq("spark", "agg"), "b" -> Seq("scan")))

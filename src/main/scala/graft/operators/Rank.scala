@@ -195,6 +195,48 @@ object Rank {
       .select(col("term"), col("df"), col("cf"), col("rank"), col(idCol), col("tf"))
   }
 
+  /** Merge two champion indexes built over DISJOINT corpora — the
+    * incremental-maintenance path (the [[Dedup.minhashIndex]] pattern for
+    * the lexical side): index the arriving batch alone, merge with the
+    * stored index, never re-scan corpus text. Exact, not approximate:
+    * a global top-m posting is necessarily top-m within its own half, so
+    * top-m(A ∪ B) == top-m(top-m(A) ∪ top-m(B)) and the merged index is
+    * bit-identical to a from-scratch build over the union (the q109
+    * oracle IS q106's from-scratch formulation). df/cf add because the
+    * corpora are disjoint.
+    *
+    * Build the halves with `minDf = 1` and apply `minDf` HERE: a term
+    * below the threshold in each half can cross it in the union, so
+    * pruning at build time would break mergeability (same reason
+    * [[Dedup.minhashIndex]] stores uncapped band rows).
+    *
+    * Scale shape: input is two bounded indexes (≤ m postings per term),
+    * never the corpora; one partial-aggregated stats groupBy plus a
+    * GroupTopK re-prune over ≤ 2m rows per term. */
+  def mergeChampionIndexes(a: DataFrame, b: DataFrame, m: Int,
+                           minDf: Long = 1L): DataFrame = {
+    require(m > 0, "mergeChampionIndexes: m must be positive")
+    require(minDf >= 1, "mergeChampionIndexes: minDf must be >= 1")
+    val cols = Seq("term", "df", "cf", "rank", "id", "tf")
+    // positional rename: championIndex output is (term, df, cf, rank, idCol, tf);
+    // the half tag keeps the per-term stats rows distinct even when both
+    // halves coincidentally share identical (df, cf)
+    val u = a.toDF(cols: _*).withColumn("__half", lit(0))
+      .unionByName(b.toDF(cols: _*).withColumn("__half", lit(1)))
+    val stats = u.select(col("__half"), col("term"), col("df"), col("cf")).distinct()
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+      .filter(col("df") >= minDf)
+    val champs = graft.plans.GroupTopK.topK(
+      u.select(col("term"), col("id"), col("tf")),
+      Seq("term"), Seq(col("tf").desc, col("id").asc), m)
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("tf").desc, col("id").asc)
+    champs.join(stats, Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .select(col("term"), col("df"), col("cf"), col("rank"), col("id"), col("tf"))
+  }
+
   /** Top-k docs per query by BM25: (query_id, idCol, rank, score_micro).
     * GroupTopKExec heap-prunes map-side before the only exchange; the rank
     * window then sorts <= k rows per query, never the full score set. */

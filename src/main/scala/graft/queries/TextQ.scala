@@ -1999,6 +1999,38 @@ object TextQ {
         |  FROM alldocs a JOIN sz s USING (cluster_id))
         |SELECT doc_id, cluster_id, cluster_size, rate_bp FROM rated
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 1, 15)) AS BIGINT) % 10000 < rate_bp
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q109_index_merge",
+      // Incremental champion-index maintenance (Rank.mergeChampionIndexes):
+      // index the even- and odd-id halves SEPARATELY (the stored index +
+      // arriving batch shape, Dedup.minhashIndex's pattern for the lexical
+      // side), then merge — df/cf add across disjoint corpora, champions
+      // re-prune over <= 2m bounded rows per term, minDf applies at merge
+      // time (pruning at build time would break mergeability). The merge
+      // invariant — a global top-m posting is top-m within its half — makes
+      // the result bit-identical to a from-scratch build, so the oracle IS
+      // q106's from-scratch formulation.
+      (s, d) => {
+        val base = docs(s, d)
+        val even = Rank.championIndex(base.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", m = 8)
+        val odd = Rank.championIndex(base.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", m = 8)
+        Rank.mergeChampionIndexes(even, odd, m = 8, minDf = 50L)
+          .select(col("term"), col("df"), col("cf"), big(col("rank")).as("rank"),
+            col("id").as("doc_id"), col("tf"))
+          .orderBy(col("term"), col("rank"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+        |tl AS (SELECT doc_id, unnest(w) AS term FROM tk),
+        |tfc AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tl GROUP BY 1, 2),
+        |st AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        |  FROM tfc GROUP BY 1 HAVING count(*) >= 50),
+        |rk AS (SELECT term, doc_id, tf,
+        |  row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank FROM tfc)
+        |SELECT r.term, s.df, s.cf, CAST(r.rank AS BIGINT) AS rank, r.doc_id, r.tf
+        |FROM rk r JOIN st s USING (term) WHERE r.rank <= 8
+        |ORDER BY r.term, r.rank""".stripMargin))
   )
 }

@@ -126,6 +126,35 @@ class RankSpec extends SparkSpec {
       Rank.championIndex(ties, "doc_id", "text", m = 1, minDf = 0L))
   }
 
+  test("mergeChampionIndexes == from-scratch build over the union (disjoint halves)") {
+    val a = corpus.filter($"doc_id" % 2 === 0)
+    val b = corpus.filter($"doc_id" % 2 === 1)
+    for (m <- Seq(1, 2, 4)) {
+      val merged = Rank.mergeChampionIndexes(
+        Rank.championIndex(a, "doc_id", "text", m),
+        Rank.championIndex(b, "doc_id", "text", m), m)
+        .as[(String, Long, Long, Int, Long, Long)].collect().toSet
+      val scratch = Rank.championIndex(corpus, "doc_id", "text", m)
+        .as[(String, Long, Long, Int, Long, Long)].collect().toSet
+      assert(merged == scratch, s"m=$m")
+    }
+  }
+
+  test("mergeChampionIndexes: identical per-half stats still add; merge-time minDf binds") {
+    // both halves give "x" identical (df=1, cf=2) stats rows — a distinct
+    // without the half tag would collapse them and halve the merged df
+    val a = Seq((1L, "x x")).toDF("doc_id", "text")
+    val b = Seq((2L, "x x")).toDF("doc_id", "text")
+    val ia = Rank.championIndex(a, "doc_id", "text", m = 2)
+    val ib = Rank.championIndex(b, "doc_id", "text", m = 2)
+    val merged = Rank.mergeChampionIndexes(ia, ib, m = 2)
+      .as[(String, Long, Long, Int, Long, Long)].collect().toSet
+    assert(merged == Set(("x", 2L, 4L, 1, 1L, 2L), ("x", 2L, 4L, 2, 2L, 2L)))
+    // a term under minDf in each half crosses it in the union: must survive
+    val gate = Rank.mergeChampionIndexes(ia, ib, m = 2, minDf = 2L)
+    assert(gate.count() == 2)
+  }
+
   test("plan: championIndex prunes champions through GroupTopK bounded heaps") {
     val plan = Rank.championIndex(corpus, "doc_id", "text", m = 2)
       .queryExecution.executedPlan.toString

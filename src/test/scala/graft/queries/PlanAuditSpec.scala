@@ -185,4 +185,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(3000))
     assert(planCount(plan, "GroupTopK") == 2, plan.take(3000))
   }
+
+  test("q106: posting lists prune through GroupTopK heaps; rank window only after the prune") {
+    // the index build must never sort a term's full posting list: champion
+    // selection is the partial+final heap pair, and the only WindowExec
+    // (the rank stamp) runs on <= m rows per term downstream of it
+    val plan = finalPlan(q("q106_champion_index"))
+    assert(planCount(plan, "GroupTopK") == 2, plan.take(3000))
+    // tree renders top-down, so the downstream rank window must print
+    // BEFORE the heap prune feeding it — i.e. it sorts <= m rows per term
+    val pruneAt = plan.indexOf("GroupTopK")
+    val windowAt = plan.indexOf("Window")
+    assert(pruneAt >= 0 && windowAt >= 0 && windowAt < pruneAt,
+      s"rank window must consume the prune's output (window@$windowAt prune@$pruneAt)\n" + plan.take(3000))
+  }
+
+  test("q107: soft-dedup keep decision is a filter, never a per-cluster window") {
+    // cluster sizes come from groupBy+join (skew-absorbed), the rate and
+    // hash-bucket predicate are map-side — no WindowExec anywhere
+    val plan = finalPlan(q("q107_soft_dedup"))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("q108: iteration state is checkpoint-truncated — the final plan is one bounded round") {
+    // every PageRank round ends in an eager localCheckpoint, so the final
+    // executed plan must read scanned RDD blocks (the checkpoint), not
+    // re-derive five rounds of joins; the only WindowExec belongs to the
+    // per-user lag edge derivation, which is itself behind the checkpoint
+    val plan = finalPlan(q("q108_pagerank"))
+    assert(plan.contains("Scan ExistingRDD"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
 }

@@ -263,6 +263,27 @@ object ScaleSmoke {
         "cell", "vec_id", 100).queryExecution.toRdd.count()
     }
     vecs.unpersist()
+    // champion-list index over the salted corpus: tf-map kernel census +
+    // heap-pruned postings; the salted vocab is tiny so every term is a
+    // "stopword" — the adversarial case the heap prune exists for
+    time("champion index (m=16)") {
+      graft.operators.Rank.championIndex(docs, "doc_id", "text", m = 16)
+        .queryExecution.toRdd.count()
+    }
+    // PageRank on a synthetic 1M-edge hub-skewed graph (hash-spread srcs,
+    // modulo-concentrated dsts): 5 integer rounds, node-sized state, the
+    // hot hubs land in map-side partial sums
+    val prEdges = spark.range(1000000L).toDF("i")
+      .select(pmod(hash(col("i")), lit(200000)).as("src"),
+        pmod(hash(col("i") * 31), lit(5000)).as("dst"))
+      .persist()
+    val nPrEdges = prEdges.count()
+    time("pagerank (5 iters)") {
+      graft.operators.PageRank.run(prEdges, "src", "dst", iterations = 5)
+        .queryExecution.toRdd.count()
+    }
+    println(s"  (graph: $nPrEdges edges, 200k hash-spread srcs -> 5k hub dsts)")
+    prEdges.unpersist()
     spark.stop()
   }
 }

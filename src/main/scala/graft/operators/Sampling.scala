@@ -78,8 +78,17 @@ object Sampling {
     *
     * @return the sampled rows: `df`'s columns plus `rate_bp`. */
   def temperatureMixture(df: DataFrame, idCol: String, groupCol: String,
-                         alpha: Double = 0.5, seed: String = "sample"): DataFrame = {
-    require(alpha > 0 && alpha <= 1, "temperatureMixture: alpha must be in (0, 1]")
+                         alpha: Double = 0.5, seed: String = "sample"): DataFrame =
+    byHashWeighted(df.join(broadcast(temperatureRates(df, groupCol, alpha)),
+      Seq(groupCol)), idCol, col("rate_bp"), seed)
+
+  /** The per-group basis-point rates [[temperatureMixture]] samples by,
+    * exposed for rate COMPOSITION (multiply with a soft-dedup or quality
+    * rate via [[composeRates]] before one shared hash filter).
+    * @return (groupCol, rate_bp) — group-count-sized, broadcastable. */
+  def temperatureRates(df: DataFrame, groupCol: String,
+                       alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "temperatureRates: alpha must be in (0, 1]")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
     val nmin = counts.agg(min(col("__n")).as("__nmin"))
     val ratio: Column =
@@ -88,10 +97,22 @@ object Sampling {
       else
         pow(col("__nmin").cast("double"), lit(1 - alpha)) /
           pow(col("__n").cast("double"), lit(1 - alpha))
-    val rates = counts.crossJoin(broadcast(nmin))
+    counts.crossJoin(broadcast(nmin))
       .select(col(groupCol), floor(lit(1e4) * ratio).cast("long").as("rate_bp"))
-    byHashWeighted(df.join(broadcast(rates), Seq(groupCol)), idCol,
-      col("rate_bp"), seed)
+  }
+
+  /** Exact integer product of two basis-point rates: (a * b) div 10000 —
+    * the composition law for independent thinning decisions (keep iff a
+    * single hash bucket clears the combined rate). Floor semantics make
+    * the composite rate <= min(a, b), so the composed sample is a SUBSET
+    * of each single-rate sample over the same seed — rate stacking can
+    * only remove rows, never flip one in. */
+  def composeRates(a: Column, b: Column): Column = {
+    // (a*b) div 10000 in exact arithmetic without a SQL-string round-trip:
+    // subtract the mod first so the double division is of an exactly-
+    // divisible product <= 1e8 — bit-exact vs DuckDB's integer //
+    val p = a.cast("long") * b.cast("long")
+    ((p - pmod(p, lit(10000L))) / 10000).cast("long")
   }
 
   def byHashWeighted(df: DataFrame, idCol: String, rateBpCol: Column,

@@ -514,16 +514,29 @@ object Dedup {
     * wh, n_occ, is_first), where `pos` is the 0-based token offset, `wh`
     * the 60-bit window hash, `n_occ` the corpus-wide occurrence count of
     * that window (including within-doc repeats), and `is_first` marks the
-    * global first occurrence in (id, pos) order. */
+    * global first occurrence in (id, pos) order.
+    *
+    * The census runs as groupBy + join-back rather than `count()/
+    * row_number() over Window.partitionBy(wh)`: a corpus-hot boilerplate
+    * window (one 15-token footer occurring in millions of docs) would
+    * funnel its ENTIRE occurrence list into one sorting task, while the
+    * groupBy absorbs the hot hash with map-side partial aggregation and
+    * the join-back's probe side stays AQE-skew-splittable (the build side
+    * is one row per wh) — the same de-skew applied to capBandFanout and
+    * ConnectedComponents. `is_first` falls out of the aggregate as
+    * "(id, pos) equals min(struct(id, pos))"; no per-key sort exists
+    * anywhere in the plan. */
   def dupWindows(df: DataFrame, idCol: String, textCol: String,
                  w: Int = 15): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val wins = df.select(col(idCol),
       posexplode(windowHashes(col(textCol), w)).as(Seq("pos", "wh")))
-    val byHash = Window.partitionBy(col("wh"))
-    wins.select(col(idCol), col("pos"), col("wh"),
-      count(lit(1)).over(byHash).as("n_occ"),
-      (row_number().over(byHash.orderBy(col(idCol), col("pos"))) === 1).as("is_first"))
+    val census = wins.groupBy(col("wh"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col(idCol), col("pos"))).as("__first"))
+    wins.join(census, Seq("wh"))
+      .select(col(idCol), col("pos"), col("wh"), col("n_occ"),
+        (col("__first").getField(idCol) === col(idCol) &&
+          col("__first").getField("pos") === col("pos")).as("is_first"))
   }
 
   /** Rolling `w`-token window hashes of a text column: element i (0-based)
@@ -552,9 +565,11 @@ object Dedup {
     * stays null. Adds `dup_windows` and `covered_tokens` columns.
     *
     * Scale shape (100 TB): window hashes are computed map-side and the
-    * census is ONE shuffle of (id, pos, 8-byte hash) — O(total tokens)
-    * rows, the same asymptotic cost as the paper's suffix array but
-    * horizontally partitioned. The flagged set is dup-rate-sized, so the
+    * census shuffles only (id, pos, 8-byte hash) rows — O(total tokens),
+    * the same asymptotic cost as the paper's suffix array but horizontally
+    * partitioned, as a skew-proof groupBy + join-back (see [[dupWindows]])
+    * rather than a per-hash window sort; the hash side is scanned twice
+    * (once per join input), both times kernel-map-side. The flagged set is dup-rate-sized, so the
     * per-doc position lists regroup small and the join back to the corpus
     * broadcasts under AQE at typical dup rates; the rebuild is map-side.
     * Distinct grams colliding in 60 bits could over-strip at ~2^-60 per

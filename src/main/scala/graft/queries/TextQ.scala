@@ -1738,7 +1738,6 @@ object TextQ {
       // formulations renamed and wired so downstream stages read upstream
       // OUTPUT (grams over the stripped text, not the original).
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val base = docs(s, d).select(col("doc_id"), col("text"))
         // thresholds adapted to the synthetic corpus (small shared
         // vocabulary, no English stopwords): the strict q80 defaults gate
@@ -1750,10 +1749,17 @@ object TextQ {
           .select(col("doc_id"), col("keep").as("gopher_keep"))
         val stripped = Dedup.stripDupSpans(base, "doc_id", "text", w = 15)
           .select(col("doc_id"), col("text"), col("covered_tokens"))
-        val canon = stripped
-          .withColumn("__sha", sha2(col("text"), 256))
-          .withColumn("is_canonical",
-            col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("__sha"))))
+        // canonical pick as groupBy + join-back, not min() over
+        // Window.partitionBy(__sha): a corpus-hot identical rebuild (mass
+        // boilerplate collapsing to one sha) would funnel into one window
+        // task, while the aggregate partials absorb it map-side and the
+        // one-row-per-sha build side broadcasts under AQE
+        val withSha = stripped.withColumn("__sha", sha2(col("text"), 256))
+        val shaMin = withSha.groupBy(col("__sha"))
+          .agg(min(col("doc_id")).as("__canon_id"))
+        val canon = withSha.join(shaMin, Seq("__sha"))
+          .withColumn("is_canonical", col("doc_id") === col("__canon_id"))
+          .drop("__canon_id")
         val deco = graft.operators.Decontaminate
           .flag(stripped, stripped.filter(col("doc_id") % 53 === 0), "doc_id", "text", n = 8)
           .select(col("doc_id"), col("contaminated"))

@@ -437,6 +437,26 @@ class DedupSpec extends SparkSpec {
     assert(wins == Seq((1L, 0, 3L, true), (1L, 8, 3L, false), (2L, 0, 3L, false)))
   }
 
+  test("dupWindows: planted corpus-hot window (in EVERY doc) stays correct and window-free") {
+    // the skew class the census must absorb: one boilerplate window in
+    // every document — a per-key window would funnel all N occurrences
+    // into one sorting task; the groupBy census absorbs it map-side
+    val boiler = filler("boil", 5)
+    val docs = (1L to 200L)
+      .map(i => (i, s"${filler(s"u$i", 3)} $boiler"))
+      .toDF("doc_id", "text")
+    val wins = Dedup.dupWindows(docs, "doc_id", "text", w = 5)
+    val hot = wins.filter($"n_occ" === 200)
+      .select("doc_id", "is_first")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(hot.size == 200)
+    assert(hot.filter(_._2).map(_._1) == Seq(1L)) // global first = min (id, pos)
+    val plan = wins.queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, plan.toString)
+  }
+
   test("selectKeepers: quality elects the keeper, not the min id; singletons keep themselves") {
     // cluster {1,2,3}: doc 3 has the highest quality -> keeper despite max id
     val docs = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (9L, 5.0)).toDF("doc_id", "q")

@@ -200,6 +200,18 @@ class PlanAuditSpec extends SparkSpec {
       s"rank window must consume the prune's output (window@$windowAt prune@$pruneAt)\n" + plan.take(3000))
   }
 
+  test("q87: duplicated-window census is groupBy+join-back — no per-hash window sort") {
+    // a corpus-hot boilerplate window must be absorbed by map-side
+    // aggregate partials, never funneled into one WindowExec sort task
+    val plan = finalPlan(q("q87_dup_spans"))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("q92: composed corpus build carries NO per-key window — census and canonical pick are aggregates") {
+    val plan = finalPlan(q("q92_corpus_build"))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
   test("q107: soft-dedup keep decision is a filter, never a per-cluster window") {
     // cluster sizes come from groupBy+join (skew-absorbed), the rate and
     // hash-bucket predicate are map-side — no WindowExec anywhere

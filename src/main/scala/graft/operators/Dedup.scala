@@ -484,7 +484,9 @@ object Dedup {
     * content-addressed hash, preserving the within-cluster diversity that
     * [[selectKeepers]]' hard election always discards (the "soft dedup"
     * used by duplicate-aware samplers: downweight, don't delete). Rates
-    * are exact integer basis points `10000 div n` and selection rides
+    * are exact integer basis points `max(1, 10000 div n)` — floored at
+    * 1 bp so a cluster of more than 10000 members is never dropped
+    * outright — and selection rides
     * [[Sampling.byHashWeighted]]'s nested hash buckets, so the decision is
     * rerun-stable and composes with every other hash sample in the
     * pipeline (a doc kept here stays kept when a later stage samples at a
@@ -503,8 +505,13 @@ object Dedup {
     val labeled = resolveClusters(docs, idCol, pairs, idA, idB)
     val sizes = labeled.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
+    // clamp to >= 1 bp: `10000 div n` floors to 0 for clusters larger
+    // than 10000 members (common boilerplate at corpus scale), which
+    // would deterministically drop the whole cluster; at 1 bp a cluster
+    // of n > 10000 keeps n/10000 >= 1 docs in expectation, preserving
+    // the one-per-cluster-in-expectation contract
     val rated = labeled.join(sizes, Seq("cluster_id"))
-      .withColumn("rate_bp", expr("10000 div cluster_size"))
+      .withColumn("rate_bp", greatest(lit(1L), expr("10000 div cluster_size")))
     Sampling.byHashWeighted(rated, idCol, col("rate_bp"), seed)
       .select(col(idCol), col("cluster_id"), col("cluster_size"), col("rate_bp"))
   }

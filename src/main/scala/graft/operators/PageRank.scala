@@ -21,12 +21,23 @@ import org.apache.spark.sql.functions._
   *
   *   share(u)  = pr(u) div outdeg(u)
   *   pr'(v)    = ((100-dampingPct) * scale) div (100 * N)
-  *             + (dampingPct * sum_{u->v} share(u)) div 100
+  *             + (dampingPct * (sum_{u->v} share(u) + dang)) div 100
   *
-  * Dangling mass (nodes with no out-edges) is dropped, not redistributed —
-  * the common simplification; ranks then measure relative, not normalized,
-  * centrality. Edges are deduplicated and self-loops removed, so the graph
-  * is simple and unweighted.
+  * where `dang` = (sum of pr over nodes with no out-edges) div N when
+  * `redistributeDangling` is on, else 0. OFF by default (the common
+  * simplification — ranks then measure relative, not normalized,
+  * centrality); ON gives the normalized-mass variant at the cost of one
+  * extra scalar aggregate per round (the dangling sum, a driver-side
+  * Long, same bounded-action class as the node count). Edges are
+  * deduplicated and self-loops removed, so the graph is simple and
+  * unweighted.
+  *
+  * `stopDelta` adds convergence-based early stopping: after each round
+  * the max |pr' - pr| over all nodes (one scalar aggregate) is compared
+  * against the threshold (in `scale` units) and iteration stops once the
+  * ranks have settled. `iterations` stays the hard upper bound, so the
+  * default (None) keeps the fixed-iteration contract the q108 oracle
+  * replays.
   *
   * Scale shape (100 TB graphs, billions of nodes):
   *  - per-iteration state is (node, pr) — node-sized, never edge-sized; no
@@ -52,12 +63,20 @@ object PageRank {
     *               appearing in any edge, pr in `scale` units. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iterations: Int = 5, dampingPct: Int = 85,
-          scale: Long = 1000000000000L): DataFrame = {
+          scale: Long = 1000000000000L,
+          redistributeDangling: Boolean = false,
+          stopDelta: Option[Long] = None): DataFrame = {
     require(iterations >= 0 && iterations <= 1000,
       s"PageRank: iterations must be in [0, 1000], got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"PageRank: dampingPct must be in [0, 100], got $dampingPct")
-    require(scale > 0, "PageRank: scale must be positive")
+    // Upper bound, not just positivity: the teleport constant multiplies
+    // scale by up to 100, and the damping step multiplies a mass sum that
+    // can reach ~1.5*scale (inbound shares + redistributed dangling) by
+    // up to 100 — /200 keeps every intermediate inside Long exactly.
+    require(scale > 0 && scale <= Long.MaxValue / 200,
+      s"PageRank: scale must be in (0, ${Long.MaxValue / 200}], got $scale")
+    require(stopDelta.forall(_ >= 0), "PageRank: stopDelta must be >= 0")
 
     val ed = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -78,17 +97,36 @@ object PageRank {
     val teleport = ((100L - dampingPct) * scale) / (100L * n)
 
     var ranks = nodes.select(col("node"), lit(init).as("pr")).localCheckpoint(true)
-    for (_ <- 0 until iterations) {
+    var i = 0
+    var settled = false
+    while (i < iterations && !settled) {
+      // dangling mass: one scalar aggregate over node-sized state (a
+      // driver-side Long, the same bounded-action class as the n count)
+      val dang =
+        if (redistributeDangling) {
+          val dsum = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+            .agg(coalesce(sum(col("pr")), lit(0L))).head.getLong(0)
+          dsum / n
+        } else 0L
       val shares = ranks.join(outdeg, ranks("node") === outdeg("src"))
         .select(col("src"), expr("pr div odeg").as("share"))
       val inbound = ed.join(shares, Seq("src"))
         .groupBy(col("dst")).agg(sum(col("share")).as("m"))
       val next = nodes.join(inbound, nodes("node") === inbound("dst"), "left")
         .select(col("node"),
-          (lit(teleport) + expr(s"($dampingPct * coalesce(m, 0L)) div 100")).as("pr"))
+          (lit(teleport) + expr(s"($dampingPct * (coalesce(m, 0L) + $dang)) div 100")).as("pr"))
         .localCheckpoint(true)
+      settled = stopDelta.exists { eps =>
+        // scalar max-|delta| over node-sized state; both sides are
+        // already-checkpointed block scans, so the join is two cached reads
+        next.select(col("node"), col("pr").as("__npr"))
+          .join(ranks, Seq("node"))
+          .agg(coalesce(max(abs(col("__npr") - col("pr"))), lit(0L)))
+          .head.getLong(0) <= eps
+      }
       ranks.unpersist()
       ranks = next
+      i += 1
     }
     ed.unpersist()
     outdeg.unpersist()

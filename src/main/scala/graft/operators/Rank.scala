@@ -212,12 +212,27 @@ object Rank {
     *
     * Scale shape: input is two bounded indexes (≤ m postings per term),
     * never the corpora; one partial-aggregated stats groupBy plus a
-    * GroupTopK re-prune over ≤ 2m rows per term. */
+    * GroupTopK re-prune over ≤ 2m rows per term.
+    *
+    * Pass `validateDisjoint = true` to fail fast (bounded limit-1 probe)
+    * when the halves share document ids — an overlap would otherwise
+    * silently double-count df/cf rather than error. */
   def mergeChampionIndexes(a: DataFrame, b: DataFrame, m: Int,
-                           minDf: Long = 1L): DataFrame = {
+                           minDf: Long = 1L,
+                           validateDisjoint: Boolean = false): DataFrame = {
     require(m > 0, "mergeChampionIndexes: m must be positive")
     require(minDf >= 1, "mergeChampionIndexes: minDf must be >= 1")
     val cols = Seq("term", "df", "cf", "rank", "id", "tf")
+    if (validateDisjoint) {
+      // overlapping corpora would silently double-count df/cf (a doc in
+      // both halves adds its tf twice); fail fast instead — the
+      // minhashPairsAgainstIndex guard pattern. limit(1) bounds the probe.
+      val overlap = a.toDF(cols: _*).select(col("id")).distinct()
+        .join(b.toDF(cols: _*).select(col("id")).distinct(), Seq("id"), "left_semi")
+        .limit(1).count()
+      require(overlap == 0,
+        "mergeChampionIndexes: halves share document ids — corpora must be disjoint")
+    }
     // positional rename: championIndex output is (term, df, cf, rank, idCol, tf);
     // the half tag keeps the per-term stats rows distinct even when both
     // halves coincidentally share identical (df, cf)

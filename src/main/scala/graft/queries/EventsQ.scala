@@ -244,6 +244,53 @@ object EventsQ {
            |p0 AS (SELECT node, (SELECT init FROM c) AS pr FROM nd),
            |$iters
            |SELECT node, pr AS pr_scaled FROM p5 ORDER BY node""".stripMargin
+      }),
+
+    QueryDef("q110_pagerank_dangling",
+      // PageRank fidelity variant: dangling-mass REDISTRIBUTION
+      // (PageRank.run redistributeDangling = true). Forward-only
+      // transitions (src < dst) make the top-k pages genuine sinks, so
+      // real dangling mass exists every round: its sum (one scalar
+      // aggregate over node-sized state per round) is split evenly and
+      // folded into the damping term — still exact scaled-integer, so the
+      // oracle's chained CTEs (one dangling-sum CTE per iteration)
+      // replay bit-for-bit. Early-stop (stopDelta) is spec-covered, not
+      // oracled: the fixed-iteration contract stays the SQL surface.
+      (s, d) => {
+        val e = ev(s, d).select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val edges = e.withColumn("pk", lag(col("k"), 1).over(w))
+          .filter(col("pk").isNotNull && col("pk") < col("k"))
+          .select(col("pk").as("src"), col("k").as("dst"))
+        graft.operators.PageRank.run(edges, "src", "dst", iterations = 5,
+            redistributeDangling = true)
+          .select(col("node"), col("pr").as("pr_scaled"))
+          .orderBy(col("node"))
+      },
+      Some {
+        val iters = (1 to 5).map { i =>
+          s"""d$i AS (SELECT CAST(coalesce(sum(p.pr), 0) // (SELECT n FROM c) AS BIGINT) AS dg
+             |  FROM p${i - 1} p LEFT JOIN odeg o ON p.node = o.src WHERE o.src IS NULL),
+             |p$i AS (SELECT n.node,
+             |  CAST((SELECT tp FROM c) + (85 * (coalesce(s.m, 0) + (SELECT dg FROM d$i))) // 100 AS BIGINT) AS pr
+             |  FROM nd n LEFT JOIN (
+             |    SELECT e.dst AS node, sum(p.pr // o.odeg) AS m
+             |    FROM ed e JOIN p${i - 1} p ON e.src = p.node JOIN odeg o ON e.src = o.src
+             |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ev AS (SELECT user_id, event_id, ts,
+           |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events),
+           |tr AS (SELECT k, lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pk FROM ev),
+           |ed AS (SELECT DISTINCT pk AS src, k AS dst FROM tr WHERE pk IS NOT NULL AND pk < k),
+           |nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+           |c AS (SELECT count(*) AS n,
+           |  CAST(1000000000000 // count(*) AS BIGINT) AS init,
+           |  CAST((15 * 1000000000000) // (100 * count(*)) AS BIGINT) AS tp FROM nd),
+           |odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM ed GROUP BY 1),
+           |p0 AS (SELECT node, (SELECT init FROM c) AS pr FROM nd),
+           |$iters
+           |SELECT node, pr AS pr_scaled FROM p5 ORDER BY node""".stripMargin
       })
   )
 }

@@ -2001,7 +2001,7 @@ object TextQ {
         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM alldocs GROUP BY 1),
         |rated AS (SELECT a.doc_id, a.cluster_id, s.cluster_size,
-        |  CAST(10000 // s.cluster_size AS BIGINT) AS rate_bp
+        |  greatest(CAST(1 AS BIGINT), CAST(10000 // s.cluster_size AS BIGINT)) AS rate_bp
         |  FROM alldocs a JOIN sz s USING (cluster_id))
         |SELECT doc_id, cluster_id, cluster_size, rate_bp FROM rated
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 1, 15)) AS BIGINT) % 10000 < rate_bp

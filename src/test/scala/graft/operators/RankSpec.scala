@@ -155,6 +155,21 @@ class RankSpec extends SparkSpec {
     assert(gate.count() == 2)
   }
 
+  test("mergeChampionIndexes: validateDisjoint rejects overlapping halves, passes disjoint ones") {
+    val a = Seq((1L, "x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "x z")).toDF("doc_id", "text")
+    val ia = Rank.championIndex(a, "doc_id", "text", m = 2)
+    val ib = Rank.championIndex(b, "doc_id", "text", m = 2)
+    // disjoint: the guard is a no-op
+    assert(Rank.mergeChampionIndexes(ia, ib, m = 2, validateDisjoint = true).count() > 0)
+    // overlapping (doc 1 in both halves) would double-count df/cf — fail fast
+    intercept[IllegalArgumentException] {
+      Rank.mergeChampionIndexes(ia,
+        Rank.championIndex(a.union(b), "doc_id", "text", m = 2),
+        m = 2, validateDisjoint = true)
+    }
+  }
+
   test("plan: championIndex prunes champions through GroupTopK bounded heaps") {
     val plan = Rank.championIndex(corpus, "doc_id", "text", m = 2)
       .queryExecution.executedPlan.toString

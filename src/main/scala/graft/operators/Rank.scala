@@ -252,6 +252,78 @@ object Rank {
       .select(col("term"), col("df"), col("cf"), col("rank"), col("id"), col("tf"))
   }
 
+  /** Index-only BM25 serving — score arbitrary queries FROM a stored
+    * champion index ([[championIndex]] output) without ever re-scanning
+    * corpus text: the early-termination serving path champion lists exist
+    * FOR (IIR §7.1.3). Per query term, only its ≤ m champion postings are
+    * candidates; idf comes from the index's df column. The index stores no
+    * per-doc lengths, so scoring is exact BM25 with b = 0 (no length
+    * normalization): contribution = idf(t) * tf(k1+1)/(tf+k1) — identical
+    * to [[bm25TopK]] run with `b = 0` whenever every query term's full
+    * posting list survived into the champions (m ≥ df), which is the
+    * RankSpec equivalence pin.
+    *
+    * Scale shape (100 TB corpus, arbitrary query load):
+    *  - the corpus never participates: the only scan is the INDEX, filtered
+    *    to the query vocabulary (an isin pushed into the index's parquet
+    *    scan), ≤ |terms|·m rows.
+    *  - one bounded driver collect of (term, df) — query-vocabulary-sized,
+    *    the [[bm25Scores]] stats-row convention — turns idf into
+    *    driver-embedded literals; query membership and contributions are
+    *    then a map-side typed-literal lookup + explode, NO join.
+    *  - the (query, doc) sum is a hash agg over candidate-sized input,
+    *    then GroupTopKExec's bounded per-query prune.
+    *
+    * Determinism: same integer micro-unit floors as [[bm25Scores]]; the
+    * q111 oracle replays the identical left-associated double arithmetic
+    * index-side.
+    *
+    * @param nDocs corpus size N for idf — index metadata the caller
+    *              carries (the index itself only knows surviving terms).
+    * @return (query_id, id, score_micro, rank), rank 1..kTop per query by
+    *         (score desc, id asc); docs scoring 0 dropped. */
+  def bm25FromIndex(index: DataFrame, nDocs: Long,
+                    queries: Map[String, Seq[String]], kTop: Int,
+                    k1: Double = 1.2, lowercase: Boolean = true): DataFrame = {
+    require(nDocs > 0, "bm25FromIndex: nDocs must be positive")
+    require(kTop > 0, "bm25FromIndex: kTop must be positive")
+    require(queries.nonEmpty, "bm25FromIndex: need at least one query")
+    val norm: String => String = t => if (lowercase) t.toLowerCase else t
+    val qTerms = queries.map { case (q, ts) =>
+      val n = ts.map(norm).distinct
+      require(n.nonEmpty, s"bm25FromIndex: query '$q' has no terms")
+      q -> n
+    }
+    val allTerms = qTerms.values.flatten.toSeq.distinct.sorted
+    val idx = index.toDF("term", "df", "cf", "rank", "id", "tf")
+    val postings = idx.filter(col("term").isin(allTerms: _*))
+    // bounded driver collect: one (term, df) row per query-vocabulary term
+    // actually present in the index (absent terms simply contribute no
+    // candidates — the serving contract, not an error)
+    val dfs = postings.select(col("term"), col("df")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf: Map[String, Long] = dfs.map { case (t, dft) =>
+      t -> math.floor(1e6 * math.log(1.0 + (nDocs - dft + 0.5) / (dft + 0.5))).toLong
+    }
+    val termQueries: Map[String, Seq[String]] = allTerms.map(t =>
+      t -> qTerms.collect { case (q, ts) if ts.contains(t) => q }.toSeq.sorted).toMap
+    val scored = postings
+      .select(col("id"), col("term"), col("tf"),
+        explode(typedlit(termQueries).getItem(col("term"))).as("query_id"))
+      .withColumn("__c",
+        floor(typedlit(idf).getItem(col("term")).cast("double") *
+          ((col("tf").cast("double") * lit(k1 + 1)) /
+            (col("tf").cast("double") + lit(k1)))).cast("long"))
+    val sc = scored.groupBy(col("query_id"), col("id"))
+      .agg(sum(col("__c")).as("score_micro"))
+      .filter(col("score_micro") > 0)
+    val pruned = graft.plans.GroupTopK.topK(
+      sc, Seq("query_id"), Seq(col("score_micro").desc, col("id").asc), kTop)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("id").asc)
+    pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
+  }
+
   /** Top-k docs per query by BM25: (query_id, idCol, rank, score_micro).
     * GroupTopKExec heap-prunes map-side before the only exchange; the rank
     * window then sorts <= k rows per query, never the full score set. */

@@ -155,6 +155,64 @@ class RankSpec extends SparkSpec {
     assert(gate.count() == 2)
   }
 
+  test("bm25FromIndex == bm25TopK(b=0) when champions fully cover every posting list") {
+    // m = 100 >= every df, so each term's ENTIRE posting list survives as
+    // champions and the serving path sees exactly the candidates full
+    // scoring sees; b=0 removes the length normalization the index can't
+    // store — the two paths must then agree bit-for-bit
+    val queries = Map("probe_a" -> Seq("spark", "scan"), "probe_b" -> Seq("stream"))
+    val index = Rank.championIndex(corpus, "doc_id", "text", m = 100)
+    val served = Rank.bm25FromIndex(index, nDocs = 4L, queries, kTop = 4)
+      .select($"query_id", $"id", $"score_micro", $"rank")
+      .as[(String, Long, Long, Int)].collect().toSet
+    val full = Rank.bm25TopK(corpus, "doc_id", "text", queries, kTop = 4, b = 0.0)
+      .select($"query_id", $"doc_id", $"score_micro", $"rank")
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(served == full && served.nonEmpty)
+  }
+
+  test("bm25FromIndex matches a hand computation and honors champion truncation") {
+    // m = 1 keeps only each term's top champion: doc 1 for "spark"
+    // (tf=2 beats doc 2's tf=1), so doc 2 must NOT be scored for q
+    // even though it contains the term — the early-termination contract
+    val index = Rank.championIndex(corpus, "doc_id", "text", m = 1)
+    val out = Rank.bm25FromIndex(index, nDocs = 4L, Map("q" -> Seq("spark")), kTop = 4)
+      .as[(String, Long, Long, Int)].collect().toSet
+    val idf = math.floor(1e6 * math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))).toLong
+    val c = math.floor(idf.toDouble * ((2.0 * 2.2) / (2.0 + 1.2))).toLong
+    assert(out == Set(("q", 1L, c, 1)))
+  }
+
+  test("bm25FromIndex: terms absent from the index contribute nothing; guards fail fast") {
+    val index = Rank.championIndex(corpus, "doc_id", "text", m = 2)
+    assert(Rank.bm25FromIndex(index, 4L, Map("q" -> Seq("zzz_missing")), 3).count() == 0)
+    intercept[IllegalArgumentException](
+      Rank.bm25FromIndex(index, 0L, Map("q" -> Seq("spark")), 3))
+    intercept[IllegalArgumentException](
+      Rank.bm25FromIndex(index, 4L, Map.empty, 3))
+    intercept[IllegalArgumentException](
+      Rank.bm25FromIndex(index, 4L, Map("q" -> Seq("spark")), 0))
+  }
+
+  test("plan: bm25FromIndex serves from the index scan alone — term filter pushed, no join") {
+    // persist the index, then serve from the parquet: the query-vocabulary
+    // isin must reach the scan, and idf/membership are typed-literal
+    // lookups, so the plan carries NO corpus scan and NO join
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    try {
+      Rank.championIndex(corpus, "doc_id", "text", m = 2)
+        .write.mode("overwrite").parquet(dir)
+      val served = Rank.bm25FromIndex(spark.read.parquet(dir), 4L,
+        Map("q" -> Seq("spark", "scan")), kTop = 3)
+      served.queryExecution.toRdd.count()
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [In(term"), plan.take(3000))
+      assert(!plan.contains("Join"), plan.take(3000))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("mergeChampionIndexes: validateDisjoint rejects overlapping halves, passes disjoint ones") {
     val a = Seq((1L, "x y")).toDF("doc_id", "text")
     val b = Seq((2L, "x z")).toDF("doc_id", "text")

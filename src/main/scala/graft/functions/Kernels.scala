@@ -270,6 +270,26 @@ object Kernels {
   def termFreqUdf(lowercase: Boolean): UserDefinedFunction =
     udf((text: String) => termFreq(text, lowercase))
 
+  /** [[termFreq]] plus the doc length (token count) from the SAME single
+    * pass — the impact-ordered champion build needs dl for the BM25
+    * length normalization and re-tokenizing to count would double the
+    * kernel cost. Null text -> (0, empty map). */
+  def termFreqDl(text: String, lowercase: Boolean): (Int, Map[String, Int]) = {
+    val base = if (text != null && lowercase)
+      text.toLowerCase(java.util.Locale.ROOT) else text
+    val toks = tokenize(base)
+    val m = scala.collection.mutable.HashMap.empty[String, Int]
+    var i = 0
+    while (i < toks.length) {
+      m.update(toks(i), m.getOrElse(toks(i), 0) + 1)
+      i += 1
+    }
+    (toks.length, m.toMap)
+  }
+
+  def termFreqDlUdf(lowercase: Boolean): UserDefinedFunction =
+    udf((text: String) => termFreqDl(text, lowercase))
+
   /** Span-removal rebuild: drop every token covered by a flagged window
     * [p, p+w), p from the ASCENDING `sortedPos`, and space-join the rest.
     * Returns (keptText, coveredCount). One pass with a rolling cover-end

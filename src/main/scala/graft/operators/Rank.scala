@@ -195,6 +195,104 @@ object Rank {
       .select(col("term"), col("df"), col("cf"), col("rank"), col(idCol), col("tf"))
   }
 
+  /** Impact-ordered champion lists — IIR §7.1.3's refinement of
+    * [[championIndex]]: postings are ranked by the BM25 per-(term, doc)
+    * impact w(d,t) rather than raw tf, so a short focused doc outranks a
+    * long one with the same term count. The stored ordering key is the
+    * LENGTH-NORMALIZED tf impact in integer micro units
+    *
+    *   impact_micro = floor(1e6 * tf(k1+1) / (tf + k1((1-b) + b*dl/avgdl)))
+    *
+    * — idf is deliberately excluded: it is CONSTANT within a term's
+    * posting list, so it cannot change which docs are champions or their
+    * order, and excluding it keeps the key independent of corpus-wide df
+    * (serving multiplies by idf, as [[bm25FromIndex]] does). `dl` comes
+    * from the same single kernel pass as the tf map
+    * ([[graft.functions.Kernels.termFreqDl]]); `avgdl` is one 1-row
+    * driver aggregate (the [[bm25Scores]] stats convention) — or
+    * `fixedAvgdl`, which pins the normalization so INCREMENTAL builds
+    * stay mergeable: with a shared avgdl, impact is a pure per-(term,
+    * doc) value, the top-m subset property holds, and
+    * [[mergeChampionIndexesImpact]] is exact. Scale shape is identical
+    * to [[championIndex]] (map-side census, GroupTopK bounded heaps,
+    * stats join after the prune).
+    *
+    * @return (term, df, cf, rank, idCol, tf, dl, impact_micro), rank 1..m
+    *         by (impact desc, id asc). */
+  def championIndexImpact(docs: DataFrame, idCol: String, textCol: String,
+                          m: Int, minDf: Long = 1L, lowercase: Boolean = true,
+                          k1: Double = 1.2, b: Double = 0.75,
+                          fixedAvgdl: Option[Double] = None): DataFrame = {
+    require(m > 0, "championIndexImpact: m must be positive")
+    require(minDf >= 1, "championIndexImpact: minDf must be >= 1")
+    require(fixedAvgdl.forall(_ > 0), "championIndexImpact: fixedAvgdl must be positive")
+    val f = graft.functions.Kernels.termFreqDlUdf(lowercase)
+    def census = docs
+      .select(col(idCol), f(col(textCol).cast("string")).as("__f"))
+      .select(col(idCol), col("__f._1").cast("long").as("dl"),
+        explode(col("__f._2")).as(Seq("term", "tf")))
+      .select(col("term"), col(idCol), col("tf").cast("long").as("tf"), col("dl"))
+    val avgdl = fixedAvgdl.getOrElse {
+      val st = docs.select(f(col(textCol).cast("string")).getField("_1").as("__dl"))
+        .agg(count(lit(1)), sum(col("__dl").cast("long"))).head()
+      require(st.getLong(0) > 0, "championIndexImpact: empty corpus")
+      st.getLong(1).toDouble / st.getLong(0).toDouble
+    }
+    // map-side, codegen-able; mirrored token-for-token by the q112 oracle
+    val impact = floor(lit(1e6) *
+      ((col("tf").cast("double") * lit(k1 + 1)) /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))))).cast("long")
+    val scored = census.withColumn("impact_micro", impact)
+    val stats = scored.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .filter(col("df") >= minDf)
+    val champs = graft.plans.GroupTopK.topK(
+      scored, Seq("term"), Seq(col("impact_micro").desc, col(idCol).asc), m)
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("impact_micro").desc, col(idCol).asc)
+    champs.join(stats, Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .select(col("term"), col("df"), col("cf"), col("rank"), col(idCol),
+        col("tf"), col("dl"), col("impact_micro"))
+  }
+
+  /** Exact merge of two [[championIndexImpact]] indexes over DISJOINT
+    * corpora — [[mergeChampionIndexes]] for the impact-ordered variant.
+    * Exactness requires both halves built with the SAME `fixedAvgdl`
+    * (impact is then a pure per-(term, doc) value, so a union top-m
+    * posting is top-m within its half); build halves with `minDf = 1`
+    * and apply `minDf` here, as in the tf merge. */
+  def mergeChampionIndexesImpact(a: DataFrame, b: DataFrame, m: Int,
+                                 minDf: Long = 1L,
+                                 validateDisjoint: Boolean = false): DataFrame = {
+    require(m > 0, "mergeChampionIndexesImpact: m must be positive")
+    require(minDf >= 1, "mergeChampionIndexesImpact: minDf must be >= 1")
+    val cols = Seq("term", "df", "cf", "rank", "id", "tf", "dl", "impact_micro")
+    if (validateDisjoint) {
+      val overlap = a.toDF(cols: _*).select(col("id")).distinct()
+        .join(b.toDF(cols: _*).select(col("id")).distinct(), Seq("id"), "left_semi")
+        .limit(1).count()
+      require(overlap == 0,
+        "mergeChampionIndexesImpact: halves share document ids — corpora must be disjoint")
+    }
+    val u = a.toDF(cols: _*).withColumn("__half", lit(0))
+      .unionByName(b.toDF(cols: _*).withColumn("__half", lit(1)))
+    val stats = u.select(col("__half"), col("term"), col("df"), col("cf")).distinct()
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+      .filter(col("df") >= minDf)
+    val champs = graft.plans.GroupTopK.topK(
+      u.select(col("term"), col("id"), col("tf"), col("dl"), col("impact_micro")),
+      Seq("term"), Seq(col("impact_micro").desc, col("id").asc), m)
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("impact_micro").desc, col("id").asc)
+    champs.join(stats, Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .select(col("term"), col("df"), col("cf"), col("rank"), col("id"),
+        col("tf"), col("dl"), col("impact_micro"))
+  }
+
   /** Merge two champion indexes built over DISJOINT corpora — the
     * incremental-maintenance path (the [[Dedup.minhashIndex]] pattern for
     * the lexical side): index the arriving batch alone, merge with the

@@ -2086,6 +2086,41 @@ object TextQ {
         |  row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
         |  FROM sc WHERE score_micro > 0)
         |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score_micro FROM rnk
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef("q112_impact_champions",
+      // Impact-ordered champion lists (Rank.championIndexImpact, IIR
+      // §7.1.3's w(d,t) refinement of q106): postings ranked by the BM25
+      // length-normalized tf impact in integer micro units — a short
+      // focused doc outranks a long one with equal tf. idf is excluded
+      // from the key (constant within a posting list, can't reorder it);
+      // dl rides the same single kernel pass as the tf map; avgdl is one
+      // 1-row driver aggregate embedded as a literal. Same scale shape as
+      // q106: map-side census, GroupTopK bounded heaps, stats join after
+      // the prune. The oracle replays the identical left-associated
+      // double arithmetic.
+      (s, d) => Rank.championIndexImpact(docs(s, d), "doc_id", "text",
+          m = 8, minDf = 50L)
+        .select(col("term"), col("df"), col("cf"), big(col("rank")).as("rank"),
+          col("doc_id"), col("tf"), col("dl"), col("impact_micro"))
+        .orderBy(col("term"), col("rank")),
+      Some(s"""WITH tk AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+        |dlt AS (SELECT doc_id, w, len(w) AS dl FROM tk),
+        |st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dlt),
+        |tl AS (SELECT doc_id, dl, unnest(w) AS term FROM dlt),
+        |tfc AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf FROM tl GROUP BY 1, 2, 3),
+        |imp AS (SELECT term, doc_id, tf, dl,
+        |  CAST(floor(1e6 * ((tf * (1.2e0 + 1)) / (tf + 1.2e0 * ((1 - 0.75e0)
+        |    + 0.75e0 * dl / (SELECT avgdl FROM st))))) AS BIGINT) AS impact_micro
+        |  FROM tfc),
+        |stt AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        |  FROM tfc GROUP BY 1 HAVING count(*) >= 50),
+        |rk AS (SELECT term, doc_id, tf, dl, impact_micro,
+        |  row_number() OVER (PARTITION BY term ORDER BY impact_micro DESC, doc_id) AS rank
+        |  FROM imp)
+        |SELECT r.term, s.df, s.cf, CAST(r.rank AS BIGINT) AS rank, r.doc_id,
+        |  r.tf, CAST(r.dl AS BIGINT) AS dl, r.impact_micro
+        |FROM rk r JOIN stt s USING (term) WHERE r.rank <= 8
+        |ORDER BY r.term, r.rank""".stripMargin))
   )
 }

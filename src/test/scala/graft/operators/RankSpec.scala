@@ -213,6 +213,67 @@ class RankSpec extends SparkSpec {
     }
   }
 
+  test("championIndexImpact: impact reorders what raw tf cannot; hand-checked micro values") {
+    // "scan": doc 2 has tf=1 over dl=2, doc 3 has tf=3 over dl=4 — raw tf
+    // ranks doc 3 first, but the hand impact confirms normalization favors
+    // the higher-tf doc here too; the real reorder shows on equal tf:
+    // docs with tf=1 rank short-doc-first (doc 2 dl=2 beats doc 1 dl=4
+    // for terms they'd share). Verify exact micro values for "scan".
+    val avgdl = (4 + 2 + 4 + 4).toDouble / 4.0
+    def imp(tf: Long, dl: Long): Long =
+      math.floor(1e6 * ((tf.toDouble * 2.2) /
+        (tf.toDouble + 1.2 * ((1 - 0.75) + 0.75 * dl.toDouble / avgdl)))).toLong
+    val out = Rank.championIndexImpact(corpus, "doc_id", "text", m = 8)
+      .filter($"term" === "scan")
+      .select($"rank", $"doc_id", $"tf", $"dl", $"impact_micro")
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1, 3L, 3L, 4L, imp(3, 4)),
+      (2, 2L, 1L, 2L, imp(1, 2))))
+    // equal tf, different dl: the SHORTER doc carries the higher impact
+    assert(imp(1, 2) > imp(1, 4))
+  }
+
+  test("championIndexImpact: m bounds lists, minDf prunes, fixedAvgdl skips the stats pass") {
+    val fixed = Rank.championIndexImpact(corpus, "doc_id", "text", m = 1,
+      fixedAvgdl = Some(3.5))
+    val derived = Rank.championIndexImpact(corpus, "doc_id", "text", m = 1)
+    // corpus avgdl IS 3.5, so pinning it must be a no-op
+    assert(fixed.collect().toSet == derived.collect().toSet)
+    assert(fixed.groupBy("term").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0) == 1L)
+    assert(Rank.championIndexImpact(corpus, "doc_id", "text", m = 8, minDf = 3L)
+      .select("term").distinct().count() == 0) // no term reaches df 3
+  }
+
+  test("mergeChampionIndexesImpact == from-scratch build under a shared fixedAvgdl") {
+    val avgdl = 3.5
+    val a = corpus.filter($"doc_id" % 2 === 0)
+    val b = corpus.filter($"doc_id" % 2 === 1)
+    for (m <- Seq(1, 2, 4)) {
+      val merged = Rank.mergeChampionIndexesImpact(
+        Rank.championIndexImpact(a, "doc_id", "text", m, fixedAvgdl = Some(avgdl)),
+        Rank.championIndexImpact(b, "doc_id", "text", m, fixedAvgdl = Some(avgdl)), m)
+        .as[(String, Long, Long, Int, Long, Long, Long, Long)].collect().toSet
+      val scratch = Rank.championIndexImpact(corpus, "doc_id", "text", m,
+          fixedAvgdl = Some(avgdl))
+        .as[(String, Long, Long, Int, Long, Long, Long, Long)].collect().toSet
+      assert(merged == scratch, s"m=$m")
+    }
+    intercept[IllegalArgumentException] {
+      Rank.mergeChampionIndexesImpact(
+        Rank.championIndexImpact(corpus, "doc_id", "text", 2, fixedAvgdl = Some(avgdl)),
+        Rank.championIndexImpact(corpus, "doc_id", "text", 2, fixedAvgdl = Some(avgdl)),
+        2, validateDisjoint = true)
+    }
+  }
+
+  test("plan: championIndexImpact prunes through GroupTopK heaps like the tf variant") {
+    val plan = Rank.championIndexImpact(corpus, "doc_id", "text", m = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK"), plan.take(2000))
+  }
+
   test("mergeChampionIndexes: validateDisjoint rejects overlapping halves, passes disjoint ones") {
     val a = Seq((1L, "x y")).toDF("doc_id", "text")
     val b = Seq((2L, "x z")).toDF("doc_id", "text")

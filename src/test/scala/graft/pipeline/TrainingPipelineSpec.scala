@@ -100,4 +100,48 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(served.count() == kept.filter(col("bucket") =!= "tail").count())
     assert(served.filter(col("bucket") === "tail").count() == 0)
   }
+
+  test("curated corpus persists bucketed; the downstream dedup join re-reads it Exchange-free") {
+    // the q101 writer proves the layout; this proves the COMPOSITION: a
+    // pipeline stage persists its output through writeBucketed and the
+    // next stage's doc_id join consumes the bucket partitioning from the
+    // scan alone — the 100 TB condition (neither side broadcastable), so
+    // the re-read join must carry NO Exchange on the join key
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.queryExecution.toRdd.count()
+      (df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).toString
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val dir = tmpDir("graft_tp_bkt")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+      val curated = QualityFilter.keep(docs, "text",
+        QualityFilter.GopherConfig(minTokens = 20, minStopwords = 0,
+          maxDupWordFrac = 0.95))
+      val verdicts = Dedup.resolveClusters(curated, "doc_id",
+        Dedup.minhashPairs(curated, "doc_id", "text"))
+      graft.sinks.DataLayout.writeBucketed(curated, "tp_corpus",
+        s"$dir/corpus", 8, "doc_id")
+      graft.sinks.DataLayout.writeBucketed(verdicts, "tp_verdicts",
+        s"$dir/verdicts", 8, "doc_id")
+      val keepIds = graft.sinks.DataLayout.table(spark, "tp_verdicts")
+        .filter(!col("is_duplicate")).select("doc_id")
+      val rejoined = graft.sinks.DataLayout.table(spark, "tp_corpus")
+        .join(keepIds, Seq("doc_id"), "left_semi")
+      val plan = finalPlan(rejoined)
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(planCount(plan, "Exchange hashpartitioning") == 0, plan.take(2000))
+      // row accounting survives the round-trip through the layout
+      assert(rejoined.count() == verdicts.filter(!col("is_duplicate")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS tp_corpus")
+      spark.sql("DROP TABLE IF EXISTS tp_verdicts")
+    }
+  }
 }

@@ -52,6 +52,7 @@ object Bench {
     // the extra reps it needs.
     val subSecondReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUBSEC_REPS", "5").toInt
     val extraRepBandSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_BAND", "2.0").toDouble
+    val timedT0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def rep(): Double = {
         val t0 = System.nanoTime()
@@ -62,8 +63,16 @@ object Bench {
       val all =
         if (base.contains(-1.0) || base.min >= extraRepBandSec) base
         else base ++ ((reps + 1) to subSecondReps).map(_ => rep())
-      name -> (if (all.contains(-1.0)) -1.0 else all.min)
+      val best = if (all.contains(-1.0)) -1.0 else all.min
+      // Rep spread (max/min over this query's reps): contention steals
+      // scheduler quanta from SOME reps, so a contended run shows a wide
+      // spread even when min-of-reps stays honest — and when contention
+      // taints ALL reps (r8: every base rep past the extra-rep band), the
+      // spread is the only in-artifact evidence. 1.0 == perfectly quiet.
+      val spread = if (best <= 0) -1.0 else all.max / all.min
+      (name, best, spread)
     }
+    val wallSec = (System.nanoTime() - timedT0) / 1e9
     // Key order matters for HUMANS, not parsers: the artifact keeps only the
     // LAST ~2000 chars of output, and the per-query map alone is longer than
     // that — so the headline total/errors go at the END of the (single) JSON
@@ -73,11 +82,26 @@ object Bench {
     // decimal separator under e.g. de_DE, corrupting the JSON artifact.
     def fmt(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"errors":${failed.mkString("[", ",", "]")},"value":${fmt(total)}}""")
+    // Contention evidence lives in the tail-preserved suffix: `wall` is the
+    // timed loop's wall-clock (quiet run: wall ≈ reps·total + warm extras;
+    // contended r8 ran 2× that), `spread_max`/`spread_p90` summarize the
+    // per-query rep spreads, and `contended` names the queries whose reps
+    // disagreed by ≥2× — each one's recorded min is suspect. A reader (or
+    // the next round) discounts a record whose indicators are hot instead
+    // of needing an uncontended re-run to prove contention.
+    val spreads = results.collect { case (_, v, s) if v >= 0 => s }.sorted
+    val spreadMax = if (spreads.isEmpty) 1.0 else spreads.last
+    val spreadP90 =
+      if (spreads.isEmpty) 1.0
+      else spreads((0.9 * (spreads.size - 1)).round.toInt)
+    val contended = results
+      .collect { case (k, v, s) if v >= 0 && s >= 2.0 => "\"" + k + "\":" + fmt(s) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"contended":$contended,"errors":${failed.mkString("[", ",", "]")},"wall":${fmt(wallSec)},"spread_max":${fmt(spreadMax)},"spread_p90":${fmt(spreadP90)},"value":${fmt(total)}}""")
     spark.stop()
   }
 }

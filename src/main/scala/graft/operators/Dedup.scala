@@ -62,11 +62,26 @@ object Dedup {
 
   /** Exact dedup by field list — reference semantics (`DROP_BY_FIELDS`,
     * default ["md"]). Keeps an arbitrary-but-deterministic representative:
-    * the row with the minimum tiebreak key. */
+    * the row with the minimum tiebreak key.
+    *
+    * Shape: hash-group aggregation, NOT a window over the raw fields. The
+    * default field is the full document body, so a
+    * `row_number().over(partitionBy(fields))` would shuffle every body as
+    * a partition key and window-sort each group — the exchange payload the
+    * q23 posture exists to avoid. Instead the group key is a 64-byte
+    * sha-256 of the fields' JSON encoding (unambiguous across field
+    * boundaries and null/empty distinctions, collision odds
+    * cryptographically negligible — the q23/content-hash convention) and
+    * the representative rides a `min_by` whose map-side partials reduce
+    * each group to ONE candidate row per partition before the exchange —
+    * a corpus-hot duplicate group arrives at its reducer as a handful of
+    * partial rows, never the full group. */
   def exact(df: DataFrame, fields: Seq[String], tiebreak: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(fields.map(col): _*).orderBy(col(tiebreak))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val key = sha2(to_json(struct(fields.map(col): _*)), 256)
+    val all = struct(df.columns.map(col): _*)
+    df.groupBy(key.as("__k"))
+      .agg(min_by(all, col(tiebreak)).as("__r"))
+      .select(df.columns.map(c => col("__r." + c).as(c)): _*)
   }
 
   /** Duplicate-group report (reference logs removed %,

@@ -195,6 +195,23 @@ object Rank {
       .select(col("term"), col("df"), col("cf"), col("rank"), col(idCol), col("tf"))
   }
 
+  /** The (doc count, total token count) 1-row frame behind
+    * [[championIndexImpact]]'s computed-avgdl path — a pure NATIVE plan:
+    * `dl` is `size(split(text, "\s+", 0))`, codegen'd end-to-end with no
+    * kernel UDF and no tf-map allocation, so the stats action costs a bare
+    * column scan rather than a second tokenize pass. The `limit = -1`
+    * split KEEPS trailing empty tokens, exactly like the kernel's
+    * `Pattern.split(text, -1)` ([[graft.functions.Kernels.tokenize]]) and
+    * the oracles' `string_split_regex` — a `limit = 0` split would drop
+    * them and under-count docs with trailing whitespace; null text counts
+    * as dl 0, matching [[graft.functions.Kernels.termFreqDl]]'s null
+    * contract. Package-visible so the spec can assert the no-UDF plan
+    * shape and the kernel dl parity. */
+  private[graft] def avgdlStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(when(col(textCol).isNull, lit(0))
+        .otherwise(size(split(col(textCol).cast("string"), "\\s+", -1))).as("__dl"))
+      .agg(count(lit(1)), sum(col("__dl").cast("long")))
+
   /** Impact-ordered champion lists — IIR §7.1.3's refinement of
     * [[championIndex]]: postings are ranked by the BM25 per-(term, doc)
     * impact w(d,t) rather than raw tf, so a short focused doc outranks a
@@ -215,7 +232,9 @@ object Rank {
     * doc) value, the top-m subset property holds, and
     * [[mergeChampionIndexesImpact]] is exact. Scale shape is identical
     * to [[championIndex]] (map-side census, GroupTopK bounded heaps,
-    * stats join after the prune).
+    * stats join after the prune); the computed-avgdl action is a NATIVE
+    * no-UDF column scan ([[avgdlStats]]) — the kernel tokenizer runs
+    * only inside the census.
     *
     * @return (term, df, cf, rank, idCol, tf, dl, impact_micro), rank 1..m
     *         by (impact desc, id asc). */
@@ -233,8 +252,7 @@ object Rank {
         explode(col("__f._2")).as(Seq("term", "tf")))
       .select(col("term"), col(idCol), col("tf").cast("long").as("tf"), col("dl"))
     val avgdl = fixedAvgdl.getOrElse {
-      val st = docs.select(f(col(textCol).cast("string")).getField("_1").as("__dl"))
-        .agg(count(lit(1)), sum(col("__dl").cast("long"))).head()
+      val st = avgdlStats(docs, textCol).head()
       require(st.getLong(0) > 0, "championIndexImpact: empty corpus")
       st.getLong(1).toDouble / st.getLong(0).toDouble
     }

@@ -34,6 +34,29 @@ class DedupSpec extends SparkSpec {
     assert(out.filter($"doc_id".isin(102L, 103L)).count() == 0)
   }
 
+  test("exact dedup plans as hash aggregation, value-equal to the window form") {
+    // multi-field grouping incl. a null field value and an empty string —
+    // the JSON key must keep ("", x) distinct from (null, x)
+    val rows = Seq(
+      (1L, "a", "x"), (2L, "a", "x"),          // dup group, keep id 1
+      (3L, "", "x"), (4L, null, "x"),          // NOT dups of each other
+      (5L, "b", "y")
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.exact(rows, Seq("text", "lang"), "doc_id")
+    // the pre-r9 formulation, kept here as the semantic oracle
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"text", $"lang").orderBy($"doc_id")
+    val legacy = rows.withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1).drop("__rn")
+    assert(out.columns.toSeq == rows.columns.toSeq)
+    assert(out.select("doc_id", "text", "lang").as[(Long, String, String)].collect().toSet
+      == legacy.select("doc_id", "text", "lang").as[(Long, String, String)].collect().toSet)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 5L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"exact must not window raw fields:\n$plan")
+    assert(planCount(plan, "Exchange") == 1, s"one hash exchange expected:\n$plan")
+  }
+
   test("duplicateGroups reports duplicated keys (reference logs removed %)") {
     val groups = Dedup.duplicateGroups(docs, Seq("text")).collect()
     assert(groups.length == 2)

@@ -440,6 +440,75 @@ object Rank {
     pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
   }
 
+  /** Index-only BM25 serving over an IMPACT-ordered champion index
+    * ([[championIndexImpact]] output) — [[bm25FromIndex]] with the length
+    * normalization the tf-ordered index cannot express: the impact index
+    * stores each posting's (tf, dl), so serving recomputes the exact
+    * b=0.75 (or any b) BM25 ratio per candidate and multiplies by idf from
+    * the index's df column. The stored `impact_micro` chose WHICH postings
+    * are champions (and is a floored value, so it is not used for the
+    * score itself); with `m >= df` every posting survives and the result
+    * is bit-identical to [[bm25TopK]] over the corpus — the RankSpec
+    * equivalence pin.
+    *
+    * Scale shape is [[bm25FromIndex]]'s exactly: the only scan is the
+    * index filtered to the query vocabulary (isin pushed to parquet,
+    * <= |terms|*m rows), one query-vocabulary-sized (term, df) driver
+    * collect for idf literals, typed-literal membership lookup (no join),
+    * candidate-sized hash agg, GroupTopK prune.
+    *
+    * @param nDocs corpus size N for idf (index metadata, as in
+    *              [[bm25FromIndex]]).
+    * @param avgdl the normalization length the index was built with —
+    *              `fixedAvgdl` for incremental builds, else the corpus
+    *              average the build measured; index metadata the caller
+    *              carries alongside nDocs.
+    * @return (query_id, id, score_micro, rank), rank 1..kTop per query by
+    *         (score desc, id asc); docs scoring 0 dropped. */
+  def bm25FromIndexImpact(index: DataFrame, nDocs: Long, avgdl: Double,
+                          queries: Map[String, Seq[String]], kTop: Int,
+                          k1: Double = 1.2, b: Double = 0.75,
+                          lowercase: Boolean = true): DataFrame = {
+    require(nDocs > 0, "bm25FromIndexImpact: nDocs must be positive")
+    require(avgdl > 0, "bm25FromIndexImpact: avgdl must be positive")
+    require(kTop > 0, "bm25FromIndexImpact: kTop must be positive")
+    require(queries.nonEmpty, "bm25FromIndexImpact: need at least one query")
+    val norm: String => String = t => if (lowercase) t.toLowerCase else t
+    val qTerms = queries.map { case (q, ts) =>
+      val n = ts.map(norm).distinct
+      require(n.nonEmpty, s"bm25FromIndexImpact: query '$q' has no terms")
+      q -> n
+    }
+    val allTerms = qTerms.values.flatten.toSeq.distinct.sorted
+    val idx = index.toDF("term", "df", "cf", "rank", "id", "tf", "dl", "impact_micro")
+    val postings = idx.filter(col("term").isin(allTerms: _*))
+    val dfs = postings.select(col("term"), col("df")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf: Map[String, Long] = dfs.map { case (t, dft) =>
+      t -> math.floor(1e6 * math.log(1.0 + (nDocs - dft + 0.5) / (dft + 0.5))).toLong
+    }
+    val termQueries: Map[String, Seq[String]] = allTerms.map(t =>
+      t -> qTerms.collect { case (q, ts) if ts.contains(t) => q }.toSeq.sorted).toMap
+    // the bm25Scores contribution, token-for-token (left-associated doubles)
+    // with tf/dl read from the index instead of a corpus pass
+    val scored = postings
+      .select(col("id"), col("term"), col("tf"), col("dl"),
+        explode(typedlit(termQueries).getItem(col("term"))).as("query_id"))
+      .withColumn("__c",
+        floor(typedlit(idf).getItem(col("term")).cast("double") *
+          ((col("tf").cast("double") * lit(k1 + 1)) /
+            (col("tf").cast("double") + lit(k1) *
+              (lit(1 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))))).cast("long"))
+    val sc = scored.groupBy(col("query_id"), col("id"))
+      .agg(sum(col("__c")).as("score_micro"))
+      .filter(col("score_micro") > 0)
+    val pruned = graft.plans.GroupTopK.topK(
+      sc, Seq("query_id"), Seq(col("score_micro").desc, col("id").asc), kTop)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("id").asc)
+    pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
+  }
+
   /** Top-k docs per query by BM25: (query_id, idCol, rank, score_micro).
     * GroupTopKExec heap-prunes map-side before the only exchange; the rank
     * window then sorts <= k rows per query, never the full score set. */

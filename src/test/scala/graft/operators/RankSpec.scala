@@ -268,6 +268,44 @@ class RankSpec extends SparkSpec {
     }
   }
 
+  test("bm25FromIndexImpact == bm25TopK (length-normalized) when champions cover every list") {
+    // m = 100 >= every df -> the serving path sees every posting, and the
+    // stored (tf, dl) let it replay the FULL b=0.75 normalization the
+    // tf-index serve (b=0) cannot — so it must agree bit-for-bit with
+    // corpus-side bm25TopK at its default b
+    val queries = Map("probe_a" -> Seq("spark", "scan"), "probe_b" -> Seq("stream"))
+    val avgdl = 3.5 // fixture corpus average, == the build's measured avgdl
+    val index = Rank.championIndexImpact(corpus, "doc_id", "text", m = 100)
+    val served = Rank.bm25FromIndexImpact(index, nDocs = 4L, avgdl, queries, kTop = 4)
+      .select($"query_id", $"id", $"score_micro", $"rank")
+      .as[(String, Long, Long, Int)].collect().toSet
+    val full = Rank.bm25TopK(corpus, "doc_id", "text", queries, kTop = 4)
+      .select($"query_id", $"doc_id", $"score_micro", $"rank")
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(served == full && served.nonEmpty)
+  }
+
+  test("bm25FromIndexImpact honors champion truncation and guards") {
+    // m = 1: "spark"'s sole champion is doc 1 (higher impact); doc 2 is
+    // not scored despite containing the term
+    val index = Rank.championIndexImpact(corpus, "doc_id", "text", m = 1,
+      fixedAvgdl = Some(3.5))
+    val out = Rank.bm25FromIndexImpact(index, 4L, 3.5, Map("q" -> Seq("spark")), 4)
+      .as[(String, Long, Long, Int)].collect().toSet
+    val idf = math.floor(1e6 * math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))).toLong
+    val c = math.floor(idf.toDouble *
+      ((2.0 * 2.2) / (2.0 + 1.2 * ((1 - 0.75) + 0.75 * 4.0 / 3.5)))).toLong
+    assert(out == Set(("q", 1L, c, 1)))
+    intercept[IllegalArgumentException](
+      Rank.bm25FromIndexImpact(index, 0L, 3.5, Map("q" -> Seq("spark")), 4))
+    intercept[IllegalArgumentException](
+      Rank.bm25FromIndexImpact(index, 4L, 0.0, Map("q" -> Seq("spark")), 4))
+    intercept[IllegalArgumentException](
+      Rank.bm25FromIndexImpact(index, 4L, 3.5, Map.empty, 4))
+    intercept[IllegalArgumentException](
+      Rank.bm25FromIndexImpact(index, 4L, 3.5, Map("q" -> Seq("spark")), 0))
+  }
+
   test("avgdlStats is a native no-UDF plan with kernel-exact token counts") {
     // the computed-avgdl action must not pay a second tokenize pass: its
     // plan carries no ScalaUDF (r9 — judge 'single kernel pass' item)

@@ -440,6 +440,63 @@ object Rank {
     pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
   }
 
+  /** [[bm25FromIndex]] for BATCH query loads — queries arrive as a
+    * DataFrame of (query_id, term) rows instead of a driver Map. The Map
+    * form embeds the query set as typed literals (no join — unbeatable for
+    * probe-sized sets, but a 100k-query batch would bloat the plan and the
+    * driver); this overload keeps everything distributed: ONE equi-join on
+    * `term` both filters the index to the batch vocabulary and fans each
+    * posting out to the queries containing its term, and idf is computed
+    * index-side from the df column as a codegen'd expression — NO driver
+    * collect anywhere. Join sides are left to Catalyst/AQE: the index side
+    * is ≤ m rows per term by construction, the query side is the batch —
+    * whichever is smaller broadcasts, and a skewed hot term splits under
+    * AQE. Scoring, flooring, and ranking are bit-identical to the Map form
+    * (same left-associated double arithmetic; `math.log` and Spark's `log`
+    * are both `java.lang.Math.log`) — the RankSpec equivalence pin.
+    *
+    * Like the Map form this is the b=0 tf-index serve; terms absent from
+    * the index simply contribute no candidates (inner join), and query
+    * terms are deduplicated per query before scoring, matching the Map
+    * form's `distinct`.
+    *
+    * @param queries (query_id, term) rows; extra columns are ignored.
+    * @return (query_id, id, score_micro, rank), rank 1..kTop per query by
+    *         (score desc, id asc); docs scoring 0 dropped. */
+  def bm25FromIndex(index: DataFrame, nDocs: Long, queries: DataFrame,
+                    kTop: Int, k1: Double, lowercase: Boolean): DataFrame = {
+    require(nDocs > 0, "bm25FromIndex: nDocs must be positive")
+    require(kTop > 0, "bm25FromIndex: kTop must be positive")
+    require(queries.columns.contains("query_id") && queries.columns.contains("term"),
+      "bm25FromIndex: queries needs (query_id, term) columns")
+    val qterm = if (lowercase) lower(col("term")) else col("term")
+    val q = queries.select(col("query_id"), qterm.as("term")).distinct()
+    val idx = index.toDF("term", "df", "cf", "rank", "id", "tf")
+    // idf from the index's df column — the driver Map's arithmetic as a
+    // codegen'd column: floor(1e6 * ln(1 + (N - df + 0.5)/(df + 0.5)))
+    val idfCol = floor(lit(1e6) *
+      log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .cast("double")
+    val scored = idx.join(q, Seq("term"))
+      .withColumn("__c",
+        floor(idfCol *
+          ((col("tf").cast("double") * lit(k1 + 1)) /
+            (col("tf").cast("double") + lit(k1)))).cast("long"))
+    val sc = scored.groupBy(col("query_id"), col("id"))
+      .agg(sum(col("__c")).as("score_micro"))
+      .filter(col("score_micro") > 0)
+    val pruned = graft.plans.GroupTopK.topK(
+      sc, Seq("query_id"), Seq(col("score_micro").desc, col("id").asc), kTop)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("id").asc)
+    pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
+  }
+
+  /** [[bm25FromIndex]] batch overload with the Map form's defaults. */
+  def bm25FromIndexBatch(index: DataFrame, nDocs: Long, queries: DataFrame,
+                         kTop: Int): DataFrame =
+    bm25FromIndex(index, nDocs, queries, kTop, k1 = 1.2, lowercase = true)
+
   /** Index-only BM25 serving over an IMPACT-ordered champion index
     * ([[championIndexImpact]] output) — [[bm25FromIndex]] with the length
     * normalization the tf-ordered index cannot express: the impact index

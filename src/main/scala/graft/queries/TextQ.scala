@@ -2123,6 +2123,55 @@ object TextQ {
         |FROM rk r JOIN stt s USING (term) WHERE r.rank <= 8
         |ORDER BY r.term, r.rank""".stripMargin)),
 
+    QueryDef("q114_bm25_serve_batch",
+      // Batch-query index serving (Rank.bm25FromIndex DataFrame overload):
+      // q111's serving semantics with the query set arriving as a
+      // (query_id, term) FRAME instead of driver literals — the gear for
+      // 100k-query serving loads, where typed-literal maps would bloat
+      // the plan and a driver idf collect would not scale. One term join
+      // fans index postings to queries, idf is a codegen'd expression
+      // over the index's df column, NO driver collect anywhere. Results
+      // are bit-identical to the Map form, so the oracle IS q111's
+      // formulation.
+      (s, d) => {
+        import s.implicits._
+        val corpus = docs(s, d)
+        val index = Rank.championIndex(corpus, "doc_id", "text",
+          m = 8, minDf = 50L)
+        val qdf = Seq(
+          ("agg_pipeline", "spark"), ("agg_pipeline", "join"), ("agg_pipeline", "agg"),
+          ("scan_perf", "scan"), ("scan_perf", "fast"), ("scan_perf", "filter"),
+          ("stream_state", "stream"), ("stream_state", "window"), ("stream_state", "batch"))
+          .toDF("query_id", "term")
+        Rank.bm25FromIndexBatch(index, corpus.count(), qdf, kTop = 10)
+          .select(col("query_id"), col("id").as("doc_id"),
+            big(col("rank")).as("rank"), col("score_micro"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+        |tl AS (SELECT doc_id, unnest(w) AS term FROM tk),
+        |tfc AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tl GROUP BY 1, 2),
+        |st AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1 HAVING count(*) >= 50),
+        |rk AS (SELECT term, doc_id, tf,
+        |  row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank FROM tfc),
+        |idx AS (SELECT r.term, s.df, r.doc_id, r.tf FROM rk r JOIN st s USING (term) WHERE r.rank <= 8),
+        |q(query_id, term) AS (VALUES
+        |  ('agg_pipeline', 'spark'), ('agg_pipeline', 'join'), ('agg_pipeline', 'agg'),
+        |  ('scan_perf', 'scan'), ('scan_perf', 'fast'), ('scan_perf', 'filter'),
+        |  ('stream_state', 'stream'), ('stream_state', 'window'), ('stream_state', 'batch')),
+        |idf AS (SELECT term, CAST(floor(1e6 * ln(1 + ((SELECT count(*) FROM documents) - df + 0.5e0)
+        |  / (df + 0.5e0))) AS BIGINT) AS idf
+        |  FROM (SELECT DISTINCT term, df FROM idx) WHERE term IN (SELECT term FROM q)),
+        |co AS (SELECT q.query_id, i.doc_id,
+        |  CAST(floor(f.idf * ((i.tf * (1.2e0 + 1)) / (i.tf + 1.2e0))) AS BIGINT) AS c
+        |  FROM idx i JOIN q ON i.term = q.term JOIN idf f ON i.term = f.term),
+        |sc AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro FROM co GROUP BY 1, 2),
+        |rnk AS (SELECT query_id, doc_id, score_micro,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+        |  FROM sc WHERE score_micro > 0)
+        |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score_micro FROM rnk
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     QueryDef("q113_bm25_serve_impact",
       // Length-normalized index-only serving (Rank.bm25FromIndexImpact):
       // q111's serving shape upgraded to the impact index — the stored

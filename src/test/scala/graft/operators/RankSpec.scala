@@ -268,6 +268,39 @@ class RankSpec extends SparkSpec {
     }
   }
 
+  test("bm25FromIndex batch (DataFrame queries) == Map form; one join, GroupTopK prune") {
+    val queries = Map("probe_a" -> Seq("spark", "scan"), "probe_b" -> Seq("stream"))
+    val index = Rank.championIndex(corpus, "doc_id", "text", m = 100)
+    val mapOut = Rank.bm25FromIndex(index, 4L, queries, kTop = 4)
+      .select($"query_id", $"id", $"score_micro", $"rank")
+      .as[(String, Long, Long, Int)].collect().toSet
+    // duplicate + mixed-case rows exercise the per-query distinct and the
+    // lowercase fold the Map form applies to its term lists
+    val qdf = Seq(("probe_a", "spark"), ("probe_a", "SCAN"), ("probe_a", "scan"),
+      ("probe_b", "stream")).toDF("query_id", "term")
+    val batch = Rank.bm25FromIndexBatch(index, 4L, qdf, kTop = 4)
+    val batchOut = batch.select($"query_id", $"id", $"score_micro", $"rank")
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(batchOut == mapOut && batchOut.nonEmpty)
+    // scale shape against a PERSISTED index (the serving deployment — the
+    // inline build above carries the builder's own stats join): exactly
+    // ONE join (postings-to-queries on term), heap-pruned top-k
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_batch_idx").toString
+    try {
+      index.write.mode("overwrite").parquet(dir)
+      val served = Rank.bm25FromIndexBatch(spark.read.parquet(dir), 4L, qdf, kTop = 4)
+      assert(served.select($"query_id", $"id", $"score_micro", $"rank")
+        .as[(String, Long, Long, Int)].collect().toSet == mapOut)
+      val plan = served.queryExecution.executedPlan.toString
+      assert(planCount(plan, "Join") == 1, plan.take(3000))
+      assert(plan.contains("GroupTopK"), plan.take(3000))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+    intercept[IllegalArgumentException](
+      Rank.bm25FromIndexBatch(index, 4L, qdf.select($"term"), 4))
+  }
+
   test("bm25FromIndexImpact == bm25TopK (length-normalized) when champions cover every list") {
     // m = 100 >= every df -> the serving path sees every posting, and the
     // stored (tf, dl) let it replay the FULL b=0.75 normalization the

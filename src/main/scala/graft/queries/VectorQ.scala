@@ -551,6 +551,106 @@ object VectorQ {
         |fr AS (SELECT query_id, doc_id, rrf_micro, n_sources,
         |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rank FROM fu)
         |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, rrf_micro, n_sources
+        |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef("q115_hybrid_serve",
+      // The steady-state HYBRID serving capstone: q111's index-only BM25
+      // (champion postings, b=0, no corpus text) fused via RRF (q104)
+      // with q85's ADC ranking over pre-encoded PQ codes (m integer
+      // lookups per candidate, no raw corpus vectors) — the composition
+      // every index operator exists for. Build phase (index + codebooks +
+      // codes) is the persisted-artifact step; the SERVE phase touches
+      // only the index and the codes (HybridServeSpec persists both and
+      // asserts the serving plan scans neither documents nor embeddings).
+      // The oracle chains q111's index/serve CTEs (kTop=20), q85's PQ
+      // encode/ADC CTEs (queries vec_id < 3), and q104's fusion CTEs.
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{PqIndex, Rank}
+        val corpus = Tables.load(s, d, "documents")
+        val embT = emb(s, d)
+        // build phase — in deployment these persist and amortize
+        val index = Rank.championIndex(corpus, "doc_id", "text", m = 8, minDf = 50L)
+        val subDim = 32
+        val books = (0 until 2).map { j =>
+          embT.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+            .select(slice(
+              graft.functions.Kernels.quantNormUdf(col("embedding")).getField("_1"),
+              j * subDim + 1, subDim).as("sv"))
+            .as[Seq[Long]].collect().map(_.toArray)
+        }.toArray
+        val pq = PqIndex.Model(books)
+        val codes = PqIndex.encode(embT, "vec_id", "embedding", pq)
+          .withColumnRenamed("vec_id", "cid")
+        // serve phase — index-only lexical + codes-only vector + fusion
+        val lex = Rank.bm25FromIndex(index, corpus.count(),
+            Map("agg_pipeline" -> Seq("spark", "join", "agg"),
+              "scan_perf" -> Seq("scan", "fast", "filter"),
+              "stream_state" -> Seq("stream", "window", "batch")), kTop = 20)
+          .select(col("query_id"), col("id").as("doc_id"), col("rank"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("adist").asc, col("cid").asc)
+        val vec = PqIndex.adcTopKEncoded(codes, embT.filter(col("vec_id") < 3),
+            "vec_id", "embedding", pq, kTop = 20)
+          .withColumn("rank", row_number().over(w))
+          .select(when(col("qid") === 0, "agg_pipeline")
+              .when(col("qid") === 1, "scan_perf")
+              .otherwise("stream_state").as("query_id"),
+            col("cid").as("doc_id"), col("rank"))
+        Rank.rrfFuse(Seq(lex, vec), kRrf = 60, kTop = 10)
+          .select(col("query_id"), col("doc_id"), big(col("rank")).as("rank"),
+            col("rrf_micro"), big(col("n_sources")).as("n_sources"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+        |tl AS (SELECT doc_id, unnest(w) AS term FROM tk),
+        |tfc AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tl GROUP BY 1, 2),
+        |st AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1 HAVING count(*) >= 50),
+        |rk AS (SELECT term, doc_id, tf,
+        |  row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank FROM tfc),
+        |idx AS (SELECT r.term, s.df, r.doc_id, r.tf FROM rk r JOIN st s USING (term) WHERE r.rank <= 8),
+        |q(query_id, term) AS (VALUES
+        |  ('agg_pipeline', 'spark'), ('agg_pipeline', 'join'), ('agg_pipeline', 'agg'),
+        |  ('scan_perf', 'scan'), ('scan_perf', 'fast'), ('scan_perf', 'filter'),
+        |  ('stream_state', 'stream'), ('stream_state', 'window'), ('stream_state', 'batch')),
+        |idf AS (SELECT term, CAST(floor(1e6 * ln(1 + ((SELECT count(*) FROM documents) - df + 0.5e0)
+        |  / (df + 0.5e0))) AS BIGINT) AS idf
+        |  FROM (SELECT DISTINCT term, df FROM idx) WHERE term IN (SELECT term FROM q)),
+        |co AS (SELECT q.query_id, i.doc_id,
+        |  CAST(floor(f.idf * ((i.tf * (1.2e0 + 1)) / (i.tf + 1.2e0))) AS BIGINT) AS c
+        |  FROM idx i JOIN q ON i.term = q.term JOIN idf f ON i.term = f.term),
+        |sc AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro FROM co GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+        |  FROM sc WHERE score_micro > 0),
+        |lexk AS (SELECT query_id, doc_id, rank FROM lex WHERE rank <= 20),
+        |v AS (SELECT vec_id, $QV AS qv FROM embeddings),
+        |sub AS (SELECT vec_id, 0 AS j, qv[1:32] AS sv FROM v
+        |        UNION ALL SELECT vec_id, 1, qv[33:64] FROM v),
+        |cb AS (SELECT vec_id AS cidx, j, sv AS cv FROM sub WHERE vec_id < 4),
+        |dpq AS (SELECT s2.vec_id, s2.j, c2.cidx,
+        |  list_sum(list_transform(range(1, 33), i -> (s2.sv[i] - c2.cv[i]) * (s2.sv[i] - c2.cv[i]))) AS dist
+        |  FROM sub s2 JOIN cb c2 ON s2.j = c2.j),
+        |enc AS (SELECT vec_id AS cid, j, cidx AS cell FROM (
+        |  SELECT vec_id, j, cidx, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cidx) AS rn FROM dpq)
+        |  WHERE rn = 1),
+        |vscored AS (SELECT dq.vec_id AS qid, e.cid, SUM(dq.dist) AS adist
+        |  FROM enc e JOIN dpq dq ON dq.j = e.j AND dq.cidx = e.cell
+        |  WHERE dq.vec_id < 3 AND dq.vec_id <> e.cid
+        |  GROUP BY dq.vec_id, e.cid),
+        |vr AS (SELECT qid, cid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rank FROM vscored),
+        |veck AS (SELECT CASE WHEN qid = 0 THEN 'agg_pipeline'
+        |    WHEN qid = 1 THEN 'scan_perf' ELSE 'stream_state' END AS query_id,
+        |  cid AS doc_id, rank FROM vr WHERE rank <= 20),
+        |uni AS (SELECT query_id, doc_id, CAST(floor(1e6 / (60 + rank)) AS BIGINT) AS c FROM lexk
+        |  UNION ALL
+        |  SELECT query_id, doc_id, CAST(floor(1e6 / (60 + rank)) AS BIGINT) AS c FROM veck),
+        |fu AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+        |  CAST(count(*) AS BIGINT) AS n_sources FROM uni GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, rrf_micro, n_sources,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rank FROM fu)
+        |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, rrf_micro, n_sources
         |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The q115 capstone contract: once the champion index and the PQ codes are
+  * persisted, serving (index-only BM25 + ADC over codes + RRF fusion) must
+  * never read the corpus again — the steady-state 100 TB shape where build
+  * cost amortizes and query latency is bounded by index size. The value
+  * path is oracle-checked by q115; this spec pins the PLAN: every file scan
+  * in the serving query belongs to the stored index or the stored codes,
+  * and neither the documents nor the embeddings table appears. */
+class HybridServeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark join spark agg"),
+    (2L, "spark scan"),
+    (3L, "filter scan scan scan"),
+    (4L, "window batch stream stream")
+  ).toDF("doc_id", "text")
+
+  // 4-dim embeddings, 2 subspaces x 2 dims; ids align with doc ids
+  private def embeddings = Seq(
+    (1L, Array(1.0f, 0.1f, 0.0f, 0.2f)),
+    (2L, Array(0.9f, 0.2f, 0.1f, 0.1f)),
+    (3L, Array(0.0f, 1.0f, 0.8f, 0.0f)),
+    (4L, Array(0.1f, 0.9f, 1.0f, 0.1f))
+  ).toDF("vec_id", "embedding")
+
+  test("serving plan scans ONLY the persisted index and codes — never the corpus tables") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_serve").toString
+    try {
+      // the "tables": corpus text + corpus embeddings, as parquet
+      corpus.write.parquet(s"$root/docs_tbl")
+      embeddings.write.parquet(s"$root/emb_tbl")
+      val docsT = spark.read.parquet(s"$root/docs_tbl")
+      val embT = spark.read.parquet(s"$root/emb_tbl")
+
+      // BUILD phase (amortized): champion index + PQ codebooks + codes
+      val subDim = 2
+      val books = (0 until 2).map { j =>
+        embT.filter($"vec_id" < 3).orderBy($"vec_id")
+          .select(slice(
+            graft.functions.Kernels.quantNormUdf($"embedding").getField("_1"),
+            j * subDim + 1, subDim).as("sv"))
+          .as[Seq[Long]].collect().map(_.toArray)
+      }.toArray
+      val pq = PqIndex.Model(books)
+      Rank.championIndex(docsT, "doc_id", "text", m = 8)
+        .write.parquet(s"$root/index_store")
+      PqIndex.encode(embT, "vec_id", "embedding", pq)
+        .withColumnRenamed("vec_id", "cid")
+        .write.parquet(s"$root/codes_store")
+
+      // SERVE phase: stored artifacts + client-supplied queries only (the
+      // query vectors arrive as a local relation, not a table scan)
+      val savedIndex = spark.read.parquet(s"$root/index_store")
+      val savedCodes = spark.read.parquet(s"$root/codes_store")
+      val qvec = Seq(
+        (0L, Array(1.0f, 0.1f, 0.1f, 0.1f)),
+        (1L, Array(0.0f, 1.0f, 0.9f, 0.0f))
+      ).toDF("vec_id", "embedding")
+      val lex = Rank.bm25FromIndex(savedIndex, nDocs = 4L,
+          Map("qa" -> Seq("spark"), "qb" -> Seq("scan")), kTop = 3)
+        .select($"query_id", $"id".as("doc_id"), $"rank")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"adist".asc, $"cid".asc)
+      val vec = PqIndex.adcTopKEncoded(savedCodes, qvec, "vec_id", "embedding", pq, kTop = 3)
+        .withColumn("rank", row_number().over(w))
+        .select(when($"qid" === 0, "qa").otherwise("qb").as("query_id"),
+          $"cid".as("doc_id"), $"rank")
+      val fused = Rank.rrfFuse(Seq(lex, vec), kRrf = 60, kTop = 3)
+
+      // serving works: both sources fuse, ranks are contiguous per query
+      val rows = fused.select($"query_id", $"doc_id", $"rank", $"n_sources")
+        .as[(String, Long, Int, Long)].collect()
+      assert(rows.nonEmpty)
+      assert(rows.groupBy(_._1).forall { case (_, rs) =>
+        rs.map(_._3).sorted.toSeq == (1 to rs.length) })
+      assert(rows.exists(_._4 == 2L)) // at least one doc found by BOTH paths
+
+      // THE capstone assertion: every file scan is index or codes; the
+      // corpus tables are absent from the serving plan
+      val scanPaths = fused.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+      assert(scanPaths.nonEmpty)
+      assert(scanPaths.forall(p =>
+        p.contains("index_store") || p.contains("codes_store")), scanPaths.toString)
+      assert(!scanPaths.exists(p => p.contains("docs_tbl") || p.contains("emb_tbl")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+}

@@ -207,6 +207,45 @@ class StreamingSpec extends SparkSpec {
     assert(p2 == Set((3L, 4L)))
   }
 
+  test("impact champion index stays exact under streaming ingest (shared fixedAvgdl)") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Rank
+    // the lexical serving index under the minhash-index ingest loop: each
+    // arrival indexes ONLY its own docs, merges into the stored index
+    // through the transactional sink, and — because every build shares
+    // one fixedAvgdl — the merged index must stay bit-identical to a
+    // from-scratch build over everything seen so far, arrival by arrival
+    val avgdl = 3.5
+    val m = 2
+    val root = java.nio.file.Files.createTempDirectory("impact_ingest").toString
+    val sink = new graft.sinks.VersionedTableSink(root, "impact_index")
+    def build(df: org.apache.spark.sql.DataFrame) =
+      Rank.championIndexImpact(df, "doc_id", "text", m, fixedAvgdl = Some(avgdl))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    val seed = Seq((1L, "spark join spark agg"), (2L, "spark scan"))
+    sink.write(build(seed.toDF("doc_id", "text")))
+    val arrival1 = Seq((3L, "filter scan scan scan"), (4L, "window batch stream stream"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(arrival1: _*)
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val idx = sink.readCurrent(spark)
+        sink.write(Rank.mergeChampionIndexesImpact(idx, build(batch), m,
+          validateDisjoint = true)): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(rows(sink.readCurrent(spark)) == rows(build((seed ++ arrival1).toDF("doc_id", "text"))))
+    // a second arrival merges into the GROWN index — still exact
+    val arrival2 = Seq((5L, "spark stream spark"), (6L, "agg agg scan"))
+    sink.write(Rank.mergeChampionIndexesImpact(sink.readCurrent(spark),
+      build(arrival2.toDF("doc_id", "text")), m, validateDisjoint = true))
+    assert(rows(sink.readCurrent(spark)) ==
+      rows(build((seed ++ arrival1 ++ arrival2).toDF("doc_id", "text"))))
+  }
+
   test("LM surprise streams: static reference LM joined per micro-batch (the CCNet serving shape)") {
     implicit val sq = spark.sqlContext
     import graft.operators.LmScore

@@ -566,6 +566,66 @@ object Rank {
     pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
   }
 
+  /** [[bm25FromIndexImpact]] for BATCH query loads — the impact-index
+    * mirror of the [[bm25FromIndex]] DataFrame overload, closing the
+    * serving family's last asymmetry: a 100k-query load on the
+    * NORMALIZED index now has the same scale path as the tf index.
+    * Queries arrive as (query_id, term) rows; ONE equi-join on `term`
+    * both filters the index to the batch vocabulary and fans each
+    * posting out to its queries, and BOTH idf (from df) and the b-length
+    * normalization (from the stored (tf, dl) and the avgdl literal) are
+    * codegen'd expressions — NO driver collect anywhere. Join sides are
+    * left to Catalyst/AQE exactly as in the tf overload. Scoring,
+    * flooring, and ranking are bit-identical to the Map form (same
+    * left-associated double arithmetic) — the RankSpec equivalence pin.
+    *
+    * Terms absent from the index contribute no candidates (inner join);
+    * query terms are deduplicated per query before scoring, matching the
+    * Map form's `distinct`.
+    *
+    * @param avgdl the normalization length the index was built with
+    *              (index metadata, as in [[bm25FromIndexImpact]]).
+    * @param queries (query_id, term) rows; extra columns are ignored.
+    * @return (query_id, id, score_micro, rank), rank 1..kTop per query by
+    *         (score desc, id asc); docs scoring 0 dropped. */
+  def bm25FromIndexImpact(index: DataFrame, nDocs: Long, avgdl: Double,
+                          queries: DataFrame, kTop: Int, k1: Double,
+                          b: Double, lowercase: Boolean): DataFrame = {
+    require(nDocs > 0, "bm25FromIndexImpact: nDocs must be positive")
+    require(avgdl > 0, "bm25FromIndexImpact: avgdl must be positive")
+    require(kTop > 0, "bm25FromIndexImpact: kTop must be positive")
+    require(queries.columns.contains("query_id") && queries.columns.contains("term"),
+      "bm25FromIndexImpact: queries needs (query_id, term) columns")
+    val qterm = if (lowercase) lower(col("term")) else col("term")
+    val q = queries.select(col("query_id"), qterm.as("term")).distinct()
+    val idx = index.toDF("term", "df", "cf", "rank", "id", "tf", "dl", "impact_micro")
+    // idf from the index's df column — the driver Map's arithmetic as a
+    // codegen'd column: floor(1e6 * ln(1 + (N - df + 0.5)/(df + 0.5)))
+    val idfCol = floor(lit(1e6) *
+      log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .cast("double")
+    val scored = idx.join(q, Seq("term"))
+      .withColumn("__c",
+        floor(idfCol *
+          ((col("tf").cast("double") * lit(k1 + 1)) /
+            (col("tf").cast("double") + lit(k1) *
+              (lit(1 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))))).cast("long"))
+    val sc = scored.groupBy(col("query_id"), col("id"))
+      .agg(sum(col("__c")).as("score_micro"))
+      .filter(col("score_micro") > 0)
+    val pruned = graft.plans.GroupTopK.topK(
+      sc, Seq("query_id"), Seq(col("score_micro").desc, col("id").asc), kTop)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("id").asc)
+    pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
+  }
+
+  /** [[bm25FromIndexImpact]] batch overload with the Map form's defaults. */
+  def bm25FromIndexImpactBatch(index: DataFrame, nDocs: Long, avgdl: Double,
+                               queries: DataFrame, kTop: Int): DataFrame =
+    bm25FromIndexImpact(index, nDocs, avgdl, queries, kTop,
+      k1 = 1.2, b = 0.75, lowercase = true)
+
   /** Top-k docs per query by BM25: (query_id, idCol, rank, score_micro).
     * GroupTopKExec heap-prunes map-side before the only exchange; the rank
     * window then sorts <= k rows per query, never the full score set. */

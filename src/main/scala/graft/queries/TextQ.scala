@@ -2231,6 +2231,68 @@ object TextQ {
         |  row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
         |  FROM sc WHERE score_micro > 0)
         |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score_micro FROM rnk
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef("q116_bm25_serve_impact_batch",
+      // Batch-query serving on the IMPACT index (Rank.bm25FromIndexImpact
+      // DataFrame overload): q113's length-normalized serving semantics
+      // with q114's batch-query shape — the 100k-query gear for the
+      // normalized index, closing the serving family's last asymmetry.
+      // One term equi-join fans postings to queries; idf AND the b=0.75
+      // length normalization are codegen'd expressions over the index's
+      // (df, tf, dl) columns plus the avgdl literal — zero driver
+      // collects. Results are bit-identical to the Map form, so the
+      // oracle IS q113's formulation (its q CTE is already a VALUES
+      // join).
+      (s, d) => {
+        import s.implicits._
+        val corpus = docs(s, d)
+        val st = Rank.avgdlStats(corpus, "text").head()
+        val n = st.getLong(0)
+        val avgdl = st.getLong(1).toDouble / n.toDouble
+        val index = Rank.championIndexImpact(corpus, "doc_id", "text",
+          m = 8, minDf = 50L, fixedAvgdl = Some(avgdl))
+        val qdf = Seq(
+          ("agg_pipeline", "spark"), ("agg_pipeline", "join"), ("agg_pipeline", "agg"),
+          ("scan_perf", "scan"), ("scan_perf", "fast"), ("scan_perf", "filter"),
+          ("stream_state", "stream"), ("stream_state", "window"), ("stream_state", "batch"))
+          .toDF("query_id", "term")
+        Rank.bm25FromIndexImpactBatch(index, n, avgdl, qdf, kTop = 10)
+          .select(col("query_id"), col("id").as("doc_id"),
+            big(col("rank")).as("rank"), col("score_micro"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+        |dlt AS (SELECT doc_id, w, len(w) AS dl FROM tk),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dlt),
+        |tl AS (SELECT doc_id, dl, unnest(w) AS term FROM dlt),
+        |tfc AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf FROM tl GROUP BY 1, 2, 3),
+        |imp AS (SELECT term, doc_id, tf, dl,
+        |  CAST(floor(1e6 * ((tf * (1.2e0 + 1)) / (tf + 1.2e0 * ((1 - 0.75e0)
+        |    + 0.75e0 * dl / (SELECT avgdl FROM st))))) AS BIGINT) AS impact_micro
+        |  FROM tfc),
+        |stt AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1 HAVING count(*) >= 50),
+        |rk AS (SELECT term, doc_id, tf, dl, impact_micro,
+        |  row_number() OVER (PARTITION BY term ORDER BY impact_micro DESC, doc_id) AS rank
+        |  FROM imp),
+        |idx AS (SELECT r.term, s.df, r.doc_id, r.tf, r.dl
+        |  FROM rk r JOIN stt s USING (term) WHERE r.rank <= 8),
+        |q(query_id, term) AS (VALUES
+        |  ('agg_pipeline', 'spark'), ('agg_pipeline', 'join'), ('agg_pipeline', 'agg'),
+        |  ('scan_perf', 'scan'), ('scan_perf', 'fast'), ('scan_perf', 'filter'),
+        |  ('stream_state', 'stream'), ('stream_state', 'window'), ('stream_state', 'batch')),
+        |idf AS (SELECT term, CAST(floor(1e6 * ln(1 + ((SELECT n FROM st) - df + 0.5e0)
+        |  / (df + 0.5e0))) AS BIGINT) AS idf
+        |  FROM (SELECT DISTINCT term, df FROM idx) WHERE term IN (SELECT term FROM q)),
+        |co AS (SELECT q.query_id, i.doc_id,
+        |  CAST(floor(f.idf * ((i.tf * (1.2e0 + 1)) / (i.tf + 1.2e0 * ((1 - 0.75e0)
+        |    + 0.75e0 * i.dl / (SELECT avgdl FROM st))))) AS BIGINT) AS c
+        |  FROM idx i JOIN q ON i.term = q.term JOIN idf f ON i.term = f.term),
+        |sc AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro FROM co GROUP BY 1, 2),
+        |rnk AS (SELECT query_id, doc_id, score_micro,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+        |  FROM sc WHERE score_micro > 0)
+        |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score_micro FROM rnk
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
   )
 }

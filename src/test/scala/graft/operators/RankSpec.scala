@@ -339,6 +339,47 @@ class RankSpec extends SparkSpec {
       Rank.bm25FromIndexImpact(index, 4L, 3.5, Map("q" -> Seq("spark")), 0))
   }
 
+  test("bm25FromIndexImpact batch (DataFrame queries) == Map form; one join, GroupTopK prune") {
+    val queries = Map("probe_a" -> Seq("spark", "scan"), "probe_b" -> Seq("stream"))
+    val avgdl = 3.5
+    val index = Rank.championIndexImpact(corpus, "doc_id", "text", m = 100,
+      fixedAvgdl = Some(avgdl))
+    val mapOut = Rank.bm25FromIndexImpact(index, 4L, avgdl, queries, kTop = 4)
+      .select($"query_id", $"id", $"score_micro", $"rank")
+      .as[(String, Long, Long, Int)].collect().toSet
+    // duplicate + mixed-case rows exercise the per-query distinct and the
+    // lowercase fold the Map form applies to its term lists
+    val qdf = Seq(("probe_a", "spark"), ("probe_a", "SCAN"), ("probe_a", "scan"),
+      ("probe_b", "stream")).toDF("query_id", "term")
+    val batchOut = Rank.bm25FromIndexImpactBatch(index, 4L, avgdl, qdf, kTop = 4)
+      .select($"query_id", $"id", $"score_micro", $"rank")
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(batchOut == mapOut && batchOut.nonEmpty)
+    // scale shape against a PERSISTED index (the serving deployment):
+    // exactly ONE join (postings-to-queries on term), heap-pruned top-k,
+    // zero driver collects — idf AND the b normalization are codegen'd
+    // over the stored (df, tf, dl)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_impact_batch_idx").toString
+    try {
+      index.write.mode("overwrite").parquet(dir)
+      val served = Rank.bm25FromIndexImpactBatch(
+        spark.read.parquet(dir), 4L, avgdl, qdf, kTop = 4)
+      assert(served.select($"query_id", $"id", $"score_micro", $"rank")
+        .as[(String, Long, Long, Int)].collect().toSet == mapOut)
+      val plan = served.queryExecution.executedPlan.toString
+      assert(planCount(plan, "Join") == 1, plan.take(3000))
+      assert(plan.contains("GroupTopK"), plan.take(3000))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+    intercept[IllegalArgumentException](
+      Rank.bm25FromIndexImpactBatch(index, 4L, avgdl, qdf.select($"term"), 4))
+    intercept[IllegalArgumentException](
+      Rank.bm25FromIndexImpactBatch(index, 0L, avgdl, qdf, 4))
+    intercept[IllegalArgumentException](
+      Rank.bm25FromIndexImpactBatch(index, 4L, 0.0, qdf, 4))
+  }
+
   test("avgdlStats is a native no-UDF plan with kernel-exact token counts") {
     // the computed-avgdl action must not pay a second tokenize pass: its
     // plan carries no ScalaUDF (r9 — judge 'single kernel pass' item)

@@ -651,6 +651,116 @@ object VectorQ {
         |fr AS (SELECT query_id, doc_id, rrf_micro, n_sources,
         |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rank FROM fu)
         |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, rrf_micro, n_sources
+        |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef("q117_hybrid_serve_ivf",
+      // q115 with the vector leg upgraded from flat ADC to the IVF-PROBED
+      // composition (q86's ivfAdcTopK): the coarse quantizer restricts
+      // each query to its nprobe nearest cells' members via an equi-join
+      // on the cell id, then ADC ranks only the probed members — per-query
+      // vector work is CELL-bounded, not corpus-sized, which is the
+      // steady-state 100 TB serving shape q115's documented flat-ADC leg
+      // deferred. Build phase: champion index + IVF centroids + PQ
+      // codebooks + per-cell codes (encodeCells — in deployment persisted
+      // partitioned BY CELL so probing prunes partitions; HybridServeSpec
+      // asserts that plan). Oracle: q115's lexical+fusion CTEs with q86's
+      // probed-cell vector CTEs (kTop=20 legs, rrf kTop=10).
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{IvfIndex, PqIndex, Rank}
+        val corpus = Tables.load(s, d, "documents")
+        val embT = emb(s, d)
+        // build phase — in deployment these persist and amortize
+        val index = Rank.championIndex(corpus, "doc_id", "text", m = 8, minDf = 50L)
+        val qv4 = embT.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(graft.functions.Kernels.quantNormUdf(col("embedding")).getField("_1").as("qv"))
+          .as[Seq[Long]].collect().map(_.toArray)
+        val ivf = IvfIndex.Model(qv4)
+        val subDim = 32
+        val pq = PqIndex.Model(
+          (0 until 2).map(j => qv4.map(v =>
+            java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))).toArray)
+        val cells = PqIndex.encodeCells(embT, "vec_id", "embedding", ivf, pq)
+        // serve phase — index-only lexical + cell-probed ADC + fusion
+        val lex = Rank.bm25FromIndex(index, corpus.count(),
+            Map("agg_pipeline" -> Seq("spark", "join", "agg"),
+              "scan_perf" -> Seq("scan", "fast", "filter"),
+              "stream_state" -> Seq("stream", "window", "batch")), kTop = 20)
+          .select(col("query_id"), col("id").as("doc_id"), col("rank"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("adist").asc, col("cid").asc)
+        val vec = PqIndex.ivfAdcTopK(cells, embT.filter(col("vec_id") < 3),
+            "vec_id", "embedding", ivf, pq, kTop = 20, nprobe = 2)
+          .withColumn("rank", row_number().over(w))
+          .select(when(col("qid") === 0, "agg_pipeline")
+              .when(col("qid") === 1, "scan_perf")
+              .otherwise("stream_state").as("query_id"),
+            col("cid").as("doc_id"), col("rank"))
+        Rank.rrfFuse(Seq(lex, vec), kRrf = 60, kTop = 10)
+          .select(col("query_id"), col("doc_id"), big(col("rank")).as("rank"),
+            col("rrf_micro"), big(col("n_sources")).as("n_sources"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+        |tl AS (SELECT doc_id, unnest(w) AS term FROM tk),
+        |tfc AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tl GROUP BY 1, 2),
+        |st AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1 HAVING count(*) >= 50),
+        |rk AS (SELECT term, doc_id, tf,
+        |  row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank FROM tfc),
+        |idx AS (SELECT r.term, s.df, r.doc_id, r.tf FROM rk r JOIN st s USING (term) WHERE r.rank <= 8),
+        |q(query_id, term) AS (VALUES
+        |  ('agg_pipeline', 'spark'), ('agg_pipeline', 'join'), ('agg_pipeline', 'agg'),
+        |  ('scan_perf', 'scan'), ('scan_perf', 'fast'), ('scan_perf', 'filter'),
+        |  ('stream_state', 'stream'), ('stream_state', 'window'), ('stream_state', 'batch')),
+        |idf AS (SELECT term, CAST(floor(1e6 * ln(1 + ((SELECT count(*) FROM documents) - df + 0.5e0)
+        |  / (df + 0.5e0))) AS BIGINT) AS idf
+        |  FROM (SELECT DISTINCT term, df FROM idx) WHERE term IN (SELECT term FROM q)),
+        |co AS (SELECT q.query_id, i.doc_id,
+        |  CAST(floor(f.idf * ((i.tf * (1.2e0 + 1)) / (i.tf + 1.2e0))) AS BIGINT) AS c
+        |  FROM idx i JOIN q ON i.term = q.term JOIN idf f ON i.term = f.term),
+        |sc AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro FROM co GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+        |  FROM sc WHERE score_micro > 0),
+        |lexk AS (SELECT query_id, doc_id, rank FROM lex WHERE rank <= 20),
+        |v AS (SELECT vec_id, $QV AS qv FROM embeddings),
+        |cent AS (SELECT vec_id AS cidx, qv AS cv FROM v WHERE vec_id < 4),
+        |dc AS (SELECT v.vec_id, c.cidx,
+        |  list_sum(list_transform(range(1, len(v.qv) + 1),
+        |    i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS dist
+        |  FROM v CROSS JOIN cent c),
+        |rc AS (SELECT vec_id, cidx,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn FROM dc),
+        |cellof AS (SELECT vec_id, cidx AS cell FROM rc WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, cidx AS cell FROM rc WHERE rn <= 2 AND vec_id < 3),
+        |sub AS (SELECT vec_id, 0 AS j, qv[1:32] AS sv FROM v
+        |        UNION ALL SELECT vec_id, 1, qv[33:64] FROM v),
+        |cb AS (SELECT vec_id AS cidx, j, sv AS cv FROM sub WHERE vec_id < 4),
+        |dpq AS (SELECT s2.vec_id, s2.j, c2.cidx,
+        |  list_sum(list_transform(range(1, 33), i -> (s2.sv[i] - c2.cv[i]) * (s2.sv[i] - c2.cv[i]))) AS dist
+        |  FROM sub s2 JOIN cb c2 ON s2.j = c2.j),
+        |enc AS (SELECT vec_id AS cid, j, cidx AS cell FROM (
+        |  SELECT vec_id, j, cidx, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cidx) AS rn FROM dpq)
+        |  WHERE rn = 1),
+        |vscored AS (SELECT p.qid, cf.vec_id AS cid, SUM(dq.dist) AS adist
+        |  FROM probes p
+        |  JOIN cellof cf ON cf.cell = p.cell AND cf.vec_id <> p.qid
+        |  JOIN enc e ON e.cid = cf.vec_id
+        |  JOIN dpq dq ON dq.vec_id = p.qid AND dq.j = e.j AND dq.cidx = e.cell
+        |  GROUP BY p.qid, cf.vec_id),
+        |vr AS (SELECT qid, cid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rank FROM vscored),
+        |veck AS (SELECT CASE WHEN qid = 0 THEN 'agg_pipeline'
+        |    WHEN qid = 1 THEN 'scan_perf' ELSE 'stream_state' END AS query_id,
+        |  cid AS doc_id, rank FROM vr WHERE rank <= 20),
+        |uni AS (SELECT query_id, doc_id, CAST(floor(1e6 / (60 + rank)) AS BIGINT) AS c FROM lexk
+        |  UNION ALL
+        |  SELECT query_id, doc_id, CAST(floor(1e6 / (60 + rank)) AS BIGINT) AS c FROM veck),
+        |fu AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+        |  CAST(count(*) AS BIGINT) AS n_sources FROM uni GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, rrf_micro, n_sources,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rank FROM fu)
+        |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, rrf_micro, n_sources
         |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
   )
 }

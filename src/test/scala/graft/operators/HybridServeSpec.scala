@@ -94,4 +94,84 @@ class HybridServeSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
   }
+
+  test("IVF-probed serving (q117 shape): cells store partitioned by cell, scan pruned to probed cells, no corpus scans") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_ivf").toString
+    try {
+      corpus.write.parquet(s"$root/docs_tbl")
+      embeddings.write.parquet(s"$root/emb_tbl")
+      val docsT = spark.read.parquet(s"$root/docs_tbl")
+      val embT = spark.read.parquet(s"$root/emb_tbl")
+
+      // BUILD phase: champion index + IVF centroids + PQ codebooks +
+      // per-cell codes, the codes store partitioned BY CELL — the layout
+      // that lets probing prune whole partitions
+      val subDim = 2
+      val qv2 = embT.filter($"vec_id" < 3).orderBy($"vec_id")
+        .select(graft.functions.Kernels.quantNormUdf($"embedding").getField("_1").as("qv"))
+        .as[Seq[Long]].collect().map(_.toArray)
+      val ivf = IvfIndex.Model(qv2)
+      val pq = PqIndex.Model(
+        (0 until 2).map(j => qv2.map(v =>
+          java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))).toArray)
+      Rank.championIndex(docsT, "doc_id", "text", m = 8)
+        .write.parquet(s"$root/index_store")
+      PqIndex.encodeCells(embT, "vec_id", "embedding", ivf, pq)
+        .write.partitionBy("cell").parquet(s"$root/cells_store")
+
+      // SERVE phase: stored artifacts + client-supplied query vectors
+      val savedIndex = spark.read.parquet(s"$root/index_store")
+      val savedCells = spark.read.parquet(s"$root/cells_store")
+      val qvec = Seq(
+        (0L, Array(1.0f, 0.1f, 0.1f, 0.1f)),
+        (1L, Array(0.0f, 1.0f, 0.9f, 0.0f))
+      ).toDF("vec_id", "embedding")
+      val lex = Rank.bm25FromIndex(savedIndex, nDocs = 4L,
+          Map("qa" -> Seq("spark"), "qb" -> Seq("scan")), kTop = 3)
+        .select($"query_id", $"id".as("doc_id"), $"rank")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"adist".asc, $"cid".asc)
+      val probed = PqIndex.ivfAdcTopK(savedCells, qvec, "vec_id", "embedding",
+        ivf, pq, kTop = 3, nprobe = 1)
+      val vec = probed
+        .withColumn("rank", row_number().over(w))
+        .select(when($"qid" === 0, "qa").otherwise("qb").as("query_id"),
+          $"cid".as("doc_id"), $"rank")
+      val fused = Rank.rrfFuse(Seq(lex, vec), kRrf = 60, kTop = 3)
+
+      // serving works and the probe is cell-bounded: with nprobe=1 each
+      // query scores only members of its own nearest cell
+      val rows = fused.select($"query_id", $"doc_id", $"rank", $"n_sources")
+        .as[(String, Long, Int, Long)].collect()
+      assert(rows.nonEmpty)
+      val probedPairs = probed.select($"qid", $"cid").as[(Long, Long)].collect().toSet
+      val cellOf = PqIndex.encodeCells(embT, "vec_id", "embedding", ivf, pq)
+        .select($"cid", $"cell").as[(Long, Int)].collect().toMap
+      val qCell = Map(0L -> IvfIndex.nearest(
+          graft.functions.Kernels.quantizeVec(Array(1.0f, 0.1f, 0.1f, 0.1f)), qv2),
+        1L -> IvfIndex.nearest(
+          graft.functions.Kernels.quantizeVec(Array(0.0f, 1.0f, 0.9f, 0.0f)), qv2))
+      assert(probedPairs.nonEmpty)
+      assert(probedPairs.forall { case (q, c) => cellOf(c) == qCell(q) })
+
+      // plan: only index + cells stores are scanned (corpus absent), and
+      // the cells scan carries a partition filter on the probed cell ids —
+      // Spark's dynamic partition pruning from the broadcast query side
+      val scans = fused.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      val scanPaths = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+      assert(scanPaths.nonEmpty)
+      assert(scanPaths.forall(p =>
+        p.contains("index_store") || p.contains("cells_store")), scanPaths.toString)
+      assert(!scanPaths.exists(p => p.contains("docs_tbl") || p.contains("emb_tbl")))
+      val cellScans = scans.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains("cells_store")))
+      assert(cellScans.nonEmpty)
+      assert(cellScans.forall(_.partitionFilters.nonEmpty),
+        cellScans.map(_.partitionFilters).toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
 }

@@ -52,6 +52,15 @@ object Bench {
     // the extra reps it needs.
     val subSecondReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUBSEC_REPS", "5").toInt
     val extraRepBandSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_BAND", "2.0").toDouble
+    // Self-healing reps (r10): a wide rep spread IS the contention signal,
+    // so act on it — when a query's reps disagree by >= 2x, take up to
+    // this many extra reps REGARDLESS of the sub-second band, so the
+    // recorded min converges toward the true quiet-run value instead of
+    // merely flagging itself (r9's q65: 2-5 s query, 9.3x spread, kept a
+    // possibly-tainted min-of-3). The full spread stays in the artifact
+    // as evidence; only the min self-heals.
+    val spreadReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD_REPS", "3").toInt
+    val spreadThreshold = 2.0
     val timedT0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def rep(): Double = {
@@ -60,9 +69,15 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val base = (1 to reps).map(_ => rep())
-      val all =
+      var all =
         if (base.contains(-1.0) || base.min >= extraRepBandSec) base
         else base ++ ((reps + 1) to subSecondReps).map(_ => rep())
+      var healed = 0
+      while (healed < spreadReps && !all.contains(-1.0) &&
+             all.max / all.min >= spreadThreshold) {
+        all = all :+ rep()
+        healed += 1
+      }
       val best = if (all.contains(-1.0)) -1.0 else all.min
       // Rep spread (max/min over this query's reps): contention steals
       // scheduler quanta from SOME reps, so a contended run shows a wide

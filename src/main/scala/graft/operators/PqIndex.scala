@@ -98,7 +98,22 @@ object PqIndex {
     out
   }
 
-  /** Compress every row to its m codes: (idCol, codes). */
+  /** Compress every row to its m codes: (idCol, codes).
+    *
+    * INCREMENTAL MAINTENANCE (the ANN mirror of the champion-index
+    * ingest story): encoding is a pure per-row function of the FROZEN
+    * codebook, so arrivals can be encoded alone and appended to the
+    * stored codes — appended == from-scratch encode of everything, bit
+    * for bit (StreamingSpec pins it through the versioned sink). What
+    * drifts is the MODEL: a codebook trained on yesterday's distribution
+    * quantizes tomorrow's vectors with growing reconstruction error, so
+    * the carry-vs-retrain policy mirrors [[Rank.championIndexImpact]]'s
+    * avgdl note — monitor mean ADC self-distance (a candidate's distance
+    * to its own codes, 0 for a perfect codebook) on a sample of
+    * arrivals; CARRY while it holds near the training-time figure,
+    * RETRAIN the codebook and re-encode when it degrades past the
+    * deployment's recall tolerance. A retrain is the same `fit`; codes
+    * re-encode in one map-side pass. */
   def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame =
     encodeWith(df, idCol, vecCol,
       df.sparkSession.sparkContext.broadcast(model))

@@ -236,6 +236,24 @@ object Rank {
     * no-UDF column scan ([[avgdlStats]]) — the kernel tokenizer runs
     * only inside the census.
     *
+    * AVGDL DRIFT POLICY (the operational question a long-lived
+    * incremental deployment hits first): the pinned `fixedAvgdl` is part
+    * of the index's METADATA contract, not an approximation — carrying
+    * it forward keeps every property exact (merged == from-scratch under
+    * the same pin, RankSpec; serving replays exact BM25 *at that pin*,
+    * q113/q116). What drifts is the MODEL: as the true corpus average
+    * length moves away from the pin, the b-normalization no longer
+    * matches the corpus BM25 a fresh build would compute, and champion
+    * SELECTION is ordered by stale impacts (RankSpec pins a concrete
+    * divergence case). So the policy is: monitor
+    * |avgdl_true - avgdl_pinned| / avgdl_pinned with [[avgdlStats]] (one
+    * cheap column scan, no tokenize); CARRY while it is small (exactness
+    * is per-pin, nothing corrupts); REBUILD the index — and re-pin — when
+    * it crosses the deployment's tolerance (the classic trigger is
+    * ~10-20%, where length-normalization error starts reordering
+    * champions in practice). A rebuild is the same one-pass build, and
+    * serving needs no code change — it reads the new pin from metadata.
+    *
     * @return (term, df, cf, rank, idCol, tf, dl, impact_micro), rank 1..m
     *         by (impact desc, id asc). */
   def championIndexImpact(docs: DataFrame, idCol: String, textCol: String,

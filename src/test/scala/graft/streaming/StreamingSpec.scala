@@ -246,6 +246,51 @@ class StreamingSpec extends SparkSpec {
       rows(build((seed ++ arrival1 ++ arrival2).toDF("doc_id", "text"))))
   }
 
+  test("PQ codes store stays exact under streaming ingest (frozen codebook)") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.PqIndex
+    // the ANN mirror of the impact-index ingest loop: each arrival
+    // PQ-encodes ONLY its own vectors under the FROZEN codebook and
+    // appends through the transactional sink; appended must equal a
+    // from-scratch encode of everything seen so far, bit for bit
+    val seed = Seq(
+      (1L, Array(1.0f, 0.1f, 0.0f, 0.2f)),
+      (2L, Array(0.9f, 0.2f, 0.1f, 0.1f)))
+    val subDim = 2
+    val books = (0 until 2).map { j =>
+      seed.map(v => graft.functions.Kernels.quantizeVec(v._2))
+        .map(qv => java.util.Arrays.copyOfRange(qv, j * subDim, (j + 1) * subDim))
+        .toArray
+    }.toArray
+    val pq = PqIndex.Model(books)
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      PqIndex.encode(df, "vec_id", "embedding", pq)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSet
+    val root = java.nio.file.Files.createTempDirectory("pq_ingest").toString
+    val sink = new graft.sinks.VersionedTableSink(root, "pq_codes")
+    sink.write(enc(seed.toDF("vec_id", "embedding")))
+    val arrival1 = Seq(
+      (3L, Array(0.0f, 1.0f, 0.8f, 0.0f)),
+      (4L, Array(0.1f, 0.9f, 1.0f, 0.1f)))
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData(arrival1: _*)
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.write(sink.readCurrent(spark).union(enc(batch))): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(rows(sink.readCurrent(spark)) ==
+      rows(enc((seed ++ arrival1).toDF("vec_id", "embedding"))))
+    // a second arrival appends to the GROWN store — still exact
+    val arrival2 = Seq((5L, Array(0.5f, 0.5f, 0.5f, 0.5f)))
+    sink.write(sink.readCurrent(spark)
+      .union(enc(arrival2.toDF("vec_id", "embedding"))))
+    assert(rows(sink.readCurrent(spark)) ==
+      rows(enc((seed ++ arrival1 ++ arrival2).toDF("vec_id", "embedding"))))
+  }
+
   test("LM surprise streams: static reference LM joined per micro-batch (the CCNet serving shape)") {
     implicit val sq = spark.sqlContext
     import graft.operators.LmScore

@@ -35,14 +35,27 @@ package graft.split
   *      link's (url) off leaves exactly such text, the reference's own
   *      splitter_test.py:179 expected output). Fences and table cells are
   *      not text tokens and pass through.
+  *  R10-R14 (round 10, [[MdTextEscapes]]): the remaining text-token
+  *      escape classes per mdformat's renderer — literal backslash
+  *      doubling (R10), unmatched * / _ emphasis-marker escapes under
+  *      the full CommonMark flanking + rule-of-three delimiter matching
+  *      so REAL emphasis like **bold** stays untouched (R11), < and
+  *      unmatched backtick escapes with autolink / inline-HTML / code-
+  *      span protection (R13), character references decoded to their
+  *      characters (WHATWG HTML5 entity table, checked-in resource) with
+  *      a \& escape wherever literal text would re-parse as a reference
+  *      (R14). R9's bracket rule is subsumed by the same pass (R12).
   *
   * Not implemented (documented divergence): emphasis-marker handling
   * needs none (mdformat renders em/strong with the SOURCE marker,
   * `node.markup` — markers are preserved, not rewritten); remaining gaps
-  * are the other text-token escapes (contextual * _ , < ` &, line-start
-  * block-syntax escapes inside paragraphs), backslash doubling, and
-  * paragraph re-wrapping (mdformat's default wrap mode keeps source line
-  * breaks anyway).
+  * are link-LABEL inner escaping (labels pass through verbatim),
+  * unnecessary-escape dropping (mdformat removes escapes its renderer
+  * deems redundant; this keeps them — byte-stable either way),
+  * line-start block-syntax escapes inside paragraphs, and paragraph
+  * re-wrapping (mdformat's default wrap mode keeps source line breaks
+  * anyway). Table cells render through the mdformat-tables path (R6),
+  * not the text-escape pass.
   */
 object MdFormatLite {
 
@@ -83,26 +96,11 @@ object MdFormatLite {
     }
   }
 
-  /** R9: escape [ ] outside code spans, complete link/image constructs,
-    * and existing escapes. Runs over a whole block so links spanning a
-    * soft line break stay protected. Idempotent (an escaped bracket is
-    * skipped on re-entry). */
-  private def escapeDanglingBrackets(s: String): Vector[String] = {
-    if (!s.contains('[') && !s.contains(']')) return s.split("\n", -1).toVector
-    val prot = new Array[Boolean](s.length)
-    for (m <- CodeSpanRe.findAllMatchIn(s); k <- m.start until m.end) prot(k) = true
-    for (m <- LinkRe.findAllMatchIn(s) if !prot(m.start); k <- m.start until m.end) prot(k) = true
-    val sb = new StringBuilder(s.length + 8)
-    var k = 0
-    while (k < s.length) {
-      val c = s.charAt(k)
-      if ((c == '[' || c == ']') && !prot(k) && (k == 0 || s.charAt(k - 1) != '\\'))
-        sb.append('\\')
-      sb.append(c)
-      k += 1
-    }
-    sb.toString.split("\n", -1).toVector
-  }
+  /** R9-R14: the text-token escape pass ([[MdTextEscapes]]) over a whole
+    * block, so links and emphasis spanning a soft line break stay whole.
+    * Idempotent (every emitted escape re-enters as an escape sequence). */
+  private def escapeTextBlock(s: String): Vector[String] =
+    MdTextEscapes.render(s).split("\n", -1).toVector
 
   private def cells(row: String): Vector[String] =
     PipeSplit.split(row.trim.stripPrefix("|").stripSuffix("|"), -1).toVector.map(_.trim)
@@ -142,7 +140,7 @@ object MdFormatLite {
     def closePara(): Unit = {
       if (para.nonEmpty) {
         // R8 then R9 over the joined block (multi-line links stay whole)
-        blocks += escapeDanglingBrackets(renumberOrdered(para).mkString("\n"))
+        blocks += escapeTextBlock(renumberOrdered(para).mkString("\n"))
         para = Vector.empty
       }
     }
@@ -169,7 +167,7 @@ object MdFormatLite {
       } else l match {
         case HeadingRe(hashes, title) =>
           closePara()
-          blocks += escapeDanglingBrackets(s"$hashes $title")
+          blocks += escapeTextBlock(s"$hashes $title")
           i += 1
         case BulletRe(indent, rest) =>
           para = para :+ s"$indent- $rest"; i += 1

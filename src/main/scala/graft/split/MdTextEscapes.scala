@@ -1,0 +1,316 @@
+package graft.split
+
+/** mdformat-style TEXT-token escaping (the R10-R14 rule family of
+  * [[MdFormatLite]]; reference semantic_splitter.py:107-119 runs
+  * `mdformat.text` whose renderer escapes characters in text tokens that
+  * could be re-parsed as markdown syntax — mdformat's public
+  * `renderer/_default_renderers.text` + `_util.escape_*` semantics).
+  *
+  * Model: a block is scanned left-to-right into inline elements the way
+  * CommonMark's inline pass consumes them —
+  *
+  *   - backslash escape sequences `\p` (p ASCII punctuation): the
+  *     escape's CHAR is text content but can never be syntax; the escape
+  *     is preserved verbatim on render (divergence: real mdformat drops
+  *     escapes its renderer deems unnecessary; preserving is byte-stable
+  *     and round-trip-safe);
+  *   - character references `&name;` / `&#n;` / `&#xh;`: DECODED to their
+  *     characters (CommonMark inline semantics; the HTML5 entity list is
+  *     the `graft/md/html5_entities.tsv` resource, generated from the
+  *     published WHATWG table), and the decoded characters are then
+  *     escaped like any text character;
+  *   - code spans (backtick-run + equal-length closer), inline links /
+  *     images / reference links, autolinks `<scheme:..>` / `<mail@..>`,
+  *     and inline HTML tags/comments: VERBATIM — their bytes are not
+  *     text tokens (divergence: link labels pass through unescaped);
+  *   - everything else: text characters.
+  *
+  * Emphasis delimiters (`*` / `_` runs of plain text chars) are then
+  * matched per CommonMark's flanking + rule-of-three algorithm; MATCHED
+  * delimiters render verbatim (mdformat renders emphasis with the source
+  * markup), and every OTHER special in text renders escaped:
+  *
+  *   R10. `\`  -> `\\` (literal backslash, e.g. before a letter)
+  *   R11. unmatched `*` / `_` -> escaped UNLESS both neighbors inside
+  *        the text run are whitespace-or-boundary (mdformat's
+  *        escape_asterisk/underscore_emphasis rule; a token boundary —
+  *        code span, link, block edge — counts as whitespace)
+  *   R12. `[` `]` -> `\[` `\]` (subsumes the round-8 R9 rule)
+  *   R13. `<` -> `\<`; `` ` `` -> ``\` `` (unmatched backtick leftovers)
+  *   R14. `&` -> `\&` when the following text would re-parse as a
+  *        character reference (numeric or HTML5-named)
+  *
+  * Idempotent by construction: every escape this pass emits re-enters
+  * the scanner as an escape sequence and is preserved; matched emphasis
+  * re-matches.
+  */
+private[split] object MdTextEscapes {
+
+  /** HTML5 named references (name -> replacement), from the checked-in
+    * resource generated off the published WHATWG entity table. */
+  private lazy val entities: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String](4096)
+    val in = getClass.getResourceAsStream("/graft/md/html5_entities.tsv")
+    if (in != null) {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try src.getLines().foreach { l =>
+        val t = l.indexOf('\t')
+        if (t > 0) m.put(l.substring(0, t), l.substring(t + 1))
+      } finally src.close()
+    }
+    m
+  }
+
+  private def isAsciiPunct(c: Char): Boolean =
+    "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".indexOf(c) >= 0
+
+  /** CommonMark "Unicode punctuation" (P* categories or ASCII punct). */
+  private def isPunct(c: Char): Boolean = isAsciiPunct(c) || {
+    val t = Character.getType(c)
+    t == Character.CONNECTOR_PUNCTUATION || t == Character.DASH_PUNCTUATION ||
+    t == Character.END_PUNCTUATION || t == Character.FINAL_QUOTE_PUNCTUATION ||
+    t == Character.INITIAL_QUOTE_PUNCTUATION || t == Character.OTHER_PUNCTUATION ||
+    t == Character.START_PUNCTUATION
+  }
+
+  private def isWs(c: Char): Boolean = Character.isWhitespace(c)
+
+  // autolink: <scheme:...> or <addr@host>; inline html: tags + comments
+  private val AutolinkRe =
+    "^<(?:[A-Za-z][A-Za-z0-9+.-]{1,31}:[^<>\\s]*|[^<>\\s@]+@[^<>\\s]+\\.[^<>\\s]+)>".r
+  private val HtmlTagRe =
+    "^(?:</?[A-Za-z][A-Za-z0-9-]*(?:\\s[^<>]*)?/?>|<!--[\\s\\S]*?-->)".r
+  // inline/reference link or image, same shape MdFormatLite protects
+  private val LinkRe =
+    ("^!?\\[[^\\[\\]]*\\]" +
+      "(?:\\([^()]*(?:\\([^()]*\\)[^()]*)*\\)|\\[[^\\[\\]]*\\])").r
+  private val NumRefRe = "^&#(?:[0-9]{1,7}|[Xx][0-9A-Fa-f]{1,6});".r
+  private val NamedRefRe = "^&([A-Za-z][A-Za-z0-9]{1,31});".r
+
+  /** One scanned element. For text chars, `origin` distinguishes how the
+    * char reached the content stream (it changes render + syntax rules). */
+  private final val OriginPlain = 0
+  private final val OriginEscaped = 1 // from a \p escape sequence
+  private final val OriginEntity = 2 // from a decoded character reference
+
+  private sealed trait Item
+  private final case class Verbatim(raw: String) extends Item
+  private final case class TextChar(c: Char, origin: Int) extends Item
+
+  /** Decode a reference at s(i) (must be '&'); returns (replacement,
+    * consumedLength) or null. */
+  private def reference(s: String, i: Int): (String, Int) = {
+    val rest = s.substring(i)
+    NumRefRe.findFirstIn(rest) match {
+      case Some(m) =>
+        val body = m.substring(2, m.length - 1)
+        val cp =
+          try {
+            if (body.charAt(0) == 'x' || body.charAt(0) == 'X')
+              Integer.parseInt(body.substring(1), 16)
+            else Integer.parseInt(body)
+          } catch { case _: NumberFormatException => -1 }
+        val repl =
+          if (cp <= 0 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF)) "�"
+          else new String(Character.toChars(cp))
+        (repl, m.length)
+      case None =>
+        NamedRefRe.findFirstMatchIn(rest) match {
+          case Some(m) =>
+            val repl = entities.get(m.group(1))
+            if (repl == null) null else (repl, m.end)
+          case None => null
+        }
+    }
+  }
+
+  /** Scan a block into inline elements (CommonMark consumption order:
+    * escapes, code spans, autolinks/html, links, references, text). */
+  private def scan(s: String): Vector[Item] = {
+    val items = Vector.newBuilder[Item]
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < n && isAsciiPunct(s.charAt(i + 1))) {
+        items += TextChar(s.charAt(i + 1), OriginEscaped); i += 2
+      } else if (c == '`') {
+        var l = i
+        while (l < n && s.charAt(l) == '`') l += 1
+        val runLen = l - i
+        // find a closer run of EXACTLY runLen
+        var j = l
+        var close = -1
+        while (close < 0 && j < n) {
+          if (s.charAt(j) == '`') {
+            var k = j
+            while (k < n && s.charAt(k) == '`') k += 1
+            if (k - j == runLen) close = j else j = k
+          } else j += 1
+        }
+        if (close >= 0) { items += Verbatim(s.substring(i, close + runLen)); i = close + runLen }
+        else { (0 until runLen).foreach(_ => items += TextChar('`', OriginPlain)); i = l }
+      } else if (c == '&') {
+        val r = reference(s, i)
+        if (r == null) { items += TextChar('&', OriginPlain); i += 1 }
+        else { r._1.foreach(ch => items += TextChar(ch, OriginEntity)); i += r._2 }
+      } else if (c == '<') {
+        val rest = s.substring(i)
+        AutolinkRe.findFirstIn(rest).orElse(HtmlTagRe.findFirstIn(rest)) match {
+          case Some(m) => items += Verbatim(m); i += m.length
+          case None => items += TextChar('<', OriginPlain); i += 1
+        }
+      } else if (c == '[' || (c == '!' && i + 1 < n && s.charAt(i + 1) == '[')) {
+        LinkRe.findFirstIn(s.substring(i)) match {
+          case Some(m) => items += Verbatim(m); i += m.length
+          case None => items += TextChar(c, OriginPlain); i += 1
+        }
+      } else { items += TextChar(c, OriginPlain); i += 1 }
+    }
+    items.result()
+  }
+
+  private final case class Delim(idx: Int, ch: Char, origLen: Int,
+                                 canOpen: Boolean, canClose: Boolean,
+                                 var remaining: Int, var consumedLeft: Int)
+
+  /** CommonMark delimiter-run matching; returns the set of item indices
+    * whose delimiter chars are MATCHED emphasis markers. */
+  private def matchEmphasis(items: Vector[Item]): java.util.BitSet = {
+    val matched = new java.util.BitSet(items.length)
+    // visible neighbor char of an item (for flanking)
+    def charOf(it: Item, last: Boolean): Char = it match {
+      case TextChar(c, _) => c
+      case Verbatim(raw) => if (last) raw.charAt(raw.length - 1) else raw.charAt(0)
+    }
+    // collect maximal runs of plain * / _
+    val delims = Vector.newBuilder[Delim]
+    var i = 0
+    while (i < items.length) {
+      items(i) match {
+        case TextChar(ch, OriginPlain) if ch == '*' || ch == '_' =>
+          var j = i
+          while (j < items.length && (items(j) match {
+            case TextChar(`ch`, OriginPlain) => true; case _ => false
+          })) j += 1
+          val len = j - i
+          val prev = if (i == 0) ' ' else charOf(items(i - 1), last = true)
+          val next = if (j >= items.length) ' ' else charOf(items(j), last = false)
+          val wsB = isWs(prev); val wsA = isWs(next)
+          val pB = isPunct(prev); val pA = isPunct(next)
+          val leftF = !wsA && (!pA || wsB || pB)
+          val rightF = !wsB && (!pB || wsA || pA)
+          val (canOpen, canClose) =
+            if (ch == '*') (leftF, rightF)
+            else (leftF && (!rightF || pB), rightF && (!leftF || pA))
+          delims += Delim(i, ch, len, canOpen, canClose, len, 0)
+          i = j
+        case _ => i += 1
+      }
+    }
+    val ds = delims.result().toArray
+    // process: for each closer, walk back to nearest compatible opener
+    var ci = 0
+    while (ci < ds.length) {
+      val closer = ds(ci)
+      if (closer.canClose) {
+        var oi = ci - 1
+        while (closer.remaining > 0 && oi >= 0) {
+          val opener = ds(oi)
+          val ruleOf3Blocked =
+            (closer.canOpen || opener.canClose) &&
+              (opener.origLen + closer.origLen) % 3 == 0 &&
+              !(opener.origLen % 3 == 0 && closer.origLen % 3 == 0)
+          if (opener.ch == closer.ch && opener.canOpen &&
+              opener.remaining > 0 && !ruleOf3Blocked) {
+            while (opener.remaining > 0 && closer.remaining > 0) {
+              val take = math.min(2, math.min(opener.remaining, closer.remaining))
+              // opener consumes from its RIGHT edge, closer from its LEFT
+              (0 until take).foreach { k =>
+                matched.set(opener.idx + opener.remaining - 1 - k)
+                matched.set(closer.idx + closer.consumedLeft + k)
+              }
+              opener.remaining -= take
+              closer.remaining -= take
+              closer.consumedLeft += take
+            }
+          }
+          oi -= 1
+        }
+      }
+      ci += 1
+    }
+    matched
+  }
+
+  /** Render one block's worth of text with mdformat's text-token escapes
+    * (R10-R14). Block-level structure (headings, tables, fences) is the
+    * caller's concern — this is the inline/text layer. */
+  def render(s: String): String = {
+    // fast path: nothing escapable
+    var has = false
+    var p = 0
+    while (!has && p < s.length) {
+      val c = s.charAt(p)
+      has = c == '\\' || c == '*' || c == '_' || c == '[' || c == ']' ||
+        c == '<' || c == '`' || c == '&'
+      p += 1
+    }
+    if (!has) return s
+
+    val items = scan(s)
+    val matched = matchEmphasis(items)
+    val out = new StringBuilder(s.length + 16)
+    // neighbor view for the *_ whitespace rule: within a contiguous text
+    // run; Verbatim, block edge, or a MATCHED emphasis delimiter counts
+    // as a boundary (mdformat sees token boundaries as None — a leftover
+    // `*` right next to `**bold**` stays unescaped)
+    def neighbor(i: Int, step: Int): Char = {
+      val j = i + step
+      if (j < 0 || j >= items.length || matched.get(j)) ' '
+      else items(j) match {
+        case TextChar(c, _) => c
+        case _: Verbatim => ' '
+      }
+    }
+    // decoded downstream text of the current text run (for the & rule)
+    def downstream(i: Int): String = {
+      val sb = new StringBuilder(34)
+      var j = i
+      while (j < items.length && sb.length <= 33) {
+        items(j) match {
+          case TextChar(c, _) => sb.append(c)
+          case _: Verbatim => j = items.length
+        }
+        j += 1
+      }
+      sb.toString
+    }
+    var i = 0
+    while (i < items.length) {
+      items(i) match {
+        case Verbatim(raw) => out.append(raw)
+        case TextChar(c, OriginEscaped) => out.append('\\').append(c)
+        case TextChar(c, _) if matched.get(i) => out.append(c)
+        case TextChar(c, _) =>
+          c match {
+            case '\\' => out.append("\\\\")
+            case '*' | '_' =>
+              val pv = neighbor(i, -1); val nx = neighbor(i, 1)
+              if (isWs(pv) && isWs(nx)) out.append(c)
+              else out.append('\\').append(c)
+            case '[' | ']' | '<' | '`' => out.append('\\').append(c)
+            case '&' =>
+              val rest = downstream(i)
+              if (NumRefRe.findFirstIn(rest).isDefined ||
+                  NamedRefRe.findFirstMatchIn(rest).exists(m => entities.containsKey(m.group(1))))
+                out.append("\\&")
+              else out.append('&')
+            case other => out.append(other)
+          }
+      }
+      i += 1
+    }
+    out.toString
+  }
+}

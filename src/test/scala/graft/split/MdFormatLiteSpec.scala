@@ -113,4 +113,51 @@ class MdFormatLiteSpec extends AnyFunSuite {
     // headings get the same text-token escape
     assert(MdFormatLite.normalize("# Results [draft") == "# Results \\[draft")
   }
+
+  test("R11: unmatched emphasis markers escape; matched emphasis is preserved") {
+    // mdformat's escape_asterisk/underscore_emphasis: escape unless both
+    // neighbors are whitespace — but only delimiters that did NOT parse
+    // as emphasis are text
+    assert(MdFormatLite.normalize("5*6=30") == "5\\*6=30")
+    assert(MdFormatLite.normalize("foo_bar_baz") == "foo\\_bar\\_baz")
+    assert(MdFormatLite.normalize("a * b") == "a * b") // ws both sides
+    // real emphasis/strong renders with its source markers, untouched
+    assert(MdFormatLite.normalize("**bold** and *em* and _u_") == "**bold** and *em* and _u_")
+    // CommonMark: intraword _ cannot open/close, so _a_b_ is em("a_b") —
+    // the inner underscore is text and escapes
+    assert(MdFormatLite.normalize("_a_b_") == "_a\\_b_")
+    // partially-matched run: the leftover delimiter borders a token
+    // boundary (None neighbor) and stays unescaped, like mdformat
+    assert(MdFormatLite.normalize("***bold** x") == "***bold** x")
+    // idempotence of the whole family
+    for (s <- Seq("5*6=30", "foo_bar_baz", "_a_b_", "***bold** x")) {
+      val once = MdFormatLite.normalize(s)
+      assert(MdFormatLite.normalize(once) == once, s)
+    }
+  }
+
+  test("R10/R13: backslash doubling, < and unmatched backtick escapes; autolinks/html/code protected") {
+    assert(MdFormatLite.normalize("a\\b") == "a\\\\b") // literal backslash doubles
+    assert(MdFormatLite.normalize("a\\*b") == "a\\*b") // existing escape preserved
+    assert(MdFormatLite.normalize("x < y") == "x \\< y")
+    assert(MdFormatLite.normalize("un`matched") == "un\\`matched")
+    val prot = "auto <https://x.y/z?a=1> mail <a@b.co> tag <div class=\"x\">t</div> `a<b`"
+    assert(MdFormatLite.normalize(prot) == prot)
+    assert(MdFormatLite.normalize("<!-- note --> keep") == "<!-- note --> keep")
+  }
+
+  test("R14: character references decode; literal text that would re-parse as a reference escapes its &") {
+    assert(MdFormatLite.normalize("&#65;&#x42;") == "AB")
+    assert(MdFormatLite.normalize("&lt;tag&gt;") == "\\<tag>") // decoded < then escaped; > is not special
+    assert(MdFormatLite.normalize("&copy;") == "©")
+    // &amp; decodes to &, leaving text that WOULD re-parse as &copy; -> escape
+    assert(MdFormatLite.normalize("&amp;copy;") == "\\&copy;")
+    // an unknown name is not a reference: & stays bare
+    assert(MdFormatLite.normalize("&notanentity; and A&B") == "&notanentity; and A&B")
+    // idempotence across decode+escape
+    for (s <- Seq("&amp;copy;", "&lt;tag&gt;", "&copy;")) {
+      val once = MdFormatLite.normalize(s)
+      assert(MdFormatLite.normalize(once) == once, s)
+    }
+  }
 }

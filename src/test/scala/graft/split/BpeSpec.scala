@@ -17,16 +17,19 @@ class BpeSpec extends AnyFunSuite {
     // 11 chunks, token_lens summing 2072 over 6701 chars = 3.23 chars per
     // cl100k token. The corpus is classical LATIN prose and is HELD OUT
     // of merge-table training (TrainBpe excludes the tests subtree), so
-    // this stays an honest out-of-domain bound. The round-6b table
-    // (fixtures + reference markdown prose + the splitter tests'
-    // benchmark-distinct Lorem-ipsum Latin + German Wikipedia/CC0 HTML
-    // fixtures through HtmlToMd) lands at 15 chunks / 2.25 chars per
-    // token = 1.50x token over-count — down from 1.67x (round-6a,
-    // English-only prose corpus) and 1.86x (round-5 fixtures-only); the
-    // in-repo Latin is ~4 KB, which is what bounds the remaining gap
-    // (English prose drift is ~1.12x — see the cut-off pin below). This
-    // pin is the measured bound — it is NOT parity; parity is certified
-    // only on the fixture boundary windows (6/6 byte-exact).
+    // this stays an honest out-of-domain bound. The round-10 table (the
+    // 7x-grown corpus: fixtures + reference markdown prose + the
+    // benchmark-distinct Lorem-ipsum Latin incl. container package data
+    // + German Wikipedia/CC0 HTML through HtmlToMd + license legalese +
+    // Node.js API markdown, with CalibrateBpe's 16-entry fixture-parity
+    // blocklist) lands at 13 chunks / 2.53 chars per token = 1.30x
+    // token over-count — down from 1.50x (round-6b), 1.67x (round-6a,
+    // English-only prose) and 1.86x (round-5 fixtures-only). The corpus
+    // SIZE was the binding constraint (the old 250 KB mix exhausted its
+    // merge pool at ~9k distinct pretokens); English prose drift is now
+    // EXACT (see the cut-off pin below). This pin is the measured
+    // bound — it is NOT parity; parity is certified only on the fixture
+    // boundary windows (6/6 byte-exact).
     import scala.jdk.CollectionConverters._
     val in = getClass.getResourceAsStream("/markdown_corpus/markdown.json")
     val root = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in) finally in.close()
@@ -36,23 +39,25 @@ class BpeSpec extends AnyFunSuite {
     val chunks = docs.flatMap(sp.splitMarkdown)
     // regression pin: a merge-table or splitter change that moves these
     // numbers must re-measure and update FIXTURES.md §1.5
-    assert(chunks.length == 15)
+    assert(chunks.length == 13)
     val ourTokens = chunks.map(c => sp.tk.count(c)).sum
     val ourChars = chunks.map(_.length).sum
-    assert(ourTokens == 3107 && ourChars == 7006, s"tokens=$ourTokens chars=$ourChars")
+    assert(ourTokens == 2696 && ourChars == 6809, s"tokens=$ourTokens chars=$ourChars")
     val refTokens = Seq(236, 74, 243, 278, 240, 225, 247, 136, 245, 67, 81).sum // = 2072
     val drift = ourTokens.toDouble / refTokens
-    assert(drift > 1.4 && drift < 1.6, s"measured drift ratio moved: $drift")
+    assert(drift > 1.2 && drift < 1.4, s"measured drift ratio moved: $drift")
   }
 
   test("cut-off boundaries vs the reference's cut_off_test pins (second drift datapoint)") {
     // tests/splitter/cut_off_test.py:14-24 pins cl100k truncation of this
     // sentence: 10 tokens -> 44 chars, 20 tokens -> 100 chars, 100 -> whole
-    // (118 chars, so cl100k counts it ~25 tokens). The round-6b table
-    // counts 28 (1.12x, down from 32 = 1.28x round-6a and 46 = 1.84x
-    // round-5): on ENGLISH prose — the training domain — residual drift
-    // is ~1.1x; `truncate = exact prefix` (the semantics under test
-    // there) holds regardless of table.
+    // (118 chars, so cl100k counts it ~25 tokens). The round-10 table
+    // counts this sentence at cl100k's own 25 tokens, and the 10-token
+    // cut lands on cl100k's exact 44-char boundary (the 20-token cut
+    // lands at 94 vs cl100k's 100 — same count, one word-boundary
+    // earlier; was 28 tokens / 1.12x round-6b, 32 round-6a, 46 round-5);
+    // `truncate = exact prefix` (the semantics under test there) holds
+    // regardless of table.
     val s = "This is a very long long text with many many words that produce " +
       "a lengthy sentence that is the input for the splitter."
     assert(s.length == 118)
@@ -62,11 +67,11 @@ class BpeSpec extends AnyFunSuite {
       assert(tk.count(t) <= n)
     }
     // regression pins (update FIXTURES.md §1.5 if the table changes)
-    assert(tk.truncate(s, 10).length == 39, tk.truncate(s, 10).length) // reference cl100k: 44
-    assert(tk.truncate(s, 20).length == 82, tk.truncate(s, 20).length) // reference cl100k: 100
+    assert(tk.truncate(s, 10).length == 44, tk.truncate(s, 10).length) // == reference cl100k
+    assert(tk.truncate(s, 20).length == 94, tk.truncate(s, 20).length) // reference cl100k: 100
     assert(tk.truncate(s, 100) == s)        // fits whole on both tables
     val drift = tk.count(s).toDouble / 25   // ~25 cl100k tokens
-    assert(drift > 1.0 && drift < 1.3, s"plain-prose drift moved: $drift")
+    assert(drift >= 1.0 && drift < 1.1, s"plain-prose drift moved: $drift")
   }
 
   test("decode(encode(s)) == s for fixture text, unicode, and edge cases") {

@@ -8,12 +8,14 @@ import graft.split.{Bpe, BpeTokenizer, BpeVocab}
   * The parity target is byte-exact chunk equality with the reference's
   * own committed fixture outputs, which pin cl100k_base boundary
   * behavior (tests/splitter/table_splitter_test.py:24-49). A trained
-  * table aligns with those boundaries only on a prefix BAND; the band
-  * snaps shut at the first merge that compresses the shared fixture
-  * vocabulary past cl100k granularity (e.g. " Visualize" — cl100k keeps
-  * it " Visual"+"ize" at this granularity, provably: with the merge
-  * present, parity breaks at exactly the rank where it enters the
-  * table).
+  * table aligns with those boundaries only on a prefix BAND — through
+  * compensating per-word differences, not per-word cl100k equality —
+  * and the band snaps shut at the first merge that tips the
+  * equilibrium (e.g. " Visualize", or a 90-space table-padding run):
+  * provably, with the merge present, parity breaks at exactly the rank
+  * where it enters the table. Blocklisted entries are therefore
+  * calibration artifacts pinned by the goldens, not claims about
+  * cl100k's vocabulary.
   *
   * This tool automates the discovery loop:
   *   1. train the table with the current blocklist (replaying the

@@ -76,11 +76,13 @@ import graft.split.Bpe
   *
   * Calibration blocklist: `src/main/resources/graft/bpe/not_cl100k.txt`
   * (one token per line, written by graft.tools.CalibrateBpe) lists
-  * merges the reference's own pinned fixture outputs prove cl100k does
-  * NOT apply at fixture-parity granularity — each entry was discovered
-  * empirically because parity with the reference goldens breaks at
-  * exactly the rank where that merge enters the table. The trainer
-  * skips them so the parity band extends instead of snapping shut.
+  * merges whose entry provably BREAKS byte-parity with the reference's
+  * own pinned fixture outputs — discovered empirically: parity breaks
+  * at exactly the rank where each enters the table. They are
+  * calibration-equilibrium artifacts (fixture parity holds through
+  * compensating per-word differences, not per-word cl100k equality —
+  * some entries are certainly real cl100k tokens), removed so the
+  * parity band extends instead of snapping shut.
   *
   * Usage: runMain graft.tools.TrainBpe [maxMerges] [fixtureWeight] [latinWeight] [baseWeight] [manyRowsWeight]
   */

@@ -209,13 +209,20 @@ private[split] object MdTextEscapes {
       }
     }
     val ds = delims.result().toArray
-    // process: for each closer, walk back to nearest compatible opener
+    // process: for each closer, walk back to nearest compatible opener.
+    // workBudget bounds the quadratic opener walk (adversarial web text —
+    // e.g. megabytes of alternating "*a" — would otherwise be O(d^2) per
+    // block on an executor); past the budget, remaining delimiters stay
+    // unmatched and render escaped, which is content-preserving and
+    // deterministic. Normal prose never comes close.
+    var workBudget = 2000000L
     var ci = 0
-    while (ci < ds.length) {
+    while (ci < ds.length && workBudget > 0) {
       val closer = ds(ci)
       if (closer.canClose) {
         var oi = ci - 1
-        while (closer.remaining > 0 && oi >= 0) {
+        while (closer.remaining > 0 && oi >= 0 && workBudget > 0) {
+          workBudget -= 1
           val opener = ds(oi)
           val ruleOf3Blocked =
             (closer.canOpen || opener.canClose) &&

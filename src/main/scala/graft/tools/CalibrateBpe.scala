@@ -32,7 +32,14 @@ import graft.split.{Bpe, BpeTokenizer, BpeVocab}
   * (dev data); the held-out drift benchmark (tests/data/markdown.json)
   * is never consulted.
   *
-  * Usage: runMain graft.tools.CalibrateBpe [maxIters] [maxMerges] [fixtureWeight] [latinWeight] [baseWeight] [manyRowsWeight]
+  * `extendTo > 0` keeps going after the first 6/6 window: as long as the
+  * window's top edge is below `extendTo`, the merge that closes it is
+  * blocklisted and training continues — widening the window upward lets
+  * `Bpe.CalibratedMerges` sit higher, which packs more prose merges
+  * under the default prefix and lowers out-of-domain drift (DriftProbe
+  * decides whether the extra entries paid for themselves).
+  *
+  * Usage: runMain graft.tools.CalibrateBpe [maxIters] [maxMerges] [fixtureWeight] [latinWeight] [baseWeight] [manyRowsWeight] [extendTo]
   */
 object CalibrateBpe {
   def main(args: Array[String]): Unit = {
@@ -42,6 +49,7 @@ object CalibrateBpe {
     val latinWeight = args.drop(3).headOption.map(_.toLong).getOrElse(256L)
     val baseWeight = args.drop(4).headOption.map(_.toLong).getOrElse(8L)
     val manyRowsWeight = args.drop(5).headOption.map(_.toLong).getOrElse(11L)
+    val extendTo = args.drop(6).headOption.map(_.toInt).getOrElse(0)
 
     val corpus = TrainBpe.buildCorpus()
     println(s"corpus: ${corpus.all.length} files, ${corpus.all.map(_._2.length).sum} chars, " +
@@ -96,10 +104,19 @@ object CalibrateBpe {
           while (goodStart - step >= 1 && exact(goodStart - step) >= best) goodStart -= step
           step /= 2
         }
-        println(s"DONE: 6/6 window [$goodStart, $goodEnd]; " +
+        println(s"6/6 window [$goodStart, $goodEnd]; " +
           s"table ${table.length} merges + ${blocklist.size} blocklist entries (already on disk)")
-        println(s"suggested CalibratedMerges = ${(goodStart + goodEnd) / 2}")
-        done = true
+        if (extendTo > 0 && goodEnd < extendTo && goodEnd < table.length) {
+          val (a, b) = table(goodEnd)
+          val vocab = new BpeVocab(table.take(goodEnd + 1).toArray)
+          val bytes = new String(vocab.bytesOf(256 + goodEnd), "UTF-8")
+          println(s"  extending window: offender at rank ${goodEnd + 1}: ($a,$b) = '${bytes}' -> blocklist")
+          blocklist += bytes
+          replay = table.take(goodEnd).toVector
+        } else {
+          println(s"DONE: suggested CalibratedMerges = ${(goodStart + goodEnd) / 2}")
+          done = true
+        }
       } else {
         // Pick the offender that most directly extends coverage toward a
         // 6/6 overlap: a fixture NOT exact at nBest but exact at some

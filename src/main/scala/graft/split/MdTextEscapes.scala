@@ -75,17 +75,30 @@ private[split] object MdTextEscapes {
 
   private def isWs(c: Char): Boolean = Character.isWhitespace(c)
 
+  // Anchored java Patterns probed with matcher.region(i, n) +
+  // lookingAt() — NO substring per candidate position (a bracket-heavy
+  // megabyte document would otherwise pay O(n) char copying per '['/
+  // '<'/'&', O(n^2) total on an executor).
   // autolink: <scheme:...> or <addr@host>; inline html: tags + comments
-  private val AutolinkRe =
-    "^<(?:[A-Za-z][A-Za-z0-9+.-]{1,31}:[^<>\\s]*|[^<>\\s@]+@[^<>\\s]+\\.[^<>\\s]+)>".r
-  private val HtmlTagRe =
-    "^(?:</?[A-Za-z][A-Za-z0-9-]*(?:\\s[^<>]*)?/?>|<!--[\\s\\S]*?-->)".r
+  private val AutolinkRe = java.util.regex.Pattern.compile(
+    "<(?:[A-Za-z][A-Za-z0-9+.-]{1,31}:[^<>\\s]*|[^<>\\s@]+@[^<>\\s]+\\.[^<>\\s]+)>")
+  private val HtmlTagRe = java.util.regex.Pattern.compile(
+    "</?[A-Za-z][A-Za-z0-9-]*(?:\\s[^<>]*)?/?>|<!--[\\s\\S]*?-->")
   // inline/reference link or image, same shape MdFormatLite protects
-  private val LinkRe =
-    ("^!?\\[[^\\[\\]]*\\]" +
-      "(?:\\([^()]*(?:\\([^()]*\\)[^()]*)*\\)|\\[[^\\[\\]]*\\])").r
-  private val NumRefRe = "^&#(?:[0-9]{1,7}|[Xx][0-9A-Fa-f]{1,6});".r
-  private val NamedRefRe = "^&([A-Za-z][A-Za-z0-9]{1,31});".r
+  private val LinkRe = java.util.regex.Pattern.compile(
+    "!?\\[[^\\[\\]]*\\]" +
+      "(?:\\([^()]*(?:\\([^()]*\\)[^()]*)*\\)|\\[[^\\[\\]]*\\])")
+  private val NumRefRe = java.util.regex.Pattern.compile(
+    "&#(?:[0-9]{1,7}|[Xx][0-9A-Fa-f]{1,6});")
+  private val NamedRefRe = java.util.regex.Pattern.compile(
+    "&([A-Za-z][A-Za-z0-9]{1,31});")
+
+  /** lookingAt() the pattern at position i; returns the match end or -1. */
+  private def probeAt(p: java.util.regex.Pattern, s: String, i: Int): Int = {
+    val m = p.matcher(s)
+    m.region(i, s.length)
+    if (m.lookingAt()) m.end else -1
+  }
 
   /** One scanned element. For text chars, `origin` distinguishes how the
     * char reached the content stream (it changes render + syntax rules). */
@@ -100,27 +113,27 @@ private[split] object MdTextEscapes {
   /** Decode a reference at s(i) (must be '&'); returns (replacement,
     * consumedLength) or null. */
   private def reference(s: String, i: Int): (String, Int) = {
-    val rest = s.substring(i)
-    NumRefRe.findFirstIn(rest) match {
-      case Some(m) =>
-        val body = m.substring(2, m.length - 1)
-        val cp =
-          try {
-            if (body.charAt(0) == 'x' || body.charAt(0) == 'X')
-              Integer.parseInt(body.substring(1), 16)
-            else Integer.parseInt(body)
-          } catch { case _: NumberFormatException => -1 }
-        val repl =
-          if (cp <= 0 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF)) "�"
-          else new String(Character.toChars(cp))
-        (repl, m.length)
-      case None =>
-        NamedRefRe.findFirstMatchIn(rest) match {
-          case Some(m) =>
-            val repl = entities.get(m.group(1))
-            if (repl == null) null else (repl, m.end)
-          case None => null
-        }
+    val numEnd = probeAt(NumRefRe, s, i)
+    if (numEnd >= 0) {
+      val body = s.substring(i + 2, numEnd - 1)
+      val cp =
+        try {
+          if (body.charAt(0) == 'x' || body.charAt(0) == 'X')
+            Integer.parseInt(body.substring(1), 16)
+          else Integer.parseInt(body)
+        } catch { case _: NumberFormatException => -1 }
+      val repl =
+        if (cp <= 0 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF)) "�"
+        else new String(Character.toChars(cp))
+      (repl, numEnd - i)
+    } else {
+      val m = NamedRefRe.matcher(s)
+      m.region(i, s.length)
+      if (!m.lookingAt()) null
+      else {
+        val repl = entities.get(m.group(1))
+        if (repl == null) null else (repl, m.end - i)
+      }
     }
   }
 
@@ -155,16 +168,16 @@ private[split] object MdTextEscapes {
         if (r == null) { items += TextChar('&', OriginPlain); i += 1 }
         else { r._1.foreach(ch => items += TextChar(ch, OriginEntity)); i += r._2 }
       } else if (c == '<') {
-        val rest = s.substring(i)
-        AutolinkRe.findFirstIn(rest).orElse(HtmlTagRe.findFirstIn(rest)) match {
-          case Some(m) => items += Verbatim(m); i += m.length
-          case None => items += TextChar('<', OriginPlain); i += 1
+        val end = {
+          val a = probeAt(AutolinkRe, s, i)
+          if (a >= 0) a else probeAt(HtmlTagRe, s, i)
         }
+        if (end >= 0) { items += Verbatim(s.substring(i, end)); i = end }
+        else { items += TextChar('<', OriginPlain); i += 1 }
       } else if (c == '[' || (c == '!' && i + 1 < n && s.charAt(i + 1) == '[')) {
-        LinkRe.findFirstIn(s.substring(i)) match {
-          case Some(m) => items += Verbatim(m); i += m.length
-          case None => items += TextChar(c, OriginPlain); i += 1
-        }
+        val end = probeAt(LinkRe, s, i)
+        if (end >= 0) { items += Verbatim(s.substring(i, end)); i = end }
+        else { items += TextChar(c, OriginPlain); i += 1 }
       } else { items += TextChar(c, OriginPlain); i += 1 }
     }
     items.result()
@@ -309,8 +322,9 @@ private[split] object MdTextEscapes {
             case '[' | ']' | '<' | '`' => out.append('\\').append(c)
             case '&' =>
               val rest = downstream(i)
-              if (NumRefRe.findFirstIn(rest).isDefined ||
-                  NamedRefRe.findFirstMatchIn(rest).exists(m => entities.containsKey(m.group(1))))
+              val named = NamedRefRe.matcher(rest)
+              if (probeAt(NumRefRe, rest, 0) >= 0 ||
+                  (named.lookingAt() && entities.containsKey(named.group(1))))
                 out.append("\\&")
               else out.append('&')
             case other => out.append(other)

@@ -67,6 +67,25 @@ class PropertySpec extends AnyFunSuite {
     }, "mdformat idempotence")
   }
 
+  test("MdFormatLite: idempotent on escape-dense input (R10-R14 stress)") {
+    // heavy in exactly the characters the text-token escape pass touches:
+    // emphasis markers, brackets, backslashes, backticks, ampersands with
+    // real entity fragments, angle brackets with autolink/html fragments
+    val escapey: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '\n'),
+      3 -> Gen.oneOf('*', '_', '[', ']', '<', '>', '`', '&', '\\'),
+      1 -> Gen.oneOf("&amp;", "&copy;", "&#65;", "&nope;", "**", "](u)",
+        "<https://x.y>", "<div>", "`c`", "\\*", "\\\\"))).map(_.map {
+      case c: Char => c.toString
+      case s: String => s
+    }.mkString)
+    holds(Prop.forAll(escapey) { s =>
+      val once = MdFormatLite.normalize(s)
+      MdFormatLite.normalize(once) == once
+    }, "mdformat escape-dense idempotence")
+  }
+
   test("splitter: whitespace-mode chunks of a plain word doc preserve every token") {
     val words = Gen.listOfN(400, Gen.choose(1, 12).flatMap(n =>
       Gen.listOfN(n, Gen.alphaChar).map(_.mkString)))

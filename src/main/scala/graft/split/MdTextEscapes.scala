@@ -142,6 +142,11 @@ private[split] object MdTextEscapes {
   private def scan(s: String): Vector[Item] = {
     val items = Vector.newBuilder[Item]
     val n = s.length
+    // once a closer search for run length L fails, every later search for
+    // L fails too (it starts further right) — memoizing keeps adversarial
+    // all-backtick input from rescanning the tail per run (CommonMark
+    // parsers make the same note)
+    val noCloser = new java.util.HashSet[Int]()
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
@@ -154,12 +159,15 @@ private[split] object MdTextEscapes {
         // find a closer run of EXACTLY runLen
         var j = l
         var close = -1
-        while (close < 0 && j < n) {
-          if (s.charAt(j) == '`') {
-            var k = j
-            while (k < n && s.charAt(k) == '`') k += 1
-            if (k - j == runLen) close = j else j = k
-          } else j += 1
+        if (!noCloser.contains(runLen)) {
+          while (close < 0 && j < n) {
+            if (s.charAt(j) == '`') {
+              var k = j
+              while (k < n && s.charAt(k) == '`') k += 1
+              if (k - j == runLen) close = j else j = k
+            } else j += 1
+          }
+          if (close < 0) noCloser.add(runLen): Unit
         }
         if (close >= 0) { items += Verbatim(s.substring(i, close + runLen)); i = close + runLen }
         else { (0 until runLen).foreach(_ => items += TextChar('`', OriginPlain)); i = l }

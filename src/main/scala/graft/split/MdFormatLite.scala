@@ -26,8 +26,10 @@ package graft.split
   *      and even consecutive "1. / 2. / 3." collapses to "1. / 1. / 1." —
   *      marker type (. or )) preserved from source, single space after the
   *      marker, and a marker-type switch starts a new list (CommonMark)
-  *      with its own first number. Applied only to flat blocks where every
-  *      line is an item (nested/loose lists pass through — divergence).
+  *      with its own first number. Applies to flat tight blocks AND —
+  *      R8b, round 10 — across consecutive all-item blocks (a LOOSE
+  *      list: blank lines between items), which renumber as one list.
+  *      Nested/indented lists pass through (divergence).
   *  R9. bracket escape normalization: [ and ] in TEXT — not part of a
   *      complete inline/reference link or image, not in a code span, not
   *      already escaped — render as \[ \] (mdformat's text renderer
@@ -144,6 +146,35 @@ object MdFormatLite {
         para = Vector.empty
       }
     }
+    // R8b (round 10): LOOSE ordered lists — consecutive all-ordered-item
+    // blocks are ONE CommonMark list whose items happen to be separated
+    // by blank lines, so renumbering must span the blank lines: every
+    // item takes the LIST's first number per marker-type run, exactly as
+    // R8 does within a tight block. (Nested/indented lists still pass
+    // through — documented divergence.)
+    def renumberLoose(bs: Vector[Vector[String]]): Vector[Vector[String]] = {
+      def ordered(b: Vector[String]): Boolean =
+        b.nonEmpty && b.forall(OrderedItemRe.matches(_))
+      val out = Vector.newBuilder[Vector[String]]
+      var idx = 0
+      while (idx < bs.length) {
+        if (ordered(bs(idx))) {
+          var j = idx
+          while (j < bs.length && ordered(bs(j))) j += 1
+          var runNum = ""
+          var runMarker = ""
+          (idx until j).foreach { k =>
+            out += bs(k).map { case OrderedItemRe(nu, m, rest) =>
+              if (m != runMarker) { runNum = nu; runMarker = m }
+              s"$runNum$m $rest"
+            }
+          }
+          idx = j
+        } else { out += bs(idx); idx += 1 }
+      }
+      out.result()
+    }
+
     var i = 0
     while (i < lines.length) {
       val l = lines(i)
@@ -176,6 +207,6 @@ object MdFormatLite {
       }
     }
     closePara()
-    blocks.result().map(_.mkString("\n")).mkString("\n\n").strip()
+    renumberLoose(blocks.result()).map(_.mkString("\n")).mkString("\n\n").strip()
   }
 }

@@ -114,6 +114,25 @@ class MdFormatLiteSpec extends AnyFunSuite {
     assert(MdFormatLite.normalize("# Results [draft") == "# Results \\[draft")
   }
 
+  test("R8b: loose ordered lists renumber as one list across blank lines") {
+    // blank-separated items are ONE CommonMark (loose) list — mdformat
+    // gives every item the list's first number, same as the tight case
+    assert(MdFormatLite.normalize("1. a\n\n2. b") == "1. a\n\n1. b")
+    assert(MdFormatLite.normalize("3. a\n\n7. b\n\n9. c") == "3. a\n\n3. b\n\n3. c")
+    // a marker-type switch starts a new list with its own first number
+    assert(MdFormatLite.normalize("1. a\n\n2) b") == "1. a\n\n2) b")
+    // an interrupting paragraph ends the list; the next list keeps its
+    // own first number
+    assert(MdFormatLite.normalize("1. a\n\ntext\n\n5. b") == "1. a\n\ntext\n\n5. b")
+    // mixed tight + loose: the in-block and cross-block runs agree
+    assert(MdFormatLite.normalize("2. a\n3. b\n\n4. c") == "2. a\n2. b\n\n2. c")
+    // idempotent
+    for (s <- Seq("1. a\n\n2. b", "3. a\n\n7. b\n\n9. c", "2. a\n3. b\n\n4. c")) {
+      val once = MdFormatLite.normalize(s)
+      assert(MdFormatLite.normalize(once) == once, s)
+    }
+  }
+
   test("R11: unmatched emphasis markers escape; matched emphasis is preserved") {
     // mdformat's escape_asterisk/underscore_emphasis: escape unless both
     // neighbors are whitespace — but only delimiters that did NOT parse

@@ -320,6 +320,15 @@ private[split] object MdTextEscapes {
         case Verbatim(raw) => out.append(raw)
         case TextChar(c, OriginEscaped) => out.append('\\').append(c)
         case TextChar(c, _) if matched.get(i) => out.append(c)
+        case TextChar(c, OriginEntity)
+            if (c == '#' || c == '-' || c == '+' || c == '>') &&
+              (out.isEmpty || out.charAt(out.length - 1) == '\n') =>
+          // an entity that DECODED to a block-syntax char at line start
+          // (&#35; x -> "# x") would change meaning on re-parse — escape
+          // it, as mdformat's line-start escapes do. Plain chars never
+          // need this here: the block grouper already claimed real
+          // headings/bullets before the text pass.
+          out.append('\\').append(c)
         case TextChar(c, _) =>
           c match {
             case '\\' => out.append("\\\\")

@@ -173,8 +173,15 @@ class MdFormatLiteSpec extends AnyFunSuite {
     assert(MdFormatLite.normalize("&amp;copy;") == "\\&copy;")
     // an unknown name is not a reference: & stays bare
     assert(MdFormatLite.normalize("&notanentity; and A&B") == "&notanentity; and A&B")
+    // an entity decoding to a block-syntax char at line start escapes —
+    // "# x" would otherwise become a heading on re-parse
+    assert(MdFormatLite.normalize("&#35; not a heading") == "\\# not a heading")
+    assert(MdFormatLite.normalize("x\n&#45; not a bullet") == "x\n\\- not a bullet")
+    // mid-line it needs no escape
+    assert(MdFormatLite.normalize("a &#35; b") == "a # b")
     // idempotence across decode+escape
-    for (s <- Seq("&amp;copy;", "&lt;tag&gt;", "&copy;")) {
+    for (s <- Seq("&amp;copy;", "&lt;tag&gt;", "&copy;", "&#35; not a heading",
+        "x\n&#45; not a bullet")) {
       val once = MdFormatLite.normalize(s)
       assert(MdFormatLite.normalize(once) == once, s)
     }

@@ -54,7 +54,10 @@ object GraftFunctions {
       (md: String) => graft.split.MdFormatLite.normalize(md))
     // BPE surface (split/Bpe.scala): executor-side vocab loads lazily from
     // the classpath resource, so the closures serialize as plain config.
-    val bpe = new graft.split.BpeTokenizer()
+    // Counting/truncation are BUDGET contexts — they use the full trained
+    // table (lowest drift), not the splitter's fixture-parity prefix
+    // (FIXTURES.md §1.5 documents the per-context granularity split).
+    val bpe = graft.split.BpeTokenizer.counting()
     spark.udf.register("token_count_bpe", (text: String) => bpe.count(text))
     spark.udf.register("truncate_bpe", (text: String, n: Int) => bpe.truncate(text, n))
     spark.udf.register("bpe_encode", (text: String) => bpe.encode(text))

@@ -127,12 +127,29 @@ object Bpe {
     * DriftProbe). */
   val CalibratedMerges = 22400
 
-  lazy val defaultVocab: BpeVocab = new BpeVocab(loadMerges("/graft/bpe/merges.txt", CalibratedMerges))
+  /** Fixture-parity vocab: the calibrated prefix. Used by splitter contexts
+    * whose chunk boundaries are pinned byte-exact against reference goldens
+    * ([[BpeTokenizer.parity]]). */
+  lazy val calibratedVocab: BpeVocab = new BpeVocab(loadMerges("/graft/bpe/merges.txt", CalibratedMerges))
+
+  /** Full trained table (all 30,442 merges): the lowest-drift vocab
+    * (held-out Latin 1.24x vs the calibrated prefix's 1.30x; English
+    * exact). Used by budget contexts — token counting, truncation, packing,
+    * sharding — where the consumer is a COUNT, not a golden-pinned chunk
+    * boundary ([[BpeTokenizer.counting]]; FIXTURES.md §1.5). */
+  lazy val fullVocab: BpeVocab = new BpeVocab(loadMerges("/graft/bpe/merges.txt"))
 }
 
 /** Tokenizer-trait adapter. Token "strings" are the per-token decoded byte
   * sequences; truncation and hard-cutting slice the ORIGINAL text at token
-  * byte offsets (lossless round-trip), never re-joining with spaces. */
+  * byte offsets (lossless round-trip), never re-joining with spaces.
+  *
+  * Granularity selection (round-11 split, FIXTURES.md §1.5): `nMerges ==
+  * Int.MaxValue` (the no-arg constructor) loads the FULL trained table —
+  * the lowest-drift vocab, right for token budgets; `Bpe.CalibratedMerges`
+  * loads the fixture-parity prefix the semantic splitter pins its golden
+  * chunk boundaries with. Use the companion's [[BpeTokenizer.counting]] /
+  * [[BpeTokenizer.parity]] to make the intent explicit at call sites. */
 final class BpeTokenizer(@transient private var vocab0: BpeVocab,
                          val nMerges: Int = Int.MaxValue) extends Tokenizer {
   def this(nMerges: Int) = this(null, nMerges)
@@ -142,7 +159,8 @@ final class BpeTokenizer(@transient private var vocab0: BpeVocab,
   // after deserialization, so closures carrying the tokenizer ship only ints.
   private def vocab: BpeVocab = {
     if (vocab0 == null) vocab0 =
-      if (nMerges == Int.MaxValue) Bpe.defaultVocab
+      if (nMerges == Int.MaxValue) Bpe.fullVocab
+      else if (nMerges == Bpe.CalibratedMerges) Bpe.calibratedVocab
       else new BpeVocab(Bpe.loadMerges("/graft/bpe/merges.txt", nMerges))
     vocab0
   }
@@ -229,4 +247,14 @@ final class BpeTokenizer(@transient private var vocab0: BpeVocab,
     if (carry.nonEmpty) out += new String(carry, StandardCharsets.UTF_8)
     out.result().filter(_.nonEmpty)
   }
+}
+
+object BpeTokenizer {
+  /** Budget contexts — token counting, truncation, packing, sharding: the
+    * full trained table, lowest measured drift (FIXTURES.md §1.5). */
+  def counting(): BpeTokenizer = new BpeTokenizer()
+
+  /** Fixture-parity contexts — the semantic splitter's golden-pinned chunk
+    * boundaries: the calibrated prefix (6/6 byte-exact fixtures). */
+  def parity(): BpeTokenizer = new BpeTokenizer(Bpe.CalibratedMerges)
 }

@@ -40,7 +40,7 @@ object SemanticSplitter {
       tokenLimit: Int = 256, buffer: Int = 32, tokenMin: Int = 64,
       repeatTableHeader: Boolean = true): SemanticSplitter =
     new SemanticSplitter(tokenLimit, buffer, tokenMin,
-      tk = new BpeTokenizer(), repeatTableHeader = repeatTableHeader,
+      tk = BpeTokenizer.parity(), repeatTableHeader = repeatTableHeader,
       canonicalize = true, sentenceLeaves = true)
 }
 

@@ -109,9 +109,9 @@ object CalibrateBpe {
         if (extendTo > 0 && goodEnd < extendTo && goodEnd < table.length) {
           val (a, b) = table(goodEnd)
           val vocab = new BpeVocab(table.take(goodEnd + 1).toArray)
-          val bytes = new String(vocab.bytesOf(256 + goodEnd), "UTF-8")
-          println(s"  extending window: offender at rank ${goodEnd + 1}: ($a,$b) = '${bytes}' -> blocklist")
-          blocklist += bytes
+          val key = TrainBpe.blockKey(vocab.bytesOf(256 + goodEnd))
+          println(s"  extending window: offender at rank ${goodEnd + 1}: ($a,$b) = '${key}' -> blocklist")
+          blocklist += key
           replay = table.take(goodEnd).toVector
         } else {
           println(s"DONE: suggested CalibratedMerges = ${(goodStart + goodEnd) / 2}")
@@ -159,9 +159,9 @@ object CalibrateBpe {
         } else {
           val (a, b) = table(offEnd)
           val vocab = new BpeVocab(table.take(offEnd + 1).toArray)
-          val bytes = new String(vocab.bytesOf(256 + offEnd), "UTF-8")
-          println(s"  offender at rank ${offEnd + 1}: ($a,$b) = '${bytes}' [$why] -> blocklist")
-          blocklist += bytes
+          val key = TrainBpe.blockKey(vocab.bytesOf(256 + offEnd))
+          println(s"  offender at rank ${offEnd + 1}: ($a,$b) = '${key}' [$why] -> blocklist")
+          blocklist += key
           replay = table.take(offEnd).toVector
         }
       }

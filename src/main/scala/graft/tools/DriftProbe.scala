@@ -13,10 +13,9 @@ import graft.split.{Bpe, BpeTokenizer, SemanticSplitter}
   */
 object DriftProbe {
   def main(args: Array[String]): Unit = {
-    // Default: the calibrated production prefix AND the full trained table.
-    // (NOT Int.MaxValue — BpeTokenizer special-cases that to the CALIBRATED
-    // defaultVocab, so it would silently re-measure the 3480-merge prefix
-    // while printing a misleading nMerges.)
+    // Default: the calibrated parity prefix AND the full trained table —
+    // the two production vocabs after the round-11 per-context split
+    // (BpeTokenizer.parity / BpeTokenizer.counting).
     val candidates =
       if (args.nonEmpty) args.map(_.toInt).toSeq
       else Seq(Bpe.CalibratedMerges,

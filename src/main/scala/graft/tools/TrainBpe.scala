@@ -264,7 +264,7 @@ object TrainBpe {
       // cl100k calibration blocklist.
       val eligible = pairFreq.toVector.filter { case ((a, b), (_, r)) =>
         r >= 2L && (blocklist.isEmpty || !blocklist.contains(
-          new String(vocabBytes(a) ++ vocabBytes(b), "UTF-8")))
+          blockKey(vocabBytes(a) ++ vocabBytes(b))))
       }
       if (eligible.isEmpty) iter = maxMerges
       else {
@@ -282,6 +282,19 @@ object TrainBpe {
 
   val MergesPath = Paths.get("src/main/resources/graft/bpe/merges.txt")
   val BlocklistPath = Paths.get("src/main/resources/graft/bpe/not_cl100k.txt")
+
+  /** Canonical blocklist key for a merged byte string: the decoded text
+    * when the bytes are VALID UTF-8 (strict round-trip), else
+    * `hex:<lowercase-hex>`. Keying lossily-decoded bytes on their text
+    * form would map every invalid sequence (common for split multi-byte
+    * sequences) onto the same replacement-char string, so one blocklist
+    * entry could silently exclude unrelated byte pairs; valid-text
+    * entries keep their human-readable form (all current entries). */
+  def blockKey(bytes: Array[Byte]): String = {
+    val s = new String(bytes, "UTF-8")
+    if (java.util.Arrays.equals(s.getBytes("UTF-8"), bytes)) s
+    else "hex:" + bytes.map("%02x".format(_)).mkString
+  }
 
   def loadBlocklist(): Set[String] =
     if (!Files.exists(BlocklistPath)) Set.empty

@@ -5,7 +5,9 @@ import scala.io.Source
 
 class BpeSpec extends AnyFunSuite {
 
-  private val tk = new BpeTokenizer()
+  // the COUNTING vocab (full trained table) — what budget contexts use
+  // after the round-11 per-context granularity split (FIXTURES.md §1.5)
+  private val tk = BpeTokenizer.counting()
   private def fixture(name: String): String = {
     val in = getClass.getResourceAsStream(s"/table_splitter/$name/input.md")
     try Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -46,6 +48,34 @@ class BpeSpec extends AnyFunSuite {
     val refTokens = Seq(236, 74, 243, 278, 240, 225, 247, 136, 245, 67, 81).sum // = 2072
     val drift = ourTokens.toDouble / refTokens
     assert(drift > 1.2 && drift < 1.4, s"measured drift ratio moved: $drift")
+  }
+
+  test("counting vocab (full table) held-out drift <= 1.25x (per-context granularity split)") {
+    // Round-11 split (FIXTURES.md §1.5): budget contexts (count / truncate /
+    // packing / sharding) use the FULL trained table via
+    // BpeTokenizer.counting(), which measures LOWER out-of-domain drift
+    // than the fixture-parity prefix — the parity prefix trades ~5pp of
+    // drift for golden chunk-boundary byte-parity, a trade only splitter
+    // contexts need. Same held-out Latin corpus as the test above,
+    // chunked AND counted with the counting vocab (what a pure budget
+    // pipeline sees): 12 chunks / 2580 tokens vs the reference's 2072
+    // cl100k = 1.245x, vs the parity prefix's 2696 = 1.30x.
+    import scala.jdk.CollectionConverters._
+    val in = getClass.getResourceAsStream("/markdown_corpus/markdown.json")
+    val root = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in) finally in.close()
+    val docs = root.elements().asScala.map(_.get("md").asText()).toVector
+    val sp = new SemanticSplitter(256, 32, 64, tk = tk,
+      repeatTableHeader = true, canonicalize = true, sentenceLeaves = true)
+    val chunks = docs.flatMap(sp.splitMarkdown)
+    assert(chunks.length == 12, s"chunks=${chunks.length}")
+    val ourTokens = chunks.map(tk.count).sum
+    assert(ourTokens == 2580, s"tokens=$ourTokens")
+    val drift = ourTokens / 2072.0
+    assert(drift <= 1.25, s"count-context drift exceeded the 1.25x budget: $drift")
+    // and the two vocabs agree where it matters for budgets: fewer merges
+    // can only raise counts, never lower them
+    val parity = BpeTokenizer.parity()
+    docs.foreach(d => assert(parity.count(d) >= tk.count(d)))
   }
 
   test("cut-off boundaries vs the reference's cut_off_test pins (second drift datapoint)") {

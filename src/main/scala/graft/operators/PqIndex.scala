@@ -33,6 +33,46 @@ object PqIndex {
     def subDim: Int = codebooks(0)(0).length
   }
 
+  /** Persist the fitted codebooks — (subspace, code, centroid) rows, the
+    * same artifact protocol as IvfIndex.save — so the q117 serving set
+    * (lexical index, IVF centroids, PQ codebooks, per-cell codes) is fully
+    * persistable: a restarted serving job loads everything and never
+    * re-`fit`s. m x ksub rows of subDim longs = kilobytes. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    (for {
+      j <- model.codebooks.indices
+      c <- model.codebooks(j).indices
+    } yield (j, c, model.codebooks(j)(c).toSeq))
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("subspace"), col("code"), col("centroid"))
+      .as[(Int, Int, Seq[Long])].collect() // m x ksub rows — bounded
+    require(rows.nonEmpty, s"no PQ model at $path")
+    // fail fast at the driver, like IvfIndex.load: ragged or non-dense
+    // codebooks would otherwise surface as executor ArrayIndexOutOfBounds
+    // (or silently wrong codes) inside encodeVec/adcTable
+    val bySub = rows.groupBy(_._1)
+    require(bySub.keys.toSeq.sorted == bySub.keys.toSeq.indices.toSeq,
+      s"non-dense subspace ids at $path: ${bySub.keys.toSeq.sorted}")
+    val books = bySub.toSeq.sortBy(_._1).map { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      require(sorted.map(_._2).toSeq == sorted.indices.toSeq,
+        s"non-dense code ids at $path")
+      sorted.map(_._3.toArray).toArray
+    }.toArray
+    require(books.map(_.length).distinct.length == 1,
+      s"subspaces disagree on ksub at $path: ${books.map(_.length).toSeq}")
+    require(books.flatMap(_.map(_.length)).distinct.length == 1,
+      s"ragged centroid dimensions at $path")
+    Model(books)
+  }
+
   private def subSlice(qv: Array[Long], j: Int, subDim: Int): Array[Long] =
     java.util.Arrays.copyOfRange(qv, j * subDim, (j + 1) * subDim)
 

@@ -174,4 +174,61 @@ class HybridServeSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
   }
+
+  test("PQ codebooks round-trip through parquet; a restarted server ranks bit-identically from loaded artifacts alone") {
+    // The q117 artifact-set completeness check: lexical index, IVF
+    // centroids, PQ codebooks, and per-cell codes are ALL persistable, so
+    // a restarted serving job loads the four stores and never re-fits.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_roundtrip").toString
+    try {
+      val embT = embeddings
+      val subDim = 2
+      val qv2 = embT.filter($"vec_id" < 3).orderBy($"vec_id")
+        .select(graft.functions.Kernels.quantNormUdf($"embedding").getField("_1").as("qv"))
+        .as[Seq[Long]].collect().map(_.toArray)
+      val ivf = IvfIndex.Model(qv2)
+      val pq = PqIndex.Model(
+        (0 until 2).map(j => qv2.map(v =>
+          java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))).toArray)
+
+      // BUILD: persist every serving artifact
+      IvfIndex.save(spark, ivf, s"$root/ivf_store")
+      PqIndex.save(spark, pq, s"$root/pq_store")
+      PqIndex.encodeCells(embT, "vec_id", "embedding", ivf, pq)
+        .write.partitionBy("cell").parquet(s"$root/cells_store")
+
+      // RESTART: models come back from parquet structurally identical
+      val ivf2 = IvfIndex.load(spark, s"$root/ivf_store")
+      val pq2 = PqIndex.load(spark, s"$root/pq_store")
+      assert(pq2.m == pq.m && pq2.ksub == pq.ksub && pq2.subDim == pq.subDim)
+      for (j <- 0 until pq.m; c <- 0 until pq.ksub)
+        assert(pq2.codebooks(j)(c).toSeq == pq.codebooks(j)(c).toSeq, s"codebook ($j,$c) moved")
+
+      // and serve BIT-IDENTICAL rankings from only the loaded artifacts
+      val savedCells = spark.read.parquet(s"$root/cells_store")
+      val qvec = Seq(
+        (0L, Array(1.0f, 0.1f, 0.1f, 0.1f)),
+        (1L, Array(0.0f, 1.0f, 0.9f, 0.0f))
+      ).toDF("vec_id", "embedding")
+      def rank(iv: IvfIndex.Model, p: PqIndex.Model): Seq[(Long, Long, Long)] =
+        PqIndex.ivfAdcTopK(savedCells, qvec, "vec_id", "embedding", iv, p,
+            kTop = 3, nprobe = 1)
+          .select($"qid", $"cid", $"adist").as[(Long, Long, Long)]
+          .collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+      val fresh = rank(ivf, pq)
+      val restarted = rank(ivf2, pq2)
+      assert(fresh.nonEmpty)
+      assert(restarted == fresh, s"restarted ranking diverged:\n$restarted\nvs\n$fresh")
+
+      // encoding with the loaded model is also bit-identical (the codes
+      // store stays valid across restarts)
+      val codesA = PqIndex.encode(embT, "vec_id", "embedding", pq)
+        .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+      val codesB = PqIndex.encode(embT, "vec_id", "embedding", pq2)
+        .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+      assert(codesA == codesB)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
 }

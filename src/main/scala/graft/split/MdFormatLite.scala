@@ -47,14 +47,17 @@ package graft.split
   *      characters (WHATWG HTML5 entity table, checked-in resource) with
   *      a \& escape wherever literal text would re-parse as a reference
   *      (R14). R9's bracket rule is subsumed by the same pass (R12).
+  *      Round 11: input escape sequences DECODE and re-escape only where
+  *      context demands (mdformat drops unnecessary escapes: `a\,b` ->
+  *      `a,b`), a backslash before a newline is a CommonMark hard line
+  *      break and passes through verbatim, and link/image LABELS render
+  *      through the same text-escape pass (destinations and reference
+  *      labels stay verbatim).
   *
   * Not implemented (documented divergence): emphasis-marker handling
   * needs none (mdformat renders em/strong with the SOURCE marker,
   * `node.markup` — markers are preserved, not rewritten); remaining gaps
-  * are link-LABEL inner escaping (labels pass through verbatim),
-  * unnecessary-escape dropping (mdformat removes escapes its renderer
-  * deems redundant; this keeps them — byte-stable either way),
-  * line-start block-syntax escapes inside paragraphs, and paragraph
+  * are nested/indented ordered-list renumbering and paragraph
   * re-wrapping (mdformat's default wrap mode keeps source line breaks
   * anyway). Table cells render through the mdformat-tables path (R6),
   * not the text-escape pass.

@@ -10,20 +10,35 @@ package graft.split
   * CommonMark's inline pass consumes them —
   *
   *   - backslash escape sequences `\p` (p ASCII punctuation): the
-  *     escape's CHAR is text content but can never be syntax; the escape
-  *     is preserved verbatim on render (divergence: real mdformat drops
-  *     escapes its renderer deems unnecessary; preserving is byte-stable
-  *     and round-trip-safe);
+  *     escape's CHAR is text content — it is DECODED to that character
+  *     and re-escaped only where the render context demands it, exactly
+  *     like mdformat's renderer (which drops escapes its context deems
+  *     unnecessary: `a\,b` -> `a,b`, but `a\*b` stays `a\*b`);
+  *   - a backslash immediately before a newline is a CommonMark HARD
+  *     LINE BREAK, not an escape and not a literal backslash — it
+  *     passes through verbatim (mdformat preserves backslash breaks);
   *   - character references `&name;` / `&#n;` / `&#xh;`: DECODED to their
   *     characters (CommonMark inline semantics; the HTML5 entity list is
   *     the `graft/md/html5_entities.tsv` resource, generated from the
   *     published WHATWG table), and the decoded characters are then
   *     escaped like any text character;
-  *   - code spans (backtick-run + equal-length closer), inline links /
-  *     images / reference links, autolinks `<scheme:..>` / `<mail@..>`,
-  *     and inline HTML tags/comments: VERBATIM — their bytes are not
-  *     text tokens (divergence: link labels pass through unescaped);
+  *   - code spans (backtick-run + equal-length closer), autolinks
+  *     `<scheme:..>` / `<mail@..>`, and inline HTML tags/comments:
+  *     VERBATIM — their bytes are not text tokens;
+  *   - inline links / images / reference links: destination and
+  *     reference bytes are VERBATIM, but the LABEL is an inline text
+  *     context of its own — its content re-renders through this same
+  *     pass (mdformat escapes specials inside labels);
   *   - everything else: text characters.
+  *
+  * Characters that reached the text stream DECODED (from an escape or a
+  * character reference) get two extra context rules plain chars never
+  * need (the block grouper claims real markers before the text pass):
+  * line-start block-syntax chars (`#` `-` `+` `>`, and `*` before
+  * whitespace) re-escape, and `.` / `)` re-escape when they would
+  * complete an ordered-list marker (line is 1-9 digits, whitespace or
+  * end follows). A decoded `!` directly before a link re-escapes so the
+  * pair cannot re-parse as an image.
   *
   * Emphasis delimiters (`*` / `_` runs of plain text chars) are then
   * matched per CommonMark's flanking + rule-of-three algorithm; MATCHED
@@ -150,7 +165,12 @@ private[split] object MdTextEscapes {
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
-      if (c == '\\' && i + 1 < n && isAsciiPunct(s.charAt(i + 1))) {
+      if (c == '\\' && i + 1 < n && s.charAt(i + 1) == '\n') {
+        // CommonMark hard line break: NOT an escape (newline is not
+        // punctuation) and NOT a literal backslash — mdformat preserves
+        // backslash breaks (it even normalizes two-space breaks to them)
+        items += Verbatim("\\"); i += 1
+      } else if (c == '\\' && i + 1 < n && isAsciiPunct(s.charAt(i + 1))) {
         items += TextChar(s.charAt(i + 1), OriginEscaped); i += 2
       } else if (c == '`') {
         var l = i
@@ -184,7 +204,19 @@ private[split] object MdTextEscapes {
         else { items += TextChar('<', OriginPlain); i += 1 }
       } else if (c == '[' || (c == '!' && i + 1 < n && s.charAt(i + 1) == '[')) {
         val end = probeAt(LinkRe, s, i)
-        if (end >= 0) { items += Verbatim(s.substring(i, end)); i = end }
+        if (end >= 0) {
+          // destination/reference bytes stay verbatim; the LABEL is its
+          // own inline text context and re-renders through this pass
+          // (LinkRe guarantees the label holds no brackets, so the
+          // recursion cannot find another link and terminates)
+          val raw = s.substring(i, end)
+          val lb = raw.indexOf('[')
+          val rb = raw.indexOf(']')
+          items += Verbatim(raw.substring(0, lb + 1) +
+            renderInline(raw.substring(lb + 1, rb), lineStartAtZero = false) +
+            raw.substring(rb))
+          i = end
+        }
         else { items += TextChar(c, OriginPlain); i += 1 }
       } else { items += TextChar(c, OriginPlain); i += 1 }
     }
@@ -274,7 +306,11 @@ private[split] object MdTextEscapes {
   /** Render one block's worth of text with mdformat's text-token escapes
     * (R10-R14). Block-level structure (headings, tables, fences) is the
     * caller's concern — this is the inline/text layer. */
-  def render(s: String): String = {
+  def render(s: String): String = renderInline(s, lineStartAtZero = true)
+
+  /** @param lineStartAtZero whether position 0 is a LINE start (false when
+    *        rendering a link label, which begins mid-line). */
+  private def renderInline(s: String, lineStartAtZero: Boolean): String = {
     // fast path: nothing escapable
     var has = false
     var p = 0
@@ -314,23 +350,55 @@ private[split] object MdTextEscapes {
       }
       sb.toString
     }
+    // the current out line is a 1-9 digit run starting at a line start
+    // (the shape that, with '.' or ')' appended, re-parses as an
+    // ordered-list marker)
+    def lineIsDigits(): Boolean = {
+      var p = out.length - 1
+      while (p >= 0 && out.charAt(p) != '\n') p -= 1
+      if (p < 0 && !lineStartAtZero) return false
+      val start = p + 1
+      val len = out.length - start
+      if (len < 1 || len > 9) return false
+      var q = start
+      while (q < out.length) {
+        if (out.charAt(q) < '0' || out.charAt(q) > '9') return false
+        q += 1
+      }
+      true
+    }
     var i = 0
     while (i < items.length) {
       items(i) match {
         case Verbatim(raw) => out.append(raw)
-        case TextChar(c, OriginEscaped) => out.append('\\').append(c)
         case TextChar(c, _) if matched.get(i) => out.append(c)
-        case TextChar(c, OriginEntity)
-            if (c == '#' || c == '-' || c == '+' || c == '>') &&
-              (out.isEmpty || out.charAt(out.length - 1) == '\n') =>
-          // an entity that DECODED to a block-syntax char at line start
-          // (&#35; x -> "# x") would change meaning on re-parse — escape
-          // it, as mdformat's line-start escapes do. Plain chars never
-          // need this here: the block grouper already claimed real
-          // headings/bullets before the text pass.
-          out.append('\\').append(c)
-        case TextChar(c, _) =>
-          c match {
+        case TextChar(c, origin) =>
+          // a char that reached the text stream DECODED — from a \p
+          // escape or a character reference — can collide with syntax on
+          // re-parse in contexts a plain char never occupies (the block
+          // grouper already claimed real markers before the text pass)
+          val decoded = origin != OriginPlain
+          val atLineStart =
+            if (out.isEmpty) lineStartAtZero
+            else out.charAt(out.length - 1) == '\n'
+          def nextCh = neighbor(i, 1)
+          def beforeLink = i + 1 < items.length && (items(i + 1) match {
+            case Verbatim(raw) => raw.startsWith("[")
+            case _ => false
+          })
+          if (decoded && atLineStart &&
+              (c == '#' || c == '-' || c == '+' || c == '>' ||
+                (c == '*' && isWs(nextCh)))) {
+            // line-start block syntax ("# x", "- x", "> x", "* x")
+            out.append('\\').append(c)
+          } else if (decoded && (c == '.' || c == ')') && isWs(nextCh) &&
+              lineIsDigits()) {
+            // would complete an ordered-list marker ("1. x")
+            out.append('\\').append(c)
+          } else if (decoded && c == '!' && beforeLink) {
+            // "!" + "[label](url)" would re-parse as an image
+            out.append('\\').append(c)
+          } else c match {
             case '\\' => out.append("\\\\")
             case '*' | '_' =>
               val pv = neighbor(i, -1); val nx = neighbor(i, 1)

@@ -165,6 +165,67 @@ class MdFormatLiteSpec extends AnyFunSuite {
     assert(MdFormatLite.normalize("<!-- note --> keep") == "<!-- note --> keep")
   }
 
+  test("hard line break: backslash before newline is preserved, not doubled") {
+    // CommonMark: '\' at end of line is a HARD BREAK — mdformat preserves
+    // it (and even normalizes two-space breaks to backslash breaks).
+    // Doubling it would silently turn a hard break into a literal
+    // backslash + soft break — a content change.
+    assert(MdFormatLite.normalize("foo\\\nbar") == "foo\\\nbar")
+    // an ESCAPED backslash at end of line is a literal backslash (no break)
+    assert(MdFormatLite.normalize("foo\\\\\nbar") == "foo\\\\\nbar")
+    // end of block: no following line, so it's a literal backslash
+    assert(MdFormatLite.normalize("foo\\") == "foo\\\\")
+    for (s <- Seq("foo\\\nbar", "a\\\nb\\\nc"))
+      assert(MdFormatLite.normalize(MdFormatLite.normalize(s)) == MdFormatLite.normalize(s), s)
+  }
+
+  test("unnecessary escapes drop: the char decodes and re-escapes only where context demands") {
+    // mdformat's renderer keeps an escape only when the char could
+    // re-parse as syntax in context; all other escapes drop to the char
+    assert(MdFormatLite.normalize("a\\,b") == "a,b")
+    assert(MdFormatLite.normalize("100\\% sure\\!") == "100% sure!")
+    assert(MdFormatLite.normalize("mid\\#line and a\\.b") == "mid#line and a.b")
+    // ...but syntax-capable contexts keep theirs
+    assert(MdFormatLite.normalize("a\\*b") == "a\\*b") // could be emphasis
+    assert(MdFormatLite.normalize("\\[not a link\\]") == "\\[not a link\\]")
+    assert(MdFormatLite.normalize("x \\< y") == "x \\< y")
+    // line-start block syntax stays escaped (re-parse would change meaning)
+    assert(MdFormatLite.normalize("\\# not a heading") == "\\# not a heading")
+    assert(MdFormatLite.normalize("\\- not a bullet") == "\\- not a bullet")
+    // an escaped dot completing an ordered-list marker stays escaped;
+    // the same dot mid-line drops
+    assert(MdFormatLite.normalize("1\\. not a list") == "1\\. not a list")
+    assert(MdFormatLite.normalize("v1\\.2") == "v1.2")
+    // escaped '!' before a link must not re-parse as an image
+    assert(MdFormatLite.normalize("\\![t](u)") == "\\![t](u)")
+    // idempotent across the drop
+    for (s <- Seq("a\\,b", "100\\% sure\\!", "1\\. not a list", "\\![t](u)")) {
+      val once = MdFormatLite.normalize(s)
+      assert(MdFormatLite.normalize(once) == once, s)
+    }
+  }
+
+  test("link labels get inner text escapes; destinations and references stay verbatim") {
+    // mdformat escapes specials inside link/image LABELS — the label is
+    // an inline text context — while the destination is not text
+    assert(MdFormatLite.normalize("[a*b](u)") == "[a\\*b](u)")
+    assert(MdFormatLite.normalize("![img_v2](p.png)") == "![img\\_v2](p.png)")
+    assert(MdFormatLite.normalize("[5<6](u)") == "[5\\<6](u)")
+    // destination specials untouched (underscores in URLs are the
+    // classic case), reference labels untouched
+    assert(MdFormatLite.normalize("[t](https://x.y/a_b_c)") == "[t](https://x.y/a_b_c)")
+    assert(MdFormatLite.normalize("[text*x][ref_1]") == "[text\\*x][ref_1]")
+    // ws-surrounded asterisk inside a label follows the same R11 rule
+    assert(MdFormatLite.normalize("[a * b](u)") == "[a * b](u)")
+    // matched emphasis inside a label is preserved
+    assert(MdFormatLite.normalize("[see **bold** here](u)") == "[see **bold** here](u)")
+    // idempotent
+    for (s <- Seq("[a*b](u)", "![img_v2](p.png)", "[text*x][ref_1]", "[see **bold** here](u)")) {
+      val once = MdFormatLite.normalize(s)
+      assert(MdFormatLite.normalize(once) == once, s)
+    }
+  }
+
   test("R14: character references decode; literal text that would re-parse as a reference escapes its &") {
     assert(MdFormatLite.normalize("&#65;&#x42;") == "AB")
     assert(MdFormatLite.normalize("&lt;tag&gt;") == "\\<tag>") // decoded < then escaped; > is not special

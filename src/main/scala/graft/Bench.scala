@@ -52,13 +52,13 @@ object Bench {
     // the extra reps it needs.
     val subSecondReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUBSEC_REPS", "5").toInt
     val extraRepBandSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_BAND", "2.0").toDouble
-    // Self-healing reps (r10): a wide rep spread IS the contention signal,
-    // so act on it — when a query's reps disagree by >= 2x, take up to
-    // this many extra reps REGARDLESS of the sub-second band, so the
-    // recorded min converges toward the true quiet-run value instead of
-    // merely flagging itself (r9's q65: 2-5 s query, 9.3x spread, kept a
-    // possibly-tainted min-of-3). The full spread stays in the artifact
-    // as evidence; only the min self-heals.
+    // Self-healing reps (r10, continuation gate fixed r11): a wide rep
+    // spread IS the contention signal, so act on it — when a query's reps
+    // disagree by >= 2x, take up to this many extra reps REGARDLESS of
+    // the sub-second band, so the recorded min converges toward the true
+    // quiet-run value instead of merely flagging itself (r9's q65: 2-5 s
+    // query, 9.3x spread, kept a possibly-tainted min-of-3). The full
+    // spread stays in the artifact as evidence; only the min self-heals.
     val spreadReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD_REPS", "3").toInt
     val spreadThreshold = 2.0
     val timedT0 = System.nanoTime()
@@ -72,10 +72,19 @@ object Bench {
       var all =
         if (base.contains(-1.0) || base.min >= extraRepBandSec) base
         else base ++ ((reps + 1) to subSecondReps).map(_ => rep())
+      // Continuation is gated on a signal that can actually improve: the
+      // spread cannot (appending reps only lowers the min, so max/min is
+      // non-decreasing — re-checking it just exhausts the budget). Stop
+      // early once a fresh rep fails to lower the running min by > 5%:
+      // the min has converged and further reps only re-measure noise.
       var healed = 0
-      while (healed < spreadReps && !all.contains(-1.0) &&
+      var converged = false
+      while (healed < spreadReps && !converged && !all.contains(-1.0) &&
              all.max / all.min >= spreadThreshold) {
-        all = all :+ rep()
+        val prevMin = all.min
+        val r = rep()
+        all = all :+ r
+        converged = r >= 0 && r > prevMin * 0.95
         healed += 1
       }
       val best = if (all.contains(-1.0)) -1.0 else all.min

@@ -554,14 +554,17 @@ object VectorQ {
         |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
     QueryDef("q115_hybrid_serve",
-      // The steady-state HYBRID serving capstone: q111's index-only BM25
-      // (champion postings, b=0, no corpus text) fused via RRF (q104)
-      // with q85's ADC ranking over pre-encoded PQ codes (m integer
-      // lookups per candidate, no raw corpus vectors) — the composition
-      // every index operator exists for. Build phase (index + codebooks +
-      // codes) is the persisted-artifact step; the SERVE phase touches
-      // only the index and the codes (HybridServeSpec persists both and
-      // asserts the serving plan scans neither documents nor embeddings).
+      // FLAT-ADC hybrid serving — the retained flat variant; the
+      // corpus-scale shape is q117_hybrid_serve_ivf, which replaces this
+      // query's all-codes ADC scan with an equi-join on IVF-probed cell
+      // ids (cell-bounded per-query work, partition-pruned cells store).
+      // Here: q111's index-only BM25 (champion postings, b=0, no corpus
+      // text) fused via RRF (q104) with ADC ranking over ALL pre-encoded
+      // PQ codes (m integer lookups per candidate, no raw corpus
+      // vectors). Build phase (index + codebooks + codes) is the
+      // persisted-artifact step; the SERVE phase touches only the index
+      // and the codes (HybridServeSpec persists both and asserts the
+      // serving plan scans neither documents nor embeddings).
       // The oracle chains q111's index/serve CTEs (kTop=20), q85's PQ
       // encode/ADC CTEs (queries vec_id < 3), and q104's fusion CTEs.
       (s, d) => {

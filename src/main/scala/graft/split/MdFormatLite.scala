@@ -28,8 +28,11 @@ package graft.split
   *      marker, and a marker-type switch starts a new list (CommonMark)
   *      with its own first number. Applies to flat tight blocks AND —
   *      R8b, round 10 — across consecutive all-item blocks (a LOOSE
-  *      list: blank lines between items), which renumber as one list.
-  *      Nested/indented lists pass through (divergence).
+  *      list: blank lines between items), which renumber as one list,
+  *      AND — R8c, round 11 — to NESTED levels: each level is its own
+  *      list with its own first-number rule, and nested indents
+  *      normalize to the parent marker's width. Lists whose items carry
+  *      non-item continuation lines pass through (divergence).
   *  R9. bracket escape normalization: [ and ] in TEXT — not part of a
   *      complete inline/reference link or image, not in a code span, not
   *      already escaped — render as \[ \] (mdformat's text renderer
@@ -65,7 +68,10 @@ package graft.split
 object MdFormatLite {
 
   private val TableSepRe = "^\\s*\\|?(?:\\s*:?-+:?\\s*\\|)+\\s*$".r
-  private val HeadingRe = "^(#{1,6})\\s+(.*?)\\s*#*\\s*$".r
+  // CommonMark: a heading may be indented up to 3 spaces (and the final
+  // whole-output strip() would expose a leading-space heading to the next
+  // pass anyway — parsing it here keeps normalize idempotent)
+  private val HeadingRe = "^ {0,3}(#{1,6})\\s+(.*?)\\s*#*\\s*$".r
   private val BulletRe = "^(\\s*)[*+-]\\s+(.*)$".r
   private val FenceRe = "^(```|~~~).*$".r
   // Per-line hot-path patterns precompiled (String.replaceAll/split recompile per call)
@@ -74,7 +80,7 @@ object MdFormatLite {
 
   private def isSep(l: String): Boolean = TableSepRe.matches(l)
 
-  private val OrderedItemRe = "^(\\d{1,9})([.)])\\s+(\\S.*)$".r
+  private val OrderedItemRe = "^(\\s*)(\\d{1,9})([.)])\\s+(\\S.*)$".r
   // code spans: longest backtick run, non-greedy body, same-length closer
   private val CodeSpanRe = "(`+)([\\s\\S]*?)\\1".r
   // inline link/image [text](dest...) with one paren-nesting level (titles
@@ -83,22 +89,46 @@ object MdFormatLite {
     ("!?\\[[^\\[\\]]*\\]" +
       "(?:\\([^()]*(?:\\([^()]*\\)[^()]*)*\\)|\\[[^\\[\\]]*\\])").r
 
-  /** R8: a flat block whose every line is an ordered item renders all
-    * items with the first item's number (per marker-type run). */
-  private def renumberOrdered(block: Vector[String]): Vector[String] = {
-    val items = block.map {
-      case OrderedItemRe(n, m, rest) => Some((n, m, rest))
-      case _ => None
+  /** R8/R8c: renumber a pure ordered-item line sequence, nested levels
+    * included (round 11). Levels follow CommonMark item nesting — an item
+    * NESTS when its indent reaches the parent's content column (marker
+    * indent + marker width + one space), stays a SIBLING below it, and
+    * CLOSES nested levels when it dedents below their marker indent.
+    * Every level's items take that level's FIRST number (per marker-type
+    * run, mdformat's no-`--number` default), and nested indents
+    * normalize to the sum of ancestor marker widths (mdformat re-indents
+    * list content to the parent marker's width). Returns None when the
+    * shape is not a clean list — a leading 4-space indent, or an
+    * over-indent CommonMark would read as indented CODE inside an item —
+    * and the caller passes such blocks through untouched. */
+  private def renumberNested(
+      items: Vector[(String, String, String, String)]): Option[Vector[String]] = {
+    final case class Level(inIndent: Int, var num: String, var marker: String,
+                           outIndent: Int) {
+      def contentCol: Int = inIndent + num.length + 2 // marker char + space
     }
-    if (block.isEmpty || items.exists(_.isEmpty)) block
-    else {
-      var runNum = ""
-      var runMarker = ""
-      items.flatten.map { case (n, m, rest) =>
-        if (m != runMarker) { runNum = n; runMarker = m }
-        s"$runNum$m $rest"
+    if (items.isEmpty || items.head._1.length >= 4) return None
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Level]
+    val out = Vector.newBuilder[String]
+    for ((ind, n, m, rest) <- items) {
+      val w = ind.length
+      // dedent closes nested levels; the OUTERMOST list never closes (a
+      // shallower-indented item still belongs to it per CommonMark)
+      while (stack.length > 1 && w < stack.last.inIndent)
+        stack.dropRightInPlace(1)
+      if (stack.isEmpty) stack += Level(w, n, m, 0)
+      else if (w >= stack.last.contentCol + 4) return None // indented code
+      else if (w >= stack.last.contentCol) {
+        val parent = stack.last
+        stack += Level(w, n, m, parent.outIndent + parent.num.length + 2)
+      } else {
+        val top = stack.last
+        if (m != top.marker) { top.num = n; top.marker = m }
       }
+      val top = stack.last
+      out += (" " * top.outIndent) + top.num + top.marker + " " + rest
     }
+    Some(out.result())
   }
 
   /** R9-R14: the text-token escape pass ([[MdTextEscapes]]) over a whole
@@ -139,38 +169,45 @@ object MdFormatLite {
       .split("\n", -1).toVector.map(l => TrailWs.matcher(l).replaceAll(""))
 
     // group lines into blocks; every block renders as its joined lines and
-    // blocks are separated by exactly one blank line
-    val blocks = Vector.newBuilder[Vector[String]]
+    // blocks are separated by exactly one blank line. Text (paragraph/
+    // list) blocks stay RAW here — renumbering must see the whole loose
+    // run before indents mean anything, so R8/R8b/R8c and the escape pass
+    // run after grouping; non-text blocks (fences, tables, headings) are
+    // final as built.
+    val blocks = Vector.newBuilder[(Vector[String], Boolean)] // (lines, isText)
     var para = Vector.empty[String] // open paragraph/list run
     def closePara(): Unit = {
-      if (para.nonEmpty) {
-        // R8 then R9 over the joined block (multi-line links stay whole)
-        blocks += escapeTextBlock(renumberOrdered(para).mkString("\n"))
-        para = Vector.empty
-      }
+      if (para.nonEmpty) { blocks += ((para, true)); para = Vector.empty }
     }
-    // R8b (round 10): LOOSE ordered lists — consecutive all-ordered-item
-    // blocks are ONE CommonMark list whose items happen to be separated
-    // by blank lines, so renumbering must span the blank lines: every
-    // item takes the LIST's first number per marker-type run, exactly as
-    // R8 does within a tight block. (Nested/indented lists still pass
-    // through — documented divergence.)
-    def renumberLoose(bs: Vector[Vector[String]]): Vector[Vector[String]] = {
-      def ordered(b: Vector[String]): Boolean =
-        b.nonEmpty && b.forall(OrderedItemRe.matches(_))
-      val out = Vector.newBuilder[Vector[String]]
+    // R8b (round 10, nested since round 11): LOOSE ordered lists —
+    // consecutive all-ordered-item text blocks are ONE CommonMark list
+    // whose items happen to be separated by blank lines, so renumbering
+    // must span the blank lines. The run's items feed ONE renumberNested
+    // pass (level state carries across the blank lines, so a nested item
+    // after a blank still nests under its parent — and a nested item
+    // alone in its block keeps its indent), then split back into their
+    // blocks. Tight single-block lists are runs of length one.
+    def renumberLoose(bs: Vector[(Vector[String], Boolean)]): Vector[(Vector[String], Boolean)] = {
+      def ordered(b: (Vector[String], Boolean)): Boolean =
+        b._2 && b._1.nonEmpty && b._1.forall(OrderedItemRe.matches(_))
+      val out = Vector.newBuilder[(Vector[String], Boolean)]
       var idx = 0
       while (idx < bs.length) {
         if (ordered(bs(idx))) {
           var j = idx
           while (j < bs.length && ordered(bs(j))) j += 1
-          var runNum = ""
-          var runMarker = ""
-          (idx until j).foreach { k =>
-            out += bs(k).map { case OrderedItemRe(nu, m, rest) =>
-              if (m != runMarker) { runNum = nu; runMarker = m }
-              s"$runNum$m $rest"
-            }
+          val run = (idx until j).map(bs)
+          val items = run.flatMap(_._1).map { case OrderedItemRe(ind, nu, m, rest) =>
+            (ind, nu, m, rest)
+          }.toVector
+          renumberNested(items) match {
+            case Some(lines) =>
+              var off = 0
+              run.foreach { case (b, t) =>
+                out += ((lines.slice(off, off + b.length), t))
+                off += b.length
+              }
+            case None => run.foreach(out += _)
           }
           idx = j
         } else { out += bs(idx); idx += 1 }
@@ -189,19 +226,19 @@ object MdFormatLite {
         var j = i + 1
         while (j < lines.length && !FenceRe.matches(lines(j))) { fence += lines(j); j += 1 }
         if (j < lines.length) { fence += lines(j); j += 1 }
-        blocks += fence.result()
+        blocks += ((fence.result(), false))
         i = j
       } else if (l.contains("|") && i + 1 < lines.length && isSep(lines(i + 1))) {
         closePara()
         val rows = Vector.newBuilder[String]
         var j = i + 2
         while (j < lines.length && lines(j).contains("|")) { rows += lines(j); j += 1 }
-        blocks += renderTable(l, lines(i + 1), rows.result())
+        blocks += ((renderTable(l, lines(i + 1), rows.result()), false))
         i = j
       } else l match {
         case HeadingRe(hashes, title) =>
           closePara()
-          blocks += escapeTextBlock(s"$hashes $title")
+          blocks += ((escapeTextBlock(s"$hashes $title"), false))
           i += 1
         case BulletRe(indent, rest) =>
           para = para :+ s"$indent- $rest"; i += 1
@@ -210,6 +247,12 @@ object MdFormatLite {
       }
     }
     closePara()
-    renumberLoose(blocks.result()).map(_.mkString("\n")).mkString("\n\n").strip()
+    // R8/R8b/R8c renumber first (raw indents intact), THEN the text-token
+    // escape pass per text block (R9-R14; multi-line links stay whole)
+    renumberLoose(blocks.result())
+      .map { case (b, isText) =>
+        if (isText) escapeTextBlock(b.mkString("\n")) else b
+      }
+      .map(_.mkString("\n")).mkString("\n\n").strip()
   }
 }

@@ -350,17 +350,17 @@ private[split] object MdTextEscapes {
       }
       sb.toString
     }
-    // the current out line is a 1-9 digit run starting at a line start
-    // (the shape that, with '.' or ')' appended, re-parses as an
-    // ordered-list marker)
+    // the current out line is (optional indent +) a 1-9 digit run — the
+    // shape that, with '.' or ')' appended, re-parses as an ordered-list
+    // marker (list markers accept leading whitespace)
     def lineIsDigits(): Boolean = {
       var p = out.length - 1
       while (p >= 0 && out.charAt(p) != '\n') p -= 1
       if (p < 0 && !lineStartAtZero) return false
-      val start = p + 1
-      val len = out.length - start
+      var q = p + 1
+      while (q < out.length && (out.charAt(q) == ' ' || out.charAt(q) == '\t')) q += 1
+      val len = out.length - q
       if (len < 1 || len > 9) return false
-      var q = start
       while (q < out.length) {
         if (out.charAt(q) < '0' || out.charAt(q) > '9') return false
         q += 1
@@ -378,18 +378,43 @@ private[split] object MdTextEscapes {
           // re-parse in contexts a plain char never occupies (the block
           // grouper already claimed real markers before the text pass)
           val decoded = origin != OriginPlain
-          val atLineStart =
-            if (out.isEmpty) lineStartAtZero
-            else out.charAt(out.length - 1) == '\n'
+          // "line start" modulo leading whitespace: block markers accept
+          // indent, so a decoded marker char after spaces still re-parses
+          // as syntax (" \* x" dropping its escape would bullet-ize)
+          val atLineStart = {
+            var p = out.length - 1
+            var ok = true
+            while (ok && p >= 0 && out.charAt(p) != '\n') {
+              ok = out.charAt(p) == ' ' || out.charAt(p) == '\t'
+              p -= 1
+            }
+            ok && (p >= 0 || lineStartAtZero)
+          }
           def nextCh = neighbor(i, 1)
           def beforeLink = i + 1 < items.length && (items(i + 1) match {
             case Verbatim(raw) => raw.startsWith("[")
             case _ => false
           })
+          // a decoded '#' appended to a line-start '#' run would EXTEND a
+          // heading marker ("#\# h" -> "## h" re-parses as an h2)
+          def lineStartHashes: Boolean = {
+            var p = out.length - 1
+            var hashes = 0
+            while (p >= 0 && out.charAt(p) == '#') { hashes += 1; p -= 1 }
+            if (hashes == 0 || hashes > 5) return false
+            var ok = true
+            while (ok && p >= 0 && out.charAt(p) != '\n') {
+              ok = out.charAt(p) == ' ' || out.charAt(p) == '\t'
+              p -= 1
+            }
+            ok && (p >= 0 || lineStartAtZero)
+          }
           if (decoded && atLineStart &&
               (c == '#' || c == '-' || c == '+' || c == '>' ||
                 (c == '*' && isWs(nextCh)))) {
             // line-start block syntax ("# x", "- x", "> x", "* x")
+            out.append('\\').append(c)
+          } else if (decoded && c == '#' && lineStartHashes) {
             out.append('\\').append(c)
           } else if (decoded && (c == '.' || c == ')') && isWs(nextCh) &&
               lineIsDigits()) {
@@ -401,8 +426,50 @@ private[split] object MdTextEscapes {
           } else c match {
             case '\\' => out.append("\\\\")
             case '*' | '_' =>
-              val pv = neighbor(i, -1); val nx = neighbor(i, 1)
-              if (isWs(pv) && isWs(nx)) out.append(c)
+              // a DECODED delimiter char judges its neighbors RAW (not
+              // boundary-masked): dropping its escape is safe only when
+              // the bare char would be INERT on re-parse — both raw
+              // neighbors true whitespace, so it can neither open nor
+              // close (CommonMark flanking). A masked view would drop it
+              // next to a matched delimiter ('\__*_' -> '__*_' re-parses
+              // with a len-2 run) or next to a verbatim construct
+              // ('<s>\*[]()' -> a flanking-active delimiter between
+              // punctuation edges) and change the emphasis structure.
+              def raw(step: Int): Char = {
+                val j = i + step
+                if (j < 0 || j >= items.length) ' '
+                else items(j) match {
+                  case TextChar(ch, _) => ch
+                  case Verbatim(rawS) =>
+                    if (step < 0) rawS.charAt(rawS.length - 1) else rawS.charAt(0)
+                }
+              }
+              // a PLAIN leftover in a PARTIALLY-consumed delimiter run
+              // (its contiguous same-char run contains a matched char)
+              // renders bare: escaping any of its chars would SPLIT the
+              // run on re-parse (different length -> different
+              // rule-of-three outcome -> different emphasis), while bare
+              // leftovers let the run re-form identically — the
+              // idempotence anchor for runs like '***' consumed from
+              // both edges
+              def runHasMatch: Boolean = {
+                def scanDir(step: Int): Boolean = {
+                  var j = i + step
+                  var found = false
+                  while (!found && j >= 0 && j < items.length &&
+                      (items(j) match {
+                        case TextChar(ch, OriginPlain) => ch == c
+                        case _ => false
+                      })) { if (matched.get(j)) found = true; j += step }
+                  found
+                }
+                scanDir(-1) || scanDir(1)
+              }
+              val dropOk =
+                if (decoded) isWs(raw(-1)) && isWs(raw(1))
+                else runHasMatch ||
+                  (isWs(neighbor(i, -1)) && isWs(neighbor(i, 1)))
+              if (dropOk) out.append(c)
               else out.append('\\').append(c)
             case '[' | ']' | '<' | '`' => out.append('\\').append(c)
             case '&' =>

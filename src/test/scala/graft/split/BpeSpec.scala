@@ -44,7 +44,10 @@ class BpeSpec extends AnyFunSuite {
     assert(chunks.length == 13)
     val ourTokens = chunks.map(c => sp.tk.count(c)).sum
     val ourChars = chunks.map(_.length).sum
-    assert(ourTokens == 2696 && ourChars == 6809, s"tokens=$ourTokens chars=$ourChars")
+    // chars moved 6809 -> 6807 in round 11: the mdformat escape pass now
+    // drops unnecessary input escapes (two droppable escapes exist in the
+    // Latin corpus); token count and chunk boundaries are unaffected
+    assert(ourTokens == 2696 && ourChars == 6807, s"tokens=$ourTokens chars=$ourChars")
     val refTokens = Seq(236, 74, 243, 278, 240, 225, 247, 136, 245, 67, 81).sum // = 2072
     val drift = ourTokens.toDouble / refTokens
     assert(drift > 1.2 && drift < 1.4, s"measured drift ratio moved: $drift")

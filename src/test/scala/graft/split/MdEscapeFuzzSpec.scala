@@ -1,0 +1,60 @@
+package graft.split
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic fuzz over the exact atom mix that found the round-11
+  * idempotence escapes bugs (escape dropping next to matched delimiter
+  * runs, Verbatim-edge flanking, indented markers, heading-run
+  * extension): normalize must be a fixpoint after one application. The
+  * scalacheck PropertySpec generators cover char-level mixes; this one
+  * adds STRUCTURED atoms (list markers, escaped markers, links, entity
+  * markers, hard breaks) that exercise the block grouper and the
+  * text-escape pass together. */
+class MdEscapeFuzzSpec extends AnyFunSuite {
+
+  private val atoms = Seq("&amp;", "&copy;", "&#65;", "&nope;", "**", "](u)",
+    "<https://x.y>", "<div>", "`c`", "\\*", "\\\\",
+    "1. ", "2) ", "   5. ", "\\- ", "1\\. ", "&#42; ", "&#45; ",
+    "[a*b](u)", "![i](p)", "\\!", "\\.", "\\,", "foo\\\n", "- x\n", "# h\n")
+  private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123"
+
+  private def fuzz(seed: Long, cases: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    def gen(): String = {
+      val n = rnd.nextInt(40)
+      (0 until n).map { _ =>
+        if (rnd.nextInt(6) == 0) atoms(rnd.nextInt(atoms.length))
+        else chars(rnd.nextInt(chars.length)).toString
+      }.mkString
+    }
+    var i = 0
+    while (i < cases) {
+      val s = gen()
+      val once = MdFormatLite.normalize(s)
+      val twice = MdFormatLite.normalize(once)
+      assert(twice == once,
+        s"normalize not idempotent (seed=$seed case=$i) on: " +
+          s.replace("\\", "\\\\").replace("\n", "\\n"))
+      i += 1
+    }
+  }
+
+  test("normalize is a fixpoint under marker/escape-dense fuzz (seed 42)") { fuzz(42L, 10000) }
+  test("normalize is a fixpoint under marker/escape-dense fuzz (seed 7)") { fuzz(7L, 10000) }
+
+  test("regression pins from fuzz-found round-11 failures") {
+    val cases = Seq(
+      "\\__*_&",          // escape drop merges into a matched delimiter run
+      "*&***_*",          // partially-consumed *** run must stay bare
+      "___*_",            // leftover chain: whole run bare, not split
+      " \\* *",           // indented escaped bullet must keep its escape
+      "*<s>\\*[]()*&",    // Verbatim edges are flanking-active, not ws
+      " # h\na",          // leading-space heading parses as heading
+      "#\\# h\n[")        // decoded '#' must not extend a heading run
+    for (s <- cases) {
+      val once = MdFormatLite.normalize(s)
+      assert(MdFormatLite.normalize(once) == once,
+        s.replace("\\", "\\\\").replace("\n", "\\n"))
+    }
+  }
+}

@@ -133,6 +133,41 @@ class MdFormatLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("R8c: nested ordered lists renumber per level; indents normalize to parent marker width") {
+    // each nesting level is its own CommonMark list: every item takes
+    // THAT level's first number, and nested content indents to the
+    // parent marker's width ("1. " = 3 columns)
+    assert(MdFormatLite.normalize("1. a\n   5. b\n   7. c\n2. d")
+      == "1. a\n   5. b\n   5. c\n1. d")
+    // a non-canonical nested indent (within the item, below the code
+    // threshold) re-indents to the parent marker width
+    assert(MdFormatLite.normalize("1. a\n    5. b\n2. c")
+      == "1. a\n   5. b\n1. c")
+    // dedent closes the nested list; the outer run continues
+    assert(MdFormatLite.normalize("3. a\n   1. b\n9. c\n   4. d")
+      == "3. a\n   1. b\n3. c\n   4. d")
+    // two levels deep: widths accumulate ("1. " + "1. " = 6)
+    assert(MdFormatLite.normalize("1. a\n   1. b\n      9. c\n1. d")
+      == "1. a\n   1. b\n      9. c\n1. d")
+    // an under-indented item (below the parent's content column) is a
+    // SIBLING, not a child
+    assert(MdFormatLite.normalize("1. a\n  5. b") == "1. a\n1. b")
+    // marker-type switch at the nested level starts a new nested list
+    assert(MdFormatLite.normalize("1. a\n   2. b\n   3) c\n   4) d")
+      == "1. a\n   2. b\n   3) c\n   3) d")
+    // loose nesting: level state carries across the blank line
+    assert(MdFormatLite.normalize("1. a\n\n   5. b\n\n2. c")
+      == "1. a\n\n   5. b\n\n1. c")
+    // an over-indent CommonMark reads as indented code: pass through
+    assert(MdFormatLite.normalize("1. a\n        2. b") == "1. a\n        2. b")
+    // idempotent
+    for (s <- Seq("1. a\n   5. b\n   7. c\n2. d", "1. a\n    5. b\n2. c",
+        "3. a\n   1. b\n9. c\n   4. d", "1. a\n  5. b", "1. a\n\n   5. b\n\n2. c")) {
+      val once = MdFormatLite.normalize(s)
+      assert(MdFormatLite.normalize(once) == once, s)
+    }
+  }
+
   test("R11: unmatched emphasis markers escape; matched emphasis is preserved") {
     // mdformat's escape_asterisk/underscore_emphasis: escape unless both
     // neighbors are whitespace — but only delimiters that did NOT parse

@@ -12,7 +12,14 @@ package graft.split
   *  R2. blocks are separated by exactly one blank line (runs collapse)
   *  R3. a heading, a pipe table, and a fenced code block are always their
   *      own block, even when the source had no blank line around them
-  *  R4. ATX headings: single space after #s, trailing closing #s dropped
+  *  R4. ATX headings: single space after #s, trailing closing sequence
+  *      (whitespace + #s) dropped; up to 3 leading spaces allowed
+  *      (CommonMark). Round 11: SETEXT headings convert to ATX ('=' ->
+  *      h1, '-' -> h2) when the content is a one-line paragraph
+  *      (multi-line setext content passes through — divergence), and
+  *      THEMATIC BREAKS (3+ of * - _ with optional internal spacing)
+  *      render as mdformat's 70-underscore line; '-' breaks after an
+  *      open one-line paragraph are setext underlines instead
   *  R5. bullet list markers * and + become - (marker + single space)
   *  R6. pipe tables re-rendered mdformat-tables style: cells trimmed and
   *      left-aligned, every column padded to its widest cell (min 3) where
@@ -71,7 +78,18 @@ object MdFormatLite {
   // CommonMark: a heading may be indented up to 3 spaces (and the final
   // whole-output strip() would expose a leading-space heading to the next
   // pass anyway — parsing it here keeps normalize idempotent)
-  private val HeadingRe = "^ {0,3}(#{1,6})\\s+(.*?)\\s*#*\\s*$".r
+  // the ATX closing sequence strips only when whitespace precedes it
+  // (CommonMark: "# x#" keeps its '#', "# x #" drops it) — stripping a
+  // bare trailing '#' would lose content a setext conversion just wrote
+  private val HeadingRe = "^ {0,3}(#{1,6})\\s+(.*?)(?:\\s+#+)?\\s*$".r
+  // setext underlines (round 11): '=' run -> h1, '-' run -> h2 when they
+  // close a one-line paragraph; mdformat converts setext headings to ATX
+  private val SetextH1Re = "^ {0,3}=+\\s*$".r
+  private val SetextH2Re = "^ {0,3}-+\\s*$".r
+  // thematic break: 3+ of * - _ (spaces/tabs between allowed); mdformat's
+  // style renders every thematic break as a 70-underscore line
+  private val HrRe = "^ {0,3}(?:(?:\\*[ \t]*){3,}|(?:-[ \t]*){3,}|(?:_[ \t]*){3,})$".r
+  private val HrOut = "_" * 70
   private val BulletRe = "^(\\s*)[*+-]\\s+(.*)$".r
   private val FenceRe = "^(```|~~~).*$".r
   // Per-line hot-path patterns precompiled (String.replaceAll/split recompile per call)
@@ -235,13 +253,38 @@ object MdFormatLite {
         while (j < lines.length && lines(j).contains("|")) { rows += lines(j); j += 1 }
         blocks += ((renderTable(l, lines(i + 1), rows.result()), false))
         i = j
+      } else if (para.length == 1 && !para.head.trim.startsWith("- ") &&
+          !OrderedItemRe.matches(para.head) &&
+          (SetextH1Re.matches(l) || SetextH2Re.matches(l))) {
+        // setext heading: the one-line PARAGRAPH above is the content
+        // ('=' -> h1, '-' -> h2); a list item above is not a paragraph,
+        // and multi-line setext content passes through (divergence)
+        val t = para.head.trim
+        para = Vector.empty
+        val hashes = if (SetextH1Re.matches(l)) "#" else "##"
+        blocks += ((escapeTextBlock(s"$hashes $t"), false))
+        i += 1
+      } else if (HrRe.matches(l) && (para.isEmpty || !l.trim.startsWith("-"))) {
+        // thematic break ('-' runs only when no paragraph is open — after
+        // one they are setext-or-text per CommonMark; * and _ runs may
+        // interrupt a paragraph)
+        closePara()
+        blocks += ((Vector(HrOut), false))
+        i += 1
       } else l match {
         case HeadingRe(hashes, title) =>
           closePara()
           blocks += ((escapeTextBlock(s"$hashes $title"), false))
           i += 1
         case BulletRe(indent, rest) =>
-          para = para :+ s"$indent- $rest"; i += 1
+          // marker normalization can COLLIDE with thematic-break syntax:
+          // "* --" is a bullet (mixed chars can't be a break) but its
+          // normalized form "- --" is all dashes and would re-parse as a
+          // break — escape the content's leading dash to keep the item
+          val line = s"$indent- $rest"
+          para = para :+ (if (HrRe.matches(line) && !HrRe.matches(l))
+            s"$indent- \\$rest" else line)
+          i += 1
         case other =>
           para = para :+ other; i += 1
       }

@@ -311,13 +311,15 @@ private[split] object MdTextEscapes {
   /** @param lineStartAtZero whether position 0 is a LINE start (false when
     *        rendering a link label, which begins mid-line). */
   private def renderInline(s: String, lineStartAtZero: Boolean): String = {
-    // fast path: nothing escapable
+    // fast path: nothing escapable ('#' is here for the ATX
+    // closing-sequence guard — a heading title ending " #" needs the
+    // escape pass even when no other special is present)
     var has = false
     var p = 0
     while (!has && p < s.length) {
       val c = s.charAt(p)
       has = c == '\\' || c == '*' || c == '_' || c == '[' || c == ']' ||
-        c == '<' || c == '`' || c == '&'
+        c == '<' || c == '`' || c == '&' || c == '#'
       p += 1
     }
     if (!has) return s
@@ -409,12 +411,61 @@ private[split] object MdTextEscapes {
             }
             ok && (p >= 0 || lineStartAtZero)
           }
+          // a decoded hr/setext char whose whole DECODED line is that
+          // char + whitespace must stay escaped: dropping it could form
+          // or extend a thematic break ("-\- - -" -> "-- - -") or a
+          // setext underline ("a\n-\-" -> "a\n--" -> h2) on re-parse
+          def lineAllCharOrWs(ch: Char): Boolean = {
+            def dir(step: Int): Boolean = {
+              var j = i + step
+              while (j >= 0 && j < items.length) {
+                items(j) match {
+                  case TextChar('\n', _) => return true
+                  case TextChar(x, _) if x == ch || x == ' ' || x == '\t' =>
+                    j += step
+                  case _ => return false
+                }
+              }
+              true
+            }
+            dir(-1) && dir(1)
+          }
+          // on an ATX heading line ("#{1,6} " prefix), a trailing '#' run
+          // preceded by whitespace is a CLOSING SEQUENCE — re-parse would
+          // strip it from the title, so its first '#' (ANY origin: a
+          // setext conversion can put a plain "x #" title here) must
+          // escape; later '#'s of the run are then preceded by the
+          // escaped one and safe bare
+          def closingHashSeq: Boolean = {
+            if (out.isEmpty || !isWs(out.charAt(out.length - 1))) return false
+            var p = out.length - 1
+            while (p >= 0 && out.charAt(p) != '\n') p -= 1
+            var q = p + 1
+            var h = 0
+            while (q < out.length && out.charAt(q) == '#') { h += 1; q += 1 }
+            if (h < 1 || h > 6 ||
+                q >= out.length || !isWs(out.charAt(q))) return false
+            var j = i + 1
+            while (j < items.length) {
+              items(j) match {
+                case TextChar('\n', _) => return true
+                case TextChar('#', _) => j += 1
+                case _ => return false
+              }
+            }
+            true
+          }
           if (decoded && atLineStart &&
               (c == '#' || c == '-' || c == '+' || c == '>' ||
                 (c == '*' && isWs(nextCh)))) {
             // line-start block syntax ("# x", "- x", "> x", "* x")
             out.append('\\').append(c)
+          } else if (c == '#' && closingHashSeq) {
+            out.append('\\').append(c)
           } else if (decoded && c == '#' && lineStartHashes) {
+            out.append('\\').append(c)
+          } else if (decoded && (c == '-' || c == '*' || c == '_' || c == '=') &&
+              lineAllCharOrWs(c)) {
             out.append('\\').append(c)
           } else if (decoded && (c == '.' || c == ')') && isWs(nextCh) &&
               lineIsDigits()) {

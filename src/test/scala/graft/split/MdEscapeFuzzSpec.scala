@@ -15,8 +15,10 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
   private val atoms = Seq("&amp;", "&copy;", "&#65;", "&nope;", "**", "](u)",
     "<https://x.y>", "<div>", "`c`", "\\*", "\\\\",
     "1. ", "2) ", "   5. ", "\\- ", "1\\. ", "&#42; ", "&#45; ",
-    "[a*b](u)", "![i](p)", "\\!", "\\.", "\\,", "foo\\\n", "- x\n", "# h\n")
-  private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123"
+    "[a*b](u)", "![i](p)", "\\!", "\\.", "\\,", "foo\\\n", "- x\n", "# h\n",
+    "***\n", "---\n", "___\n", "=====\n", "t\n---\n", "- - -\n", "* --\n",
+    "\\=", "\\_", "=")
+  private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123="
 
   private def fuzz(seed: Long, cases: Int): Unit = {
     val rnd = new scala.util.Random(seed)
@@ -50,7 +52,12 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
       " \\* *",           // indented escaped bullet must keep its escape
       "*<s>\\*[]()*&",    // Verbatim edges are flanking-active, not ws
       " # h\na",          // leading-space heading parses as heading
-      "#\\# h\n[")        // decoded '#' must not extend a heading run
+      "#\\# h\n[",        // decoded '#' must not extend a heading run
+      "* --",             // bullet normalization must not form an hr
+      "-\\- - -",         // escaped dash in an hr-shaped line stays
+      "a\n-\\-",          // escaped dash must not complete a setext
+      "-- #\n-",          // setext title ending ' #': closing seq escapes
+      "a\n\\=")           // escaped '=' must not become a setext h1
     for (s <- cases) {
       val once = MdFormatLite.normalize(s)
       assert(MdFormatLite.normalize(once) == once,

@@ -200,6 +200,30 @@ class MdFormatLiteSpec extends AnyFunSuite {
     assert(MdFormatLite.normalize("<!-- note --> keep") == "<!-- note --> keep")
   }
 
+  test("setext headings convert to ATX; thematic breaks normalize to the 70-underscore line") {
+    // mdformat style: headings are ATX, thematic breaks render as a
+    // 70-underscore line
+    val hr = "_" * 70
+    assert(MdFormatLite.normalize("Title\n=====\n\nbody") == "# Title\n\nbody")
+    assert(MdFormatLite.normalize("Sub\n---\n\nbody") == "## Sub\n\nbody")
+    assert(MdFormatLite.normalize("a\n\n***\n\nb") == s"a\n\n$hr\n\nb")
+    assert(MdFormatLite.normalize("a\n\n- - -\n\nb") == s"a\n\n$hr\n\nb")
+    assert(MdFormatLite.normalize("a\n\n___\n\nb") == s"a\n\n$hr\n\nb")
+    // * and _ breaks may interrupt a paragraph; a '-' run after one line
+    // of paragraph is a setext h2, not a break
+    assert(MdFormatLite.normalize("a\n***\nb") == s"a\n\n$hr\n\nb")
+    assert(MdFormatLite.normalize("a\n---\nb") == "## a\n\nb")
+    // a list item is not setext content
+    assert(MdFormatLite.normalize("- x\n---") == "- x\n---")
+    // two dashes are too short for a break but fine for setext
+    assert(MdFormatLite.normalize("t\n--") == "## t")
+    // idempotent
+    for (s <- Seq("Title\n=====\n\nbody", "a\n\n***\n\nb", "a\n---\nb", "- x\n---")) {
+      val once = MdFormatLite.normalize(s)
+      assert(MdFormatLite.normalize(once) == once, s)
+    }
+  }
+
   test("hard line break: backslash before newline is preserved, not doubled") {
     // CommonMark: '\' at end of line is a HARD BREAK — mdformat preserves
     // it (and even normalizes two-space breaks to backslash breaks).

@@ -1040,6 +1040,40 @@ object TextQ {
         |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
         |FROM e ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q118_mdformat_structure",
+      // Round-11 structural canonicalization (F11) under oracle coverage:
+      // setext headings convert to ATX ('=' underline -> h1, '-' -> h2),
+      // thematic breaks ('* * *') render as mdformat's 70-underscore
+      // line, NESTED ordered lists renumber per level with the nested
+      // indent normalized to the parent marker's width (R8c: each level
+      // takes ITS first number), and loose ')'-marker items across blank
+      // lines renumber as one list (R8b). The oracle rebuilds the
+      // canonical bytes symbolically, like q63.
+      (s, d) => {
+        val w = split(col("text"), "\\s+")
+        val md = concat(
+          element_at(w, 1), lit("\n=====\n\n"),
+          element_at(w, 2), lit("\n---\n\n* * *\n\npara "), element_at(w, 3),
+          lit("\n\n1. a\n   5. b\n   7. c\n2. d\n\n3) x\n\n9) y"))
+        val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
+        docs(s, d)
+          .select(col("doc_id"), fmtUdf(md).as("canon"))
+          .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
+            length(col("canon")).cast("long").as("canon_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $W AS t FROM documents),
+        |e AS (SELECT doc_id,
+        |  '# ' || t[1] || chr(10) || chr(10) ||
+        |  '## ' || t[2] || chr(10) || chr(10) ||
+        |  repeat('_', 70) || chr(10) || chr(10) ||
+        |  'para ' || t[3] || chr(10) || chr(10) ||
+        |  '1. a' || chr(10) || '   5. b' || chr(10) || '   5. c' || chr(10) || '1. d' || chr(10) || chr(10) ||
+        |  '3) x' || chr(10) || chr(10) || '3) y' AS canon
+        |  FROM w)
+        |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
+        |FROM e ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q65_minhash_union",
       // The typed UDAF (Aggregator via udaf, §2.14) under oracle coverage:
       // per-source MinHash union — elementwise min of the per-doc

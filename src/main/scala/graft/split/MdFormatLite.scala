@@ -45,8 +45,13 @@ package graft.split
   *      already escaped — render as \[ \] (mdformat's text renderer
   *      escapes all brackets in text tokens; a truncation that cuts a
   *      link's (url) off leaves exactly such text, the reference's own
-  *      splitter_test.py:179 expected output). Fences and table cells are
-  *      not text tokens and pass through.
+  *      splitter_test.py:179 expected output). Fences, table cells, and
+  *      — round 11 — INDENTED CODE BLOCKS (>= 4-space lines opening a
+  *      block; indented list-item shapes keep their list reading, and
+  *      the input's LEADING whitespace is pre-stripped, mirroring the
+  *      trailing .strip(), so a document-leading indented line parses
+  *      as the paragraph the strip would have demoted it to) are not
+  *      text tokens and pass through.
   *  R10-R14 (round 10, [[MdTextEscapes]]): the remaining text-token
   *      escape classes per mdformat's renderer — literal backslash
   *      doubling (R10), unmatched * / _ emphasis-marker escapes under
@@ -183,7 +188,12 @@ object MdFormatLite {
 
   /** Canonicalize a markdown string per the rule list above. */
   def normalize(md: String): String = {
-    val lines = md.replace("\r\n", "\n").replace("\r", "\n")
+    // leading whitespace is pre-stripped: the trailing .strip() (R7)
+    // erases it from the OUTPUT anyway, so parsing the input as if it
+    // were already gone makes one pass convergent — otherwise a leading
+    // indented line ("    # h") would render verbatim, lose its indent
+    // to the strip, and parse as different block syntax next time
+    val lines = md.stripLeading().replace("\r\n", "\n").replace("\r", "\n")
       .split("\n", -1).toVector.map(l => TrailWs.matcher(l).replaceAll(""))
 
     // group lines into blocks; every block renders as its joined lines and
@@ -197,6 +207,12 @@ object MdFormatLite {
     def closePara(): Unit = {
       if (para.nonEmpty) { blocks += ((para, true)); para = Vector.empty }
     }
+    // CommonMark indented code: >= 4 leading spaces and not a list-item
+    // shape (indented list items keep their loose-list reading — this
+    // grouper has no container stack, and renumbering them is the less
+    // surprising choice for list-heavy corpora)
+    def isIndentedCode(x: String): Boolean =
+      x.startsWith("    ") && !OrderedItemRe.matches(x) && !BulletRe.matches(x)
     // R8b (round 10, nested since round 11): LOOSE ordered lists —
     // consecutive all-ordered-item text blocks are ONE CommonMark list
     // whose items happen to be separated by blank lines, so renumbering
@@ -252,6 +268,27 @@ object MdFormatLite {
         var j = i + 2
         while (j < lines.length && lines(j).contains("|")) { rows += lines(j); j += 1 }
         blocks += ((renderTable(l, lines(i + 1), rows.result()), false))
+        i = j
+      } else if (para.isEmpty && isIndentedCode(l)) {
+        // indented CODE block: verbatim — its bytes are not text tokens,
+        // so the escape pass must never touch them. Blank runs followed
+        // by more indented lines stay inside the block. (A DOCUMENT-
+        // leading indented line cannot reach here: the input pre-strip
+        // removed its indent, mirroring what the trailing .strip() would
+        // have done to the rendered code block.)
+        val code = Vector.newBuilder[String]
+        var j = i
+        var done = false
+        while (!done) {
+          while (j < lines.length && isIndentedCode(lines(j))) { code += lines(j); j += 1 }
+          var k = j
+          while (k < lines.length && lines(k).isEmpty) k += 1
+          if (k > j && k < lines.length && isIndentedCode(lines(k))) {
+            (j until k).foreach(x => code += lines(x))
+            j = k
+          } else done = true
+        }
+        blocks += ((code.result(), false))
         i = j
       } else if (para.length == 1 && !para.head.trim.startsWith("- ") &&
           !OrderedItemRe.matches(para.head) &&

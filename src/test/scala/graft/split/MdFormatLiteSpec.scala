@@ -224,6 +224,30 @@ class MdFormatLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("indented code blocks pass through verbatim (no text-token escapes inside)") {
+    // 4-space-indented lines after a blank are CommonMark code — their
+    // bytes are not text tokens and must never be escaped
+    val doc = "p\n\n    arr[0] * x\n    b_c\n\nq"
+    assert(MdFormatLite.normalize(doc) == doc)
+    // internal blank lines stay inside the block
+    val doc2 = "p\n\n    a[0]\n\n    b[1]\n\nq"
+    assert(MdFormatLite.normalize(doc2) == doc2)
+    // an indented LIST item keeps its loose-list reading (renumbered),
+    // not a code reading — this grouper has no container stack
+    assert(MdFormatLite.normalize("1. a\n\n    5. b") == "1. a\n\n   5. b")
+    // a code block at the very START of the document is NOT protected:
+    // the reference's trailing .strip() removes its indent anyway, so it
+    // demotes to a paragraph (and escapes) exactly once
+    val lead = MdFormatLite.normalize("    code [1]")
+    assert(lead == "code \\[1\\]")
+    // a 4-space line while a paragraph is OPEN is a lazy continuation
+    assert(MdFormatLite.normalize("p\n    cont [x]") == "p\n    cont \\[x\\]")
+    for (s <- Seq(doc, doc2, "    code [1]", "p\n    cont [x]", "1. a\n\n    5. b")) {
+      val once = MdFormatLite.normalize(s)
+      assert(MdFormatLite.normalize(once) == once, s)
+    }
+  }
+
   test("hard line break: backslash before newline is preserved, not doubled") {
     // CommonMark: '\' at end of line is a HARD BREAK — mdformat preserves
     // it (and even normalizes two-space breaks to backslash breaks).

@@ -68,6 +68,10 @@ package graft.split
   *      break and passes through verbatim, and link/image LABELS render
   *      through the same text-escape pass (destinations and reference
   *      labels stay verbatim).
+  *  R15 (round 11): blockquote MARKER normalization — one '>' + one
+  *      space per level at column 0 ("> > x"); content spacing beyond
+  *      the marker space is preserved and quoted CONTENT is not
+  *      re-formatted as markdown (divergence — mdformat recurses).
   *
   * Not implemented (documented divergence): emphasis-marker handling
   * needs none (mdformat renders em/strong with the SOURCE marker,
@@ -104,13 +108,35 @@ object MdFormatLite {
   private def isSep(l: String): Boolean = TableSepRe.matches(l)
 
   private val OrderedItemRe = "^(\\s*)(\\d{1,9})([.)])\\s+(\\S.*)$".r
-  // code spans: longest backtick run, non-greedy body, same-length closer
-  private val CodeSpanRe = "(`+)([\\s\\S]*?)\\1".r
-  // inline link/image [text](dest...) with one paren-nesting level (titles
-  // and <>-wrapped dests fall inside [^()]*), or reference-style [t][ref]
-  private val LinkRe =
-    ("!?\\[[^\\[\\]]*\\]" +
-      "(?:\\([^()]*(?:\\([^()]*\\)[^()]*)*\\)|\\[[^\\[\\]]*\\])").r
+
+  /** R15 (round 11): blockquote MARKER normalization — mdformat renders
+    * one '>' plus one space per quote level at column 0 ("> > x").
+    * Only the marker run is touched: a missing space after a '>' is
+    * inserted, inter-marker spacing collapses, and the ≤3-space leading
+    * indent drops; content spacing beyond the final marker space is
+    * preserved (so code indent inside a quote survives; divergence:
+    * mdformat also re-formats the quoted CONTENT as markdown). */
+  private def normalizeQuoteMarkers(l: String): String = {
+    var i = 0
+    while (i < l.length && i < 3 && l.charAt(i) == ' ') i += 1
+    if (i >= l.length || l.charAt(i) != '>') return l
+    var levels = 0
+    var j = i
+    while (j < l.length && l.charAt(j) == '>') {
+      levels += 1
+      j += 1
+      if (j < l.length && l.charAt(j) == ' ') {
+        var k = j
+        while (k < l.length && l.charAt(k) == ' ') k += 1
+        // spaces BETWEEN markers collapse; one space before content is
+        // the marker's own, the rest is content indent and stays
+        if (k < l.length && l.charAt(k) == '>') j = k else j += 1
+      }
+    }
+    val content = l.substring(j)
+    if (content.isEmpty) ("> " * (levels - 1)) + ">"
+    else ("> " * levels) + content
+  }
 
   /** R8/R8c: renumber a pure ordered-item line sequence, nested levels
     * included (round 11). Levels follow CommonMark item nesting — an item
@@ -291,7 +317,7 @@ object MdFormatLite {
         blocks += ((code.result(), false))
         i = j
       } else if (para.length == 1 && !para.head.trim.startsWith("- ") &&
-          !OrderedItemRe.matches(para.head) &&
+          !para.head.startsWith(">") && !OrderedItemRe.matches(para.head) &&
           (SetextH1Re.matches(l) || SetextH2Re.matches(l))) {
         // setext heading: the one-line PARAGRAPH above is the content
         // ('=' -> h1, '-' -> h2); a list item above is not a paragraph,
@@ -323,7 +349,7 @@ object MdFormatLite {
             s"$indent- \\$rest" else line)
           i += 1
         case other =>
-          para = para :+ other; i += 1
+          para = para :+ normalizeQuoteMarkers(other); i += 1
       }
     }
     closePara()

@@ -455,10 +455,25 @@ private[split] object MdTextEscapes {
             }
             true
           }
+          // a decoded '>' is a quote-marker hazard not just at line
+          // start but anywhere in a line-start run of markers/ws
+          // ("> \>" dropping its escape becomes a second marker)
+          def lineStartQuotePrefix: Boolean = {
+            var p = out.length - 1
+            var ok = true
+            while (ok && p >= 0 && out.charAt(p) != '\n') {
+              val ch = out.charAt(p)
+              ok = ch == ' ' || ch == '\t' || ch == '>'
+              p -= 1
+            }
+            ok && (p >= 0 || lineStartAtZero)
+          }
           if (decoded && atLineStart &&
-              (c == '#' || c == '-' || c == '+' || c == '>' ||
+              (c == '#' || c == '-' || c == '+' ||
                 (c == '*' && isWs(nextCh)))) {
-            // line-start block syntax ("# x", "- x", "> x", "* x")
+            // line-start block syntax ("# x", "- x", "* x")
+            out.append('\\').append(c)
+          } else if (decoded && c == '>' && lineStartQuotePrefix) {
             out.append('\\').append(c)
           } else if (c == '#' && closingHashSeq) {
             out.append('\\').append(c)

@@ -17,7 +17,8 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
     "1. ", "2) ", "   5. ", "\\- ", "1\\. ", "&#42; ", "&#45; ",
     "[a*b](u)", "![i](p)", "\\!", "\\.", "\\,", "foo\\\n", "- x\n", "# h\n",
     "***\n", "---\n", "___\n", "=====\n", "t\n---\n", "- - -\n", "* --\n",
-    "\\=", "\\_", "=", "    code [1]\n", "    a*b\n", "    ")
+    "\\=", "\\_", "=", "    code [1]\n", "    a*b\n", "    ",
+    "> x\n", ">>y\n", "> - q\n", ">\n")
   private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123="
 
   private def fuzz(seed: Long, cases: Int): Unit = {

@@ -224,6 +224,24 @@ class MdFormatLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("R15: blockquote markers normalize to one '>' + one space per level") {
+    assert(MdFormatLite.normalize(">x") == "> x")
+    assert(MdFormatLite.normalize(">> x\n>>y") == "> > x\n> > y")
+    assert(MdFormatLite.normalize("  > x") == "> x") // indent drops
+    assert(MdFormatLite.normalize("> >   > x") == "> > > x")
+    // content spacing beyond the marker space is preserved (code indent
+    // inside a quote)
+    assert(MdFormatLite.normalize(">     code") == ">     code")
+    // already-normalized and empty-quote lines are fixpoints
+    assert(MdFormatLite.normalize("> a\n>\n> b") == "> a\n>\n> b")
+    // a '-' underline after a quote line is not a setext heading
+    assert(MdFormatLite.normalize("> q\n---") == "> q\n---")
+    for (s <- Seq(">x", ">> x\n>>y", "> >   > x", "> q\n---")) {
+      val once = MdFormatLite.normalize(s)
+      assert(MdFormatLite.normalize(once) == once, s)
+    }
+  }
+
   test("indented code blocks pass through verbatim (no text-token escapes inside)") {
     // 4-space-indented lines after a blank are CommonMark code — their
     // bytes are not text tokens and must never be escaped

@@ -263,7 +263,15 @@ object PqIndex {
   }
 
   /** Build the serving frame for [[ivfAdcTopK]]: every candidate's coarse
-    * cell plus its PQ codes — one map-side pass, persist and reuse. */
+    * cell plus its PQ codes — one map-side pass, persist and reuse.
+    *
+    * Layout rule for the persisted store: `repartition(col("cell"))`
+    * BEFORE `write.partitionBy("cell")`. Without it every upstream task
+    * writes a file into every cell directory (tasks x cells tiny files —
+    * ~100k at a 1600-cell corpus), and serve-time scans pay per-file
+    * open/footer costs even under partition pruning; with it each cell
+    * is one file and a probed serve touches nprobe files per query
+    * (graft.tools.ScaleCurve measures the difference). */
   def encodeCells(cands: DataFrame, idCol: String, vecCol: String,
                   ivf: IvfIndex.Model, pq: Model): DataFrame = {
     val spark = cands.sparkSession

@@ -3,12 +3,11 @@ package graft.split
 /** Token counting/truncation (SURVEY.md §2.9 F6; reference
   * wurzel/utils/tokenizers.py:16-201 wraps tiktoken/HuggingFace).
   *
-  * Divergence (documented, FIXTURES.md §1.5): the reference counts
-  * cl100k_base BPE tokens; this build is offline with no tokenizer
-  * dependency, so the engine ships a whitespace tokenizer and a BPE-ish
-  * regex tokenizer (words / digit runs / punctuation marks — the same
-  * granularity class as byte-pair merges on natural text). Token-window
-  * goldens are re-derived against these.
+  * The engine ships a whitespace tokenizer (the oracle-friendly default
+  * the plain-text corpus contract pins) and a REAL byte-level BPE
+  * ([[BpeTokenizer]] in Bpe.scala, with per-context vocab granularity —
+  * FIXTURES.md §1.5). Operators take the trait, so a deployment tokenizer
+  * drops in without touching them.
   */
 trait Tokenizer extends Serializable {
   def tokens(s: String): Array[String]
@@ -56,11 +55,4 @@ object WhitespaceTokenizer extends Tokenizer {
     }
     n
   }
-}
-
-/** BPE-ish regex tokenizer: letter runs, digit runs, single non-space
-  * symbols — a deterministic stand-in for cl100k_base granularity. */
-object RegexTokenizer extends Tokenizer {
-  private val Re = "[A-Za-z\\u00C0-\\u024F]+|[0-9]+|[^\\sA-Za-z0-9\\u00C0-\\u024F]".r
-  def tokens(s: String): Array[String] = Re.findAllIn(s).toArray
 }

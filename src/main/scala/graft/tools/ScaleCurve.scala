@@ -75,7 +75,11 @@ object ScaleCurve {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"SCALE mult=$mult $name%-16s ${sec}%8.2f s  ($rows rows)")
       }
+      // SCALE_SERVE_ONLY=1 skips the CC-family shapes (re-measure just
+      // the serving curve without the ~10 min dedup recompute)
+      val serveOnly = sys.env.get("SCALE_SERVE_ONLY").contains("1")
       def pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", 12, 4, 0.6)
+      if (!serveOnly) {
       time("q72_clusters") {
         graft.operators.Dedup.resolveClusters(docs, "doc_id", pairs)
           .queryExecution.toRdd.count()
@@ -96,6 +100,81 @@ object ScaleCurve {
       time("q110_pagerank") {
         graft.operators.PageRank.run(edges, "src", "dst", iterations = 5,
           redistributeDangling = true).queryExecution.toRdd.count()
+      }
+      }
+
+      // q117 SERVING flatness: build the hybrid artifacts (champion
+      // index + IVF cells + PQ codes, cells store partitioned BY cell)
+      // with the cell COUNT scaled to the corpus (constant expected cell
+      // size, the real-deployment sizing rule), then measure the serve
+      // phase alone — per-query work is cell-bounded, so serve latency
+      // should stay ~flat while the corpus grows 100x
+      val root = java.nio.file.Files.createTempDirectory(s"graft_scale_serve_$mult").toString
+      try {
+        val kCells = 16 * mult
+        val centroids = vecs.orderBy(col("vec_id")).limit(kCells)
+          .select(graft.functions.Kernels.quantNormUdf(col("embedding")).getField("_1").as("qv"))
+          .as[Seq[Long]].collect().map(_.toArray)
+        val ivfS = graft.operators.IvfIndex.Model(centroids)
+        val subDim = dim / 2
+        val pqS = graft.operators.PqIndex.Model(
+          (0 until 2).map(j => centroids.take(16).map(v =>
+            java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))).toArray)
+        val tBuild0 = System.nanoTime()
+        graft.operators.Rank.championIndex(docs, "doc_id", "text", m = 8)
+          .write.mode("overwrite").parquet(s"$root/index")
+        // repartition BY CELL before the partitioned write: without it
+        // every upstream task writes its own file into every cell dir
+        // (64 tasks x 16*mult cells ~ 100k tiny files at 100x, and the
+        // serve-time scan pays per-file open/footer costs even with
+        // partition pruning); with it each cell is ONE file
+        graft.operators.PqIndex.encodeCells(vecs, "vec_id", "embedding", ivfS, pqS)
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$root/cells")
+        println(f"SCALE mult=$mult build_artifacts ${(System.nanoTime() - tBuild0) / 1e9}%8.2f s")
+        val savedIndex = spark.read.parquet(s"$root/index")
+        val savedCells = spark.read.parquet(s"$root/cells")
+        // a long-running server lists the stores once and serves many
+        // batches — materialize the file indexes (the 16*mult partition
+        // dirs) OUTSIDE the timed serve so the measurement is the
+        // steady-state per-batch latency, not the one-time listing
+        savedIndex.count(); savedCells.count()
+        val qvec = vecs.filter(col("vec_id") < 3)
+        time("q117_serve") {
+          val lex = graft.operators.Rank.bm25FromIndex(savedIndex, nDocs,
+              Map("qa" -> Seq("spark", "join"), "qb" -> Seq("scan", "filter"),
+                "qc" -> Seq("stream", "batch")), kTop = 20)
+            .select(col("query_id"), col("id").as("doc_id"), col("rank"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col("adist").asc, col("cid").asc)
+          val vec = graft.operators.PqIndex.ivfAdcTopK(savedCells, qvec,
+              "vec_id", "embedding", ivfS, pqS, kTop = 20, nprobe = 2)
+            .withColumn("rank", row_number().over(w))
+            .select(when(col("qid") === 0, "qa").when(col("qid") === 1, "qb")
+                .otherwise("qc").as("query_id"),
+              col("cid").as("doc_id"), col("rank"))
+          graft.operators.Rank.rrfFuse(Seq(lex, vec), kRrf = 60, kTop = 10)
+            .queryExecution.toRdd.count()
+        }
+        // second timed batch on the warm stores (per-batch steady state)
+        time("q117_serve_2") {
+          val lex = graft.operators.Rank.bm25FromIndex(savedIndex, nDocs,
+              Map("qa" -> Seq("spark", "agg"), "qb" -> Seq("scan", "fast"),
+                "qc" -> Seq("window", "batch")), kTop = 20)
+            .select(col("query_id"), col("id").as("doc_id"), col("rank"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col("adist").asc, col("cid").asc)
+          val vec = graft.operators.PqIndex.ivfAdcTopK(savedCells, qvec,
+              "vec_id", "embedding", ivfS, pqS, kTop = 20, nprobe = 2)
+            .withColumn("rank", row_number().over(w))
+            .select(when(col("qid") === 0, "qa").when(col("qid") === 1, "qb")
+                .otherwise("qc").as("query_id"),
+              col("cid").as("doc_id"), col("rank"))
+          graft.operators.Rank.rrfFuse(Seq(lex, vec), kRrf = 60, kTop = 10)
+            .queryExecution.toRdd.count()
+        }
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       }
       docs.unpersist(); vecs.unpersist(); edges.unpersist()
     }

@@ -116,7 +116,10 @@ class HybridServeSpec extends SparkSpec {
           java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))).toArray)
       Rank.championIndex(docsT, "doc_id", "text", m = 8)
         .write.parquet(s"$root/index_store")
+      // repartition by cell first — the one-file-per-cell layout rule
+      // (PqIndex.encodeCells scaladoc; ScaleCurve measures why)
       PqIndex.encodeCells(embT, "vec_id", "embedding", ivf, pq)
+        .repartition(col("cell"))
         .write.partitionBy("cell").parquet(s"$root/cells_store")
 
       // SERVE phase: stored artifacts + client-supplied query vectors
@@ -194,7 +197,10 @@ class HybridServeSpec extends SparkSpec {
       // BUILD: persist every serving artifact
       IvfIndex.save(spark, ivf, s"$root/ivf_store")
       PqIndex.save(spark, pq, s"$root/pq_store")
+      // repartition by cell first — the one-file-per-cell layout rule
+      // (PqIndex.encodeCells scaladoc; ScaleCurve measures why)
       PqIndex.encodeCells(embT, "vec_id", "embedding", ivf, pq)
+        .repartition(col("cell"))
         .write.partitionBy("cell").parquet(s"$root/cells_store")
 
       // RESTART: models come back from parquet structurally identical

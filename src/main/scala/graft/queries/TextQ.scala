@@ -1074,6 +1074,38 @@ object TextQ {
         |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
         |FROM e ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q119_mdformat_inline",
+      // Round-11 inline/text canonicalization (F11) under oracle
+      // coverage: blockquote MARKER normalization (R15: one '>' + one
+      // space per level), unnecessary-escape DROPPING mid-line (\, and
+      // \% decode; a line-start ordered-marker 1\. keeps its escape),
+      // indented CODE passing through verbatim (no text-token escapes
+      // inside), and a backslash hard line break preserved. Symbolic
+      // byte rebuild, like q63/q118.
+      (s, d) => {
+        val w = split(col("text"), "\\s+")
+        val md = concat(
+          lit(">quote "), element_at(w, 1), lit("\n>>deep\n\n"),
+          lit("a\\, "), element_at(w, 2), lit(" 100\\% ok\n\n1\\. not list\n\n"),
+          lit("    code ["), element_at(w, 3), lit("] *x*\n\nbrk\\\n"), element_at(w, 4))
+        val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
+        docs(s, d)
+          .select(col("doc_id"), fmtUdf(md).as("canon"))
+          .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
+            length(col("canon")).cast("long").as("canon_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $W AS t FROM documents),
+        |e AS (SELECT doc_id,
+        |  '> quote ' || t[1] || chr(10) || '> > deep' || chr(10) || chr(10) ||
+        |  'a, ' || t[2] || ' 100% ok' || chr(10) || chr(10) ||
+        |  '1\\. not list' || chr(10) || chr(10) ||
+        |  '    code [' || t[3] || '] *x*' || chr(10) || chr(10) ||
+        |  'brk\\' || chr(10) || t[4] AS canon
+        |  FROM w)
+        |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
+        |FROM e ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q65_minhash_union",
       // The typed UDAF (Aggregator via udaf, §2.14) under oracle coverage:
       // per-source MinHash union — elementwise min of the per-doc

@@ -1076,12 +1076,14 @@ object TextQ {
 
     QueryDef("q119_mdformat_inline",
       // Round-11 inline/text canonicalization (F11) under oracle
-      // coverage: blockquote MARKER normalization (R15: one '>' + one
-      // space per level), unnecessary-escape DROPPING mid-line (\, and
-      // \% decode; a line-start ordered-marker 1\. keeps its escape),
-      // indented CODE passing through verbatim (no text-token escapes
-      // inside), and a backslash hard line break preserved. Symbolic
-      // byte rebuild, like q63/q118.
+      // coverage: blockquote recursion (R15/R15b: one '>' + one space
+      // per level, quoted content re-formatted — the nested quote
+      // interrupts the quoted paragraph, so a bare '>' separator line
+      // appears between them), unnecessary-escape DROPPING mid-line
+      // (\, and \% decode; a line-start ordered-marker 1\. keeps its
+      // escape), indented CODE passing through verbatim (no text-token
+      // escapes inside), and a backslash hard line break preserved.
+      // Symbolic byte rebuild, like q63/q118.
       (s, d) => {
         val w = split(col("text"), "\\s+")
         val md = concat(
@@ -1097,7 +1099,7 @@ object TextQ {
       },
       Some(s"""WITH w AS (SELECT doc_id, $W AS t FROM documents),
         |e AS (SELECT doc_id,
-        |  '> quote ' || t[1] || chr(10) || '> > deep' || chr(10) || chr(10) ||
+        |  '> quote ' || t[1] || chr(10) || '>' || chr(10) || '> > deep' || chr(10) || chr(10) ||
         |  'a, ' || t[2] || ' 100% ok' || chr(10) || chr(10) ||
         |  '1\\. not list' || chr(10) || chr(10) ||
         |  '    code [' || t[3] || '] *x*' || chr(10) || chr(10) ||

@@ -68,10 +68,15 @@ package graft.split
   *      break and passes through verbatim, and link/image LABELS render
   *      through the same text-escape pass (destinations and reference
   *      labels stay verbatim).
-  *  R15 (round 11): blockquote MARKER normalization — one '>' + one
-  *      space per level at column 0 ("> > x"); content spacing beyond
-  *      the marker space is preserved and quoted CONTENT is not
-  *      re-formatted as markdown (divergence — mdformat recurses).
+  *  R15/R15b (round 11): blockquotes — markers normalize to one '>' +
+  *      one space per level at column 0, and a CLOSED quote run
+  *      RECURSES: one marker level strips, the inner document runs
+  *      through this same pipeline (lists renumber, tables pad,
+  *      headings normalize — mdformat re-formats quoted content), and
+  *      the result re-prefixes with canonical markers. A run followed
+  *      by a plain paragraph line is a CommonMark lazy continuation
+  *      (still inside the quote): it falls back to the paragraph path
+  *      with markers normalized and content untouched.
   *
   * Not implemented (documented divergence): emphasis-marker handling
   * needs none (mdformat renders em/strong with the SOURCE marker,
@@ -221,6 +226,30 @@ object MdFormatLite {
     // to the strip, and parse as different block syntax next time
     val lines = md.stripLeading().replace("\r\n", "\n").replace("\r", "\n")
       .split("\n", -1).toVector.map(l => TrailWs.matcher(l).replaceAll(""))
+    normalizeCore(lines).strip()
+  }
+
+  /** One quote-marker level off a line ('>' + at most one space after
+    * ≤3-space indent); content spacing beyond the marker space stays. */
+  private def stripOneMarker(l: String): String = {
+    var i = 0
+    while (i < l.length && i < 3 && l.charAt(i) == ' ') i += 1
+    if (i < l.length && l.charAt(i) == '>') {
+      val j = i + 1
+      if (j < l.length && l.charAt(j) == ' ') l.substring(j + 1) else l.substring(j)
+    } else l
+  }
+
+  private def isQuoteLine(l: String): Boolean = {
+    var i = 0
+    while (i < l.length && i < 3 && l.charAt(i) == ' ') i += 1
+    i < l.length && l.charAt(i) == '>'
+  }
+
+  /** The grouping + rendering pipeline WITHOUT the outer strips — the
+    * recursion target for quoted content (an inner document must keep
+    * leading indent: a quote-leading indented code block is real code). */
+  private def normalizeCore(lines: Vector[String]): String = {
 
     // group lines into blocks; every block renders as its joined lines and
     // blocks are separated by exactly one blank line. Text (paragraph/
@@ -334,6 +363,35 @@ object MdFormatLite {
         closePara()
         blocks += ((Vector(HrOut), false))
         i += 1
+      } else if (isQuoteLine(l)) {
+        // R15b (round 11): a CLOSED run of quote-marker lines recurses —
+        // one marker level strips, the inner document runs through this
+        // same pipeline (mdformat re-formats quoted content as
+        // markdown), and the result re-prefixes with canonical "> "
+        // markers. A run followed by a plain paragraph line is a
+        // CommonMark LAZY CONTINUATION (that line is still inside the
+        // quote): recursing would render a blank line between them and
+        // push the continuation OUT of the quote, so those runs fall
+        // back to the paragraph path (markers normalized, content
+        // untouched — byte-stable).
+        var j = i
+        while (j < lines.length && isQuoteLine(lines(j))) j += 1
+        val lazyCont = j < lines.length && lines(j).nonEmpty && {
+          val n = lines(j)
+          !(FenceRe.matches(n) || HeadingRe.matches(n) || BulletRe.matches(n) ||
+            OrderedItemRe.matches(n) || HrRe.matches(n) ||
+            (n.contains("|") && j + 1 < lines.length && isSep(lines(j + 1))))
+        }
+        if (lazyCont) {
+          para = para :+ normalizeQuoteMarkers(l); i += 1
+        } else {
+          closePara()
+          val inner = (i until j).map(x => stripOneMarker(lines(x))).toVector
+          val prefixed = normalizeCore(inner).split("\n", -1).toVector
+            .map(x => if (x.isEmpty) ">" else "> " + x)
+          blocks += ((prefixed, false))
+          i = j
+        }
       } else l match {
         case HeadingRe(hashes, title) =>
           closePara()
@@ -359,6 +417,6 @@ object MdFormatLite {
       .map { case (b, isText) =>
         if (isText) escapeTextBlock(b.mkString("\n")) else b
       }
-      .map(_.mkString("\n")).mkString("\n\n").strip()
+      .map(_.mkString("\n")).mkString("\n\n")
   }
 }

@@ -18,7 +18,8 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
     "[a*b](u)", "![i](p)", "\\!", "\\.", "\\,", "foo\\\n", "- x\n", "# h\n",
     "***\n", "---\n", "___\n", "=====\n", "t\n---\n", "- - -\n", "* --\n",
     "\\=", "\\_", "=", "    code [1]\n", "    a*b\n", "    ",
-    "> x\n", ">>y\n", "> - q\n", ">\n")
+    "> x\n", ">>y\n", "> - q\n", ">\n", "\\>", "&#62;",
+    "> 3. a\n", "> # h\n", "> |a|b|\n", "> ---\n", ">     c\n", "> a\nb\n")
   private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123="
 
   private def fuzz(seed: Long, cases: Int): Unit = {

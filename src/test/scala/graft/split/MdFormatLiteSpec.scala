@@ -234,9 +234,35 @@ class MdFormatLiteSpec extends AnyFunSuite {
     assert(MdFormatLite.normalize(">     code") == ">     code")
     // already-normalized and empty-quote lines are fixpoints
     assert(MdFormatLite.normalize("> a\n>\n> b") == "> a\n>\n> b")
-    // a '-' underline after a quote line is not a setext heading
-    assert(MdFormatLite.normalize("> q\n---") == "> q\n---")
+    // a '-' run after a quote closes the quote and is a thematic break,
+    // not a setext heading (CommonMark: "> foo" + "---" = quote + break)
+    assert(MdFormatLite.normalize("> q\n---") == "> q\n\n" + ("_" * 70))
     for (s <- Seq(">x", ">> x\n>>y", "> >   > x", "> q\n---")) {
+      val once = MdFormatLite.normalize(s)
+      assert(MdFormatLite.normalize(once) == once, s)
+    }
+  }
+
+  test("R15b: quoted content re-formats recursively; lazy continuations stay byte-stable") {
+    // mdformat recurses into block quotes: strip one marker level,
+    // format the inner document, re-prefix with canonical markers
+    assert(MdFormatLite.normalize("> 3. a\n> 7. b") == "> 3. a\n> 3. b")
+    assert(MdFormatLite.normalize(">#  H ##") == "> # H")
+    assert(MdFormatLite.normalize("> > 5*6") == "> > 5\\*6")
+    assert(MdFormatLite.normalize("> t\n> ---") == "> ## t")
+    // a table inside a quote gets the mdformat-tables treatment
+    assert(MdFormatLite.normalize("> |a|b|\n> |---|---|\n> |1|2|")
+      == "> | a   | b   |\n> | --- | --- |\n> | 1   | 2   |")
+    // inner blank lines become bare '>' markers
+    assert(MdFormatLite.normalize("> a\n>\n>\n> b") == "> a\n>\n> b")
+    // a quote interrupts a paragraph (CommonMark)
+    assert(MdFormatLite.normalize("p\n> q") == "p\n\n> q")
+    // LAZY continuation: the plain line after the run is still quote
+    // content — recursing would push it out, so bytes are preserved
+    assert(MdFormatLite.normalize("> a\nb") == "> a\nb")
+    assert(MdFormatLite.normalize(">a\nb") == "> a\nb") // markers still normalize
+    for (s <- Seq("> 3. a\n> 7. b", ">#  H ##", "> > 5*6", "> a\nb",
+        "> |a|b|\n> |---|---|\n> |1|2|", "p\n> q", "> a\n>\n>\n> b")) {
       val once = MdFormatLite.normalize(s)
       assert(MdFormatLite.normalize(once) == once, s)
     }

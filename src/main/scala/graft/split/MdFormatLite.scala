@@ -81,10 +81,12 @@ package graft.split
   * Not implemented (documented divergence): emphasis-marker handling
   * needs none (mdformat renders em/strong with the SOURCE marker,
   * `node.markup` — markers are preserved, not rewritten); remaining gaps
-  * are nested/indented ordered-list renumbering and paragraph
-  * re-wrapping (mdformat's default wrap mode keeps source line breaks
-  * anyway). Table cells render through the mdformat-tables path (R6),
-  * not the text-escape pass.
+  * are ordered lists whose items carry non-item continuation lines or
+  * tab indents (pass through untouched), multi-line setext content,
+  * lazy-continuation quote content, and paragraph re-wrapping
+  * (mdformat's default wrap mode keeps source line breaks anyway).
+  * Table cells render through the mdformat-tables path (R6), not the
+  * text-escape pass.
   */
 object MdFormatLite {
 
@@ -161,6 +163,11 @@ object MdFormatLite {
                            outIndent: Int) {
       def contentCol: Int = inIndent + num.length + 2 // marker char + space
     }
+    // a TAB in an item's indent is 4 columns per CommonMark, not 1 —
+    // rather than model column expansion, pass such blocks through
+    // untouched (the pre-round-11 behavior; flattening a tab-nested
+    // item into a renumbered sibling would corrupt the list)
+    if (items.exists(_._1.contains('\t'))) return None
     if (items.isEmpty || items.head._1.length >= 4) return None
     val stack = scala.collection.mutable.ArrayBuffer.empty[Level]
     val out = Vector.newBuilder[String]
@@ -248,8 +255,14 @@ object MdFormatLite {
 
   /** The grouping + rendering pipeline WITHOUT the outer strips — the
     * recursion target for quoted content (an inner document must keep
-    * leading indent: a quote-leading indented code block is real code). */
-  private def normalizeCore(lines: Vector[String]): String = {
+    * leading indent: a quote-leading indented code block is real code).
+    * `quoteDepth` bounds the R15b recursion: real quote nesting is a
+    * handful of levels, while a single adversarial line of thousands of
+    * '>' chars would otherwise recurse one stack frame per level and
+    * kill the executor with a StackOverflowError (the same budget idea
+    * as matchEmphasis's workBudget); past the cap, quote runs take the
+    * byte-stable paragraph path. */
+  private def normalizeCore(lines: Vector[String], quoteDepth: Int = 32): String = {
 
     // group lines into blocks; every block renders as its joined lines and
     // blocks are separated by exactly one blank line. Text (paragraph/
@@ -267,7 +280,8 @@ object MdFormatLite {
     // grouper has no container stack, and renumbering them is the less
     // surprising choice for list-heavy corpora)
     def isIndentedCode(x: String): Boolean =
-      x.startsWith("    ") && !OrderedItemRe.matches(x) && !BulletRe.matches(x)
+      (x.startsWith("    ") || x.startsWith("\t")) &&
+        !OrderedItemRe.matches(x) && !BulletRe.matches(x)
     // R8b (round 10, nested since round 11): LOOSE ordered lists —
     // consecutive all-ordered-item text blocks are ONE CommonMark list
     // whose items happen to be separated by blank lines, so renumbering
@@ -382,12 +396,12 @@ object MdFormatLite {
             OrderedItemRe.matches(n) || HrRe.matches(n) ||
             (n.contains("|") && j + 1 < lines.length && isSep(lines(j + 1))))
         }
-        if (lazyCont) {
+        if (lazyCont || quoteDepth <= 0) {
           para = para :+ normalizeQuoteMarkers(l); i += 1
         } else {
           closePara()
           val inner = (i until j).map(x => stripOneMarker(lines(x))).toVector
-          val prefixed = normalizeCore(inner).split("\n", -1).toVector
+          val prefixed = normalizeCore(inner, quoteDepth - 1).split("\n", -1).toVector
             .map(x => if (x.isEmpty) ">" else "> " + x)
           blocks += ((prefixed, false))
           i = j
@@ -407,7 +421,7 @@ object MdFormatLite {
             s"$indent- \\$rest" else line)
           i += 1
         case other =>
-          para = para :+ normalizeQuoteMarkers(other); i += 1
+          para = para :+ other; i += 1
       }
     }
     closePara()

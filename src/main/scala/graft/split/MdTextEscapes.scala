@@ -352,6 +352,23 @@ private[split] object MdTextEscapes {
       }
       sb.toString
     }
+    // any digit of the run rendered immediately before item i reached
+    // the text stream DECODED (escape/entity) — pairing with a plain
+    // '.'/')' it would still mint an ordered-list marker on re-parse
+    def decodedDigitRun(i0: Int): Boolean = {
+      var j = i0 - 1
+      var any = false
+      var more = true
+      while (more && j >= 0) {
+        items(j) match {
+          case TextChar(ch, o) if ch >= '0' && ch <= '9' =>
+            if (o != OriginPlain) any = true
+            j -= 1
+          case _ => more = false
+        }
+      }
+      any
+    }
     // the current out line is (optional indent +) a 1-9 digit run — the
     // shape that, with '.' or ')' appended, re-parses as an ordered-list
     // marker (list markers accept leading whitespace)
@@ -482,9 +499,13 @@ private[split] object MdTextEscapes {
           } else if (decoded && (c == '-' || c == '*' || c == '_' || c == '=') &&
               lineAllCharOrWs(c)) {
             out.append('\\').append(c)
-          } else if (decoded && (c == '.' || c == ')') && isWs(nextCh) &&
-              lineIsDigits()) {
-            // would complete an ordered-list marker ("1. x")
+          } else if ((c == '.' || c == ')') && isWs(nextCh) &&
+              lineIsDigits() && (decoded || decodedDigitRun(i)) ) {
+            // would complete an ordered-list marker ("1. x"): fires when
+            // the marker CHAR is decoded ("1\. x") OR any digit of the
+            // run is ("&#49;. x" -> "1. x" would re-parse as a list and
+            // get renumbered next pass); a fully plain "1. x" is a real
+            // marker the grouper already claimed, never escaped here
             out.append('\\').append(c)
           } else if (decoded && c == '!' && beforeLink) {
             // "!" + "[label](url)" would re-parse as an image

@@ -59,7 +59,9 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
       "-\\- - -",         // escaped dash in an hr-shaped line stays
       "a\n-\\-",          // escaped dash must not complete a setext
       "-- #\n-",          // setext title ending ' #': closing seq escapes
-      "a\n\\=")           // escaped '=' must not become a setext h1
+      "a\n\\=",           // escaped '=' must not become a setext h1
+      "&#49;. x\n\n2. y", // decoded digit + plain '.' must not mint a marker
+      "1. a\n\t5. b")     // tab-indented items pass through (4-col tabs)
     for (s <- cases) {
       val once = MdFormatLite.normalize(s)
       assert(MdFormatLite.normalize(once) == once,

@@ -243,6 +243,24 @@ class MdFormatLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("review findings: deep-quote recursion bounded; tab indents pass through; decoded-digit markers escape") {
+    // a single line of thousands of '>' markers must not blow the stack
+    // (the R15b recursion is depth-capped; past the cap quote lines take
+    // the byte-stable paragraph path)
+    val deep = (">" * 3000) + " x"
+    val o = MdFormatLite.normalize(deep)
+    assert(o.nonEmpty && MdFormatLite.normalize(o) == o)
+    // a TAB in an item's indent is 4 CommonMark columns, not 1 — rather
+    // than flatten the nested item into a renumbered sibling, the block
+    // passes through untouched
+    assert(MdFormatLite.normalize("1. a\n\t5. b") == "1. a\n\t5. b")
+    // tab-indented code after a block opens a code block (no escapes)
+    assert(MdFormatLite.normalize("p\n\n\tcode [x]") == "p\n\n\tcode [x]")
+    // entity-decoded digits + a PLAIN '.' would mint an ordered-list
+    // marker on re-parse (and get renumbered): the '.' escapes
+    assert(MdFormatLite.normalize("&#49;. x\n\n2. y") == "1\\. x\n\n2. y")
+  }
+
   test("R15b: quoted content re-formats recursively; lazy continuations stay byte-stable") {
     // mdformat recurses into block quotes: strip one marker level,
     // format the inner document, re-prefix with canonical markers

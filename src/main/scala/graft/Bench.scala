@@ -75,16 +75,20 @@ object Bench {
       // Continuation is gated on a signal that can actually improve: the
       // spread cannot (appending reps only lowers the min, so max/min is
       // non-decreasing — re-checking it just exhausts the budget). Stop
-      // early once a fresh rep fails to lower the running min by > 5%:
-      // the min has converged and further reps only re-measure noise.
+      // early once TWO CONSECUTIVE fresh reps fail to lower the running
+      // min by > 5%: a single non-improving rep can itself be the
+      // contended one (a stolen-quantum outlier would otherwise halt
+      // healing after one rep with the min still tainted), but two in a
+      // row means the min has converged and further reps only re-measure
+      // noise.
       var healed = 0
-      var converged = false
-      while (healed < spreadReps && !converged && !all.contains(-1.0) &&
+      var nonImproving = 0
+      while (healed < spreadReps && nonImproving < 2 && !all.contains(-1.0) &&
              all.max / all.min >= spreadThreshold) {
         val prevMin = all.min
         val r = rep()
         all = all :+ r
-        converged = r >= 0 && r > prevMin * 0.95
+        nonImproving = if (r >= 0 && r > prevMin * 0.95) nonImproving + 1 else 0
         healed += 1
       }
       val best = if (all.contains(-1.0)) -1.0 else all.min
@@ -125,7 +129,16 @@ object Bench {
     val contended = results
       .collect { case (k, v, s) if v >= 0 && s >= 2.0 => "\"" + k + "\":" + fmt(s) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"contended":$contended,"errors":${failed.mkString("[", ",", "]")},"wall":${fmt(wallSec)},"spread_max":${fmt(spreadMax)},"spread_p90":${fmt(spreadP90)},"value":${fmt(total)}}""")
+    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"contended":$contended,"errors":${failed.mkString("[", ",", "]")},"wall":${fmt(wallSec)},"spread_max":${fmt(spreadMax)},"spread_p90":${fmt(spreadP90)},"value":${fmt(total)}}"""
+    println(json)
+    // The console line is tail-truncated by the driver's artifact capture
+    // (~2000 chars — BENCH_r10/r11 recorded `parsed: null`); when
+    // SPARK_GRAFT_BENCH_OUT names a file, the full record also lands there
+    // so the artifact parses regardless of console truncation.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

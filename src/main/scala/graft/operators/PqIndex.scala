@@ -243,20 +243,31 @@ object PqIndex {
     * serve every batch. */
   def ivfAdcTopK(encodedCells: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, ivf: IvfIndex.Model, pq: Model,
-                 kTop: Int, nprobe: Int = 2): DataFrame = {
+                 kTop: Int, nprobe: Int = 2,
+                 excludeIdCol: Option[String] = None): DataFrame = {
     val spark = encodedCells.sparkSession
     val bcIvf = spark.sparkContext.broadcast(ivf.centroids)
     val bcPq = spark.sparkContext.broadcast(pq)
     val probesUdf = udf((qv: Array[Long]) => IvfIndex.nearestN(qv, bcIvf.value, nprobe))
-    val q = queries.select(col(idCol).as("qid"),
-        Kernels.quantNormUdf(col(vecCol)).getField("_1").as("__qv"))
-      .select(col("qid"), tableUdfFor(bcPq)(col("__qv")).as("__t"),
-        explode(probesUdf(col("__qv"))).as("cell"))
+    // Self-exclusion: when query ids ARE candidate ids (near-dup probes,
+    // more-like-this), qid =!= cid drops the trivial self match. When query
+    // ids live in a different key space (e.g. HybridServe's string
+    // query_ids over long candidate ids — where a cross-type =!= would
+    // null out and drop EVERYTHING), the caller names a typed
+    // `excludeIdCol` in the queries frame instead: candidates equal to
+    // that value drop, a NULL exclusion keeps all (null-safe <=>).
+    val exclSel = excludeIdCol.map(c => col(c).as("__excl")).toSeq
+    val q = queries.select(col(idCol).as("qid") +:
+        Kernels.quantNormUdf(col(vecCol)).getField("_1").as("__qv") +: exclSel: _*)
+      .select(col("qid") +: tableUdfFor(bcPq)(col("__qv")).as("__t") +:
+        explode(probesUdf(col("__qv"))).as("cell") +: exclSel.map(_ => col("__excl")): _*)
     // no distinct needed: encodeCells assigns each candidate exactly ONE
     // cell and nearestN's probes are distinct, so (qid, cid) pairs are
     // already unique — the partial heaps prune straight to the exchange
+    val keep = if (excludeIdCol.isDefined) !(col("cid") <=> col("__excl"))
+               else col("qid") =!= col("cid")
     val scored = encodedCells.join(broadcast(q), Seq("cell"))
-      .filter(col("qid") =!= col("cid"))
+      .filter(keep)
       .select(col("qid"), col("cid"), lookupCol(col("__t"), col("codes")).as("adist"))
     graft.plans.GroupTopK.topK(scored, Seq("qid"),
       Seq(col("adist").asc, col("cid").asc), kTop)
@@ -265,13 +276,9 @@ object PqIndex {
   /** Build the serving frame for [[ivfAdcTopK]]: every candidate's coarse
     * cell plus its PQ codes — one map-side pass, persist and reuse.
     *
-    * Layout rule for the persisted store: `repartition(col("cell"))`
-    * BEFORE `write.partitionBy("cell")`. Without it every upstream task
-    * writes a file into every cell directory (tasks x cells tiny files —
-    * ~100k at a 1600-cell corpus), and serve-time scans pay per-file
-    * open/footer costs even under partition pruning; with it each cell
-    * is one file and a probed serve touches nprobe files per query
-    * (graft.tools.ScaleCurve measures the difference). */
+    * Persist with [[writeCells]], which bakes in the one-file-per-cell
+    * layout; see its scaladoc for why a bare `write.partitionBy("cell")`
+    * is a measured 24x serve-time trap. */
   def encodeCells(cands: DataFrame, idCol: String, vecCol: String,
                   ivf: IvfIndex.Model, pq: Model): DataFrame = {
     val spark = cands.sparkSession
@@ -284,4 +291,21 @@ object PqIndex {
       .select(col("cid"), cellUdf(col("__qv")).as("cell"),
         encUdf(col("__qv")).as("codes"))
   }
+
+  /** THE writer for the persisted cells store — the layout rule as API,
+    * not documentation: `repartition(col("cell"))` BEFORE
+    * `write.partitionBy("cell")`. Without the repartition every upstream
+    * task writes a file into every cell directory (tasks x cells tiny
+    * files — ~100k at a 1600-cell corpus), and serve-time scans pay
+    * per-file open/footer costs even under partition pruning;
+    * graft.tools.ScaleCurve measured the difference at 24x serve time and
+    * 16x build time at the 100x corpus point. With it, each cell's rows
+    * land in exactly one shuffle partition, so each cell directory holds
+    * exactly one file and a probed serve touches nprobe files per query.
+    * HybridServeSpec asserts the one-file-per-cell invariant on this
+    * writer's own output. */
+  def writeCells(cells: DataFrame, path: String,
+                 mode: String = "overwrite"): Unit =
+    cells.repartition(col("cell"))
+      .write.mode(mode).partitionBy("cell").parquet(path)
 }

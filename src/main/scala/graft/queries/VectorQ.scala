@@ -670,11 +670,14 @@ object VectorQ {
       // probed-cell vector CTEs (kTop=20 legs, rrf kTop=10).
       (s, d) => {
         import s.implicits._
-        import graft.operators.{IvfIndex, PqIndex, Rank}
+        import graft.operators.{HybridServe, IvfIndex, PqIndex}
         val corpus = Tables.load(s, d, "documents")
         val embT = emb(s, d)
-        // build phase — in deployment these persist and amortize
-        val index = Rank.championIndex(corpus, "doc_id", "text", m = 8, minDf = 50L)
+        // BUILD through the lifecycle API (r12): deterministic models from
+        // the pinned first-4 vectors, then buildWith packages index +
+        // cells. In deployment, HybridServe.saveVersioned/loadCurrent
+        // persist and restore the set (HybridServeSpec pins restart
+        // bit-identity and the one-file-per-cell cells layout).
         val qv4 = embT.filter(col("vec_id") < 4).orderBy(col("vec_id"))
           .select(graft.functions.Kernels.quantNormUdf(col("embedding")).getField("_1").as("qv"))
           .as[Seq[Long]].collect().map(_.toArray)
@@ -683,23 +686,21 @@ object VectorQ {
         val pq = PqIndex.Model(
           (0 until 2).map(j => qv4.map(v =>
             java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))).toArray)
-        val cells = PqIndex.encodeCells(embT, "vec_id", "embedding", ivf, pq)
-        // serve phase — index-only lexical + cell-probed ADC + fusion
-        val lex = Rank.bm25FromIndex(index, corpus.count(),
-            Map("agg_pipeline" -> Seq("spark", "join", "agg"),
-              "scan_perf" -> Seq("scan", "fast", "filter"),
-              "stream_state" -> Seq("stream", "window", "batch")), kTop = 20)
-          .select(col("query_id"), col("id").as("doc_id"), col("rank"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("qid")).orderBy(col("adist").asc, col("cid").asc)
-        val vec = PqIndex.ivfAdcTopK(cells, embT.filter(col("vec_id") < 3),
-            "vec_id", "embedding", ivf, pq, kTop = 20, nprobe = 2)
-          .withColumn("rank", row_number().over(w))
-          .select(when(col("qid") === 0, "agg_pipeline")
-              .when(col("qid") === 1, "scan_perf")
+        val arts = HybridServe.buildWith(corpus, "doc_id", "text",
+          embT, "vec_id", "embedding", ivf, pq,
+          HybridServe.BuildConfig(champM = 8, champMinDf = 50L))
+        // SERVE: one queries frame carries both legs' inputs; exclude_id
+        // drops each query's own corpus row from its vector leg
+        val queries = embT.filter(col("vec_id") < 3)
+          .select(
+            when(col("vec_id") === 0, "agg_pipeline")
+              .when(col("vec_id") === 1, "scan_perf")
               .otherwise("stream_state").as("query_id"),
-            col("cid").as("doc_id"), col("rank"))
-        Rank.rrfFuse(Seq(lex, vec), kRrf = 60, kTop = 10)
+            when(col("vec_id") === 0, typedlit(Seq("spark", "join", "agg")))
+              .when(col("vec_id") === 1, typedlit(Seq("scan", "fast", "filter")))
+              .otherwise(typedlit(Seq("stream", "window", "batch"))).as("terms"),
+            col("embedding"), col("vec_id").as("exclude_id"))
+        HybridServe.serve(arts, queries)
           .select(col("query_id"), col("doc_id"), big(col("rank")).as("rank"),
             col("rrf_micro"), big(col("n_sources")).as("n_sources"))
           .orderBy(col("query_id"), col("rank"))

@@ -117,6 +117,36 @@ final class VersionedTableSink(root: String, name: String, historyLen: Int = 10)
     v
   }
 
+  /** The versioning protocol with a caller-supplied payload writer — for
+    * collections whose payload is a SET of stores rather than one
+    * DataFrame (graft.operators.HybridServe versions its four serving
+    * artifacts as one unit this way). `writePayload` populates the fresh
+    * version directory and returns the verified row count; the
+    * commit-order guarantees are [[write]]'s exactly (manifest only after
+    * the payload verifies, atomic alias swap, GC last). A zero count is
+    * the empty-input guard: the written directory is removed, the alias
+    * is never clobbered, and the burned version number is harmless
+    * (nextVersion never reuses). */
+  def writeVia(writePayload: String => Long): Int = {
+    adoptLegacy()
+    val v = nextVersion()
+    val dir = versionDir(v)
+    val rows = writePayload(dir)
+    if (rows == 0) {
+      val p = Paths.get(dir)
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        val paths = try walk.iterator().asScala.toSeq finally walk.close()
+        paths.reverse.foreach(Files.delete)
+      }
+      return aliasedVersion().getOrElse(0)
+    }
+    commitManifest(v, rows)
+    swapAlias(v)
+    retire()
+    v
+  }
+
   /** Atomic commit marker: `rows=<n>` written via temp + ATOMIC_MOVE. Until
     * this exists the version is invisible (crash debris). */
   private def commitManifest(v: Int, rows: Long): Unit = {

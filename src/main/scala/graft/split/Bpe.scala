@@ -144,16 +144,18 @@ object Bpe {
   * sequences; truncation and hard-cutting slice the ORIGINAL text at token
   * byte offsets (lossless round-trip), never re-joining with spaces.
   *
-  * Granularity selection (round-11 split, FIXTURES.md §1.5): `nMerges ==
-  * Int.MaxValue` (the no-arg constructor) loads the FULL trained table —
-  * the lowest-drift vocab, right for token budgets; `Bpe.CalibratedMerges`
-  * loads the fixture-parity prefix the semantic splitter pins its golden
-  * chunk boundaries with. Use the companion's [[BpeTokenizer.counting]] /
-  * [[BpeTokenizer.parity]] to make the intent explicit at call sites. */
-final class BpeTokenizer(@transient private var vocab0: BpeVocab,
-                         val nMerges: Int = Int.MaxValue) extends Tokenizer {
-  def this(nMerges: Int) = this(null, nMerges)
-  def this() = this(null, Int.MaxValue)
+  * Granularity is ALWAYS named at the call site (round-12 policy; the
+  * round-11 vocab split made the choice matter, and a silent constructor
+  * default is exactly the implicit knob the split exists to eliminate —
+  * the no-arg form once changed meaning across an upgrade): construct via
+  * [[BpeTokenizer.counting]] (full table — token budgets: counting,
+  * truncation, packing, sharding) or [[BpeTokenizer.parity]] (calibrated
+  * prefix — the semantic splitter's golden-pinned chunk boundaries);
+  * FIXTURES.md §1.5. The raw constructors are repo-internal (calibration
+  * tools and specs that sweep explicit merge counts). */
+final class BpeTokenizer private[graft] (@transient private var vocab0: BpeVocab,
+                                         val nMerges: Int) extends Tokenizer {
+  private[graft] def this(nMerges: Int) = this(null, nMerges)
 
   // Executor-side (re)load: the vocab is rebuilt from the classpath resource
   // after deserialization, so closures carrying the tokenizer ship only ints.
@@ -252,9 +254,14 @@ final class BpeTokenizer(@transient private var vocab0: BpeVocab,
 object BpeTokenizer {
   /** Budget contexts — token counting, truncation, packing, sharding: the
     * full trained table, lowest measured drift (FIXTURES.md §1.5). */
-  def counting(): BpeTokenizer = new BpeTokenizer()
+  def counting(): BpeTokenizer = new BpeTokenizer(null, Int.MaxValue)
 
   /** Fixture-parity contexts — the semantic splitter's golden-pinned chunk
     * boundaries: the calibrated prefix (6/6 byte-exact fixtures). */
-  def parity(): BpeTokenizer = new BpeTokenizer(Bpe.CalibratedMerges)
+  def parity(): BpeTokenizer = new BpeTokenizer(null, Bpe.CalibratedMerges)
+
+  /** Calibration/probe surface (ParityProbe, DriftProbe, BpeSpec sweeps):
+    * an explicit merge-count prefix. Repo-internal — production contexts
+    * choose [[counting]] or [[parity]], never a bare number. */
+  private[graft] def withMerges(n: Int): BpeTokenizer = new BpeTokenizer(null, n)
 }

@@ -27,7 +27,7 @@ object DriftProbe {
     val cutOff = "This is a very long long text with many many words that produce " +
       "a lengthy sentence that is the input for the splitter."
     for (n <- candidates) {
-      val tk = new BpeTokenizer(n)
+      val tk = BpeTokenizer.withMerges(n)
       val sp = new SemanticSplitter(256, 32, 64, tk = tk,
         repeatTableHeader = true, canonicalize = true, sentenceLeaves = true)
       val chunks = docs.flatMap(sp.splitMarkdown)

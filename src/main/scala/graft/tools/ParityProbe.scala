@@ -49,7 +49,7 @@ object ParityProbe {
     val candidates = if (args.nonEmpty) args.map(_.toInt).toSeq
       else Seq(400, 600, 800, 1000, 1200, 1400, 1767)
     for (n <- candidates) {
-      val tk = new BpeTokenizer(n)
+      val tk = BpeTokenizer.withMerges(n)
       val results = splitAll(tk)
       val matched = results.count { case (_, a, e) => a == e }
       println(s"nMerges=$n  exact=$matched/${fixtures.size}")

@@ -95,78 +95,62 @@ class HybridServeSpec extends SparkSpec {
     }
   }
 
-  test("IVF-probed serving (q117 shape): cells store partitioned by cell, scan pruned to probed cells, no corpus scans") {
-    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_ivf").toString
+  /** Deterministic tiny models from the first 3 embedding vectors —
+    * 3 IVF cells, 2 sub-spaces x 3 codewords. */
+  private def tinyModels(embT: org.apache.spark.sql.DataFrame) = {
+    val subDim = 2
+    val qv = embT.filter($"vec_id" < 3).orderBy($"vec_id")
+      .select(graft.functions.Kernels.quantNormUdf($"embedding").getField("_1").as("qv"))
+      .as[Seq[Long]].collect().map(_.toArray)
+    (IvfIndex.Model(qv),
+      PqIndex.Model((0 until 2).map(j => qv.map(v =>
+        java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))).toArray))
+  }
+
+  /** The serve-phase query batch: both legs per query, with qb excluding
+    * its own corpus row (its vector IS doc 1's embedding shape). */
+  private def queryBatch = Seq(
+    ("qa", Seq("spark"), Array(1.0f, 0.1f, 0.1f, 0.1f), 0L),
+    ("qb", Seq("scan"), Array(0.0f, 1.0f, 0.9f, 0.0f), 1L)
+  ).toDF("query_id", "terms", "embedding", "exclude_id")
+
+  test("IVF-probed serving through the HybridServe API: only the saved stores are scanned, cells scan pruned by partition filters") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_api").toString
     try {
       corpus.write.parquet(s"$root/docs_tbl")
       embeddings.write.parquet(s"$root/emb_tbl")
       val docsT = spark.read.parquet(s"$root/docs_tbl")
       val embT = spark.read.parquet(s"$root/emb_tbl")
 
-      // BUILD phase: champion index + IVF centroids + PQ codebooks +
-      // per-cell codes, the codes store partitioned BY CELL — the layout
-      // that lets probing prune whole partitions
-      val subDim = 2
-      val qv2 = embT.filter($"vec_id" < 3).orderBy($"vec_id")
-        .select(graft.functions.Kernels.quantNormUdf($"embedding").getField("_1").as("qv"))
-        .as[Seq[Long]].collect().map(_.toArray)
-      val ivf = IvfIndex.Model(qv2)
-      val pq = PqIndex.Model(
-        (0 until 2).map(j => qv2.map(v =>
-          java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))).toArray)
-      Rank.championIndex(docsT, "doc_id", "text", m = 8)
-        .write.parquet(s"$root/index_store")
-      // repartition by cell first — the one-file-per-cell layout rule
-      // (PqIndex.encodeCells scaladoc; ScaleCurve measures why)
-      PqIndex.encodeCells(embT, "vec_id", "embedding", ivf, pq)
-        .repartition(col("cell"))
-        .write.partitionBy("cell").parquet(s"$root/cells_store")
+      // BUILD + SAVE + LOAD through the API only
+      val (ivf, pq) = tinyModels(embT)
+      val arts = HybridServe.buildWith(docsT, "doc_id", "text",
+        embT, "vec_id", "embedding", ivf, pq)
+      HybridServe.save(spark, arts, s"$root/store")
+      val loaded = HybridServe.load(spark, s"$root/store")
 
-      // SERVE phase: stored artifacts + client-supplied query vectors
-      val savedIndex = spark.read.parquet(s"$root/index_store")
-      val savedCells = spark.read.parquet(s"$root/cells_store")
-      val qvec = Seq(
-        (0L, Array(1.0f, 0.1f, 0.1f, 0.1f)),
-        (1L, Array(0.0f, 1.0f, 0.9f, 0.0f))
-      ).toDF("vec_id", "embedding")
-      val lex = Rank.bm25FromIndex(savedIndex, nDocs = 4L,
-          Map("qa" -> Seq("spark"), "qb" -> Seq("scan")), kTop = 3)
-        .select($"query_id", $"id".as("doc_id"), $"rank")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"qid").orderBy($"adist".asc, $"cid".asc)
-      val probed = PqIndex.ivfAdcTopK(savedCells, qvec, "vec_id", "embedding",
-        ivf, pq, kTop = 3, nprobe = 1)
-      val vec = probed
-        .withColumn("rank", row_number().over(w))
-        .select(when($"qid" === 0, "qa").otherwise("qb").as("query_id"),
-          $"cid".as("doc_id"), $"rank")
-      val fused = Rank.rrfFuse(Seq(lex, vec), kRrf = 60, kTop = 3)
-
-      // serving works and the probe is cell-bounded: with nprobe=1 each
-      // query scores only members of its own nearest cell
+      // SERVE from the loaded artifacts + a client-supplied batch
+      val fused = HybridServe.serve(loaded, queryBatch,
+        cfg = HybridServe.ServeConfig(kTopPerLeg = 3, kTop = 3, nprobe = 1))
       val rows = fused.select($"query_id", $"doc_id", $"rank", $"n_sources")
         .as[(String, Long, Int, Long)].collect()
       assert(rows.nonEmpty)
-      val probedPairs = probed.select($"qid", $"cid").as[(Long, Long)].collect().toSet
-      val cellOf = PqIndex.encodeCells(embT, "vec_id", "embedding", ivf, pq)
-        .select($"cid", $"cell").as[(Long, Int)].collect().toMap
-      val qCell = Map(0L -> IvfIndex.nearest(
-          graft.functions.Kernels.quantizeVec(Array(1.0f, 0.1f, 0.1f, 0.1f)), qv2),
-        1L -> IvfIndex.nearest(
-          graft.functions.Kernels.quantizeVec(Array(0.0f, 1.0f, 0.9f, 0.0f)), qv2))
-      assert(probedPairs.nonEmpty)
-      assert(probedPairs.forall { case (q, c) => cellOf(c) == qCell(q) })
+      assert(rows.groupBy(_._1).forall { case (_, rs) =>
+        rs.map(_._3).sorted.toSeq == (1 to rs.length) })
+      assert(rows.exists(_._4 == 2L)) // at least one doc found by BOTH legs
+      // exclude_id honored: qb's vector leg dropped doc 1, so doc 1 can
+      // only reach qb through the lexical leg (n_sources == 1)
+      assert(rows.filter(r => r._1 == "qb" && r._2 == 1L).forall(_._4 == 1L))
 
-      // plan: only index + cells stores are scanned (corpus absent), and
-      // the cells scan carries a partition filter on the probed cell ids —
-      // Spark's dynamic partition pruning from the broadcast query side
+      // plan: every file scan is inside the saved store (corpus tables
+      // absent), and the cells scan carries a partition filter on the
+      // probed cell ids
       val scans = fused.queryExecution.sparkPlan.collect {
         case f: FileSourceScanExec => f
       }
       val scanPaths = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
       assert(scanPaths.nonEmpty)
-      assert(scanPaths.forall(p =>
-        p.contains("index_store") || p.contains("cells_store")), scanPaths.toString)
+      assert(scanPaths.forall(_.contains("/store/")), scanPaths.toString)
       assert(!scanPaths.exists(p => p.contains("docs_tbl") || p.contains("emb_tbl")))
       val cellScans = scans.filter(
         _.relation.location.rootPaths.exists(_.toString.contains("cells_store")))
@@ -178,61 +162,89 @@ class HybridServeSpec extends SparkSpec {
     }
   }
 
-  test("PQ codebooks round-trip through parquet; a restarted server ranks bit-identically from loaded artifacts alone") {
-    // The q117 artifact-set completeness check: lexical index, IVF
-    // centroids, PQ codebooks, and per-cell codes are ALL persistable, so
-    // a restarted serving job loads the four stores and never re-fits.
-    val root = java.nio.file.Files.createTempDirectory("graft_pq_roundtrip").toString
+  test("restart from disk via the API alone ranks bit-identically; the API's own cells write is one file per cell") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_restart").toString
     try {
-      val embT = embeddings
-      val subDim = 2
-      val qv2 = embT.filter($"vec_id" < 3).orderBy($"vec_id")
-        .select(graft.functions.Kernels.quantNormUdf($"embedding").getField("_1").as("qv"))
-        .as[Seq[Long]].collect().map(_.toArray)
-      val ivf = IvfIndex.Model(qv2)
-      val pq = PqIndex.Model(
-        (0 until 2).map(j => qv2.map(v =>
-          java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))).toArray)
+      // many upstream partitions — the exact shape that triggers the
+      // tasks-x-cells small-files trap if the writer forgets the
+      // repartition (ScaleCurve measured it at 24x serve time)
+      val embT = embeddings.repartition(8)
+      val (ivf, pq) = tinyModels(embT)
+      val arts = HybridServe.buildWith(corpus, "doc_id", "text",
+        embT, "vec_id", "embedding", ivf, pq)
+      val cfg = HybridServe.ServeConfig(kTopPerLeg = 3, kTop = 3, nprobe = 1)
+      def collectServe(a: HybridServe.Artifacts) =
+        HybridServe.serve(a, queryBatch, cfg = cfg)
+          .select($"query_id", $"doc_id", $"rank", $"rrf_micro", $"n_sources")
+          .as[(String, Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
 
-      // BUILD: persist every serving artifact
-      IvfIndex.save(spark, ivf, s"$root/ivf_store")
-      PqIndex.save(spark, pq, s"$root/pq_store")
-      // repartition by cell first — the one-file-per-cell layout rule
-      // (PqIndex.encodeCells scaladoc; ScaleCurve measures why)
-      PqIndex.encodeCells(embT, "vec_id", "embedding", ivf, pq)
-        .repartition(col("cell"))
-        .write.partitionBy("cell").parquet(s"$root/cells_store")
-
-      // RESTART: models come back from parquet structurally identical
-      val ivf2 = IvfIndex.load(spark, s"$root/ivf_store")
-      val pq2 = PqIndex.load(spark, s"$root/pq_store")
-      assert(pq2.m == pq.m && pq2.ksub == pq.ksub && pq2.subDim == pq.subDim)
-      for (j <- 0 until pq.m; c <- 0 until pq.ksub)
-        assert(pq2.codebooks(j)(c).toSeq == pq.codebooks(j)(c).toSeq, s"codebook ($j,$c) moved")
-
-      // and serve BIT-IDENTICAL rankings from only the loaded artifacts
-      val savedCells = spark.read.parquet(s"$root/cells_store")
-      val qvec = Seq(
-        (0L, Array(1.0f, 0.1f, 0.1f, 0.1f)),
-        (1L, Array(0.0f, 1.0f, 0.9f, 0.0f))
-      ).toDF("vec_id", "embedding")
-      def rank(iv: IvfIndex.Model, p: PqIndex.Model): Seq[(Long, Long, Long)] =
-        PqIndex.ivfAdcTopK(savedCells, qvec, "vec_id", "embedding", iv, p,
-            kTop = 3, nprobe = 1)
-          .select($"qid", $"cid", $"adist").as[(Long, Long, Long)]
-          .collect().sortBy(r => (r._1, r._3, r._2)).toSeq
-      val fresh = rank(ivf, pq)
-      val restarted = rank(ivf2, pq2)
+      val fresh = collectServe(arts)
       assert(fresh.nonEmpty)
+
+      // RESTART: save, then serve from ONLY what load returns
+      HybridServe.save(spark, arts, s"$root/store")
+      val loaded = HybridServe.load(spark, s"$root/store")
+      assert(loaded.nDocs == arts.nDocs)
+      assert(loaded.pq.m == pq.m && loaded.pq.ksub == pq.ksub && loaded.pq.subDim == pq.subDim)
+      for (j <- 0 until pq.m; c <- 0 until pq.ksub)
+        assert(loaded.pq.codebooks(j)(c).toSeq == pq.codebooks(j)(c).toSeq,
+          s"codebook ($j,$c) moved")
+      val restarted = collectServe(loaded)
       assert(restarted == fresh, s"restarted ranking diverged:\n$restarted\nvs\n$fresh")
 
-      // encoding with the loaded model is also bit-identical (the codes
+      // encoding with the loaded model stays bit-identical (the codes
       // store stays valid across restarts)
       val codesA = PqIndex.encode(embT, "vec_id", "embedding", pq)
         .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
-      val codesB = PqIndex.encode(embT, "vec_id", "embedding", pq2)
+      val codesB = PqIndex.encode(embT, "vec_id", "embedding", loaded.pq)
         .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
       assert(codesA == codesB)
+
+      // THE layout assertion on the API's own write: each cell directory
+      // holds exactly one data file, even with 8 upstream partitions
+      val cellDirs = new java.io.File(s"$root/store/cells_store").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cellDirs.nonEmpty)
+      cellDirs.foreach { d =>
+        val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(parts.length == 1,
+          s"${d.getName} has ${parts.length} files — the one-file-per-cell layout broke")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("versioned lifecycle: saveVersioned commits and alias-swaps, loadCurrent follows the alias, old versions retire") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_versioned").toString
+    try {
+      val embT = embeddings
+      val (ivf, pq) = tinyModels(embT)
+      val arts = HybridServe.buildWith(corpus, "doc_id", "text",
+        embT, "vec_id", "embedding", ivf, pq)
+      val v1 = HybridServe.saveVersioned(spark, arts, root, "hybrid", historyLen = 1)
+      assert(v1 == 1)
+      // a rebuild (e.g. nightly) versions again; alias moves atomically
+      val v2 = HybridServe.saveVersioned(spark, arts, root, "hybrid", historyLen = 1)
+      assert(v2 == 2)
+      val sink = new graft.sinks.VersionedTableSink(root, "hybrid", historyLen = 1)
+      assert(sink.aliasedVersion().contains(2))
+      // historyLen=1 retires v1 (never the aliased v2)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(sink.versionDir(1))))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(sink.versionDir(2))))
+
+      // loadCurrent serves from the aliased version, identically to a
+      // direct load of that version dir
+      val current = HybridServe.loadCurrent(spark, root, "hybrid")
+      val cfg = HybridServe.ServeConfig(kTopPerLeg = 3, kTop = 3, nprobe = 1)
+      val a = HybridServe.serve(current, queryBatch, cfg = cfg)
+        .select($"query_id", $"doc_id", $"rank").as[(String, Long, Int)]
+        .collect().sortBy(r => (r._1, r._3)).toSeq
+      val b = HybridServe.serve(HybridServe.load(spark, sink.versionDir(2)),
+          queryBatch, cfg = cfg)
+        .select($"query_id", $"doc_id", $"rank").as[(String, Long, Int)]
+        .collect().sortBy(r => (r._1, r._3)).toSeq
+      assert(a.nonEmpty && a == b)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }

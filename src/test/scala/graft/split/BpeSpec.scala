@@ -151,7 +151,7 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("prefix-of-merge-table is a coarser valid tokenizer (nMerges knob)") {
-    val small = new BpeTokenizer(200)
+    val small = BpeTokenizer.withMerges(200)
     val s = fixture("short_table")
     assert(small.decode(small.encode(s)) == s)
     assert(small.count(s) >= tk.count(s), "fewer merges must not shrink counts")
@@ -168,7 +168,7 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("deterministic: two instances produce identical encodings") {
-    val other = new BpeTokenizer()
+    val other = BpeTokenizer.counting()
     val s = fixture("standalone_table")
     assert(tk.encode(s).toSeq == other.encode(s).toSeq)
   }

@@ -14,7 +14,7 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, s"$name: ${r.status}")
   }
 
-  private val bpe = new BpeTokenizer()
+  private val bpe = BpeTokenizer.counting()
 
   // strings mixing ascii, unicode letters, emoji-plane chars, and whitespace
   private val anyText: Gen[String] = Gen.listOf(Gen.frequency(

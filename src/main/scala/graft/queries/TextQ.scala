@@ -1108,6 +1108,43 @@ object TextQ {
         |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
         |FROM e ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q120_mdformat_r12",
+      // Round-12 canonicalization closures (F11) under oracle coverage:
+      // a LAZY quote continuation joins the quoted paragraph and renders
+      // WITH markers (R15c), an ordered item's indented continuation
+      // line re-indents to the content column while the list renumbers
+      // (R8d), a closing-sequence-only ATX heading ('# #') renders as
+      // the bare empty-heading marker, and a spaced '-' run after an
+      // open paragraph — never a setext underline — interrupts as a
+      // thematic break. Symbolic byte rebuild, like q63/q118/q119.
+      (s, d) => {
+        val w = split(col("text"), "\\s+")
+        val md = concat(
+          lit("> quote "), element_at(w, 1), lit("\nlazy "), element_at(w, 2),
+          lit("\n\n2. first "), element_at(w, 3),
+          lit("\n   cont "), element_at(w, 4),
+          lit("\n5. second "), element_at(w, 5),
+          lit("\n\n# #\n\nok\n- - -\n\nend "), element_at(w, 6))
+        val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
+        docs(s, d)
+          .select(col("doc_id"), fmtUdf(md).as("canon"))
+          .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
+            length(col("canon")).cast("long").as("canon_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $W AS t FROM documents),
+        |e AS (SELECT doc_id,
+        |  '> quote ' || t[1] || chr(10) || '> lazy ' || t[2] || chr(10) || chr(10) ||
+        |  '2. first ' || t[3] || chr(10) || '   cont ' || t[4] || chr(10) ||
+        |  '2. second ' || t[5] || chr(10) || chr(10) ||
+        |  '#' || chr(10) || chr(10) ||
+        |  'ok' || chr(10) || chr(10) ||
+        |  repeat('_', 70) || chr(10) || chr(10) ||
+        |  'end ' || t[6] AS canon
+        |  FROM w)
+        |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
+        |FROM e ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q65_minhash_union",
       // The typed UDAF (Aggregator via udaf, §2.14) under oracle coverage:
       // per-source MinHash union — elementwise min of the per-doc

@@ -14,12 +14,16 @@ package graft.split
   *      own block, even when the source had no blank line around them
   *  R4. ATX headings: single space after #s, trailing closing sequence
   *      (whitespace + #s) dropped; up to 3 leading spaces allowed
-  *      (CommonMark). Round 11: SETEXT headings convert to ATX ('=' ->
+  *      (CommonMark). Round 12: EMPTY headings ("#", "## ", and
+  *      closing-sequence-only content like "# #") render as the bare
+  *      marker run. Round 11: SETEXT headings convert to ATX ('=' ->
   *      h1, '-' -> h2) when the content is a one-line paragraph
   *      (multi-line setext content passes through — divergence), and
   *      THEMATIC BREAKS (3+ of * - _ with optional internal spacing)
-  *      render as mdformat's 70-underscore line; '-' breaks after an
-  *      open one-line paragraph are setext underlines instead
+  *      render as mdformat's 70-underscore line; after an open
+  *      paragraph, only a pure '-' run (a possible setext underline) is
+  *      setext-or-text — SPACED '-' runs like "- - -" interrupt as
+  *      breaks (round 12), as * and _ runs always did
   *  R5. bullet list markers * and + become - (marker + single space)
   *  R6. pipe tables re-rendered mdformat-tables style: cells trimmed and
   *      left-aligned, every column padded to its widest cell (min 3) where
@@ -38,8 +42,12 @@ package graft.split
   *      list: blank lines between items), which renumber as one list,
   *      AND — R8c, round 11 — to NESTED levels: each level is its own
   *      list with its own first-number rule, and nested indents
-  *      normalize to the parent marker's width. Lists whose items carry
-  *      non-item continuation lines pass through (divergence).
+  *      normalize to the parent marker's width, AND — R8d, round 12 —
+  *      to items carrying indented CONTINUATION lines (paragraph lines
+  *      re-indent to the output content column, indented code inside an
+  *      item keeps its relative offset). Lists with tab indents,
+  *      mixed-marker nesting, or LAZY (under-indented) continuations
+  *      fall back to item-only renumbering or pass through (divergence).
   *  R9. bracket escape normalization: [ and ] in TEXT — not part of a
   *      complete inline/reference link or image, not in a code span, not
   *      already escaped — render as \[ \] (mdformat's text renderer
@@ -68,22 +76,24 @@ package graft.split
   *      break and passes through verbatim, and link/image LABELS render
   *      through the same text-escape pass (destinations and reference
   *      labels stay verbatim).
-  *  R15/R15b (round 11): blockquotes — markers normalize to one '>' +
-  *      one space per level at column 0, and a CLOSED quote run
-  *      RECURSES: one marker level strips, the inner document runs
-  *      through this same pipeline (lists renumber, tables pad,
+  *  R15/R15b/R15c (rounds 11-12): blockquotes — markers normalize to
+  *      one '>' + one space per level at column 0, and a quote
+  *      CONTAINER recurses: one marker level strips, the inner document
+  *      runs through this same pipeline (lists renumber, tables pad,
   *      headings normalize — mdformat re-formats quoted content), and
-  *      the result re-prefixes with canonical markers. A run followed
-  *      by a plain paragraph line is a CommonMark lazy continuation
-  *      (still inside the quote): it falls back to the paragraph path
-  *      with markers normalized and content untouched.
+  *      the result re-prefixes with canonical markers. R15c (round 12):
+  *      a plain paragraph line after the run whose inner document ends
+  *      in an OPEN PARAGRAPH is a CommonMark lazy continuation — it
+  *      joins the quoted paragraph (strips into the inner document and
+  *      renders WITH markers); a follower that starts a block, or one
+  *      after a non-paragraph inner ending, closes the quote instead.
   *
   * Not implemented (documented divergence): emphasis-marker handling
   * needs none (mdformat renders em/strong with the SOURCE marker,
   * `node.markup` — markers are preserved, not rewritten); remaining gaps
-  * are ordered lists whose items carry non-item continuation lines or
-  * tab indents (pass through untouched), multi-line setext content,
-  * lazy-continuation quote content, and paragraph re-wrapping
+  * are ordered lists with tab indents, mixed-marker nesting, or LAZY
+  * under-indented continuation lines (item-only renumbering or full
+  * pass-through), multi-line setext content, and paragraph re-wrapping
   * (mdformat's default wrap mode keeps source line breaks anyway).
   * Table cells render through the mdformat-tables path (R6), not the
   * text-escape pass.
@@ -98,6 +108,10 @@ object MdFormatLite {
   // (CommonMark: "# x#" keeps its '#', "# x #" drops it) — stripping a
   // bare trailing '#' would lose content a setext conversion just wrote
   private val HeadingRe = "^ {0,3}(#{1,6})\\s+(.*?)(?:\\s+#+)?\\s*$".r
+  // CommonMark empty ATX heading: bare #s ("#", "## "); and "# #"-shaped
+  // lines are empty too (the trailing run is a closing sequence) — both
+  // render as the bare marker run (round 12, mdformat's reading)
+  private val EmptyHeadingRe = "^ {0,3}(#{1,6})\\s*$".r
   // setext underlines (round 11): '=' run -> h1, '-' run -> h2 when they
   // close a one-line paragraph; mdformat converts setext headings to ATX
   private val SetextH1Re = "^ {0,3}=+\\s*$".r
@@ -145,49 +159,87 @@ object MdFormatLite {
     else ("> " * levels) + content
   }
 
-  /** R8/R8c: renumber a pure ordered-item line sequence, nested levels
-    * included (round 11). Levels follow CommonMark item nesting — an item
-    * NESTS when its indent reaches the parent's content column (marker
-    * indent + marker width + one space), stays a SIBLING below it, and
-    * CLOSES nested levels when it dedents below their marker indent.
-    * Every level's items take that level's FIRST number (per marker-type
-    * run, mdformat's no-`--number` default), and nested indents
-    * normalize to the sum of ancestor marker widths (mdformat re-indents
-    * list content to the parent marker's width). Returns None when the
-    * shape is not a clean list — a leading 4-space indent, or an
-    * over-indent CommonMark would read as indented CODE inside an item —
-    * and the caller passes such blocks through untouched. */
+  /** R8/R8c/R8d: renumber an ordered-list line sequence — nested levels
+    * (round 11) and non-item CONTINUATION lines (round 12) included.
+    * Levels follow CommonMark item nesting — an item NESTS when its
+    * indent reaches the parent's content column (marker indent + marker
+    * width + one space), stays a SIBLING below it, and CLOSES nested
+    * levels when it dedents below their marker indent. Every level's
+    * items take that level's FIRST number (per marker-type run,
+    * mdformat's no-`--number` default), and nested indents normalize to
+    * the sum of ancestor marker widths (mdformat re-indents list content
+    * to the parent marker's width).
+    *
+    * A `Right` line is item CONTENT (an indented paragraph/code line in
+    * the item): it attaches to the deepest open level whose content
+    * column its indent reaches — closing deeper levels, as a paragraph
+    * at the parent's content column does per CommonMark — and renders at
+    * that level's OUTPUT content column; an extra indent of 4+ (indented
+    * code inside the item) keeps its relative offset, a smaller extra
+    * strips (mdformat renders paragraph continuation lines exactly at
+    * the content column).
+    *
+    * Returns None when the shape is not a clean list — a leading 4-space
+    * indent, an over-indent CommonMark would read as indented CODE in
+    * place of an item, tab indents, a bullet line (mixed-marker nesting
+    * stays a documented pass-through), or an under-indented continuation
+    * (a LAZY paragraph line — also pass-through) — and the caller falls
+    * back to the round-11 item-only treatment. */
   private def renumberNested(
-      items: Vector[(String, String, String, String)]): Option[Vector[String]] = {
+      items: Vector[Either[(String, String, String, String), String]]): Option[Vector[String]] = {
     final case class Level(inIndent: Int, var num: String, var marker: String,
                            outIndent: Int) {
       def contentCol: Int = inIndent + num.length + 2 // marker char + space
     }
-    // a TAB in an item's indent is 4 columns per CommonMark, not 1 —
-    // rather than model column expansion, pass such blocks through
-    // untouched (the pre-round-11 behavior; flattening a tab-nested
-    // item into a renumbered sibling would corrupt the list)
-    if (items.exists(_._1.contains('\t'))) return None
-    if (items.isEmpty || items.head._1.length >= 4) return None
+    // a TAB in an indent is 4 columns per CommonMark, not 1 — rather
+    // than model column expansion, pass such blocks through untouched
+    // (flattening a tab-nested line into a renumbered sibling would
+    // corrupt the list)
+    if (items.exists {
+      case Left((ind, _, _, _)) => ind.contains('\t')
+      case Right(raw) => raw.takeWhile(c => c == ' ' || c == '\t').contains('\t')
+    }) return None
+    if (items.isEmpty) return None
+    items.head match {
+      case Left((ind, _, _, _)) if ind.length < 4 => ()
+      case _ => return None
+    }
     val stack = scala.collection.mutable.ArrayBuffer.empty[Level]
     val out = Vector.newBuilder[String]
-    for ((ind, n, m, rest) <- items) {
-      val w = ind.length
-      // dedent closes nested levels; the OUTERMOST list never closes (a
-      // shallower-indented item still belongs to it per CommonMark)
-      while (stack.length > 1 && w < stack.last.inIndent)
-        stack.dropRightInPlace(1)
-      if (stack.isEmpty) stack += Level(w, n, m, 0)
-      else if (w >= stack.last.contentCol + 4) return None // indented code
-      else if (w >= stack.last.contentCol) {
-        val parent = stack.last
-        stack += Level(w, n, m, parent.outIndent + parent.num.length + 2)
-      } else {
+    for (line <- items) line match {
+      case Left((ind, n, m, rest)) =>
+        val w = ind.length
+        // dedent closes nested levels; the OUTERMOST list never closes (a
+        // shallower-indented item still belongs to it per CommonMark)
+        while (stack.length > 1 && w < stack.last.inIndent)
+          stack.dropRightInPlace(1)
+        if (stack.isEmpty) stack += Level(w, n, m, 0)
+        else if (w >= stack.last.contentCol + 4) return None // indented code
+        else if (w >= stack.last.contentCol) {
+          val parent = stack.last
+          stack += Level(w, n, m, parent.outIndent + parent.num.length + 2)
+        } else {
+          val top = stack.last
+          if (m != top.marker) { top.num = n; top.marker = m }
+        }
         val top = stack.last
-        if (m != top.marker) { top.num = n; top.marker = m }
-      }
-      val top = stack.last
-      out += (" " * top.outIndent) + top.num + top.marker + " " + rest
+        out += (" " * top.outIndent) + top.num + top.marker + " " + rest
+      case Right(raw) =>
+        if (BulletRe.matches(raw)) return None // mixed-marker nesting: pass through
+        if (stack.isEmpty) return None
+        val w = raw.takeWhile(_ == ' ').length
+        // a continuation at an outer content column closes deeper levels
+        while (stack.length > 1 && w < stack.last.contentCol)
+          stack.dropRightInPlace(1)
+        val top = stack.last
+        if (w < top.contentCol) return None // lazy (under-indented): pass through
+        val extra = w - top.contentCol
+        val text = raw.substring(w)
+        val outCol = top.outIndent + top.num.length + 2
+        // < 4 extra: paragraph continuation, renders AT the content
+        // column; >= 4: indented code inside the item, relative offset
+        // preserved so it stays code
+        out += (" " * (outCol + (if (extra >= 4) extra else 0))) + text
     }
     Some(out.result())
   }
@@ -253,6 +305,75 @@ object MdFormatLite {
     i < l.length && l.charAt(i) == '>'
   }
 
+  // CommonMark indented code: >= 4 leading spaces and not a list-item
+  // shape (indented list items keep their loose-list reading — this
+  // grouper has no container stack, and renumbering them is the less
+  // surprising choice for list-heavy corpora)
+  private def isIndentedCodeLine(x: String): Boolean =
+    (x.startsWith("    ") || x.startsWith("\t")) &&
+      !OrderedItemRe.matches(x) && !BulletRe.matches(x)
+
+  /** Can doc(at) be a CommonMark LAZY CONTINUATION line — plain paragraph
+    * continuation text, no block-start shape? (Block starts — fences,
+    * ATX headings, thematic breaks, list items, setext underlines, table
+    * heads, deeper quotes — interrupt the paragraph and so close the
+    * quote instead of continuing it.) */
+  private def lazyShape(doc: Vector[String], at: Int): Boolean = {
+    val n = doc(at)
+    n.nonEmpty && !isQuoteLine(n) &&
+      !(FenceRe.matches(n) || HeadingRe.matches(n) || EmptyHeadingRe.matches(n) ||
+        BulletRe.matches(n) || OrderedItemRe.matches(n) || HrRe.matches(n) ||
+        SetextH1Re.matches(n) || SetextH2Re.matches(n) ||
+        (n.contains("|") && at + 1 < doc.length && isSep(doc(at + 1))))
+  }
+
+  /** Does `doc` END with an open paragraph — the CommonMark state that
+    * lets a following plain line continue lazily? Mirrors the grouper's
+    * own block reading: fences, headings, breaks, list items, tables,
+    * and indented code close the paragraph; a setext underline after an
+    * open paragraph closes it into a heading; a trailing quote run
+    * defers to ITS inner document (recursion, bounded by `depth` like
+    * the R15b render recursion). */
+  private def endsOpenParagraph(doc: Vector[String], depth: Int): Boolean = {
+    if (depth <= 0) return false
+    var inFence = false
+    var state = 0 // 0 none, 1 paragraph open, 2 other block, 3 quote run
+    var qStart = -1
+    var idx = 0
+    while (idx < doc.length) {
+      val l = doc(idx)
+      var classified = true
+      if (inFence) { if (FenceRe.matches(l)) inFence = false; state = 2; qStart = -1 }
+      else if (l.isEmpty) { state = 0; qStart = -1 }
+      else if (isQuoteLine(l)) { if (state != 3) qStart = idx; state = 3 }
+      else if (state == 3) {
+        if (lazyShape(doc, idx) &&
+            endsOpenParagraph(doc.slice(qStart, idx).map(stripOneMarker), depth - 1)) {
+          // absorbed into the quote container — state stays 3
+        } else { state = 0; qStart = -1; classified = false }
+      } else classified = false
+      if (!classified) {
+        if (FenceRe.matches(l)) { inFence = true; state = 2 }
+        else if (HeadingRe.matches(l) || EmptyHeadingRe.matches(l) || HrRe.matches(l)) state = 2
+        else if (BulletRe.matches(l) || OrderedItemRe.matches(l)) state = 2
+        else if (l.contains("|") && idx + 1 < doc.length && isSep(doc(idx + 1))) {
+          state = 2
+          idx += 2
+          while (idx < doc.length && doc(idx).contains("|")) idx += 1
+          idx -= 1 // the loop's own increment lands on the first non-row
+        }
+        else if (state != 1 && isIndentedCodeLine(l)) state = 2
+        else if (state == 1 && (SetextH1Re.matches(l) || SetextH2Re.matches(l))) state = 2
+        else state = 1
+      }
+      idx += 1
+    }
+    if (inFence) false
+    else if (state == 3)
+      endsOpenParagraph(doc.drop(qStart).map(stripOneMarker), depth - 1)
+    else state == 1
+  }
+
   /** The grouping + rendering pipeline WITHOUT the outer strips — the
     * recursion target for quoted content (an inner document must keep
     * leading indent: a quote-leading indented code block is real code).
@@ -275,42 +396,63 @@ object MdFormatLite {
     def closePara(): Unit = {
       if (para.nonEmpty) { blocks += ((para, true)); para = Vector.empty }
     }
-    // CommonMark indented code: >= 4 leading spaces and not a list-item
-    // shape (indented list items keep their loose-list reading — this
-    // grouper has no container stack, and renumbering them is the less
-    // surprising choice for list-heavy corpora)
-    def isIndentedCode(x: String): Boolean =
-      (x.startsWith("    ") || x.startsWith("\t")) &&
-        !OrderedItemRe.matches(x) && !BulletRe.matches(x)
-    // R8b (round 10, nested since round 11): LOOSE ordered lists —
-    // consecutive all-ordered-item text blocks are ONE CommonMark list
-    // whose items happen to be separated by blank lines, so renumbering
-    // must span the blank lines. The run's items feed ONE renumberNested
-    // pass (level state carries across the blank lines, so a nested item
-    // after a blank still nests under its parent — and a nested item
-    // alone in its block keeps its indent), then split back into their
-    // blocks. Tight single-block lists are runs of length one.
+    def isIndentedCode(x: String): Boolean = isIndentedCodeLine(x)
+    // R8b (round 10, nested since round 11, continuations since round
+    // 12): LOOSE ordered lists — consecutive text blocks that belong to
+    // ONE CommonMark list (items separated by blank lines, including
+    // blocks that are a continuation PARAGRAPH of the open item) feed
+    // one renumberNested pass (level state carries across the blank
+    // lines), then split back into their blocks. Tight single-block
+    // lists are runs of length one. A run that fails to parse as a
+    // clean items+continuations list falls back to the round-11
+    // item-only treatment: its all-item sub-runs renumber, everything
+    // else passes through untouched.
     def renumberLoose(bs: Vector[(Vector[String], Boolean)]): Vector[(Vector[String], Boolean)] = {
-      def ordered(b: (Vector[String], Boolean)): Boolean =
-        b._2 && b._1.nonEmpty && b._1.forall(OrderedItemRe.matches(_))
+      def orderedish(b: (Vector[String], Boolean)): Boolean =
+        b._2 && b._1.nonEmpty && OrderedItemRe.matches(b._1.head)
+      // a block that could be a loose item's continuation paragraph:
+      // starts at or beyond the minimum possible content column (3)
+      def contish(b: (Vector[String], Boolean)): Boolean =
+        b._2 && b._1.nonEmpty && b._1.head.startsWith("   ")
+      def parse(ls: Vector[String]): Vector[Either[(String, String, String, String), String]] =
+        ls.map {
+          case OrderedItemRe(ind, nu, m, rest) => Left((ind, nu, m, rest))
+          case other => Right(other)
+        }
+      def emit(out: scala.collection.mutable.Builder[(Vector[String], Boolean), Vector[(Vector[String], Boolean)]],
+               run: Seq[(Vector[String], Boolean)], lines: Vector[String]): Unit = {
+        var off = 0
+        run.foreach { case (b, t) =>
+          out += ((lines.slice(off, off + b.length), t))
+          off += b.length
+        }
+      }
       val out = Vector.newBuilder[(Vector[String], Boolean)]
       var idx = 0
       while (idx < bs.length) {
-        if (ordered(bs(idx))) {
-          var j = idx
-          while (j < bs.length && ordered(bs(j))) j += 1
+        if (orderedish(bs(idx))) {
+          var j = idx + 1
+          while (j < bs.length && (orderedish(bs(j)) || contish(bs(j)))) j += 1
           val run = (idx until j).map(bs)
-          val items = run.flatMap(_._1).map { case OrderedItemRe(ind, nu, m, rest) =>
-            (ind, nu, m, rest)
-          }.toVector
-          renumberNested(items) match {
-            case Some(lines) =>
-              var off = 0
-              run.foreach { case (b, t) =>
-                out += ((lines.slice(off, off + b.length), t))
-                off += b.length
+          renumberNested(parse(run.flatMap(_._1).toVector)) match {
+            case Some(lines) => emit(out, run, lines)
+            case None =>
+              // round-11 fallback: renumber maximal all-item sub-runs
+              var k = 0
+              while (k < run.length) {
+                def allItems(b: (Vector[String], Boolean)): Boolean =
+                  b._1.forall(OrderedItemRe.matches(_))
+                if (allItems(run(k))) {
+                  var e = k
+                  while (e < run.length && allItems(run(e))) e += 1
+                  val sub = run.slice(k, e)
+                  renumberNested(parse(sub.flatMap(_._1).toVector)) match {
+                    case Some(lines) => emit(out, sub, lines)
+                    case None => sub.foreach(out += _)
+                  }
+                  k = e
+                } else { out += run(k); k += 1 }
               }
-            case None => run.foreach(out += _)
           }
           idx = j
         } else { out += bs(idx); idx += 1 }
@@ -370,33 +512,39 @@ object MdFormatLite {
         val hashes = if (SetextH1Re.matches(l)) "#" else "##"
         blocks += ((escapeTextBlock(s"$hashes $t"), false))
         i += 1
-      } else if (HrRe.matches(l) && (para.isEmpty || !l.trim.startsWith("-"))) {
-        // thematic break ('-' runs only when no paragraph is open — after
-        // one they are setext-or-text per CommonMark; * and _ runs may
-        // interrupt a paragraph)
+      } else if (HrRe.matches(l) && (para.isEmpty || !SetextH2Re.matches(l))) {
+        // thematic break. With a paragraph open, only a line that could
+        // be a SETEXT UNDERLINE (a pure '-' run, no internal spaces) is
+        // setext-or-text per CommonMark; * and _ runs, and — round 12 —
+        // SPACED '-' runs like "- - -" (which can never be underlines),
+        // interrupt the paragraph as breaks
         closePara()
         blocks += ((Vector(HrOut), false))
         i += 1
       } else if (isQuoteLine(l)) {
-        // R15b (round 11): a CLOSED run of quote-marker lines recurses —
-        // one marker level strips, the inner document runs through this
-        // same pipeline (mdformat re-formats quoted content as
-        // markdown), and the result re-prefixes with canonical "> "
-        // markers. A run followed by a plain paragraph line is a
-        // CommonMark LAZY CONTINUATION (that line is still inside the
-        // quote): recursing would render a blank line between them and
-        // push the continuation OUT of the quote, so those runs fall
-        // back to the paragraph path (markers normalized, content
-        // untouched — byte-stable).
+        // R15b/R15c (rounds 11-12): collect the full quote CONTAINER —
+        // the marker-line run plus any CommonMark LAZY CONTINUATION
+        // lines (a plain paragraph line after a quote whose inner
+        // document ends in an open paragraph is still INSIDE the
+        // quote). One marker level strips (lazy lines carry no marker
+        // and pass through stripOneMarker unchanged — they join the
+        // quoted paragraph), the inner document re-formats through this
+        // same pipeline, and the result re-prefixes with canonical
+        // "> " markers: "> foo\nbar" renders "> foo\n> bar", mdformat's
+        // reading. A non-lazy follower (heading, list, fence, break,
+        // table, setext underline — or any line when the inner document
+        // does NOT end in an open paragraph) closes the container.
         var j = i
-        while (j < lines.length && isQuoteLine(lines(j))) j += 1
-        val lazyCont = j < lines.length && lines(j).nonEmpty && {
-          val n = lines(j)
-          !(FenceRe.matches(n) || HeadingRe.matches(n) || BulletRe.matches(n) ||
-            OrderedItemRe.matches(n) || HrRe.matches(n) ||
-            (n.contains("|") && j + 1 < lines.length && isSep(lines(j + 1))))
+        var openRun = true
+        while (j < lines.length && openRun) {
+          if (isQuoteLine(lines(j))) j += 1
+          else if (lines(j).nonEmpty && lazyShape(lines, j) &&
+              endsOpenParagraph((i until j).map(x => stripOneMarker(lines(x))).toVector,
+                quoteDepth))
+            j += 1
+          else openRun = false
         }
-        if (lazyCont || quoteDepth <= 0) {
+        if (quoteDepth <= 0) {
           para = para :+ normalizeQuoteMarkers(l); i += 1
         } else {
           closePara()
@@ -409,7 +557,16 @@ object MdFormatLite {
       } else l match {
         case HeadingRe(hashes, title) =>
           closePara()
-          blocks += ((escapeTextBlock(s"$hashes $title"), false))
+          // a title that is ONLY a #-run was a closing sequence after
+          // all (CommonMark reads "# #" as an empty heading)
+          val t = if (title.matches("#+")) "" else title
+          blocks += ((if (t.isEmpty) Vector(hashes)
+                      else escapeTextBlock(s"$hashes $t"), false))
+          i += 1
+        case EmptyHeadingRe(hashes) =>
+          // bare-marker ATX heading ("#", "##  ") — empty content
+          closePara()
+          blocks += ((Vector(hashes), false))
           i += 1
         case BulletRe(indent, rest) =>
           // marker normalization can COLLIDE with thematic-break syntax:

@@ -19,7 +19,14 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
     "***\n", "---\n", "___\n", "=====\n", "t\n---\n", "- - -\n", "* --\n",
     "\\=", "\\_", "=", "    code [1]\n", "    a*b\n", "    ",
     "> x\n", ">>y\n", "> - q\n", ">\n", "\\>", "&#62;",
-    "> 3. a\n", "> # h\n", "> |a|b|\n", "> ---\n", ">     c\n", "> a\nb\n")
+    "> 3. a\n", "> # h\n", "> |a|b|\n", "> ---\n", ">     c\n", "> a\nb\n",
+    // round-12 shapes: lazy quote continuations, quote resumes after a
+    // lazy line, list continuation lines (paragraph/code/lazy/tab),
+    // empty headings, spaced-dash breaks
+    "> a\nb\n> c\n", ">> d\ne\n", "> p\n\nq\n", "> ```\nz\n", "> a\n    i\n",
+    "1. a\n   b\n", "10. a\n    b\n", "1. a\n       c\n", "1. a\n  z\n",
+    "1. a\n\n   p\n\n2. b\n", "2. a\n\tq\n", "1. a\n   - m\n",
+    "# #\n", "#\n", "## ###\n", "p\n- - -\n", "- -\t-\n", "#######\n")
   private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123="
 
   private def fuzz(seed: Long, cases: Int): Unit = {

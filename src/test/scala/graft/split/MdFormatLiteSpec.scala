@@ -275,14 +275,102 @@ class MdFormatLiteSpec extends AnyFunSuite {
     assert(MdFormatLite.normalize("> a\n>\n>\n> b") == "> a\n>\n> b")
     // a quote interrupts a paragraph (CommonMark)
     assert(MdFormatLite.normalize("p\n> q") == "p\n\n> q")
-    // LAZY continuation: the plain line after the run is still quote
-    // content — recursing would push it out, so bytes are preserved
-    assert(MdFormatLite.normalize("> a\nb") == "> a\nb")
-    assert(MdFormatLite.normalize(">a\nb") == "> a\nb") // markers still normalize
-    for (s <- Seq("> 3. a\n> 7. b", ">#  H ##", "> > 5*6", "> a\nb",
+    for (s <- Seq("> 3. a\n> 7. b", ">#  H ##", "> > 5*6",
         "> |a|b|\n> |---|---|\n> |1|2|", "p\n> q", "> a\n>\n>\n> b")) {
       val once = MdFormatLite.normalize(s)
       assert(MdFormatLite.normalize(once) == once, s)
+    }
+  }
+
+  test("R15c: lazy continuation lines join the quoted paragraph and re-format WITH markers") {
+    // CommonMark: a plain line after a quote whose paragraph is open is
+    // STILL INSIDE the quote — mdformat renders it with the marker
+    assert(MdFormatLite.normalize("> a\nb") == "> a\n> b")
+    assert(MdFormatLite.normalize(">a\nb") == "> a\n> b") // markers normalize too
+    assert(MdFormatLite.normalize("> a\nb\nc") == "> a\n> b\n> c")
+    // quote lines may resume after a lazy line — all one container
+    assert(MdFormatLite.normalize("> a\nb\n> c") == "> a\n> b\n> c")
+    // the lazy line joins the INNERMOST open paragraph (depth 2 here)
+    assert(MdFormatLite.normalize("> > deep\nlazy") == "> > deep\n> > lazy")
+    // a blank line ends the quote: the next paragraph is outside
+    assert(MdFormatLite.normalize("> a\n\nb") == "> a\n\nb")
+    // a block-start follower is NOT lazy: the quote closes before it
+    assert(MdFormatLite.normalize("> a\n# h") == "> a\n\n# h")
+    assert(MdFormatLite.normalize("> a\n- x") == "> a\n\n- x")
+    assert(MdFormatLite.normalize("> a\n***") ==
+      "> a\n\n" + "_" * 70)
+    // a plain follower after a NON-paragraph quote ending is not lazy
+    // (nothing open to continue): heading ends the quote
+    assert(MdFormatLite.normalize("> # h\nnext") == "> # h\n\nnext")
+    // an unclosed fence inside the quote cannot continue lazily either
+    assert(MdFormatLite.normalize("> ```\ncode") == "> ```\n\ncode")
+    // a quote ending in a LIST closes before a plain follower (list-item
+    // lazy continuation is a documented divergence — conservative close;
+    // the quoted list still renumbers)
+    assert(MdFormatLite.normalize("> 3. a\n> 7. b\nlazy")
+      == "> 3. a\n> 3. b\n\nlazy")
+    for (s <- Seq("> a\nb", ">a\nb", "> a\nb\n> c", "> > deep\nlazy",
+        "> a\n# h", "> # h\nnext", "> ```\ncode", "> 3. a\n> 7. b\nlazy",
+        "> a\n    ind", "> a\nb\n\nc")) {
+      val once = MdFormatLite.normalize(s)
+      assert(MdFormatLite.normalize(once) == once,
+        s.replace("\n", "\\n") + " -> " + once.replace("\n", "\\n"))
+    }
+  }
+
+  test("R8d: ordered items with indented continuation lines renumber; continuations re-indent to the content column") {
+    // paragraph continuation at the content column
+    assert(MdFormatLite.normalize("2. a\n   cont\n5. b") == "2. a\n   cont\n2. b")
+    // over-indented (but < +4) paragraph continuation re-indents to the column
+    assert(MdFormatLite.normalize("2. a\n     cont\n5. b") == "2. a\n   cont\n2. b")
+    // wide marker: content column moves with the number width
+    assert(MdFormatLite.normalize("10. a\n    cont\n12. b") == "10. a\n    cont\n10. b")
+    // indented CODE inside an item keeps its relative offset
+    assert(MdFormatLite.normalize("2. a\n       code\n5. b") == "2. a\n       code\n2. b")
+    // loose: a continuation PARAGRAPH block between items is item content
+    assert(MdFormatLite.normalize("2. a\n\n   para\n\n5. b") == "2. a\n\n   para\n\n2. b")
+    // a continuation at the parent's column closes the nested level: the
+    // next item at the nested indent starts a NEW list (its own number)
+    assert(MdFormatLite.normalize("1. a\n   4. b\n   cont\n   9. c")
+      == "1. a\n   4. b\n   cont\n   9. c")
+    // LAZY (under-indented) continuation: item-only fallback would shift
+    // meaning, so the whole run passes through
+    assert(MdFormatLite.normalize("2. a\nlazy\n5. b") == "2. a\nlazy\n5. b")
+    // tab continuation: pass through
+    assert(MdFormatLite.normalize("2. a\n\tcont\n5. b") == "2. a\n\tcont\n5. b")
+    // bullet inside an ordered block: mixed-marker nesting passes through
+    assert(MdFormatLite.normalize("2. a\n   - b\n5. c") == "2. a\n   - b\n5. c")
+    for (s <- Seq("2. a\n   cont\n5. b", "10. a\n    cont\n12. b",
+        "2. a\n       code\n5. b", "2. a\n\n   para\n\n5. b",
+        "1. a\n   4. b\n   cont\n   9. c", "2. a\nlazy\n5. b",
+        "2. a\n   - b\n5. c", "3. a\n\n    code block\n\n7. b")) {
+      val once = MdFormatLite.normalize(s)
+      assert(MdFormatLite.normalize(once) == once,
+        s.replace("\n", "\\n") + " -> " + once.replace("\n", "\\n"))
+    }
+  }
+
+  test("empty ATX headings and spaced-dash breaks (round-12 ADVICE closures)") {
+    // "# #": the trailing run is a closing sequence -> empty heading
+    assert(MdFormatLite.normalize("# #") == "#")
+    assert(MdFormatLite.normalize("## ###") == "##")
+    // bare marker runs are empty headings already
+    assert(MdFormatLite.normalize("#") == "#")
+    assert(MdFormatLite.normalize("##  ") == "##")
+    // an empty heading interrupts a paragraph like any ATX heading
+    assert(MdFormatLite.normalize("p\n# #") == "p\n\n#")
+    // 7+ hashes are not a heading: paragraph text — and since a 7-run
+    // cannot re-parse as a heading, the escape pass leaves it bare
+    assert(MdFormatLite.normalize("#######") == "#######")
+    // a spaced '-' run can never be a setext underline, so it interrupts
+    // an open paragraph as a thematic break (CommonMark)
+    assert(MdFormatLite.normalize("p\n- - -") == "p\n\n" + "_" * 70)
+    // a pure '-' run after a one-line paragraph is still setext h2
+    assert(MdFormatLite.normalize("p\n---") == "## p")
+    for (s <- Seq("# #", "#", "## ###", "p\n# #", "p\n- - -", "#######")) {
+      val once = MdFormatLite.normalize(s)
+      assert(MdFormatLite.normalize(once) == once,
+        s.replace("\n", "\\n") + " -> " + once.replace("\n", "\\n"))
     }
   }
 

@@ -95,6 +95,38 @@ object HybridServe {
     buildWith(corpus, docIdCol, textCol, embeddings, vecIdCol, vecCol, ivf, pq, cfg)
   }
 
+  /** Incremental ingest — the reference's upsert analog, composed from
+    * the engine's two exact merge paths: the arriving batch indexes
+    * ALONE ([[Rank.championIndex]] with minDf 1), merges with the
+    * stored index ([[Rank.mergeChampionIndexes]] — bit-identical to a
+    * from-scratch build over the union, `validateDisjoint` guards
+    * double-counting), and the batch's embeddings encode against the
+    * FROZEN models ([[PqIndex.encodeCells]] — encoding is a pure
+    * per-row function of the codebook, so appended cells equal a
+    * from-scratch encode) and union into the cells frame. Neither the
+    * stored corpus text nor the stored embeddings are ever re-read.
+    *
+    * Exactness requires the stored index to carry UNPRUNED terms
+    * (`champMinDf = 1` at build — a term below a higher threshold in
+    * each half can cross it in the union); `cfg.champMinDf` applies at
+    * the merge instead. Models carry frozen — monitor drift per the
+    * carry-vs-retrain policy on [[PqIndex.encode]]; a retrain is a
+    * fresh [[build]]. Persist the result with [[saveVersioned]]: the
+    * union writes as a NEW version (one file per cell again), the
+    * alias swaps, and the previous version retires on schedule. */
+  def ingest(a: Artifacts, corpus: DataFrame, docIdCol: String, textCol: String,
+             embeddings: DataFrame, vecIdCol: String, vecCol: String,
+             cfg: BuildConfig = BuildConfig()): Artifacts = {
+    val batchIndex = Rank.championIndex(corpus, docIdCol, textCol,
+      m = cfg.champM, minDf = 1L, lowercase = cfg.lowercase)
+    val merged = Rank.mergeChampionIndexes(a.index, batchIndex,
+      m = cfg.champM, minDf = cfg.champMinDf, validateDisjoint = true)
+    val newCells = PqIndex.encodeCells(embeddings, vecIdCol, vecCol, a.ivf, a.pq)
+    Artifacts(merged, a.nDocs + corpus.count(), a.ivf, a.pq,
+      a.cells.select(col("cid"), col("cell"), col("codes"))
+        .unionByName(newCells.select(col("cid"), col("cell"), col("codes"))))
+  }
+
   /** Persist the artifact set under `dir`: `index_store`, `ivf_store`,
     * `pq_store`, `cells_store` (via [[PqIndex.writeCells]] — the
     * one-file-per-cell layout is this writer's contract, not a caller

@@ -164,6 +164,34 @@ object ScaleCurve {
           serveBatch(Map("qa" -> Seq("spark", "agg"),
             "qb" -> Seq("scan", "fast"), "qc" -> Seq("window", "batch")))
         }
+        // 1000-QUERY batch gear (round 12), through the HybridServe API:
+        // the lexical leg runs the q114/q116 DataFrame equi-join form
+        // (no driver literals, no per-query plans) and the vector leg
+        // probes cells for all 1000 query vectors in the same one-plan
+        // join — per-query cost amortizes inside the batch join, so the
+        // per-batch wall should grow far slower than 333x the 3-query
+        // batch. Terms picked deterministically from the corpus vocab.
+        val vocab = Seq("spark", "join", "scan", "filter", "stream",
+          "batch", "agg", "fast", "window")
+        val vocabCol = array(vocab.map(lit): _*)
+        val batchQ = vecs.filter(col("vec_id") < 1000)
+          .select(concat(lit("q"), col("vec_id")).as("query_id"),
+            array(
+              element_at(vocabCol, (pmod(col("vec_id"), lit(9)) + 1).cast("int")),
+              element_at(vocabCol, (pmod(col("vec_id") * 7 + 3, lit(9)) + 1).cast("int"))
+            ).as("terms"),
+            col("embedding"))
+        val arts = graft.operators.HybridServe.Artifacts(
+          savedIndex, nDocs, ivfS, pqS, savedCells)
+        time("q117_serve_1k") {
+          graft.operators.HybridServe.serve(arts, batchQ)
+            .queryExecution.toRdd.count()
+        }
+        time("q117_serve_1k_2") {
+          graft.operators.HybridServe.serve(arts, batchQ,
+              cfg = graft.operators.HybridServe.ServeConfig(kTopPerLeg = 20, kTop = 10))
+            .queryExecution.toRdd.count()
+        }
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       }

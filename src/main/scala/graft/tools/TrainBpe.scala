@@ -152,6 +152,61 @@ object TrainBpe {
         opt("/usr/share/vim/vim90/doc/indent.txt")(loremSpans)
       ).flatten
     }
+    // 3c. Romance-language prose (round 12): translated message strings
+    //     from the distro's public gettext catalogs under
+    //     /usr/share/locale/{es,fr,it,pt,pt_BR,ro,ca}/LC_MESSAGES — the
+    //     only in-container natural text carrying LATIN-FAMILY
+    //     morphology at scale (inflectional suffixes, latinate stems:
+    //     -ción/-zione/-ção, -mente, -dade/-tà...). The .mo format is
+    //     public GNU gettext (LE magic 0x950412de, count at offset 8,
+    //     msgstr table at offset 16). Only TRANSLATED strings (msgstr)
+    //     are taken; prose filter drops format-y strings; per-language
+    //     cap keeps training tractable; deterministic order (length
+    //     desc, then lexicographic). ExtendBpe verifies zero shared
+    //     8-gram word shingles with the markdown.json drift benchmark
+    //     before training (the r10 held-out methodology).
+    val romanceDocs = {
+      def u32(b: Array[Byte], off: Int): Long =
+        ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+          ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+      def moStrings(p: java.nio.file.Path): Seq[String] = {
+        val b = try Files.readAllBytes(p) catch { case _: Exception => return Seq.empty }
+        if (b.length < 28 || u32(b, 0) != 0x950412deL) return Seq.empty
+        val n = u32(b, 8).toInt
+        val strTab = u32(b, 16).toInt
+        (0 until n).flatMap { i =>
+          val len = u32(b, strTab + 8 * i).toInt
+          val off = u32(b, strTab + 8 * i + 4).toInt
+          if (off < 0 || len < 0 || off + len > b.length) Seq.empty
+          else new String(b, off, len, "UTF-8").split('\u0000').toSeq
+        }
+      }
+      def prose(s: String): Boolean = {
+        if (s.length < 60) return false
+        if (s.contains('%') || s.contains('{') || s.contains('<')) return false
+        val letters = s.count(_.isLetter)
+        letters.toDouble / s.length >= 0.7
+      }
+      val capPerLang = 400000
+      Seq("es", "fr", "it", "pt", "pt_BR", "ro", "ca").flatMap { lang =>
+        val d = Paths.get(s"/usr/share/locale/$lang/LC_MESSAGES")
+        if (!Files.isDirectory(d)) None else {
+          val ls = Files.list(d)
+          val mos = try ls.iterator().asScala
+            .filter(_.toString.endsWith(".mo")).toSeq.sortBy(_.toString)
+          finally ls.close()
+          val cands = mos.flatMap(moStrings).filter(prose).distinct
+            .sortBy(s => (-s.length, s))
+          val picked = Vector.newBuilder[String]
+          var total = 0
+          cands.foreach { s =>
+            if (total < capPerLang) { picked += s; total += s.length }
+          }
+          val text = picked.result().mkString("\n\n")
+          if (text.isEmpty) None else Some(s"/usr/share/locale/$lang" -> text)
+        }
+      }
+    }
     // 4. German prose: scraperapi HTML fixtures through HtmlToMd
     val htmlDocs = Seq("wikipedia_wurzel.html", "wikipedia_root.html", "CCO_deed.html")
       .flatMap { f =>
@@ -185,7 +240,7 @@ object TrainBpe {
     }
     Corpus(otherFixtures, mrDocs,
       loremFromTests ++ loremFromPackages,
-      refDocs ++ htmlDocs ++ licenseDocs ++ nodeDocs)
+      refDocs ++ htmlDocs ++ licenseDocs ++ nodeDocs ++ romanceDocs)
   }
 
   /** One training state: current segmentation of every distinct pretoken
@@ -210,14 +265,24 @@ object TrainBpe {
   }
 
   /** Apply one known merge to the piece state (replay fast-path — no
-    * argmax). */
+    * argmax). Pieces not containing the pair return UNCHANGED (same
+    * reference, no allocation) — the overwhelmingly common case, and
+    * the difference between minutes and hours on the round-12 extended
+    * corpus. */
   def applyMerge(pieces: Pieces, a: Int, b: Int, newId: Int): Pieces =
-    pieces.map { case (ids, fr) =>
-      if (ids.length < 2) (ids, fr) else {
+    pieces.map { case t @ (ids, fr) =>
+      var found = false
+      var i = 0
+      val n = ids.length
+      while (!found && i < n - 1) {
+        if (ids(i) == a && ids(i + 1) == b) found = true
+        i += 1
+      }
+      if (!found) t else {
         val out = Vector.newBuilder[Int]
-        var i = 0
-        while (i < ids.length) {
-          if (i < ids.length - 1 && ids(i) == a && ids(i + 1) == b) {
+        i = 0
+        while (i < n) {
+          if (i < n - 1 && ids(i) == a && ids(i + 1) == b) {
             out += newId; i += 2
           } else { out += ids(i); i += 1 }
         }
@@ -240,11 +305,14 @@ object TrainBpe {
     var pieces = pieces0
     var nextId = 256
     val merges = Vector.newBuilder[(Int, Int)]
+    val t0 = System.nanoTime()
     replay.foreach { case (a, b) =>
       vocabBytes(nextId) = vocabBytes(a) ++ vocabBytes(b)
       pieces = applyMerge(pieces, a, b, nextId)
       merges += ((a, b))
       nextId += 1
+      if ((nextId - 256) % 5000 == 0)
+        println(f"  replayed ${nextId - 256} merges (${(System.nanoTime() - t0) / 1e9}%.0f s)")
     }
     var iter = replay.length
     while (iter < maxMerges) {
@@ -275,6 +343,8 @@ object TrainBpe {
         pieces = applyMerge(pieces, a, b, nextId)
         nextId += 1
         iter += 1
+        if (iter % 2000 == 0)
+          println(f"  trained to $iter merges (${(System.nanoTime() - t0) / 1e9}%.0f s)")
       }
     }
     merges.result()

@@ -215,6 +215,35 @@ class HybridServeSpec extends SparkSpec {
     }
   }
 
+  test("ingest is exact: serving after ingest == serving a from-scratch build over the union") {
+    val embT = embeddings
+    val (ivf, pq) = tinyModels(embT)
+    val cfg = HybridServe.ServeConfig(kTopPerLeg = 3, kTop = 3, nprobe = 1)
+    def serveRows(a: HybridServe.Artifacts) =
+      HybridServe.serve(a, queryBatch, cfg = cfg)
+        .select($"query_id", $"doc_id", $"rank", $"rrf_micro", $"n_sources")
+        .as[(String, Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+
+    // stored set over docs 1-2, then docs 3-4 arrive as a batch
+    val a0 = HybridServe.buildWith(corpus.filter($"doc_id" <= 2), "doc_id", "text",
+      embT.filter($"vec_id" <= 2), "vec_id", "embedding", ivf, pq)
+    val a1 = HybridServe.ingest(a0, corpus.filter($"doc_id" > 2), "doc_id", "text",
+      embT.filter($"vec_id" > 2), "vec_id", "embedding")
+    assert(a1.nDocs == 4)
+    val full = HybridServe.buildWith(corpus, "doc_id", "text",
+      embT, "vec_id", "embedding", ivf, pq)
+    val ingested = serveRows(a1)
+    assert(ingested.nonEmpty)
+    assert(ingested == serveRows(full),
+      s"ingest diverged from from-scratch:\n$ingested\nvs\n${serveRows(full)}")
+
+    // overlap guard: re-ingesting already-stored ids fails fast
+    assertThrows[IllegalArgumentException] {
+      HybridServe.ingest(a1, corpus.filter($"doc_id" <= 2), "doc_id", "text",
+        embT.filter($"vec_id" <= 2), "vec_id", "embedding").index.count()
+    }
+  }
+
   test("versioned lifecycle: saveVersioned commits and alias-swaps, loadCurrent follows the alias, old versions retire") {
     val root = java.nio.file.Files.createTempDirectory("graft_hybrid_versioned").toString
     try {

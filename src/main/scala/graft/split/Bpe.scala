@@ -107,7 +107,7 @@ object Bpe {
     finally src.close()
   }
 
-  /** Calibrated granularity: with the first 22400 of the 30442 trained
+  /** Calibrated granularity: with the first 22400 of the trained
     * merges (round-10 table: the 7x-grown corpus — fixture inputs,
     * reference markdown prose, benchmark-distinct Lorem-ipsum Latin,
     * German Wikipedia/CC0 HTML through HtmlToMd, license legalese, and
@@ -132,8 +132,11 @@ object Bpe {
     * ([[BpeTokenizer.parity]]). */
   lazy val calibratedVocab: BpeVocab = new BpeVocab(loadMerges("/graft/bpe/merges.txt", CalibratedMerges))
 
-  /** Full trained table (all 30,442 merges): the lowest-drift vocab
-    * (held-out Latin 1.24x vs the calibrated prefix's 1.30x; English
+  /** Full trained table (59,472 merges since the round-12 ExtendBpe
+    * Romance-corpus extension — the first 30,442 are the r11 table
+    * byte-identical, so the calibrated prefix is unaffected): the
+    * lowest-drift vocab
+    * (held-out Latin 1.14x vs the calibrated prefix's 1.30x; English
     * exact). Used by budget contexts — token counting, truncation, packing,
     * sharding — where the consumer is a COUNT, not a golden-pinned chunk
     * boundary ([[BpeTokenizer.counting]]; FIXTURES.md §1.5). */

@@ -53,16 +53,21 @@ class BpeSpec extends AnyFunSuite {
     assert(drift > 1.2 && drift < 1.4, s"measured drift ratio moved: $drift")
   }
 
-  test("counting vocab (full table) held-out drift <= 1.25x (per-context granularity split)") {
+  test("counting vocab (full table) held-out drift <= 1.15x (per-context granularity split)") {
     // Round-11 split (FIXTURES.md §1.5): budget contexts (count / truncate /
     // packing / sharding) use the FULL trained table via
     // BpeTokenizer.counting(), which measures LOWER out-of-domain drift
-    // than the fixture-parity prefix — the parity prefix trades ~5pp of
-    // drift for golden chunk-boundary byte-parity, a trade only splitter
-    // contexts need. Same held-out Latin corpus as the test above,
+    // than the fixture-parity prefix — the parity prefix trades drift
+    // for golden chunk-boundary byte-parity, a trade only splitter
+    // contexts need. Round 12 (ExtendBpe): the table extends past the
+    // r11 30,442 merges with a tail trained on the Romance-language
+    // gettext corpus (replayed prefix byte-identical, so parity is
+    // untouched; zero shared 8-gram shingles with this benchmark) to
+    // 59,472 merges. Same held-out Latin corpus as the test above,
     // chunked AND counted with the counting vocab (what a pure budget
-    // pipeline sees): 12 chunks / 2580 tokens vs the reference's 2072
-    // cl100k = 1.245x, vs the parity prefix's 2696 = 1.30x.
+    // pipeline sees): 12 chunks / 2363 tokens vs the reference's 2072
+    // cl100k = 1.140x (was 1.245x r11), vs the parity prefix's 2696 =
+    // 1.30x; English cut_off stays EXACT at cl100k's 25.
     import scala.jdk.CollectionConverters._
     val in = getClass.getResourceAsStream("/markdown_corpus/markdown.json")
     val root = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in) finally in.close()
@@ -72,9 +77,9 @@ class BpeSpec extends AnyFunSuite {
     val chunks = docs.flatMap(sp.splitMarkdown)
     assert(chunks.length == 12, s"chunks=${chunks.length}")
     val ourTokens = chunks.map(tk.count).sum
-    assert(ourTokens == 2580, s"tokens=$ourTokens")
+    assert(ourTokens == 2363, s"tokens=$ourTokens")
     val drift = ourTokens / 2072.0
-    assert(drift <= 1.25, s"count-context drift exceeded the 1.25x budget: $drift")
+    assert(drift <= 1.15, s"count-context drift exceeded the 1.15x budget: $drift")
     // and the two vocabs agree where it matters for budgets: fewer merges
     // can only raise counts, never lower them
     val parity = BpeTokenizer.parity()

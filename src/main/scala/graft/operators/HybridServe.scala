@@ -213,12 +213,18 @@ object HybridServe {
         .select(col("query_id"), col("id").as("doc_id"), col("rank"))
     }
     if (cols.contains(vecCol)) {
-      val vecQ = queries.filter(col(vecCol).isNotNull)
-      val excl = if (cols.contains("exclude_id")) Some("exclude_id") else None
+      // ALWAYS serve through the typed-exclusion path: query ids here
+      // are fused output keys (often strings), not candidate ids, so the
+      // qid =!= cid default would cross-type-cast and (under ANSI) throw
+      // — a missing exclude_id means "exclude nothing" (NULL never
+      // null-safe-equals any candidate id)
+      val vecQ0 = queries.filter(col(vecCol).isNotNull)
+      val vecQ = if (cols.contains("exclude_id")) vecQ0
+                 else vecQ0.withColumn("exclude_id", lit(null))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("adist").asc, col("cid").asc)
       legs += PqIndex.ivfAdcTopK(a.cells, vecQ, "query_id", vecCol,
-          a.ivf, a.pq, cfg.kTopPerLeg, cfg.nprobe, excl)
+          a.ivf, a.pq, cfg.kTopPerLeg, cfg.nprobe, Some("exclude_id"))
         .withColumn("rank", row_number().over(w))
         .select(col("qid").as("query_id"), col("cid").as("doc_id"), col("rank"))
     }

@@ -142,6 +142,16 @@ class HybridServeSpec extends SparkSpec {
       // only reach qb through the lexical leg (n_sources == 1)
       assert(rows.filter(r => r._1 == "qb" && r._2 == 1L).forall(_._4 == 1L))
 
+      // NO exclude_id column: nothing excludes, and string query ids
+      // must not cross-type-compare against long candidate ids (the
+      // ANSI-cast regression the always-typed exclusion path prevents)
+      val noExcl = HybridServe.serve(loaded, queryBatch.drop("exclude_id"),
+          cfg = HybridServe.ServeConfig(kTopPerLeg = 3, kTop = 3, nprobe = 1))
+        .select($"query_id", $"doc_id", $"n_sources")
+        .as[(String, Long, Long)].collect()
+      assert(noExcl.nonEmpty)
+      assert(noExcl.map(_._1).toSet == Set("qa", "qb"))
+
       // plan: every file scan is inside the saved store (corpus tables
       // absent), and the cells scan carries a partition filter on the
       // probed cell ids

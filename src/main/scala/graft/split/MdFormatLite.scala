@@ -45,9 +45,11 @@ package graft.split
   *      normalize to the parent marker's width, AND — R8d, round 12 —
   *      to items carrying indented CONTINUATION lines (paragraph lines
   *      re-indent to the output content column, indented code inside an
-  *      item keeps its relative offset). Lists with tab indents,
-  *      mixed-marker nesting, or LAZY (under-indented) continuations
-  *      fall back to item-only renumbering or pass through (divergence).
+  *      item keeps its relative offset) AND — R8e — to LAZY
+  *      (under-indented) plain continuation lines, which re-indent to
+  *      the deepest open item's content column. Lists with tab indents
+  *      or mixed-marker nesting fall back to item-only renumbering or
+  *      pass through (divergence).
   *  R9. bracket escape normalization: [ and ] in TEXT — not part of a
   *      complete inline/reference link or image, not in a code span, not
   *      already escaped — render as \[ \] (mdformat's text renderer
@@ -91,9 +93,9 @@ package graft.split
   * Not implemented (documented divergence): emphasis-marker handling
   * needs none (mdformat renders em/strong with the SOURCE marker,
   * `node.markup` — markers are preserved, not rewritten); remaining gaps
-  * are ordered lists with tab indents, mixed-marker nesting, or LAZY
-  * under-indented continuation lines (item-only renumbering or full
-  * pass-through), multi-line setext content, and paragraph re-wrapping
+  * are ordered lists with tab indents or mixed-marker nesting
+  * (item-only renumbering or full pass-through), multi-line setext
+  * content, and paragraph re-wrapping
   * (mdformat's default wrap mode keeps source line breaks anyway).
   * Table cells render through the mdformat-tables path (R6), not the
   * text-escape pass.
@@ -170,21 +172,24 @@ object MdFormatLite {
     * the sum of ancestor marker widths (mdformat re-indents list content
     * to the parent marker's width).
     *
-    * A `Right` line is item CONTENT (an indented paragraph/code line in
-    * the item): it attaches to the deepest open level whose content
-    * column its indent reaches — closing deeper levels, as a paragraph
-    * at the parent's content column does per CommonMark — and renders at
-    * that level's OUTPUT content column; an extra indent of 4+ (indented
+    * A `Right` line is item CONTENT (a paragraph/code line in the item):
+    * it attaches to the deepest open level whose content column its
+    * indent reaches — closing deeper levels, as a paragraph at the
+    * parent's content column does per CommonMark — and renders at that
+    * level's OUTPUT content column; an extra indent of 4+ (indented
     * code inside the item) keeps its relative offset, a smaller extra
     * strips (mdformat renders paragraph continuation lines exactly at
-    * the content column).
+    * the content column). R8e (round 12): an UNDER-indented plain line
+    * is a CommonMark LAZY continuation of the DEEPEST open item's
+    * paragraph — it renders at that item's content column (no level
+    * closes; laziness reaches the innermost paragraph).
     *
     * Returns None when the shape is not a clean list — a leading 4-space
     * indent, an over-indent CommonMark would read as indented CODE in
     * place of an item, tab indents, a bullet line (mixed-marker nesting
-    * stays a documented pass-through), or an under-indented continuation
-    * (a LAZY paragraph line — also pass-through) — and the caller falls
-    * back to the round-11 item-only treatment. */
+    * stays a documented pass-through), or an under-indented
+    * break/setext-underline shape (those interrupt rather than continue)
+    * — and the caller falls back to the round-11 item-only treatment. */
   private def renumberNested(
       items: Vector[Either[(String, String, String, String), String]]): Option[Vector[String]] = {
     final case class Level(inIndent: Int, var num: String, var marker: String,
@@ -228,18 +233,38 @@ object MdFormatLite {
         if (BulletRe.matches(raw)) return None // mixed-marker nesting: pass through
         if (stack.isEmpty) return None
         val w = raw.takeWhile(_ == ' ').length
-        // a continuation at an outer content column closes deeper levels
-        while (stack.length > 1 && w < stack.last.contentCol)
-          stack.dropRightInPlace(1)
-        val top = stack.last
-        if (w < top.contentCol) return None // lazy (under-indented): pass through
-        val extra = w - top.contentCol
         val text = raw.substring(w)
+        // BLOCK-SYNTAX-shaped content (quote marker, heading, fence,
+        // break, setext underline) nested in item content is beyond this
+        // grouper's container model — and re-indenting it to the content
+        // column could even CHANGE its block reading ("    >" stripped
+        // to "   >" becomes a quote marker, the fuzz-found r12 case) —
+        // so the run passes through byte-stable instead. The check also
+        // covers the ESCAPED spelling: the escape pass may rewrite such
+        // a line ("```" -> "\`\`\`") after this pass bails, and the next
+        // normalize must classify the rewritten bytes the same way or
+        // the fixpoint breaks (second r12 fuzz find)
+        if (blockShapedText(text)) return None
+        // a continuation at an outer content column closes deeper levels —
+        // but a LAZY (under-everything) line continues the DEEPEST open
+        // item's paragraph (CommonMark laziness), so levels only close
+        // when the line reaches SOME shallower level's content column
+        if (w >= stack.head.contentCol)
+          while (stack.length > 1 && w < stack.last.contentCol)
+            stack.dropRightInPlace(1)
+        val top = stack.last
         val outCol = top.outIndent + top.num.length + 2
-        // < 4 extra: paragraph continuation, renders AT the content
-        // column; >= 4: indented code inside the item, relative offset
-        // preserved so it stays code
-        out += (" " * (outCol + (if (extra >= 4) extra else 0))) + text
+        if (w < top.contentCol) {
+          // R8e (round 12): lazy paragraph continuation — mdformat
+          // renders it AT the item's content column
+          out += (" " * outCol) + text
+        } else {
+          val extra = w - top.contentCol
+          // < 4 extra: paragraph continuation, renders AT the content
+          // column; >= 4: indented code inside the item, relative offset
+          // preserved so it stays code
+          out += (" " * (outCol + (if (extra >= 4) extra else 0))) + text
+        }
     }
     Some(out.result())
   }
@@ -312,6 +337,33 @@ object MdFormatLite {
   private def isIndentedCodeLine(x: String): Boolean =
     (x.startsWith("    ") || x.startsWith("\t")) &&
       !OrderedItemRe.matches(x) && !BulletRe.matches(x)
+
+  /** CommonMark backslash-escape removal over ASCII punctuation — used to
+    * test whether a continuation line's ESCAPED spelling still denotes
+    * block syntax (the escape pass rewrites "```" to "\`\`\`"; both
+    * spellings must classify identically across normalize passes). */
+  private def unescapePunct(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length &&
+          "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".indexOf(s.charAt(i + 1).toInt) >= 0) {
+        b.append(s.charAt(i + 1)); i += 2
+      } else { b.append(s.charAt(i)); i += 1 }
+    }
+    b.toString
+  }
+
+  /** Block-syntax shapes a list-item continuation line must never be
+    * re-indented across (see renumberNested's Right case) — tested on
+    * the raw text AND its unescaped spelling. */
+  private def blockShapedText(text: String): Boolean = {
+    def shaped(t: String): Boolean =
+      isQuoteLine(t) || HeadingRe.matches(t) || EmptyHeadingRe.matches(t) ||
+        FenceRe.matches(t) || HrRe.matches(t) ||
+        SetextH1Re.matches(t) || SetextH2Re.matches(t)
+    shaped(text) || shaped(unescapePunct(text))
+  }
 
   /** Can doc(at) be a CommonMark LAZY CONTINUATION line — plain paragraph
     * continuation text, no block-start shape? (Block starts — fences,

@@ -26,7 +26,10 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
     "> a\nb\n> c\n", ">> d\ne\n", "> p\n\nq\n", "> ```\nz\n", "> a\n    i\n",
     "1. a\n   b\n", "10. a\n    b\n", "1. a\n       c\n", "1. a\n  z\n",
     "1. a\n\n   p\n\n2. b\n", "2. a\n\tq\n", "1. a\n   - m\n",
-    "# #\n", "#\n", "## ###\n", "p\n- - -\n", "- -\t-\n", "#######\n")
+    "# #\n", "#\n", "## ###\n", "p\n- - -\n", "- -\t-\n", "#######\n",
+    // block syntax shaped item content (r12 fuzz find: re-indenting
+    // "    >" to the content column minted a quote marker)
+    "2. b\n    >\n", "1. a\n    # h\n", "1. a\n   ---\n", "1. a\n    ```\n")
   private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123="
 
   private def fuzz(seed: Long, cases: Int): Unit = {

@@ -333,9 +333,17 @@ class MdFormatLiteSpec extends AnyFunSuite {
     // next item at the nested indent starts a NEW list (its own number)
     assert(MdFormatLite.normalize("1. a\n   4. b\n   cont\n   9. c")
       == "1. a\n   4. b\n   cont\n   9. c")
-    // LAZY (under-indented) continuation: item-only fallback would shift
-    // meaning, so the whole run passes through
-    assert(MdFormatLite.normalize("2. a\nlazy\n5. b") == "2. a\nlazy\n5. b")
+    // LAZY (under-indented) continuation (R8e): it continues the item's
+    // paragraph, so it re-indents to the content column and the list
+    // still renumbers
+    assert(MdFormatLite.normalize("2. a\nlazy\n5. b") == "2. a\n   lazy\n2. b")
+    // laziness reaches the DEEPEST open item's paragraph
+    assert(MdFormatLite.normalize("1. a\n   4. b\n  z")
+      == "1. a\n   4. b\n      z")
+    // an under-indented break/underline shape interrupts, never lazy:
+    // the run passes through byte-stable
+    assert(MdFormatLite.normalize("2. a\n---") == "2. a\n---")
+    assert(MdFormatLite.normalize("2. a\n===") == "2. a\n===")
     // tab continuation: pass through
     assert(MdFormatLite.normalize("2. a\n\tcont\n5. b") == "2. a\n\tcont\n5. b")
     // bullet inside an ordered block: mixed-marker nesting passes through

@@ -47,9 +47,13 @@ package graft.split
   *      re-indent to the output content column, indented code inside an
   *      item keeps its relative offset) AND — R8e — to LAZY
   *      (under-indented) plain continuation lines, which re-indent to
-  *      the deepest open item's content column. Lists with tab indents
-  *      or mixed-marker nesting fall back to item-only renumbering or
-  *      pass through (divergence).
+  *      the deepest open item's content column, AND — R8f — to
+  *      MIXED-MARKER nesting: bullets nested in ordered items (and
+  *      ordered lists under bullets) participate structurally with a
+  *      2-column marker width; bullets never renumber, and a
+  *      marker-KIND switch starts a new list. Lists with tab indents
+  *      or block-syntax-shaped item content fall back to item-only
+  *      renumbering or pass through (divergence).
   *  R9. bracket escape normalization: [ and ] in TEXT — not part of a
   *      complete inline/reference link or image, not in a code span, not
   *      already escaped — render as \[ \] (mdformat's text renderer
@@ -93,9 +97,9 @@ package graft.split
   * Not implemented (documented divergence): emphasis-marker handling
   * needs none (mdformat renders em/strong with the SOURCE marker,
   * `node.markup` — markers are preserved, not rewritten); remaining gaps
-  * are ordered lists with tab indents or mixed-marker nesting
-  * (item-only renumbering or full pass-through), multi-line setext
-  * content, and paragraph re-wrapping
+  * are ordered lists with tab indents or block-syntax-shaped item
+  * content (item-only renumbering or byte-stable pass-through),
+  * multi-line setext content, and paragraph re-wrapping
   * (mdformat's default wrap mode keeps source line breaks anyway).
   * Table cells render through the mdformat-tables path (R6), not the
   * text-escape pass.
@@ -184,53 +188,85 @@ object MdFormatLite {
     * paragraph — it renders at that item's content column (no level
     * closes; laziness reaches the innermost paragraph).
     *
+    * R8f (round 12): BULLET lines participate STRUCTURALLY — a bullet
+    * nested in an ordered item (or an ordered list nested under a
+    * bullet) opens its own level with a 2-column ("- ") marker width,
+    * indents normalize against ancestor output widths like any level,
+    * and a marker-KIND switch at the same level starts a new CommonMark
+    * list (an ordered list resuming after a bullet interruption takes
+    * its own first number). Bullets themselves never renumber.
+    *
     * Returns None when the shape is not a clean list — a leading 4-space
     * indent, an over-indent CommonMark would read as indented CODE in
-    * place of an item, tab indents, a bullet line (mixed-marker nesting
-    * stays a documented pass-through), or an under-indented
-    * break/setext-underline shape (those interrupt rather than continue)
-    * — and the caller falls back to the round-11 item-only treatment. */
-  private def renumberNested(
-      items: Vector[Either[(String, String, String, String), String]]): Option[Vector[String]] = {
-    final case class Level(inIndent: Int, var num: String, var marker: String,
+    * place of an item, tab indents, or a continuation whose content is
+    * block-syntax-shaped — and the caller falls back to the round-11
+    * item-only treatment. */
+  private sealed trait ListLine
+  private final case class OItem(ind: String, num: String, marker: String, rest: String) extends ListLine
+  private final case class BItem(ind: String, rest: String) extends ListLine
+  private final case class Cont(raw: String) extends ListLine
+
+  private def renumberNested(items: Vector[ListLine]): Option[Vector[String]] = {
+    // bullet levels carry num = "" and marker = "-": width = "" + "-" +
+    // " " = 2 columns, and the shared rendering/contentCol arithmetic
+    // (num + marker + space) stays uniform across kinds
+    final case class Level(inIndent: Int, var bullet: Boolean,
+                           var num: String, var marker: String,
                            outIndent: Int) {
       def contentCol: Int = inIndent + num.length + 2 // marker char + space
+      def outContentCol: Int = outIndent + num.length + 2
     }
     // a TAB in an indent is 4 columns per CommonMark, not 1 — rather
     // than model column expansion, pass such blocks through untouched
     // (flattening a tab-nested line into a renumbered sibling would
     // corrupt the list)
     if (items.exists {
-      case Left((ind, _, _, _)) => ind.contains('\t')
-      case Right(raw) => raw.takeWhile(c => c == ' ' || c == '\t').contains('\t')
+      case OItem(ind, _, _, _) => ind.contains('\t')
+      case BItem(ind, _) => ind.contains('\t')
+      case Cont(raw) => raw.takeWhile(c => c == ' ' || c == '\t').contains('\t')
     }) return None
     if (items.isEmpty) return None
     items.head match {
-      case Left((ind, _, _, _)) if ind.length < 4 => ()
+      case OItem(ind, _, _, _) if ind.length < 4 => ()
       case _ => return None
     }
     val stack = scala.collection.mutable.ArrayBuffer.empty[Level]
     val out = Vector.newBuilder[String]
-    for (line <- items) line match {
-      case Left((ind, n, m, rest)) =>
-        val w = ind.length
-        // dedent closes nested levels; the OUTERMOST list never closes (a
-        // shallower-indented item still belongs to it per CommonMark)
-        while (stack.length > 1 && w < stack.last.inIndent)
-          stack.dropRightInPlace(1)
-        if (stack.isEmpty) stack += Level(w, n, m, 0)
-        else if (w >= stack.last.contentCol + 4) return None // indented code
-        else if (w >= stack.last.contentCol) {
-          val parent = stack.last
-          stack += Level(w, n, m, parent.outIndent + parent.num.length + 2)
-        } else {
-          val top = stack.last
-          if (m != top.marker) { top.num = n; top.marker = m }
-        }
+    // shared level resolution for marker lines of either kind
+    def levelFor(w: Int, bullet: Boolean, n: String, m: String): Option[Level] = {
+      // dedent closes nested levels; the OUTERMOST list never closes (a
+      // shallower-indented item still belongs to it per CommonMark)
+      while (stack.length > 1 && w < stack.last.inIndent)
+        stack.dropRightInPlace(1)
+      if (stack.isEmpty) stack += Level(w, bullet, n, m, 0)
+      else if (w >= stack.last.contentCol + 4) return None // indented code
+      else if (w >= stack.last.contentCol) {
+        val parent = stack.last
+        stack += Level(w, bullet, n, m, parent.outContentCol)
+      } else {
         val top = stack.last
-        out += (" " * top.outIndent) + top.num + top.marker + " " + rest
-      case Right(raw) =>
-        if (BulletRe.matches(raw)) return None // mixed-marker nesting: pass through
+        // a KIND or marker-type switch starts a new CommonMark list at
+        // this level, with its own first number (for ordered lists)
+        if (top.bullet != bullet || m != top.marker) {
+          top.bullet = bullet; top.num = n; top.marker = m
+        }
+      }
+      Some(stack.last)
+    }
+    for (line <- items) line match {
+      case OItem(ind, n, m, rest) =>
+        levelFor(ind.length, bullet = false, n, m) match {
+          case None => return None
+          case Some(top) =>
+            out += (" " * top.outIndent) + top.num + top.marker + " " + rest
+        }
+      case BItem(ind, rest) =>
+        levelFor(ind.length, bullet = true, "", "-") match {
+          case None => return None
+          case Some(top) =>
+            out += (" " * top.outIndent) + "- " + rest
+        }
+      case Cont(raw) =>
         if (stack.isEmpty) return None
         val w = raw.takeWhile(_ == ' ').length
         val text = raw.substring(w)
@@ -253,7 +289,7 @@ object MdFormatLite {
           while (stack.length > 1 && w < stack.last.contentCol)
             stack.dropRightInPlace(1)
         val top = stack.last
-        val outCol = top.outIndent + top.num.length + 2
+        val outCol = top.outContentCol
         if (w < top.contentCol) {
           // R8e (round 12): lazy paragraph continuation — mdformat
           // renders it AT the item's content column
@@ -466,10 +502,11 @@ object MdFormatLite {
       // starts at or beyond the minimum possible content column (3)
       def contish(b: (Vector[String], Boolean)): Boolean =
         b._2 && b._1.nonEmpty && b._1.head.startsWith("   ")
-      def parse(ls: Vector[String]): Vector[Either[(String, String, String, String), String]] =
+      def parse(ls: Vector[String]): Vector[ListLine] =
         ls.map {
-          case OrderedItemRe(ind, nu, m, rest) => Left((ind, nu, m, rest))
-          case other => Right(other)
+          case OrderedItemRe(ind, nu, m, rest) => OItem(ind, nu, m, rest)
+          case BulletRe(ind, rest) => BItem(ind, rest)
+          case other => Cont(other)
         }
       def emit(out: scala.collection.mutable.Builder[(Vector[String], Boolean), Vector[(Vector[String], Boolean)]],
                run: Seq[(Vector[String], Boolean)], lines: Vector[String]): Unit = {

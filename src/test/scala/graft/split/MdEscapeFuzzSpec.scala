@@ -29,7 +29,10 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
     "# #\n", "#\n", "## ###\n", "p\n- - -\n", "- -\t-\n", "#######\n",
     // block syntax shaped item content (r12 fuzz find: re-indenting
     // "    >" to the content column minted a quote marker)
-    "2. b\n    >\n", "1. a\n    # h\n", "1. a\n   ---\n", "1. a\n    ```\n")
+    "2. b\n    >\n", "1. a\n    # h\n", "1. a\n   ---\n", "1. a\n    ```\n",
+    // r12 mixed-marker structural bullets (R8f)
+    "1. a\n   - b\n", "1. a\n   - b\n     7. z\n", "3. a\n- c\n9. d\n",
+    "10. a\n    - b\n", "1. a\n  - b\n", "1. a\n   * c\n")
   private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123="
 
   private def fuzz(seed: Long, cases: Int): Unit = {

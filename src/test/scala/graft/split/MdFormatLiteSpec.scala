@@ -346,12 +346,26 @@ class MdFormatLiteSpec extends AnyFunSuite {
     assert(MdFormatLite.normalize("2. a\n===") == "2. a\n===")
     // tab continuation: pass through
     assert(MdFormatLite.normalize("2. a\n\tcont\n5. b") == "2. a\n\tcont\n5. b")
-    // bullet inside an ordered block: mixed-marker nesting passes through
-    assert(MdFormatLite.normalize("2. a\n   - b\n5. c") == "2. a\n   - b\n5. c")
+    // R8f: a bullet nested in an ordered item is STRUCTURAL — it opens
+    // its own (non-renumbering) level and the ordered list still
+    // renumbers around it
+    assert(MdFormatLite.normalize("2. a\n   - b\n5. c") == "2. a\n   - b\n2. c")
+    // nested ordered under the bullet: content columns accumulate
+    // through the bullet's 2-column marker
+    assert(MdFormatLite.normalize("1. a\n   - b\n     7. z\n     9. w")
+      == "1. a\n   - b\n     7. z\n     7. w")
+    // ordered resuming after a bullet interruption is a NEW list (its
+    // own first number); wide markers re-indent nested bullets
+    assert(MdFormatLite.normalize("3. a\n7. b\n- c\n9. d")
+      == "3. a\n3. b\n- c\n9. d")
+    assert(MdFormatLite.normalize("10. a\n    - b\n12. c")
+      == "10. a\n    - b\n10. c")
     for (s <- Seq("2. a\n   cont\n5. b", "10. a\n    cont\n12. b",
         "2. a\n       code\n5. b", "2. a\n\n   para\n\n5. b",
         "1. a\n   4. b\n   cont\n   9. c", "2. a\nlazy\n5. b",
-        "2. a\n   - b\n5. c", "3. a\n\n    code block\n\n7. b")) {
+        "2. a\n   - b\n5. c", "3. a\n\n    code block\n\n7. b",
+        "1. a\n   - b\n     7. z", "3. a\n7. b\n- c\n9. d",
+        "10. a\n    - b\n12. c", "1. a\n  - b")) {
       val once = MdFormatLite.normalize(s)
       assert(MdFormatLite.normalize(once) == once,
         s.replace("\n", "\\n") + " -> " + once.replace("\n", "\\n"))

@@ -1113,10 +1113,14 @@ object TextQ {
       // a LAZY quote continuation joins the quoted paragraph and renders
       // WITH markers (R15c), an ordered item's indented continuation
       // line re-indents to the content column while the list renumbers
-      // (R8d), a closing-sequence-only ATX heading ('# #') renders as
-      // the bare empty-heading marker, and a spaced '-' run after an
-      // open paragraph — never a setext underline — interrupts as a
-      // thematic break. Symbolic byte rebuild, like q63/q118/q119.
+      // (R8d), a LAZY item continuation re-indents to the content column
+      // (R8e), a bullet nested in an ordered item is structural and the
+      // ordered list renumbers around it (R8f), a TAB item indent
+      // measures as a 4-column stop and renders as spaces (R8g), a
+      // closing-sequence-only ATX heading ('# #') renders as the bare
+      // empty-heading marker, and a spaced '-' run after an open
+      // paragraph — never a setext underline — interrupts as a thematic
+      // break. Symbolic byte rebuild, like q63/q118/q119.
       (s, d) => {
         val w = split(col("text"), "\\s+")
         val md = concat(
@@ -1124,7 +1128,11 @@ object TextQ {
           lit("\n\n2. first "), element_at(w, 3),
           lit("\n   cont "), element_at(w, 4),
           lit("\n5. second "), element_at(w, 5),
-          lit("\n\n# #\n\nok\n- - -\n\nend "), element_at(w, 6))
+          lit("\n\n# #\n\nok\n- - -\n\nend "), element_at(w, 6),
+          lit("\n\n1. x "), element_at(w, 7),
+          lit("\n   - y "), element_at(w, 8),
+          lit("\n9. z\nlzy\n\n4. p "), element_at(w, 9),
+          lit("\n\t8. q"))
         val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
         docs(s, d)
           .select(col("doc_id"), fmtUdf(md).as("canon"))
@@ -1140,7 +1148,10 @@ object TextQ {
         |  '#' || chr(10) || chr(10) ||
         |  'ok' || chr(10) || chr(10) ||
         |  repeat('_', 70) || chr(10) || chr(10) ||
-        |  'end ' || t[6] AS canon
+        |  'end ' || t[6] || chr(10) || chr(10) ||
+        |  '1. x ' || t[7] || chr(10) || '   - y ' || t[8] || chr(10) ||
+        |  '1. z' || chr(10) || '   lzy' || chr(10) || chr(10) ||
+        |  '1. p ' || t[9] || chr(10) || '   8. q' AS canon
         |  FROM w)
         |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
         |FROM e ORDER BY doc_id""".stripMargin)),

@@ -51,9 +51,10 @@ package graft.split
   *      MIXED-MARKER nesting: bullets nested in ordered items (and
   *      ordered lists under bullets) participate structurally with a
   *      2-column marker width; bullets never renumber, and a
-  *      marker-KIND switch starts a new list. Lists with tab indents
-  *      or block-syntax-shaped item content fall back to item-only
-  *      renumbering or pass through (divergence).
+  *      marker-KIND switch starts a new list, AND — R8g — TAB indents
+  *      measure as CommonMark 4-column tab stops and render as spaces.
+  *      Lists with block-syntax-shaped item content fall back to
+  *      item-only renumbering or pass through (divergence).
   *  R9. bracket escape normalization: [ and ] in TEXT — not part of a
   *      complete inline/reference link or image, not in a code span, not
   *      already escaped — render as \[ \] (mdformat's text renderer
@@ -97,8 +98,8 @@ package graft.split
   * Not implemented (documented divergence): emphasis-marker handling
   * needs none (mdformat renders em/strong with the SOURCE marker,
   * `node.markup` — markers are preserved, not rewritten); remaining gaps
-  * are ordered lists with tab indents or block-syntax-shaped item
-  * content (item-only renumbering or byte-stable pass-through),
+  * are ordered lists with block-syntax-shaped item content
+  * (item-only renumbering or byte-stable pass-through),
   * multi-line setext content, and paragraph re-wrapping
   * (mdformat's default wrap mode keeps source line breaks anyway).
   * Table cells render through the mdformat-tables path (R6), not the
@@ -216,18 +217,23 @@ object MdFormatLite {
       def contentCol: Int = inIndent + num.length + 2 // marker char + space
       def outContentCol: Int = outIndent + num.length + 2
     }
-    // a TAB in an indent is 4 columns per CommonMark, not 1 — rather
-    // than model column expansion, pass such blocks through untouched
-    // (flattening a tab-nested line into a renumbered sibling would
-    // corrupt the list)
-    if (items.exists {
-      case OItem(ind, _, _, _) => ind.contains('\t')
-      case BItem(ind, _) => ind.contains('\t')
-      case Cont(raw) => raw.takeWhile(c => c == ' ' || c == '\t').contains('\t')
-    }) return None
+    // R8g (round 12): a TAB in leading whitespace advances to the next
+    // 4-column tab stop (CommonMark's tab expansion); indents are
+    // measured in COLUMNS and always render as spaces (mdformat emits
+    // space indents)
     if (items.isEmpty) return None
+    // leading-whitespace COLUMN width under 4-column tab stops
+    def colWidth(ws: String): Int = {
+      var col = 0
+      var i = 0
+      while (i < ws.length) {
+        if (ws.charAt(i) == '\t') col += 4 - (col % 4) else col += 1
+        i += 1
+      }
+      col
+    }
     items.head match {
-      case OItem(ind, _, _, _) if ind.length < 4 => ()
+      case OItem(ind, _, _, _) if colWidth(ind) < 4 => ()
       case _ => return None
     }
     val stack = scala.collection.mutable.ArrayBuffer.empty[Level]
@@ -255,21 +261,22 @@ object MdFormatLite {
     }
     for (line <- items) line match {
       case OItem(ind, n, m, rest) =>
-        levelFor(ind.length, bullet = false, n, m) match {
+        levelFor(colWidth(ind), bullet = false, n, m) match {
           case None => return None
           case Some(top) =>
             out += (" " * top.outIndent) + top.num + top.marker + " " + rest
         }
       case BItem(ind, rest) =>
-        levelFor(ind.length, bullet = true, "", "-") match {
+        levelFor(colWidth(ind), bullet = true, "", "-") match {
           case None => return None
           case Some(top) =>
             out += (" " * top.outIndent) + "- " + rest
         }
       case Cont(raw) =>
         if (stack.isEmpty) return None
-        val w = raw.takeWhile(_ == ' ').length
-        val text = raw.substring(w)
+        val lead = raw.takeWhile(c => c == ' ' || c == '\t')
+        val w = colWidth(lead)
+        val text = raw.substring(lead.length)
         // BLOCK-SYNTAX-shaped content (quote marker, heading, fence,
         // break, setext underline) nested in item content is beyond this
         // grouper's container model — and re-indenting it to the content

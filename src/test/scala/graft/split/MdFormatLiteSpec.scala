@@ -243,17 +243,16 @@ class MdFormatLiteSpec extends AnyFunSuite {
     }
   }
 
-  test("review findings: deep-quote recursion bounded; tab indents pass through; decoded-digit markers escape") {
+  test("review findings: deep-quote recursion bounded; tab indents expand; decoded-digit markers escape") {
     // a single line of thousands of '>' markers must not blow the stack
     // (the R15b recursion is depth-capped; past the cap quote lines take
     // the byte-stable paragraph path)
     val deep = (">" * 3000) + " x"
     val o = MdFormatLite.normalize(deep)
     assert(o.nonEmpty && MdFormatLite.normalize(o) == o)
-    // a TAB in an item's indent is 4 CommonMark columns, not 1 — rather
-    // than flatten the nested item into a renumbered sibling, the block
-    // passes through untouched
-    assert(MdFormatLite.normalize("1. a\n\t5. b") == "1. a\n\t5. b")
+    // R8g (round 12): the tab measures as a 4-column stop — the item
+    // nests (4 >= content col 3) and the indent renders as spaces
+    assert(MdFormatLite.normalize("1. a\n\t5. b") == "1. a\n   5. b")
     // tab-indented code after a block opens a code block (no escapes)
     assert(MdFormatLite.normalize("p\n\n\tcode [x]") == "p\n\n\tcode [x]")
     // entity-decoded digits + a PLAIN '.' would mint an ordered-list
@@ -344,8 +343,9 @@ class MdFormatLiteSpec extends AnyFunSuite {
     // the run passes through byte-stable
     assert(MdFormatLite.normalize("2. a\n---") == "2. a\n---")
     assert(MdFormatLite.normalize("2. a\n===") == "2. a\n===")
-    // tab continuation: pass through
-    assert(MdFormatLite.normalize("2. a\n\tcont\n5. b") == "2. a\n\tcont\n5. b")
+    // tab continuation (R8g): 4-column stop = content col 3 + 1 extra,
+    // renders at the content column in spaces
+    assert(MdFormatLite.normalize("2. a\n\tcont\n5. b") == "2. a\n   cont\n2. b")
     // R8f: a bullet nested in an ordered item is STRUCTURAL — it opens
     // its own (non-renumbering) level and the ordered list still
     // renumbers around it

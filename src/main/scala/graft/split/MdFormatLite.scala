@@ -51,7 +51,10 @@ package graft.split
   *      MIXED-MARKER nesting: bullets nested in ordered items (and
   *      ordered lists under bullets) participate structurally with a
   *      2-column marker width; bullets never renumber, and a
-  *      marker-KIND switch starts a new list, AND — R8g — TAB indents
+  *      marker-KIND switch starts a new list (bullet-HEADED lists flow
+  *      through the same pass, so ordered lists nested under bullets
+  *      renumber and nested bullet indents normalize), AND — R8g — TAB
+  *      indents
   *      measure as CommonMark 4-column tab stops and render as spaces.
   *      Lists with block-syntax-shaped item content fall back to
   *      item-only renumbering or pass through (divergence).
@@ -234,6 +237,7 @@ object MdFormatLite {
     }
     items.head match {
       case OItem(ind, _, _, _) if colWidth(ind) < 4 => ()
+      case BItem(ind, _) if colWidth(ind) < 4 => ()
       case _ => return None
     }
     val stack = scala.collection.mutable.ArrayBuffer.empty[Level]
@@ -504,7 +508,8 @@ object MdFormatLite {
     // else passes through untouched.
     def renumberLoose(bs: Vector[(Vector[String], Boolean)]): Vector[(Vector[String], Boolean)] = {
       def orderedish(b: (Vector[String], Boolean)): Boolean =
-        b._2 && b._1.nonEmpty && OrderedItemRe.matches(b._1.head)
+        b._2 && b._1.nonEmpty &&
+          (OrderedItemRe.matches(b._1.head) || BulletRe.matches(b._1.head))
       // a block that could be a loose item's continuation paragraph:
       // starts at or beyond the minimum possible content column (3)
       def contish(b: (Vector[String], Boolean)): Boolean =

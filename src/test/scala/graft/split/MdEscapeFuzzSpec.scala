@@ -32,7 +32,8 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
     "2. b\n    >\n", "1. a\n    # h\n", "1. a\n   ---\n", "1. a\n    ```\n",
     // r12 mixed-marker structural bullets (R8f)
     "1. a\n   - b\n", "1. a\n   - b\n     7. z\n", "3. a\n- c\n9. d\n",
-    "10. a\n    - b\n", "1. a\n  - b\n", "1. a\n   * c\n")
+    "10. a\n    - b\n", "1. a\n  - b\n", "1. a\n   * c\n",
+    "- a\n  3. x\n", "- a\n   - b\n", "- a\n1. x\n", "* a\n  cont\n")
   private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123="
 
   private def fuzz(seed: Long, cases: Int): Unit = {

@@ -360,12 +360,19 @@ class MdFormatLiteSpec extends AnyFunSuite {
       == "3. a\n3. b\n- c\n9. d")
     assert(MdFormatLite.normalize("10. a\n    - b\n12. c")
       == "10. a\n    - b\n10. c")
+    // bullet-HEADED lists reach the renumberer too: nested ordered
+    // lists under a bullet renumber, and nested bullet indents
+    // normalize to the parent's 2-column marker width
+    assert(MdFormatLite.normalize("- a\n  3. x\n  7. y") == "- a\n  3. x\n  3. y")
+    assert(MdFormatLite.normalize("- a\n   - b") == "- a\n  - b")
+    assert(MdFormatLite.normalize("- a\n- b") == "- a\n- b")
     for (s <- Seq("2. a\n   cont\n5. b", "10. a\n    cont\n12. b",
         "2. a\n       code\n5. b", "2. a\n\n   para\n\n5. b",
         "1. a\n   4. b\n   cont\n   9. c", "2. a\nlazy\n5. b",
         "2. a\n   - b\n5. c", "3. a\n\n    code block\n\n7. b",
         "1. a\n   - b\n     7. z", "3. a\n7. b\n- c\n9. d",
-        "10. a\n    - b\n12. c", "1. a\n  - b")) {
+        "10. a\n    - b\n12. c", "1. a\n  - b",
+        "- a\n  3. x\n  7. y", "- a\n   - b", "- a\n1. x")) {
       val once = MdFormatLite.normalize(s)
       assert(MdFormatLite.normalize(once) == once,
         s.replace("\n", "\\n") + " -> " + once.replace("\n", "\\n"))

@@ -454,7 +454,11 @@ object MdFormatLite {
       if (!classified) {
         if (FenceRe.matches(l)) { inFence = true; state = 2 }
         else if (HeadingRe.matches(l) || EmptyHeadingRe.matches(l) || HrRe.matches(l)) state = 2
-        else if (BulletRe.matches(l) || OrderedItemRe.matches(l)) state = 2
+        // a LIST ITEM leaves its own paragraph open — CommonMark
+        // laziness reaches through the item container, and the inner
+        // re-format (R8e) re-indents the lazy line to the item's
+        // content column (round 12; was conservative-close)
+        else if (BulletRe.matches(l) || OrderedItemRe.matches(l)) state = 1
         else if (l.contains("|") && idx + 1 < doc.length && isSep(doc(idx + 1))) {
           state = 2
           idx += 2

@@ -303,11 +303,12 @@ class MdFormatLiteSpec extends AnyFunSuite {
     assert(MdFormatLite.normalize("> # h\nnext") == "> # h\n\nnext")
     // an unclosed fence inside the quote cannot continue lazily either
     assert(MdFormatLite.normalize("> ```\ncode") == "> ```\n\ncode")
-    // a quote ending in a LIST closes before a plain follower (list-item
-    // lazy continuation is a documented divergence — conservative close;
-    // the quoted list still renumbers)
+    // a quote ending in a LIST absorbs a plain follower too: CommonMark
+    // laziness reaches through the item container, and the inner R8e
+    // pass re-indents the lazy line to the item's content column
     assert(MdFormatLite.normalize("> 3. a\n> 7. b\nlazy")
-      == "> 3. a\n> 3. b\n\nlazy")
+      == "> 3. a\n> 3. b\n>    lazy")
+    assert(MdFormatLite.normalize("> - q\nplain") == "> - q\n>   plain")
     for (s <- Seq("> a\nb", ">a\nb", "> a\nb\n> c", "> > deep\nlazy",
         "> a\n# h", "> # h\nnext", "> ```\ncode", "> 3. a\n> 7. b\nlazy",
         "> a\n    ind", "> a\nb\n\nc")) {

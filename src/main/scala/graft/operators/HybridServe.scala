@@ -130,8 +130,11 @@ object HybridServe {
   /** Persist the artifact set under `dir`: `index_store`, `ivf_store`,
     * `pq_store`, `cells_store` (via [[PqIndex.writeCells]] — the
     * one-file-per-cell layout is this writer's contract, not a caller
-    * convention) and a 1-row `meta` carrying nDocs. Returns the index row
-    * count (used by [[saveVersioned]] as the verified payload count). */
+    * convention) and a 1-row `meta` carrying nDocs. Returns the READ-BACK
+    * index + cells row count — [[saveVersioned]]'s verified payload
+    * count, summed over both stores so a lexically-empty corpus with
+    * valid vectors (or vice versa) still commits; only a genuinely empty
+    * artifact set reads as the empty payload the sink refuses to alias. */
   def save(spark: SparkSession, a: Artifacts, dir: String): Long = {
     import spark.implicits._
     a.index.write.mode("overwrite").parquet(s"$dir/index_store")
@@ -140,7 +143,12 @@ object HybridServe {
     PqIndex.writeCells(a.cells, s"$dir/cells_store")
     Seq(a.nDocs).toDF("n_docs").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
-    spark.read.parquet(s"$dir/index_store").count()
+    // an empty store has no files to infer a schema from — that side
+    // simply contributes 0 to the verified count
+    def readCount(p: String): Long =
+      try spark.read.parquet(p).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    readCount(s"$dir/index_store") + readCount(s"$dir/cells_store")
   }
 
   /** Rehydrate [[Artifacts]] from a [[save]]d directory: the models load

@@ -246,13 +246,26 @@ object MdFormatLite {
     def levelFor(w: Int, bullet: Boolean, n: String, m: String): Option[Level] = {
       // dedent closes nested levels; the OUTERMOST list never closes (a
       // shallower-indented item still belongs to it per CommonMark)
-      while (stack.length > 1 && w < stack.last.inIndent)
+      val popped = scala.collection.mutable.ArrayBuffer.empty[Level]
+      while (stack.length > 1 && w < stack.last.inIndent) {
+        popped += stack.last
         stack.dropRightInPlace(1)
+      }
       if (stack.isEmpty) stack += Level(w, bullet, n, m, 0)
       else if (w >= stack.last.contentCol + 4) return None // indented code
       else if (w >= stack.last.contentCol) {
         val parent = stack.last
-        stack += Level(w, bullet, n, m, parent.outContentCol)
+        val outIndent = parent.outContentCol
+        // OUTPUT-INDENT COLLISION (deep-fuzz r12 find): distinct input
+        // indents can normalize to the SAME output column. If an
+        // ordered list that was just closed by this dedent rendered at
+        // this column with the same marker but a DIFFERENT number, the
+        // rendered doc re-parses as ONE merged list and renumbers again
+        // next pass — not representable, so the run passes through
+        if (popped.exists(p => !p.bullet && !bullet &&
+            p.outIndent == outIndent && p.marker == m && p.num != n))
+          return None
+        stack += Level(w, bullet, n, m, outIndent)
       } else {
         val top = stack.last
         // a KIND or marker-type switch starts a new CommonMark list at
@@ -274,7 +287,13 @@ object MdFormatLite {
         levelFor(colWidth(ind), bullet = true, "", "-") match {
           case None => return None
           case Some(top) =>
-            out += (" " * top.outIndent) + "- " + rest
+            // re-indenting can COMPLETE thematic-break syntax the
+            // grouper's own bullet guard never saw ("\t* --" rendered
+            // at column 2 becomes "  - --", a valid break) — apply the
+            // same collision escape here (deep-fuzz r12 find)
+            val line = (" " * top.outIndent) + "- " + rest
+            out += (if (HrRe.matches(line)) (" " * top.outIndent) + "- \\" + rest
+                    else line)
         }
       case Cont(raw) =>
         if (stack.isEmpty) return None
@@ -296,9 +315,12 @@ object MdFormatLite {
         // but a LAZY (under-everything) line continues the DEEPEST open
         // item's paragraph (CommonMark laziness), so levels only close
         // when the line reaches SOME shallower level's content column
+        val popped = scala.collection.mutable.ArrayBuffer.empty[Level]
         if (w >= stack.head.contentCol)
-          while (stack.length > 1 && w < stack.last.contentCol)
+          while (stack.length > 1 && w < stack.last.contentCol) {
+            popped += stack.last
             stack.dropRightInPlace(1)
+          }
         val top = stack.last
         val outCol = top.outContentCol
         if (w < top.contentCol) {
@@ -307,10 +329,21 @@ object MdFormatLite {
           out += (" " * outCol) + text
         } else {
           val extra = w - top.contentCol
-          // < 4 extra: paragraph continuation, renders AT the content
-          // column; >= 4: indented code inside the item, relative offset
-          // preserved so it stays code
-          out += (" " * (outCol + (if (extra >= 4) extra else 0))) + text
+          if (extra >= 4) {
+            // indented code inside the item: relative offset preserved
+            // so it stays code — UNLESS the preserved offset would reach
+            // a level this dedent just closed: that level renders
+            // NARROWER than its input indent, so in output coordinates
+            // the code line would re-attach to it and re-classify next
+            // pass (deep-fuzz r12 find) — not representable, pass the
+            // run through byte-stable
+            if (popped.exists(p => p.outContentCol <= outCol + extra))
+              return None
+            out += (" " * (outCol + extra)) + text
+          } else {
+            // < 4 extra: paragraph continuation, renders AT the column
+            out += (" " * outCol) + text
+          }
         }
     }
     Some(out.result())

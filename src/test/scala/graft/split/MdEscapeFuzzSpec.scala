@@ -75,7 +75,14 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
       "-- #\n-",          // setext title ending ' #': closing seq escapes
       "a\n\\=",           // escaped '=' must not become a setext h1
       "&#49;. x\n\n2. y", // decoded digit + plain '.' must not mint a marker
-      "1. a\n\t5. b")     // tab-indented items pass through (4-col tabs)
+      "1. a\n\t5. b",     // tab indent measures as a 4-column stop (R8g)
+      // deep-fuzz r12 finds: re-indented bullet completing break syntax,
+      // same-output-column adjacent ordered lists re-merging, and a
+      // code-offset continuation reaching back into a just-closed level
+      "- c\n\t* --",
+      "- b\n   7. z\n  3. x",
+      "- b\n    7. z\n      c",
+      "9. d\n     1. a\n       c")     // tab-indented items pass through (4-col tabs)
     for (s <- cases) {
       val once = MdFormatLite.normalize(s)
       assert(MdFormatLite.normalize(once) == once,

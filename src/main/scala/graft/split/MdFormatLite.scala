@@ -110,7 +110,7 @@ package graft.split
   */
 object MdFormatLite {
 
-  private val TableSepRe = "^\\s*\\|?(?:\\s*:?-+:?\\s*\\|)+\\s*$".r
+  private[split] val TableSepRe = "^\\s*\\|?(?:\\s*:?-+:?\\s*\\|)+\\s*$".r
   // CommonMark: a heading may be indented up to 3 spaces (and the final
   // whole-output strip() would expose a leading-space heading to the next
   // pass anyway — parsing it here keeps normalize idempotent)

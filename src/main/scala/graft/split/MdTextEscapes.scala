@@ -472,6 +472,32 @@ private[split] object MdTextEscapes {
             }
             true
           }
+          // a decoded '-' or ':' whose whole DECODED line is made of
+          // - : | and whitespace WITH a pipe present would form a TABLE
+          // SEPARATOR row on re-parse ("|\n|\-|" dropping the escape
+          // becomes "|\n|-|", a valid header+separator — the 1M-fuzz
+          // r12 find): it must stay escaped. Pure dash/ws lines are the
+          // thematic-break/setext hazard lineAllCharOrWs already covers.
+          def lineSepShape: Boolean = {
+            val left = new StringBuilder
+            val right = new StringBuilder
+            def dir(step: Int, sb: StringBuilder): Boolean = {
+              var j = i + step
+              while (j >= 0 && j < items.length) {
+                items(j) match {
+                  case TextChar('\n', _) => return true
+                  case TextChar(x, _) if x == '-' || x == ':' || x == '|' ||
+                      x == ' ' || x == '\t' =>
+                    sb.append(x); j += step
+                  case _ => return false
+                }
+              }
+              true
+            }
+            if (!dir(-1, left) || !dir(1, right)) return false
+            val line = left.reverse.toString + c + right.toString
+            line.contains('|') && MdFormatLite.TableSepRe.matches(line)
+          }
           // a decoded '>' is a quote-marker hazard not just at line
           // start but anywhere in a line-start run of markers/ws
           // ("> \>" dropping its escape becomes a second marker)
@@ -498,6 +524,8 @@ private[split] object MdTextEscapes {
             out.append('\\').append(c)
           } else if (decoded && (c == '-' || c == '*' || c == '_' || c == '=') &&
               lineAllCharOrWs(c)) {
+            out.append('\\').append(c)
+          } else if (decoded && (c == '-' || c == ':') && lineSepShape) {
             out.append('\\').append(c)
           } else if ((c == '.' || c == ')') && isWs(nextCh) &&
               lineIsDigits() && (decoded || decodedDigitRun(i)) ) {
@@ -559,6 +587,13 @@ private[split] object MdTextEscapes {
               if (dropOk) out.append(c)
               else out.append('\\').append(c)
             case '[' | ']' | '<' | '`' => out.append('\\').append(c)
+            case '|' if decoded =>
+              // an ESCAPED pipe keeps its escape: pipes are structural
+              // under the tables extension, and dropping one can MINT a
+              // table ("|\n-\|" -> "|\n-|", a valid separator row next
+              // pass — the 1M-fuzz r12 find); mdformat-tables likewise
+              // escapes pipes in text. Plain input pipes stay bare.
+              out.append('\\').append(c)
             case '&' =>
               val rest = downstream(i)
               val named = NamedRefRe.matcher(rest)

@@ -82,7 +82,11 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
       "- c\n\t* --",
       "- b\n   7. z\n  3. x",
       "- b\n    7. z\n      c",
-      "9. d\n     1. a\n       c")     // tab-indented items pass through (4-col tabs)
+      "9. d\n     1. a\n       c",
+      // escaped pipes/dashes must never drop into table-separator
+      // syntax ("|\n-\|" -> "|\n-|" is a header+separator next pass)
+      "|\n-\\|",
+      "|\n|\\-|")     // tab-indented items pass through (4-col tabs)
     for (s <- cases) {
       val once = MdFormatLite.normalize(s)
       assert(MdFormatLite.normalize(once) == once,

@@ -131,13 +131,20 @@ object Bench {
       .mkString("{", ",", "}")
     val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"contended":$contended,"errors":${failed.mkString("[", ",", "]")},"wall":${fmt(wallSec)},"spread_max":${fmt(spreadMax)},"spread_p90":${fmt(spreadP90)},"value":${fmt(total)}}"""
     println(json)
-    // The console line is tail-truncated by the driver's artifact capture
-    // (~2000 chars — BENCH_r10/r11 recorded `parsed: null`); when
-    // SPARK_GRAFT_BENCH_OUT names a file, the full record also lands there
-    // so the artifact parses regardless of console truncation.
+    // The console output is tail-truncated by the driver's artifact capture
+    // (~2000 chars — the full line above is longer than that, so BENCH_r10-
+    // r12 recorded `parsed: null`). Route around it from THIS side: a
+    // second, short, headline-only JSON line printed LAST always survives
+    // tail truncation intact, so the artifact parses with no driver change
+    // and no env var. The full per-query map stays in the first line (and
+    // in SPARK_GRAFT_BENCH_OUT when set) for humans and judges.
+    val headline = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"errors":${failed.mkString("[", ",", "]")},"wall":${fmt(wallSec)},"spread_max":${fmt(spreadMax)},"spread_p90":${fmt(spreadP90)},"value":${fmt(total)}}"""
+    println(headline)
+    // When SPARK_GRAFT_BENCH_OUT names a file, the full record also lands
+    // there so the complete per-query map parses regardless of truncation.
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (json + "\n").getBytes("UTF-8"))
+        (json + "\n" + headline + "\n").getBytes("UTF-8"))
     }
     spark.stop()
   }

@@ -124,23 +124,20 @@ final class VersionedTableSink(root: String, name: String, historyLen: Int = 10)
     * version directory and returns the verified row count; the
     * commit-order guarantees are [[write]]'s exactly (manifest only after
     * the payload verifies, atomic alias swap, GC last). A zero count is
-    * the empty-input guard: the written directory is removed, the alias
-    * is never clobbered, and the burned version number is harmless
-    * (nextVersion never reuses). */
+    * the empty-input guard: no manifest is committed and the alias is
+    * never clobbered. The written directory is LEFT IN PLACE as ordinary
+    * manifest-less crash debris — invisible to readers, GC'd after the
+    * next successful swap — so the version number stays burned exactly as
+    * the crash-safety contract requires (nextVersion counts dirs AND
+    * manifests; deleting the dir here would hand the same number to the
+    * next writer, whose payload writer may legitimately use
+    * `errorifexists` and collide). */
   def writeVia(writePayload: String => Long): Int = {
     adoptLegacy()
     val v = nextVersion()
     val dir = versionDir(v)
     val rows = writePayload(dir)
-    if (rows == 0) {
-      val p = Paths.get(dir)
-      if (Files.exists(p)) {
-        val walk = Files.walk(p)
-        val paths = try walk.iterator().asScala.toSeq finally walk.close()
-        paths.reverse.foreach(Files.delete)
-      }
-      return aliasedVersion().getOrElse(0)
-    }
+    if (rows == 0) return aliasedVersion().getOrElse(0)
     commitManifest(v, rows)
     swapAlias(v)
     retire()

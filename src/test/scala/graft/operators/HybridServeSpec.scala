@@ -254,6 +254,162 @@ class HybridServeSpec extends SparkSpec {
     }
   }
 
+  test("mutation preconditions are enforced from the persisted config: a minDf-pruned store rejects ingest/remove, a lowercase mismatch rejects serve") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_guard").toString
+    try {
+      val (ivf, pq) = tinyModels(embeddings)
+      // built PRUNED (champMinDf = 2) — legal for serving, ineligible for
+      // exact incremental maintenance
+      val pruned = HybridServe.buildWith(corpus, "doc_id", "text",
+        embeddings, "vec_id", "embedding", ivf, pq,
+        HybridServe.BuildConfig(champMinDf = 2L))
+      HybridServe.save(spark, pruned, s"$root/store")
+      // the loaded store KNOWS it was built pruned — the guard fires on
+      // artifacts restored from disk, not just on the builder's in-memory set
+      val loaded = HybridServe.load(spark, s"$root/store")
+      assert(loaded.build.champMinDf == 2L)
+      val eIngest = intercept[IllegalArgumentException] {
+        HybridServe.ingest(loaded, corpus.limit(0), "doc_id", "text",
+          embeddings.limit(0), "vec_id", "embedding")
+      }
+      assert(eIngest.getMessage.contains("champMinDf = 1"))
+      assert(eIngest.getMessage.contains("rebuild"))
+      val eRemove = intercept[IllegalArgumentException] {
+        HybridServe.remove(loaded, corpus.filter($"doc_id" === 1), "doc_id", "text")
+      }
+      assert(eRemove.getMessage.contains("champMinDf = 1"))
+      // serve-side coupling: lowercasing query terms against an index that
+      // was built case-preserving (or vice versa) is a silent-empty-leg
+      // trap, so the mismatch fails loudly
+      val eServe = intercept[IllegalArgumentException] {
+        HybridServe.serve(loaded, queryBatch,
+          cfg = HybridServe.ServeConfig(lowercase = false))
+      }
+      assert(eServe.getMessage.contains("lowercase"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("remove is exact when lists are full (m >= df): serve == from-scratch build over the survivors, and unknown stale ids fail fast") {
+    val (ivf, pq) = tinyModels(embeddings)
+    val cfg = HybridServe.ServeConfig(kTopPerLeg = 3, kTop = 3, nprobe = 1)
+    def serveRows(a: HybridServe.Artifacts) =
+      HybridServe.serve(a, queryBatch, cfg = cfg)
+        .select($"query_id", $"doc_id", $"rank", $"rrf_micro", $"n_sources")
+        .as[(String, Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+
+    val full = HybridServe.buildWith(corpus, "doc_id", "text",
+      embeddings, "vec_id", "embedding", ivf, pq)
+    // doc 3 goes stale — the stale frame is its row AS STORED
+    val removed = HybridServe.remove(full, corpus.filter($"doc_id" === 3),
+      "doc_id", "text")
+    assert(removed.nDocs == 3)
+    val fromScratch = HybridServe.buildWith(corpus.filter($"doc_id" =!= 3),
+      "doc_id", "text", embeddings.filter($"vec_id" =!= 3),
+      "vec_id", "embedding", ivf, pq)
+    val got = serveRows(removed)
+    assert(got.nonEmpty)
+    assert(got == serveRows(fromScratch),
+      s"remove diverged from from-scratch:\n$got\nvs\n${serveRows(fromScratch)}")
+    // the stale doc is gone from BOTH legs
+    assert(!got.exists(_._2 == 3L))
+    // full lists here (champM=8 >= every df), so nothing degraded
+    assert(HybridServe.compactionDue(removed).count() == 0)
+    // subtracting a doc that was never stored would corrupt df/cf — guarded
+    assertThrows[IllegalArgumentException] {
+      HybridServe.remove(full,
+        Seq((99L, "ghost")).toDF("doc_id", "text"), "doc_id", "text")
+    }
+  }
+
+  test("upsert re-ingests under the SAME id and serves like a from-scratch build of the updated corpus; lifecycle survives save/load") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_upsert").toString
+    try {
+      val (ivf, pq) = tinyModels(embeddings)
+      val cfg = HybridServe.ServeConfig(kTopPerLeg = 3, kTop = 3, nprobe = 1)
+      def serveRows(a: HybridServe.Artifacts) =
+        HybridServe.serve(a, queryBatch, cfg = cfg)
+          .select($"query_id", $"doc_id", $"rank", $"rrf_micro", $"n_sources")
+          .as[(String, Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+
+      val full = HybridServe.buildWith(corpus, "doc_id", "text",
+        embeddings, "vec_id", "embedding", ivf, pq)
+      // doc 2 changes content (update) and doc 5 arrives (create) — the
+      // reference's create-vs-update batch, in one upsert call
+      val fresh = Seq((2L, "spark batch spark"), (5L, "stream filter"))
+        .toDF("doc_id", "text")
+      val freshEmb = Seq(
+        (2L, Array(0.8f, 0.3f, 0.1f, 0.2f)),
+        (5L, Array(0.2f, 0.8f, 0.9f, 0.2f))
+      ).toDF("vec_id", "embedding")
+      val up = HybridServe.upsert(full, corpus.filter($"doc_id" === 2),
+        fresh, "doc_id", "text", freshEmb, "vec_id", "embedding")
+      assert(up.nDocs == 5)
+
+      val newCorpus = corpus.filter($"doc_id" =!= 2).unionByName(fresh)
+      val newEmb = embeddings.filter($"vec_id" =!= 2).unionByName(freshEmb)
+      val fromScratch = HybridServe.buildWith(newCorpus, "doc_id", "text",
+        newEmb, "vec_id", "embedding", ivf, pq)
+      val got = serveRows(up)
+      assert(got.nonEmpty)
+      assert(got == serveRows(fromScratch),
+        s"upsert diverged from from-scratch:\n$got\nvs\n${serveRows(fromScratch)}")
+
+      // the mutated set persists and restarts through the normal lifecycle
+      HybridServe.save(spark, up, s"$root/store")
+      val reloaded = HybridServe.load(spark, s"$root/store")
+      assert(reloaded.nDocs == 5 && reloaded.build == up.build)
+      assert(serveRows(reloaded) == got)
+      // removal compacted physically: the persisted cells store no longer
+      // carries the stale encoding (one row per surviving id)
+      assert(spark.read.parquet(s"$root/store/cells_store").count() == 5)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("serving a removed set adds no exchange: the stale anti-joins broadcast, and the cells scan keeps its partition filter") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_rmplan").toString
+    try {
+      corpus.write.parquet(s"$root/docs_tbl")
+      embeddings.write.parquet(s"$root/emb_tbl")
+      val docsT = spark.read.parquet(s"$root/docs_tbl")
+      val embT = spark.read.parquet(s"$root/emb_tbl")
+      val (ivf, pq) = tinyModels(embT)
+      val arts = HybridServe.buildWith(docsT, "doc_id", "text",
+        embT, "vec_id", "embedding", ivf, pq)
+      HybridServe.save(spark, arts, s"$root/store")
+      val removed = HybridServe.remove(HybridServe.load(spark, s"$root/store"),
+        docsT.filter($"doc_id" === 3), "doc_id", "text")
+      val fused = HybridServe.serve(removed, queryBatch,
+        cfg = HybridServe.ServeConfig(kTopPerLeg = 3, kTop = 3, nprobe = 1))
+      assert(fused.count() > 0)
+      val plan = fused.queryExecution.sparkPlan
+      // the anti-joins the removal added are broadcast — a shuffled
+      // anti-join here would mean the tombstone side shuffled the INDEX
+      // (or the cells store) at serve time
+      val antiJoins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }
+      assert(antiJoins.nonEmpty)
+      assert(antiJoins.forall(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+        antiJoins.map(_.nodeName).toString)
+      // partition pruning on the cells store survives the anti-join
+      val cellScans = plan.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("cells_store")) => f
+      }
+      assert(cellScans.nonEmpty)
+      assert(cellScans.forall(_.partitionFilters.nonEmpty),
+        cellScans.map(_.partitionFilters).toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("versioned lifecycle: saveVersioned commits and alias-swaps, loadCurrent follows the alias, old versions retire") {
     val root = java.nio.file.Files.createTempDirectory("graft_hybrid_versioned").toString
     try {

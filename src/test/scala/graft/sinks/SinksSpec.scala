@@ -26,6 +26,33 @@ class SinksSpec extends SparkSpec {
     assert(v == 1 && sink.aliasedVersion().contains(1))
   }
 
+  test("writeVia: empty payload burns its version number (manifest-less debris, alias untouched, GC'd after the next successful swap)") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("vsink2b")
+    val sink = new VersionedTableSink(root, "kb")
+    sink.write(Seq((1, "a")).toDF("id", "t"))
+    // an empty payload: the writer populates the dir but reports 0 rows
+    val v = sink.writeVia { dir =>
+      Seq.empty[(Int, String)].toDF("id", "t").write.parquet(s"$dir/part")
+      0L
+    }
+    assert(v == 1 && sink.aliasedVersion().contains(1), "alias must not move")
+    // the dir stays as manifest-less debris — invisible to readers, but the
+    // number is BURNED: the next writer gets v3, never a reused v2 (whose
+    // errorifexists payload write would otherwise collide with the debris)
+    assert(Files.exists(Paths.get(sink.versionDir(2))))
+    assert(!Files.exists(sink.manifestFile(2)))
+    assert(sink.versions() == Seq(1))
+    val v3 = sink.writeVia { dir =>
+      val df = Seq((3, "c")).toDF("id", "t")
+      df.write.mode("errorifexists").parquet(dir)
+      df.sparkSession.read.parquet(dir).count()
+    }
+    assert(v3 == 3 && sink.aliasedVersion().contains(3))
+    // the successful swap's GC cleans the pre-alias debris
+    assert(!Files.exists(Paths.get(sink.versionDir(2))))
+  }
+
   test("retirement keeps the newest historyLen versions and never the aliased one (retirement.py:19-117)") {
     val root = tmpDir("vsink3")
     val sink = new VersionedTableSink(root, "kb", historyLen = 2)

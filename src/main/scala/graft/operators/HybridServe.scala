@@ -145,12 +145,26 @@ object HybridServe {
   def ingest(a: Artifacts, corpus: DataFrame, docIdCol: String, textCol: String,
              embeddings: DataFrame, vecIdCol: String, vecCol: String): Artifacts = {
     requireMergeable(a, "ingest")
+    // ONE guard job doubling as the nDocs count: the batch's ids probe the
+    // CELLS store — the serving set's membership roster (exactly one row
+    // per stored candidate, the same table [[remove]] validates against) —
+    // instead of mergeChampionIndexes' index-side validateDisjoint, which
+    // would re-derive the stored champion census just to read its ids.
+    // An overlap would silently double-count df/cf in the merge, so it
+    // fails fast here.
+    val probe = corpus.select(col(docIdCol).as("__bid"))
+      .join(a.cells.select(col("cid").as("__bid"), lit(1).as("__hit")),
+        Seq("__bid"), "left")
+      .agg(count(lit(1)).as("n"), count(col("__hit")).as("overlap")).head()
+    require(probe.getLong(1) == 0,
+      "ingest: batch contains ids already in the stored serving set — corpora " +
+        "must be disjoint (updating a stored doc is upsert: remove, then ingest)")
     val batchIndex = Rank.championIndex(corpus, docIdCol, textCol,
       m = a.build.champM, minDf = 1L, lowercase = a.build.lowercase)
     val merged = Rank.mergeChampionIndexes(a.index, batchIndex,
-      m = a.build.champM, minDf = 1L, validateDisjoint = true)
+      m = a.build.champM, minDf = 1L)
     val newCells = PqIndex.encodeCells(embeddings, vecIdCol, vecCol, a.ivf, a.pq)
-    Artifacts(merged, a.nDocs + corpus.count(), a.ivf, a.pq,
+    Artifacts(merged, a.nDocs + probe.getLong(0), a.ivf, a.pq,
       a.cells.select(col("cid"), col("cell"), col("codes"))
         .unionByName(newCells.select(col("cid"), col("cell"), col("codes"))),
       a.build)
@@ -204,14 +218,16 @@ object HybridServe {
              textCol: String): Artifacts = {
     requireMergeable(a, "remove")
     val staleIds = stale.select(col(docIdCol).as("__sid")).distinct()
-    // fail fast on ids that are not in the stored set: subtracting a
-    // never-added doc's stats would silently corrupt df/cf (the
-    // validateDisjoint guard's mirror image). The cells store carries
-    // every stored candidate id — one bounded limit-1 probe.
-    val unknown = staleIds
-      .join(a.cells.select(col("cid").as("__sid")), Seq("__sid"), "left_anti")
-      .limit(1).count()
-    require(unknown == 0,
+    // ONE guard job doubling as the nDocs decrement count: every stale id
+    // must be in the stored set (the cells store carries exactly one row
+    // per stored candidate) — subtracting a never-added doc's stats would
+    // silently corrupt df/cf (the ingest disjointness guard's mirror
+    // image), so an unknown id fails fast.
+    val probe = staleIds
+      .join(a.cells.select(col("cid").as("__sid"), lit(1).as("__hit")),
+        Seq("__sid"), "left")
+      .agg(count(lit(1)).as("n"), count(col("__hit")).as("known")).head()
+    require(probe.getLong(0) == probe.getLong(1),
       "remove: stale ids not present in the stored serving set — stale rows " +
         "must come from the previously stored corpus version")
     // the stale batch's exact per-term stats, from its own rows alone
@@ -230,7 +246,7 @@ object HybridServe {
       .filter(col("df") >= 1)
     val cells = a.cells.select(col("cid"), col("cell"), col("codes"))
       .join(broadcast(staleIds), col("cid") === col("__sid"), "left_anti")
-    Artifacts(adjusted, a.nDocs - staleIds.count(), a.ivf, a.pq, cells, a.build)
+    Artifacts(adjusted, a.nDocs - probe.getLong(0), a.ivf, a.pq, cells, a.build)
   }
 
   /** Document update — the reference's create-vs-update upsert

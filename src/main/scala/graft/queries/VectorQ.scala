@@ -765,6 +765,134 @@ object VectorQ {
         |fr AS (SELECT query_id, doc_id, rrf_micro, n_sources,
         |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rank FROM fu)
         |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, rrf_micro, n_sources
+        |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef("q121_serve_upsert",
+      // The serving lifecycle's MUTATION story (r13): a built store takes a
+      // prune-stale batch (HybridServe.remove — reference
+      // wonderful/step.py:207-230) and a create-vs-update upsert batch
+      // (HybridServe.upsert — elevenlabs/step.py:167-230) and must serve
+      // EXACTLY like a from-scratch build of the surviving corpus: stale
+      // ids vanish from both legs, updated docs serve their new text under
+      // the SAME ids, and idf reflects the post-mutation df/nDocs (the
+      // stale batch's term stats subtract exactly — no staleness window).
+      // champM is set above any df so champion lists are full — the
+      // removal-exactness precondition remove()'s scaladoc states; the
+      // models stay frozen through the mutation (the ingest contract).
+      // Docs: ids 3 mod 14 get updated text (same embedding), ids 10 mod
+      // 14 are deleted outright; the corpus is the embedded prefix (the
+      // cells store defines serving membership). A terms-only query
+      // (fresh_docs, no vector) hits the updated docs' new vocabulary,
+      // proving the re-ingested postings serve. The oracle rebuilds the
+      // survivor census from scratch symbolically — q117's serve CTEs with
+      // the surviving corpus substituted and no df/rank pruning.
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{HybridServe, IvfIndex, PqIndex}
+        val embT = emb(s, d)
+        val corpus = Tables.load(s, d, "documents")
+          .join(embT.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+        val qv4 = embT.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(graft.functions.Kernels.quantNormUdf(col("embedding")).getField("_1").as("qv"))
+          .as[Seq[Long]].collect().map(_.toArray)
+        val ivf = IvfIndex.Model(qv4)
+        val subDim = 32
+        val pq = PqIndex.Model(
+          (0 until 2).map(j => qv4.map(v =>
+            java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))).toArray)
+        val arts = HybridServe.buildWith(corpus, "doc_id", "text",
+          embT, "vec_id", "embedding", ivf, pq,
+          HybridServe.BuildConfig(champM = 100000, champMinDf = 1L))
+        // prune-stale: every id = 3 mod 7 goes stale; half return updated
+        // (same id, new text, same embedding), half stay deleted
+        val stale = corpus.filter(col("doc_id") % 7 === 3)
+        val fresh = corpus.filter(col("doc_id") % 14 === 3)
+          .select(col("doc_id"), concat(lit("upsert refresh "), col("text")).as("text"))
+        val freshEmb = embT.filter(col("vec_id") % 14 === 3)
+        val maintained = HybridServe.upsert(arts, stale, fresh, "doc_id", "text",
+          freshEmb, "vec_id", "embedding")
+        val queries = embT.filter(col("vec_id") < 3)
+          .select(
+            when(col("vec_id") === 0, "agg_pipeline")
+              .when(col("vec_id") === 1, "scan_perf")
+              .otherwise("stream_state").as("query_id"),
+            when(col("vec_id") === 0, typedlit(Seq("spark", "join", "agg")))
+              .when(col("vec_id") === 1, typedlit(Seq("scan", "fast", "filter")))
+              .otherwise(typedlit(Seq("stream", "window", "batch"))).as("terms"),
+            col("embedding"), col("vec_id").as("exclude_id"))
+          .unionByName(
+            Seq(("fresh_docs", Seq("upsert", "refresh"))).toDF("query_id", "terms")
+              .withColumn("embedding", lit(null).cast("array<float>"))
+              .withColumn("exclude_id", lit(null).cast("bigint")))
+        HybridServe.serve(maintained, queries)
+          .select(col("query_id"), col("doc_id"), big(col("rank")).as("rank"),
+            col("rrf_micro"), big(col("n_sources")).as("n_sources"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH surv AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 14 = 3 THEN 'upsert refresh ' || text ELSE text END AS text
+        |  FROM documents
+        |  WHERE doc_id IN (SELECT vec_id FROM embeddings) AND doc_id % 14 <> 10),
+        |tk AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM surv),
+        |tl AS (SELECT doc_id, unnest(w) AS term FROM tk),
+        |tfc AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tl GROUP BY 1, 2),
+        |st AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+        |idx AS (SELECT t.term, s.df, t.doc_id, t.tf FROM tfc t JOIN st s USING (term)),
+        |q(query_id, term) AS (VALUES
+        |  ('agg_pipeline', 'spark'), ('agg_pipeline', 'join'), ('agg_pipeline', 'agg'),
+        |  ('scan_perf', 'scan'), ('scan_perf', 'fast'), ('scan_perf', 'filter'),
+        |  ('stream_state', 'stream'), ('stream_state', 'window'), ('stream_state', 'batch'),
+        |  ('fresh_docs', 'upsert'), ('fresh_docs', 'refresh')),
+        |idf AS (SELECT term, CAST(floor(1e6 * ln(1 + ((SELECT count(*) FROM surv) - df + 0.5e0)
+        |  / (df + 0.5e0))) AS BIGINT) AS idf
+        |  FROM (SELECT DISTINCT term, df FROM idx) WHERE term IN (SELECT term FROM q)),
+        |co AS (SELECT q.query_id, i.doc_id,
+        |  CAST(floor(f.idf * ((i.tf * (1.2e0 + 1)) / (i.tf + 1.2e0))) AS BIGINT) AS c
+        |  FROM idx i JOIN q ON i.term = q.term JOIN idf f ON i.term = f.term),
+        |sc AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro FROM co GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+        |  FROM sc WHERE score_micro > 0),
+        |lexk AS (SELECT query_id, doc_id, rank FROM lex WHERE rank <= 20),
+        |v AS (SELECT vec_id, $QV AS qv FROM embeddings),
+        |vc AS (SELECT vec_id, qv FROM v WHERE vec_id % 14 <> 10),
+        |cent AS (SELECT vec_id AS cidx, qv AS cv FROM v WHERE vec_id < 4),
+        |dc AS (SELECT c2.vec_id, c.cidx,
+        |  list_sum(list_transform(range(1, len(c2.qv) + 1),
+        |    i -> (c2.qv[i] - c.cv[i]) * (c2.qv[i] - c.cv[i]))) AS dist
+        |  FROM vc c2 CROSS JOIN cent c),
+        |rc AS (SELECT vec_id, cidx,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn FROM dc),
+        |cellof AS (SELECT vec_id, cidx AS cell FROM rc WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, cidx AS cell FROM rc WHERE rn <= 2 AND vec_id < 3),
+        |sub AS (SELECT vec_id, 0 AS j, qv[1:32] AS sv FROM vc
+        |        UNION ALL SELECT vec_id, 1, qv[33:64] FROM vc),
+        |cb AS (SELECT vec_id AS cidx, j, sv AS cv FROM sub WHERE vec_id < 4),
+        |dpq AS (SELECT s2.vec_id, s2.j, c2.cidx,
+        |  list_sum(list_transform(range(1, 33), i -> (s2.sv[i] - c2.cv[i]) * (s2.sv[i] - c2.cv[i]))) AS dist
+        |  FROM sub s2 JOIN cb c2 ON s2.j = c2.j),
+        |enc AS (SELECT vec_id AS cid, j, cidx AS cell FROM (
+        |  SELECT vec_id, j, cidx, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cidx) AS rn FROM dpq)
+        |  WHERE rn = 1),
+        |vscored AS (SELECT p.qid, cf.vec_id AS cid, SUM(dq.dist) AS adist
+        |  FROM probes p
+        |  JOIN cellof cf ON cf.cell = p.cell AND cf.vec_id <> p.qid
+        |  JOIN enc e ON e.cid = cf.vec_id
+        |  JOIN dpq dq ON dq.vec_id = p.qid AND dq.j = e.j AND dq.cidx = e.cell
+        |  GROUP BY p.qid, cf.vec_id),
+        |vr AS (SELECT qid, cid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rank FROM vscored),
+        |veck AS (SELECT CASE WHEN qid = 0 THEN 'agg_pipeline'
+        |    WHEN qid = 1 THEN 'scan_perf' ELSE 'stream_state' END AS query_id,
+        |  cid AS doc_id, rank FROM vr WHERE rank <= 20),
+        |uni AS (SELECT query_id, doc_id, CAST(floor(1e6 / (60 + rank)) AS BIGINT) AS c FROM lexk
+        |  UNION ALL
+        |  SELECT query_id, doc_id, CAST(floor(1e6 / (60 + rank)) AS BIGINT) AS c FROM veck),
+        |fu AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+        |  CAST(count(*) AS BIGINT) AS n_sources FROM uni GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, rrf_micro, n_sources,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rank FROM fu)
+        |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, rrf_micro, n_sources
         |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
   )
 }

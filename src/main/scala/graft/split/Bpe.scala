@@ -107,7 +107,7 @@ object Bpe {
     finally src.close()
   }
 
-  /** Calibrated granularity: with the first 22400 of the trained
+  /** Calibrated granularity: with the first 23100 of the trained
     * merges (round-10 table: the 7x-grown corpus — fixture inputs,
     * reference markdown prose, benchmark-distinct Lorem-ipsum Latin,
     * German Wikipedia/CC0 HTML through HtmlToMd, license legalese, and
@@ -116,16 +116,23 @@ object Bpe {
     * graft.tools.CalibrateBpe discovered against the reference's own
     * fixture goldens), the fidelity splitter reproduces the reference's
     * cl100k-derived chunk boundaries BYTE-EXACTLY on all 6 valid
-    * table-splitter fixtures across the whole [18230, 23103] prefix
-    * window (ParityProbe; FIXTURES.md §1.5 — 22400 sits on the window's
-    * best-drift plateau with ~700 merges of margin to the top edge and
-    * ~4200 to the bottom, robust to off-by-a-few table edits). More
-    * merges compress slightly past cl100k and shift a row boundary;
-    * fewer shift boundaries the other way. The round-10 corpus growth
-    * cut the held-out Latin over-count from 1.50x to 1.30x and the
-    * English cut-off sentence to EXACT cl100k token parity (25/25,
+    * table-splitter fixtures across the whole [18230, ~23150] prefix
+    * window. The round-13 sweep over the FULL r12-extended 59,472-merge
+    * table (SweepParity: step 100 across the band, step 400 above it,
+    * per-2000 coarse confirm) proved this is the ONLY 6/6 window — the
+    * band snaps shut at 23,200 (the English many_rows pair absorbs an
+    * extra row) and never reopens — and that held-out drift IMPROVES
+    * monotonically toward the top edge: 1.301x across 22400-22900,
+    * 1.300x at 23000, 1.299x at 23100. The pin therefore moved 22400 ->
+    * 23100 (round 13): the r10 edge-margin argument is void now that
+    * ExtendBpe's byte-identical-replay gate freezes the prefix (the
+    * cliff cannot move under future tail extensions). More merges
+    * compress slightly past cl100k and shift a row boundary; fewer
+    * shift boundaries the other way. Held-out Latin over-count history:
+    * 1.50x (r9) -> 1.30x (r10 corpus growth) -> 1.299x (r13 re-pin);
+    * the English cut-off sentence stays EXACT cl100k parity (25/25,
     * DriftProbe). */
-  val CalibratedMerges = 22400
+  val CalibratedMerges = 23100
 
   /** Fixture-parity vocab: the calibrated prefix. Used by splitter contexts
     * whose chunk boundaries are pinned byte-exact against reference goldens

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
   * the parity prefix is already byte-exact, so this tool never retrains
   * it: the existing merge table REPLAYS VERBATIM (same (a, b) pairs, same
   * ids — the written file's first 30,442 lines are byte-identical, so
-  * `BpeTokenizer.parity()`'s 22,400 prefix and all six fixture goldens
+  * `BpeTokenizer.parity()`'s calibrated prefix and all six fixture goldens
   * are untouched by construction), and training CONTINUES from there on
   * the corpus extended with the Romance-language gettext prose
   * (TrainBpe.buildCorpus group 3c) until the merge pool exhausts or

@@ -192,6 +192,35 @@ object ScaleCurve {
               cfg = graft.operators.HybridServe.ServeConfig(kTopPerLeg = 20, kTop = 10))
             .queryExecution.toRdd.count()
         }
+        // r13 INGEST leg: a FIXED 500-doc batch arrives at the 1x/10x/100x
+        // store. ingest never re-reads stored corpus text or embeddings:
+        // its wall is the membership probe (one cid-column scan of the
+        // cells store), the batch's own census + encode, and the
+        // index-sized champion merge — so the curve should track the INDEX
+        // (vocab x m postings), not the corpus. The timed action
+        // materializes the merged index (the merge work); the cells side
+        // of an ingest is a map-side encode of the batch plus a lazy
+        // union, exercised by the serve legs above.
+        val batchDocs = base.limit(500)
+          .select((col("doc_id") + lit(nBase) * lit(1000L)).as("doc_id"),
+            concat(col("text"), lit(" ingestbatch")).as("text"))
+        val batchEmb = embBase.limit(500)
+          .select((col("vec_id") + lit(nEmb) * lit(1000L)).as("vec_id"),
+            col("embedding"))
+        time("q121_ingest") {
+          graft.operators.HybridServe.ingest(arts, batchDocs, "doc_id", "text",
+              batchEmb, "vec_id", "embedding")
+            .index.queryExecution.toRdd.count()
+        }
+        // r13 REMOVE leg: a FIXED 500-doc stale batch (original rows as
+        // stored) prunes from the same store — wall is the membership
+        // probe, the stale batch's census (stats subtraction), and the
+        // broadcast anti-join over the index
+        time("q121_remove") {
+          graft.operators.HybridServe.remove(arts,
+              docs.filter(col("doc_id") < 500), "doc_id", "text")
+            .index.queryExecution.toRdd.count()
+        }
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       }

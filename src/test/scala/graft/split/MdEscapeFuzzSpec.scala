@@ -33,8 +33,15 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
     // r12 mixed-marker structural bullets (R8f)
     "1. a\n   - b\n", "1. a\n   - b\n     7. z\n", "3. a\n- c\n9. d\n",
     "10. a\n    - b\n", "1. a\n  - b\n", "1. a\n   * c\n",
-    "- a\n  3. x\n", "- a\n   - b\n", "- a\n1. x\n", "* a\n  cont\n")
-  private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123="
+    "- a\n  3. x\n", "- a\n   - b\n", "- a\n1. x\n", "* a\n  cont\n",
+    // r12 deep-fuzz atom additions (folded in from the throwaway
+    // FuzzDeep/FuzzDeep2 drivers): deep nesting with continuations,
+    // wide markers, tab-indented bullets, and table-separator shapes
+    // whose escaped spellings must never drop into table syntax
+    "- b\n    7. z\n      c\n", "9. d\n     1. a\n       c\n",
+    "- c\n\t* --\n", "- b\n   7. z\n  3. x\n", "100. w\n", "  21. a\n",
+    "\\|", "|-|\n", "|:-|\n", "a|b\n-|-\n", "\\:")
+  private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123=\t|:"
 
   private def fuzz(seed: Long, cases: Int): Unit = {
     val rnd = new scala.util.Random(seed)
@@ -86,7 +93,7 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
       // escaped pipes/dashes must never drop into table-separator
       // syntax ("|\n-\|" -> "|\n-|" is a header+separator next pass)
       "|\n-\\|",
-      "|\n|\\-|")     // tab-indented items pass through (4-col tabs)
+      "|\n|\\-|")
     for (s <- cases) {
       val once = MdFormatLite.normalize(s)
       assert(MdFormatLite.normalize(once) == once,

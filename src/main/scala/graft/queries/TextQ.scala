@@ -1156,6 +1156,46 @@ object TextQ {
         |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
         |FROM e ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q122_mdformat_r13",
+      // Round-13 R8h closure (F11) under oracle coverage: FENCED CODE
+      // nested in an ordered item carries through renumbering — the
+      // fence renders at the item's content column, its bytes (an
+      // item-shaped line, a blank line, bracket/emphasis hazards) stay
+      // VERBATIM and escape-exempt, the list renumbers around it and
+      // stays TIGHT — and a QUOTE line at the content column re-indents
+      // there with the list renumbering past it; a marker-type switch
+      // ('9)') still starts its own list. Symbolic byte rebuild, like
+      // q63/q118/q119/q120.
+      (s, d) => {
+        val w = split(col("text"), "\\s+")
+        val md = concat(
+          lit("2. item "), element_at(w, 1),
+          lit("\n   ```scala\n   3. "), element_at(w, 2),
+          lit(" [x]\n\n   val y = "), element_at(w, 3),
+          lit("\n   ```\n7. next "), element_at(w, 4),
+          lit("\n   > quoth "), element_at(w, 5),
+          lit("\n9) other "), element_at(w, 6))
+        val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
+        docs(s, d)
+          .select(col("doc_id"), fmtUdf(md).as("canon"))
+          .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
+            length(col("canon")).cast("long").as("canon_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $W AS t FROM documents),
+        |e AS (SELECT doc_id,
+        |  '2. item ' || t[1] || chr(10) ||
+        |  '   ```scala' || chr(10) ||
+        |  '   3. ' || t[2] || ' [x]' || chr(10) || chr(10) ||
+        |  '   val y = ' || t[3] || chr(10) ||
+        |  '   ```' || chr(10) ||
+        |  '2. next ' || t[4] || chr(10) ||
+        |  '   > quoth ' || t[5] || chr(10) ||
+        |  '9) other ' || t[6] AS canon
+        |  FROM w)
+        |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
+        |FROM e ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q65_minhash_union",
       // The typed UDAF (Aggregator via udaf, §2.14) under oracle coverage:
       // per-source MinHash union — elementwise min of the per-doc

@@ -55,9 +55,24 @@ package graft.split
   *      through the same pass, so ordered lists nested under bullets
   *      renumber and nested bullet indents normalize), AND — R8g — TAB
   *      indents
-  *      measure as CommonMark 4-column tab stops and render as spaces.
-  *      Lists with block-syntax-shaped item content fall back to
-  *      item-only renumbering or pass through (divergence).
+  *      measure as CommonMark 4-column tab stops and render as spaces,
+  *      AND — R8h, round 13 — FENCED CODE and QUOTE lines nested in
+  *      item content carry through: a fence opener at an open item's
+  *      content column opens a verbatim region (consumed wholesale by
+  *      the grouper, blank lines included, so the list stays TIGHT)
+  *      that re-indents to the level's output content column with
+  *      offsets beyond the opener preserved and its bytes exempt from
+  *      the escape pass; a quote-marker line at a content column
+  *      re-indents there with markers normalized per R15's per-line
+  *      rule (the quoted content itself is not re-formatted —
+  *      divergence: mdformat recurses into item-nested quotes). Shapes
+  *      whose rendered column the next pass would not reclaim (no
+  *      same-block item at or below that column), under-indented or
+  *      unclosed fences, and remaining block-syntax-shaped item content
+  *      (headings, breaks, setext underlines) pass through byte-stable
+  *      or fall back to item-only renumbering (divergence); a fence in
+  *      a LOOSE item (blank line between the item and the fence) is
+  *      also pass-through (the region scanner is block-local).
   *  R9. bracket escape normalization: [ and ] in TEXT — not part of a
   *      complete inline/reference link or image, not in a code span, not
   *      already escaped — render as \[ \] (mdformat's text renderer
@@ -101,9 +116,11 @@ package graft.split
   * Not implemented (documented divergence): emphasis-marker handling
   * needs none (mdformat renders em/strong with the SOURCE marker,
   * `node.markup` — markers are preserved, not rewritten); remaining gaps
-  * are ordered lists with block-syntax-shaped item content
-  * (item-only renumbering or byte-stable pass-through),
-  * multi-line setext content, and paragraph re-wrapping
+  * are headings/breaks/setext underlines nested in item content and
+  * fences in LOOSE items (item-only renumbering or byte-stable
+  * pass-through; R8h covers tight fences and quotes),
+  * item-nested quote content re-formatting, multi-line setext
+  * content, and paragraph re-wrapping
   * (mdformat's default wrap mode keeps source line breaks anyway).
   * Table cells render through the mdformat-tables path (R6), not the
   * text-escape pass.
@@ -139,6 +156,91 @@ object MdFormatLite {
   private def isSep(l: String): Boolean = TableSepRe.matches(l)
 
   private val OrderedItemRe = "^(\\s*)(\\d{1,9})([.)])\\s+(\\S.*)$".r
+
+  /** Leading-whitespace COLUMN width under CommonMark 4-column tab stops
+    * (R8g) — indents are measured in columns and render as spaces. */
+  private def colWidth(ws: String): Int = {
+    var col = 0
+    var i = 0
+    while (i < ws.length) {
+      if (ws.charAt(i) == '\t') col += 4 - (col % 4) else col += 1
+      i += 1
+    }
+    col
+  }
+
+  private def leadWs(l: String): String = l.takeWhile(c => c == ' ' || c == '\t')
+
+  /** Content column a list-item line OPENS (marker indent + marker width
+    * + one space), or -1 when the line is not an item shape. */
+  private def itemContentCol(l: String): Int = l match {
+    case OrderedItemRe(ind, nu, _, _) => colWidth(ind) + nu.length + 2
+    case BulletRe(ind, _)             => colWidth(ind) + 2
+    case _                            => -1
+  }
+
+  /** R8h: closing-fence search for an ITEM-NESTED fenced region opened at
+    * line `at` (opener fence char `ch`, run length `n`, indent column
+    * `w`). Region content must be mdformat-canonical item content — every
+    * non-blank line indented at least to the opener's column (an
+    * under-indented line would end the ITEM in CommonMark, so such input
+    * is not representable here and the caller falls back) — and the
+    * closer is a bare same-char run of >= the opener's length at >= the
+    * opener's column. Returns the closer index, or -1 (no region). */
+  private def fenceCloserAt(lines: Vector[String], at: Int,
+                            ch: Char, n: Int, w: Int): Int = {
+    var j = at + 1
+    while (j < lines.length) {
+      val cl = lines(j)
+      if (cl.isEmpty) j += 1
+      else {
+        val lead = leadWs(cl)
+        if (colWidth(lead) < w) return -1
+        val ct = cl.substring(lead.length)
+        if (ct.nonEmpty && ct.forall(_ == ch) && ct.length >= n) return j
+        j += 1
+      }
+    }
+    -1
+  }
+
+  /** R8h region scanner over one text block's lines: inclusive
+    * (opener, closer) spans of item-nested FENCED CODE regions. A region
+    * opens at a line whose indent column reaches the minimum content
+    * column of an item line seen above it in the block and whose
+    * stripped content is fence-shaped; see [[fenceCloserAt]] for the
+    * closing rule. Region content never updates the item-column state
+    * (code bytes are not items). The block grouper consumes exactly
+    * these spans verbatim into the paragraph run, so scanning a grouped
+    * block re-derives the same regions — including after renumbering,
+    * whose output columns only ever sit at or beyond the outermost
+    * item's content column. */
+  private[split] def fenceSpans(lines: Vector[String]): Vector[(Int, Int)] = {
+    val spans = Vector.newBuilder[(Int, Int)]
+    var minItem = Int.MaxValue
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      var consumed = false
+      if (minItem != Int.MaxValue && l.nonEmpty) {
+        val lead = leadWs(l)
+        val w = colWidth(lead)
+        val t = l.substring(lead.length)
+        if (w >= minItem && FenceRe.matches(t)) {
+          val ch = t.charAt(0)
+          val n = t.takeWhile(_ == ch).length
+          val close = fenceCloserAt(lines, i, ch, n, w)
+          if (close >= 0) { spans += ((i, close)); i = close + 1; consumed = true }
+        }
+      }
+      if (!consumed) {
+        val c = itemContentCol(l)
+        if (c >= 0) minItem = math.min(minItem, c)
+        i += 1
+      }
+    }
+    spans.result()
+  }
 
   /** R15 (round 11): blockquote MARKER normalization — mdformat renders
     * one '>' plus one space per quote level at column 0 ("> > x").
@@ -209,6 +311,17 @@ object MdFormatLite {
   private final case class OItem(ind: String, num: String, marker: String, rest: String) extends ListLine
   private final case class BItem(ind: String, rest: String) extends ListLine
   private final case class Cont(raw: String) extends ListLine
+  // R8h (round 13): item-nested fenced-code region lines, pre-classified
+  // by the fenceSpans scanner so verbatim code bytes (which may be
+  // item-shaped, blank, or block-syntax-shaped) never reach the item /
+  // continuation logic
+  private final case class FOpen(ind: String, text: String) extends ListLine
+  private final case class FBody(raw: String) extends ListLine
+  private final case class FClose(text: String) extends ListLine
+  // block boundary within a loose run (no output line): R8h safety state
+  // is BLOCK-local, because the next pass's grouper and fence scanner
+  // judge quote/fence lines against items in the SAME block only
+  private case object BlockBreak extends ListLine
 
   private def renumberNested(items: Vector[ListLine]): Option[Vector[String]] = {
     // bullet levels carry num = "" and marker = "-": width = "" + "-" +
@@ -222,19 +335,9 @@ object MdFormatLite {
     }
     // R8g (round 12): a TAB in leading whitespace advances to the next
     // 4-column tab stop (CommonMark's tab expansion); indents are
-    // measured in COLUMNS and always render as spaces (mdformat emits
-    // space indents)
+    // measured in COLUMNS (object-level colWidth) and render as spaces
+    // (mdformat emits space indents)
     if (items.isEmpty) return None
-    // leading-whitespace COLUMN width under 4-column tab stops
-    def colWidth(ws: String): Int = {
-      var col = 0
-      var i = 0
-      while (i < ws.length) {
-        if (ws.charAt(i) == '\t') col += 4 - (col % 4) else col += 1
-        i += 1
-      }
-      col
-    }
     items.head match {
       case OItem(ind, _, _, _) if colWidth(ind) < 4 => ()
       case BItem(ind, _) if colWidth(ind) < 4 => ()
@@ -276,73 +379,156 @@ object MdFormatLite {
       }
       Some(stack.last)
     }
+    // R8h fence-region rendering state: the opener's input column and the
+    // column the region renders at (the attached level's content column)
+    var regionInCol = -1
+    var regionOutCol = -1
+    // R8h safety state: the minimum OUTPUT content column among item
+    // lines rendered in the CURRENT block. The next pass's grouper (and
+    // the fence scanner) reclaim a quote/fence line as item content only
+    // when an item AT OR BELOW its column sits above it in the SAME
+    // block — a rendered quote/fence column this minimum does not reach
+    // would reclassify next pass, so those shapes bail instead.
+    var outBlockMin = Int.MaxValue
     for (line <- items) line match {
+      case BlockBreak =>
+        outBlockMin = Int.MaxValue
+      case FOpen(ind, text) =>
+        // a fence at an open level's content column (extra < 4) is a
+        // block INSIDE that item: deeper levels close (same dedent rule
+        // as continuations — block syntax is never lazy), the fence
+        // renders AT the level's output content column (mdformat renders
+        // an item's block children at the content column; a 1-3 extra
+        // indent is not preserved), and its content re-indents by the
+        // same delta with offsets beyond the opener's column kept
+        if (stack.isEmpty) return None
+        val w = colWidth(ind)
+        if (w < stack.head.contentCol) return None // interrupts the list
+        while (stack.length > 1 && w < stack.last.contentCol)
+          stack.dropRightInPlace(1)
+        val top = stack.last
+        val extra = w - top.contentCol
+        // 4+ extra is CommonMark indented CODE inside the item whose
+        // bytes merely look like a fence — beyond this pass (the region
+        // scanner claimed its lines, so re-indenting as code here would
+        // reclassify them next pass): pass the run through byte-stable
+        if (extra >= 4) return None
+        // next pass's scanner reclaims the region only when an item at
+        // or below its column precedes it in the same block
+        if (outBlockMin > top.outContentCol) return None
+        regionInCol = w
+        regionOutCol = top.outContentCol
+        out += (" " * regionOutCol) + text
+      case FBody(raw) =>
+        if (raw.isEmpty) out += ""
+        else {
+          // strip up to the opener's column (CommonMark), keep the rest
+          val lead = leadWs(raw)
+          val off = math.max(0, colWidth(lead) - regionInCol)
+          out += (" " * (regionOutCol + off)) + raw.substring(lead.length)
+        }
+      case FClose(text) =>
+        out += (" " * regionOutCol) + text
+        regionInCol = -1
+        regionOutCol = -1
       case OItem(ind, n, m, rest) =>
         levelFor(colWidth(ind), bullet = false, n, m) match {
           case None => return None
           case Some(top) =>
+            outBlockMin = math.min(outBlockMin, top.outContentCol)
             out += (" " * top.outIndent) + top.num + top.marker + " " + rest
         }
       case BItem(ind, rest) =>
         levelFor(colWidth(ind), bullet = true, "", "-") match {
           case None => return None
           case Some(top) =>
-            // re-indenting can COMPLETE thematic-break syntax the
-            // grouper's own bullet guard never saw ("\t* --" rendered
-            // at column 2 becomes "  - --", a valid break) — apply the
-            // same collision escape here (deep-fuzz r12 find)
+            outBlockMin = math.min(outBlockMin, top.outContentCol)
+            // re-indenting can COMPLETE thematic-break (or, r13,
+            // table-separator) syntax the grouper's own bullet guard
+            // never saw ("\t* --" rendered at column 2 becomes "  - --",
+            // a valid break) — apply the same collision escape here
+            // (deep-fuzz r12/r13 finds)
             val line = (" " * top.outIndent) + "- " + rest
-            out += (if (HrRe.matches(line)) (" " * top.outIndent) + "- \\" + rest
+            out += (if (HrRe.matches(line) || isSep(line))
+                      (" " * top.outIndent) + "- \\" + rest
                     else line)
         }
       case Cont(raw) =>
         if (stack.isEmpty) return None
-        val lead = raw.takeWhile(c => c == ' ' || c == '\t')
+        val lead = leadWs(raw)
         val w = colWidth(lead)
         val text = raw.substring(lead.length)
-        // BLOCK-SYNTAX-shaped content (quote marker, heading, fence,
-        // break, setext underline) nested in item content is beyond this
-        // grouper's container model — and re-indenting it to the content
-        // column could even CHANGE its block reading ("    >" stripped
-        // to "   >" becomes a quote marker, the fuzz-found r12 case) —
-        // so the run passes through byte-stable instead. The check also
-        // covers the ESCAPED spelling: the escape pass may rewrite such
-        // a line ("```" -> "\`\`\`") after this pass bails, and the next
-        // normalize must classify the rewritten bytes the same way or
-        // the fixpoint breaks (second r12 fuzz find)
-        if (blockShapedText(text)) return None
-        // a continuation at an outer content column closes deeper levels —
-        // but a LAZY (under-everything) line continues the DEEPEST open
-        // item's paragraph (CommonMark laziness), so levels only close
-        // when the line reaches SOME shallower level's content column
-        val popped = scala.collection.mutable.ArrayBuffer.empty[Level]
-        if (w >= stack.head.contentCol)
-          while (stack.length > 1 && w < stack.last.contentCol) {
-            popped += stack.last
+        // R8h (round 13): a RAW quote-marker line at an open level's
+        // content column is a blockquote INSIDE that item — deeper
+        // levels close (block syntax is never lazy), the line renders
+        // at the level's output content column with its markers
+        // normalized per R15's per-line rule. The quoted CONTENT is not
+        // re-formatted (divergence: mdformat recurses into item-nested
+        // quotes; this engine's quote recursion covers top-level
+        // containers). Escaped spellings ("\> x") stay on the bail path
+        // below: the escape pass DECODES unnecessary escapes, so a
+        // rendered form must never sit one decode away from a marker.
+        if (text.startsWith(">")) {
+          if (w < stack.head.contentCol) return None // interrupts the list
+          while (stack.length > 1 && w < stack.last.contentCol)
             stack.dropRightInPlace(1)
-          }
-        val top = stack.last
-        val outCol = top.outContentCol
-        if (w < top.contentCol) {
-          // R8e (round 12): lazy paragraph continuation — mdformat
-          // renders it AT the item's content column
-          out += (" " * outCol) + text
+          val top = stack.last
+          if (w - top.contentCol >= 4) return None // indented-code bytes
+          // a rendered column of 4+ stays paragraph content next pass
+          // (isQuoteLine caps at 3 spaces); at <= 3 the grouper's R8h
+          // guard reclaims it only via a same-block item at or below
+          // that column — otherwise it would mint a quote CONTAINER
+          // there next pass, so bail byte-stable
+          if (top.outContentCol < 4 && outBlockMin > top.outContentCol)
+            return None
+          out += (" " * top.outContentCol) + normalizeQuoteMarkers(text)
         } else {
-          val extra = w - top.contentCol
-          if (extra >= 4) {
-            // indented code inside the item: relative offset preserved
-            // so it stays code — UNLESS the preserved offset would reach
-            // a level this dedent just closed: that level renders
-            // NARROWER than its input indent, so in output coordinates
-            // the code line would re-attach to it and re-classify next
-            // pass (deep-fuzz r12 find) — not representable, pass the
-            // run through byte-stable
-            if (popped.exists(p => p.outContentCol <= outCol + extra))
-              return None
-            out += (" " * (outCol + extra)) + text
-          } else {
-            // < 4 extra: paragraph continuation, renders AT the column
+          // BLOCK-SYNTAX-shaped content (heading, fence outside a scanned
+          // R8h region, break, setext underline) nested in item content
+          // is beyond this grouper's container model — and re-indenting
+          // it to the content column could even CHANGE its block reading
+          // ("    >" stripped to "   >" becomes a quote marker, the
+          // fuzz-found r12 case) — so the run passes through byte-stable
+          // instead. The check also covers the ESCAPED spelling: the
+          // escape pass may rewrite such a line ("```" -> "\`\`\`")
+          // after this pass bails, and the next normalize must classify
+          // the rewritten bytes the same way or the fixpoint breaks
+          // (second r12 fuzz find)
+          if (blockShapedText(text)) return None
+          // a continuation at an outer content column closes deeper
+          // levels — but a LAZY (under-everything) line continues the
+          // DEEPEST open item's paragraph (CommonMark laziness), so
+          // levels only close when the line reaches SOME shallower
+          // level's content column
+          val popped = scala.collection.mutable.ArrayBuffer.empty[Level]
+          if (w >= stack.head.contentCol)
+            while (stack.length > 1 && w < stack.last.contentCol) {
+              popped += stack.last
+              stack.dropRightInPlace(1)
+            }
+          val top = stack.last
+          val outCol = top.outContentCol
+          if (w < top.contentCol) {
+            // R8e (round 12): lazy paragraph continuation — mdformat
+            // renders it AT the item's content column
             out += (" " * outCol) + text
+          } else {
+            val extra = w - top.contentCol
+            if (extra >= 4) {
+              // indented code inside the item: relative offset preserved
+              // so it stays code — UNLESS the preserved offset would
+              // reach a level this dedent just closed: that level
+              // renders NARROWER than its input indent, so in output
+              // coordinates the code line would re-attach to it and
+              // re-classify next pass (deep-fuzz r12 find) — not
+              // representable, pass the run through byte-stable
+              if (popped.exists(p => p.outContentCol <= outCol + extra))
+                return None
+              out += (" " * (outCol + extra)) + text
+            } else {
+              // < 4 extra: paragraph continuation, renders AT the column
+              out += (" " * outCol) + text
+            }
           }
         }
     }
@@ -529,9 +715,35 @@ object MdFormatLite {
     // final as built.
     val blocks = Vector.newBuilder[(Vector[String], Boolean)] // (lines, isText)
     var para = Vector.empty[String] // open paragraph/list run
+    // R8h (round 13): minimum content column among the open para's ITEM
+    // lines — the gate for claiming indented fences (and 3-space-indent
+    // quote lines) as item content. Mirrors the fenceSpans scanner's
+    // state exactly: region content is appended verbatim and never
+    // updates it (code bytes are not items).
+    var paraItemMin = Int.MaxValue
+    def paraAdd(l: String): Unit = {
+      val c = itemContentCol(l)
+      if (c >= 0) paraItemMin = math.min(paraItemMin, c)
+      para = para :+ l
+    }
     def closePara(): Unit = {
       if (para.nonEmpty) { blocks += ((para, true)); para = Vector.empty }
+      paraItemMin = Int.MaxValue
     }
+    // R8h opener test: when lines(at) opens an item-nested fenced region
+    // of the open para's list, the region's CLOSER index; -1 otherwise
+    def fenceRegionEnd(at: Int): Int = {
+      val l = lines(at)
+      if (para.isEmpty || paraItemMin == Int.MaxValue || l.isEmpty) return -1
+      val lead = leadWs(l)
+      val w = colWidth(lead)
+      if (w < paraItemMin) return -1
+      val t = l.substring(lead.length)
+      if (!FenceRe.matches(t)) return -1
+      val ch = t.charAt(0)
+      fenceCloserAt(lines, at, ch, t.takeWhile(_ == ch).length, w)
+    }
+    var r8hEnd = -1
     def isIndentedCode(x: String): Boolean = isIndentedCodeLine(x)
     // R8b (round 10, nested since round 11, continuations since round
     // 12): LOOSE ordered lists — consecutive text blocks that belong to
@@ -551,11 +763,44 @@ object MdFormatLite {
       // starts at or beyond the minimum possible content column (3)
       def contish(b: (Vector[String], Boolean)): Boolean =
         b._2 && b._1.nonEmpty && b._1.head.startsWith("   ")
-      def parse(ls: Vector[String]): Vector[ListLine] =
-        ls.map {
-          case OrderedItemRe(ind, nu, m, rest) => OItem(ind, nu, m, rest)
-          case BulletRe(ind, rest) => BItem(ind, rest)
-          case other => Cont(other)
+      def parseLine(l: String): ListLine = l match {
+        case OrderedItemRe(ind, nu, m, rest) => OItem(ind, nu, m, rest)
+        case BulletRe(ind, rest) => BItem(ind, rest)
+        case other => Cont(other)
+      }
+      // R8h: classify each block's item-nested fence regions FIRST, so
+      // verbatim code bytes (which may be item-shaped, blank, or
+      // block-syntax-shaped) never parse as items or continuations.
+      // Spans never cross blocks: the grouper consumed each region into
+      // one paragraph run wholesale.
+      def parseBlock(ls: Vector[String]): Vector[ListLine] = {
+        val spans = fenceSpans(ls)
+        if (spans.isEmpty) ls.map(parseLine)
+        else {
+          val out = Vector.newBuilder[ListLine]
+          var si = 0
+          var i = 0
+          while (i < ls.length) {
+            if (si < spans.length && spans(si)._1 == i) {
+              val (a, b) = spans(si)
+              val lead = leadWs(ls(a))
+              out += FOpen(lead, ls(a).substring(lead.length))
+              (a + 1 until b).foreach(x => out += FBody(ls(x)))
+              out += FClose(ls(b).trim)
+              i = b + 1
+              si += 1
+            } else { out += parseLine(ls(i)); i += 1 }
+          }
+          out.result()
+        }
+      }
+      def parse(ls: Vector[(Vector[String], Boolean)]): Vector[ListLine] =
+        ls.zipWithIndex.flatMap { case (b, bi) =>
+          // BlockBreak carries the block boundary into renumberNested's
+          // R8h safety state; it emits no output line, so emit()'s
+          // slicing by block lengths is unaffected
+          val parsed = parseBlock(b._1)
+          if (bi == 0) parsed else BlockBreak +: parsed
         }
       def emit(out: scala.collection.mutable.Builder[(Vector[String], Boolean), Vector[(Vector[String], Boolean)]],
                run: Seq[(Vector[String], Boolean)], lines: Vector[String]): Unit = {
@@ -572,8 +817,24 @@ object MdFormatLite {
           var j = idx + 1
           while (j < bs.length && (orderedish(bs(j)) || contish(bs(j)))) j += 1
           val run = (idx until j).map(bs)
-          renumberNested(parse(run.flatMap(_._1).toVector)) match {
+          val parsed = parse(run.toVector)
+          // R8h: whether a fence/quote shape can attach is GEOMETRY-
+          // dependent (the level stack, the block-local column minimum).
+          // The item-only fallback below re-indents all-item sub-runs,
+          // CHANGING that geometry — so a failed run containing R8h
+          // shapes must pass through whole, or the next pass would
+          // classify the re-indented bytes differently (deep-fuzz r13
+          // find). Runs without R8h shapes bail geometry-independently
+          // (blockShapedText) and keep the round-11 fallback.
+          def r8hShaped(l: ListLine): Boolean = l match {
+            case FOpen(_, _) => true
+            case Cont(raw) => raw.dropWhile(c => c == ' ' || c == '\t').startsWith(">")
+            case _ => false
+          }
+          renumberNested(parsed) match {
             case Some(lines) => emit(out, run, lines)
+            case None if parsed.exists(r8hShaped) =>
+              run.foreach(out += _)
             case None =>
               // round-11 fallback: renumber maximal all-item sub-runs
               var k = 0
@@ -584,7 +845,7 @@ object MdFormatLite {
                   var e = k
                   while (e < run.length && allItems(run(e))) e += 1
                   val sub = run.slice(k, e)
-                  renumberNested(parse(sub.flatMap(_._1).toVector)) match {
+                  renumberNested(parse(sub.toVector)) match {
                     case Some(lines) => emit(out, sub, lines)
                     case None => sub.foreach(out += _)
                   }
@@ -611,6 +872,15 @@ object MdFormatLite {
         if (j < lines.length) { fence += lines(j); j += 1 }
         blocks += ((fence.result(), false))
         i = j
+      } else if ({ r8hEnd = fenceRegionEnd(i); r8hEnd >= 0 }) {
+        // R8h: an indented fence at/beyond the open list's item content
+        // column opens an item-nested VERBATIM region — consumed here
+        // wholesale (blank lines included; bullet normalization and the
+        // table/HR reads below bypassed) so renumbering and the escape
+        // pass see exactly the fenceSpans scanner's region, and the
+        // list stays TIGHT (the fence never splits the block)
+        para = para ++ lines.slice(i, r8hEnd + 1) // verbatim: not paraAdd
+        i = r8hEnd + 1
       } else if (l.contains("|") && i + 1 < lines.length && isSep(lines(i + 1))) {
         closePara()
         val rows = Vector.newBuilder[String]
@@ -659,7 +929,13 @@ object MdFormatLite {
         closePara()
         blocks += ((Vector(HrOut), false))
         i += 1
-      } else if (isQuoteLine(l)) {
+      } else if (isQuoteLine(l) &&
+          !(para.nonEmpty && paraItemMin <= colWidth(leadWs(l)))) {
+        // (the guard is R8h: a quote line whose indent reaches the open
+        // list's item content column is ITEM CONTENT — it stays in the
+        // paragraph run for renumberNested's quote-in-item rule, not a
+        // top-level quote container. Under-indented quotes interrupt
+        // the list and take the container path below, per CommonMark.)
         // R15b/R15c (rounds 11-12): collect the full quote CONTAINER —
         // the marker-line run plus any CommonMark LAZY CONTINUATION
         // lines (a plain paragraph line after a quote whose inner
@@ -683,7 +959,7 @@ object MdFormatLite {
           else openRun = false
         }
         if (quoteDepth <= 0) {
-          para = para :+ normalizeQuoteMarkers(l); i += 1
+          paraAdd(normalizeQuoteMarkers(l)); i += 1
         } else {
           closePara()
           val inner = (i until j).map(x => stripOneMarker(lines(x))).toVector
@@ -707,16 +983,20 @@ object MdFormatLite {
           blocks += ((Vector(hashes), false))
           i += 1
         case BulletRe(indent, rest) =>
-          // marker normalization can COLLIDE with thematic-break syntax:
-          // "* --" is a bullet (mixed chars can't be a break) but its
-          // normalized form "- --" is all dashes and would re-parse as a
-          // break — escape the content's leading dash to keep the item
+          // marker normalization can COLLIDE with block syntax the source
+          // marker never had: "* --" is a bullet (mixed chars can't be a
+          // break) but its normalized form "- --" is all dashes and would
+          // re-parse as a BREAK; "* |" normalizes to "- |", a valid
+          // TABLE-SEPARATOR shape that would claim the line above as a
+          // table header next pass (deep-fuzz r13 find) — escape the
+          // content's first char to keep the item an item
           val line = s"$indent- $rest"
-          para = para :+ (if (HrRe.matches(line) && !HrRe.matches(l))
+          paraAdd(if ((HrRe.matches(line) || isSep(line)) &&
+              !HrRe.matches(l) && !isSep(l))
             s"$indent- \\$rest" else line)
           i += 1
         case other =>
-          para = para :+ other; i += 1
+          paraAdd(other); i += 1
       }
     }
     closePara()
@@ -724,8 +1004,29 @@ object MdFormatLite {
     // escape pass per text block (R9-R14; multi-line links stay whole)
     renumberLoose(blocks.result())
       .map { case (b, isText) =>
-        if (isText) escapeTextBlock(b.mkString("\n")) else b
+        if (isText) escapeTextWithFences(b) else b
       }
       .map(_.mkString("\n")).mkString("\n\n")
+  }
+
+  /** Escape pass over one text block, R8h-aware: item-nested fenced
+    * regions (the fenceSpans scanner's spans — verbatim code bytes)
+    * splice through UNTOUCHED; only the text segments between them
+    * render through [[escapeTextBlock]]. The block stays ONE block, so
+    * no blank line appears around the fence and the list stays tight.
+    * A fence never splits a link or emphasis span legitimately (it is a
+    * block boundary), so per-segment escaping loses nothing. */
+  private def escapeTextWithFences(b: Vector[String]): Vector[String] = {
+    val spans = fenceSpans(b)
+    if (spans.isEmpty) return escapeTextBlock(b.mkString("\n"))
+    val out = Vector.newBuilder[String]
+    var i = 0
+    for ((a, e) <- spans) {
+      if (a > i) out ++= escapeTextBlock(b.slice(i, a).mkString("\n"))
+      out ++= b.slice(a, e + 1)
+      i = e + 1
+    }
+    if (i < b.length) out ++= escapeTextBlock(b.slice(i, b.length).mkString("\n"))
+    out.result()
   }
 }

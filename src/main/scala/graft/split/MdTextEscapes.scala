@@ -511,6 +511,25 @@ private[split] object MdTextEscapes {
             }
             ok && (p >= 0 || lineStartAtZero)
           }
+          // behind: a run of ch, then optional whitespace, back to a
+          // line start; ahead: raw same-char text extends the run
+          def lineStartFenceRun(ch: Char): Boolean = {
+            var p = out.length - 1
+            var run = 1
+            while (p >= 0 && out.charAt(p) == ch) { run += 1; p -= 1 }
+            while (p >= 0 && (out.charAt(p) == ' ' || out.charAt(p) == '\t')) p -= 1
+            if (!((p < 0 && lineStartAtZero) || (p >= 0 && out.charAt(p) == '\n')))
+              return false
+            var j = i + 1
+            var more = true
+            while (more && j < items.length) {
+              items(j) match {
+                case TextChar(x, _) if x == ch => run += 1; j += 1
+                case _ => more = false
+              }
+            }
+            run >= 3
+          }
           if (decoded && atLineStart &&
               (c == '#' || c == '-' || c == '+' ||
                 (c == '*' && isWs(nextCh)))) {
@@ -524,6 +543,17 @@ private[split] object MdTextEscapes {
             out.append('\\').append(c)
           } else if (decoded && (c == '-' || c == '*' || c == '_' || c == '=') &&
               lineAllCharOrWs(c)) {
+            out.append('\\').append(c)
+          } else if (decoded && c == '~' && lineStartFenceRun(c)) {
+            // a decoded '~' in a LINE-START tilde run (optionally after
+            // leading whitespace) re-escapes when the rendered run would
+            // reach 3: "\~~~" dropping its escape re-parses as a FENCE
+            // opener next pass (col-0 for the block grouper, or an R8h
+            // item-nested region opener at an indented content column —
+            // fence openers allow any info suffix, so only the run
+            // matters). Backticks need no twin rule: an unmatched
+            // TextChar '`' always escapes below (R13), and matched runs
+            // are Verbatim code spans that never reach this dispatch.
             out.append('\\').append(c)
           } else if (decoded && (c == '-' || c == ':') && lineSepShape) {
             out.append('\\').append(c)

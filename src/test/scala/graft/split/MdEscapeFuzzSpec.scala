@@ -40,8 +40,19 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
     // whose escaped spellings must never drop into table syntax
     "- b\n    7. z\n      c\n", "9. d\n     1. a\n       c\n",
     "- c\n\t* --\n", "- b\n   7. z\n  3. x\n", "100. w\n", "  21. a\n",
-    "\\|", "|-|\n", "|:-|\n", "a|b\n-|-\n", "\\:")
-  private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123=\t|:"
+    "\\|", "|-|\n", "|:-|\n", "a|b\n-|-\n", "\\:",
+    // round-13 R8h shapes: fences and quotes nested in item content —
+    // closed/unclosed/under-indented fences, item-shaped and blank and
+    // escape-hazard fence bytes, tab openers, quote markers at and
+    // below the content column
+    "1. a\n   ```\n   x\n   ```\n", "2. a\n   ```\n   3. z\n\n   [r]\n   ```\n5. b\n",
+    "1. a\n\t```\n\tc\n\t```\n", "1. a\n   ```\n   x\n", "1. a\n  ```\n  x\n  ```\n",
+    "1. a\n   1. b\n      ```\n      x\n      ```\n   2. c\n",
+    "1. a\n   ~~~\n   - y\n   ~~~~\n", "- a\n  ```\n  `t\n  ```\n- b\n",
+    "1. a\n   >q\n", "1. a\n   > >d\n2. c\n", "- a\n  > q\n- b\n",
+    "1. a\n   \\> t\n", "1. a\n      > deep\n", "- a\n > u\n",
+    "\\~~~\n", "\\~", "  1. a\n", "*\t|\n", "* |\n", "|!\n*\t|\n")
+  private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123=\t|:~"
 
   private def fuzz(seed: Long, cases: Int): Unit = {
     val rnd = new scala.util.Random(seed)
@@ -93,7 +104,16 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
       // escaped pipes/dashes must never drop into table-separator
       // syntax ("|\n-\|" -> "|\n-|" is a header+separator next pass)
       "|\n-\\|",
-      "|\n|\\-|")
+      "|\n|\\-|",
+      // deep-fuzz r13 finds: a decoded line-start tilde run minting a
+      // fence opener; bullet normalization minting a table separator
+      // ("* |" -> "- |"); a geometry-dependent fence/quote bail whose
+      // item-only fallback would re-indent the head block and flip the
+      // classification next pass
+      "\\~~~`x\ny\n```\nz",
+      "|!&\n*\t|",
+      "  1. a\n\n   p\n\n2. b\nc\n    7. z\nA1. a\n\t```\n\tc\n\t```",
+      "  1. a\n\n   p\n\n2. b\n   > q\nr")
     for (s <- cases) {
       val once = MdFormatLite.normalize(s)
       assert(MdFormatLite.normalize(once) == once,

@@ -489,6 +489,100 @@ class MdFormatLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("R8h: fenced code nested in an ordered item renumbers the list; code bytes stay verbatim") {
+    // the fence sits at the item's content column, the list renumbers
+    // around it (tight — no blank lines appear), and the fence content —
+    // including item-shaped lines, blank lines, and escape-hazard bytes —
+    // is untouched by both the renumberer and the escape pass
+    val md = "2. a\n   ```scala\n   3. not an item\n\n   [raw] *x* `tick\n   ```\n5. b"
+    val out = MdFormatLite.normalize(md)
+    assert(out ==
+      """#2. a
+        #   ```scala
+        #   3. not an item
+        #
+        #   [raw] *x* `tick
+        #   ```
+        #2. b""".stripMargin('#'))
+    assert(MdFormatLite.normalize(out) == out)
+  }
+
+  test("R8h: fence content re-indents by the content-column delta; offsets beyond the opener keep") {
+    // tab opener (4 cols) at a 3-column content item: the fence renders
+    // AT the content column and content keeps its relative offset
+    val md = "1. a\n\t```\n\tcode\n\t  extra\n\t```\n3. b"
+    val out = MdFormatLite.normalize(md)
+    assert(out ==
+      """#1. a
+        #   ```
+        #   code
+        #     extra
+        #   ```
+        #1. b""".stripMargin('#'))
+    assert(MdFormatLite.normalize(out) == out)
+  }
+
+  test("R8h: fence in a NESTED item; a dedented fence closes the inner level") {
+    val md = "1. a\n   1. b\n      ```\n      x\n      ```\n   2. c\n2. d"
+    val out = MdFormatLite.normalize(md)
+    assert(out ==
+      """#1. a
+        #   1. b
+        #      ```
+        #      x
+        #      ```
+        #   1. c
+        #1. d""".stripMargin('#'))
+    // fence at the OUTER item's column closes the inner level and
+    // belongs to the outer item
+    val md2 = "1. a\n   1. b\n   ```\n   y\n   ```\n2. c"
+    val out2 = MdFormatLite.normalize(md2)
+    assert(out2 ==
+      """#1. a
+        #   1. b
+        #   ```
+        #   y
+        #   ```
+        #1. c""".stripMargin('#'))
+    assert(MdFormatLite.normalize(out2) == out2)
+  }
+
+  test("R8h: unclosed or under-indented fences keep the conservative bail path") {
+    // under-indented (interrupts the list per CommonMark): byte-stable
+    // pass-through of the run, fence escapes as unmatched backticks only
+    // where the old path already did
+    val md = "1. a\n  ```\n  x\n  ```\n2. b"
+    val out = MdFormatLite.normalize(md)
+    assert(MdFormatLite.normalize(out) == out) // fixpoint, whatever the shape
+    assert(out.contains("1. a")) // run not renumbered-and-merged wrongly
+    // unclosed fence: the opener is plain text, run bails byte-stable
+    val md2 = "1. a\n   ```\n   x\n2. b"
+    val out2 = MdFormatLite.normalize(md2)
+    assert(MdFormatLite.normalize(out2) == out2)
+  }
+
+  test("R8h: quote lines nested in item content re-indent with normalized markers; list renumbers") {
+    val md = "1. a\n   >q [b]\n   > >deep\n2. c"
+    val out = MdFormatLite.normalize(md)
+    // quote markers normalize per R15's per-line rule at the content
+    // column; quoted TEXT still takes the block's escape pass (mdformat
+    // re-formats quoted content); the list renumbers around the quote
+    assert(out ==
+      """#1. a
+        #   > q \[b\]
+        #   > > deep
+        #1. c""".stripMargin('#'))
+    assert(MdFormatLite.normalize(out) == out)
+    // under a bullet (2-column content), a 2-space quote is item content
+    val md2 = "- a\n  > q\n- b"
+    val out2 = MdFormatLite.normalize(md2)
+    assert(out2 == "- a\n  > q\n- b")
+    // an UNDER-indented quote interrupts the list: container path
+    val md3 = "- a\n> q\nlazy"
+    val out3 = MdFormatLite.normalize(md3)
+    assert(out3.startsWith("- a\n\n> q"))
+  }
+
   test("R14: character references decode; literal text that would re-parse as a reference escapes its &") {
     assert(MdFormatLite.normalize("&#65;&#x42;") == "AB")
     assert(MdFormatLite.normalize("&lt;tag&gt;") == "\\<tag>") // decoded < then escaped; > is not special

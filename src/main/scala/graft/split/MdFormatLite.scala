@@ -17,8 +17,9 @@ package graft.split
   *      (CommonMark). Round 12: EMPTY headings ("#", "## ", and
   *      closing-sequence-only content like "# #") render as the bare
   *      marker run. Round 11: SETEXT headings convert to ATX ('=' ->
-  *      h1, '-' -> h2) when the content is a one-line paragraph
-  *      (multi-line setext content passes through — divergence), and
+  *      h1, '-' -> h2); round 13: MULTI-LINE setext content converts
+  *      too, its soft line breaks becoming spaces (mdformat renders
+  *      headings as one ATX line), and
   *      THEMATIC BREAKS (3+ of * - _ with optional internal spacing)
   *      render as mdformat's 70-underscore line; after an open
   *      paragraph, only a pure '-' run (a possible setext underline) is
@@ -119,8 +120,7 @@ package graft.split
   * are headings/breaks/setext underlines nested in item content and
   * fences in LOOSE items (item-only renumbering or byte-stable
   * pass-through; R8h covers tight fences and quotes),
-  * item-nested quote content re-formatting, multi-line setext
-  * content, and paragraph re-wrapping
+  * item-nested quote content re-formatting, and paragraph re-wrapping
   * (mdformat's default wrap mode keeps source line breaks anyway).
   * Table cells render through the mdformat-tables path (R6), not the
   * text-escape pass.
@@ -909,14 +909,19 @@ object MdFormatLite {
         }
         blocks += ((code.result(), false))
         i = j
-      } else if (para.length == 1 && !para.head.trim.startsWith("- ") &&
-          !para.head.startsWith(">") && !OrderedItemRe.matches(para.head) &&
+      } else if (para.nonEmpty && para.forall(p => !p.trim.startsWith("- ") &&
+          !p.startsWith(">") && !OrderedItemRe.matches(p)) &&
           (SetextH1Re.matches(l) || SetextH2Re.matches(l))) {
-        // setext heading: the one-line PARAGRAPH above is the content
-        // ('=' -> h1, '-' -> h2); a list item above is not a paragraph,
-        // and multi-line setext content passes through (divergence)
-        val t = para.head.trim
+        // setext heading: the open PARAGRAPH above is the content
+        // ('=' -> h1, '-' -> h2); a list item or quote above is not a
+        // paragraph (bullet lines always read "- " here — the grouper
+        // normalized their markers on append). Round 13: MULTI-LINE
+        // setext content converts too — mdformat always renders ATX, so
+        // the content's soft line breaks become spaces (its heading
+        // renderer: newlines in setext headings convert to spaces).
+        val t = para.map(_.trim).mkString(" ")
         para = Vector.empty
+        paraItemMin = Int.MaxValue
         val hashes = if (SetextH1Re.matches(l)) "#" else "##"
         blocks += ((escapeTextBlock(s"$hashes $t"), false))
         i += 1

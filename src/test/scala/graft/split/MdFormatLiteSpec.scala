@@ -217,8 +217,17 @@ class MdFormatLiteSpec extends AnyFunSuite {
     assert(MdFormatLite.normalize("- x\n---") == "- x\n---")
     // two dashes are too short for a break but fine for setext
     assert(MdFormatLite.normalize("t\n--") == "## t")
+    // round 13: MULTI-LINE setext content converts — mdformat always
+    // renders ATX, so the soft line breaks become spaces; continuation
+    // indents (lazy paragraph lines) trim away with them
+    assert(MdFormatLite.normalize("a\nb\n=====\n\nbody") == "# a b\n\nbody")
+    assert(MdFormatLite.normalize("long title\n  wrapped here\n---") ==
+      "## long title wrapped here")
+    // a paragraph CONTAINING a list/quote line is not setext content
+    assert(MdFormatLite.normalize("t\n- x\n---") == "t\n- x\n---")
     // idempotent
-    for (s <- Seq("Title\n=====\n\nbody", "a\n\n***\n\nb", "a\n---\nb", "- x\n---")) {
+    for (s <- Seq("Title\n=====\n\nbody", "a\n\n***\n\nb", "a\n---\nb", "- x\n---",
+        "a\nb\n=====", "long title\n  wrapped here\n---", "t\n- x\n---")) {
       val once = MdFormatLite.normalize(s)
       assert(MdFormatLite.normalize(once) == once, s)
     }

@@ -288,30 +288,35 @@ object HybridServe {
     * one-file-per-cell layout is this writer's contract, not a caller
     * convention) and a 1-row `meta` carrying nDocs plus the
     * [[BuildConfig]], so a loaded store knows how it was built and the
-    * mutation paths can enforce their preconditions. Returns the
-    * READ-BACK index + cells row count — [[saveVersioned]]'s verified
-    * payload count, summed over both stores so a lexically-empty corpus
-    * with valid vectors (or vice versa) still commits; only a genuinely
-    * empty artifact set reads as the empty payload the sink refuses to
-    * alias. */
+    * mutation paths can enforce their preconditions. Returns the index
+    * + cells row count — [[saveVersioned]]'s verified payload count,
+    * summed over both stores so a lexically-empty corpus with valid
+    * vectors (or vice versa) still commits; only a genuinely empty
+    * artifact set reads as the empty payload the sink refuses to alias.
+    * The counts are MEASURED DURING THE WRITE JOBS ([[Observation]]
+    * metrics riding the write actions) — a read-back count would be a
+    * second full scan of each store per save, a real job at 100 TB. */
   def save(spark: SparkSession, a: Artifacts, dir: String): Long = {
     import spark.implicits._
-    a.index.write.mode("overwrite").parquet(s"$dir/index_store")
+    val idxObs = org.apache.spark.sql.Observation()
+    val cellObs = org.apache.spark.sql.Observation()
+    a.index.observe(idxObs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$dir/index_store")
     IvfIndex.save(spark, a.ivf, s"$dir/ivf_store")
     PqIndex.save(spark, a.pq, s"$dir/pq_store")
-    PqIndex.writeCells(a.cells, s"$dir/cells_store")
+    PqIndex.writeCells(a.cells.observe(cellObs, count(lit(1)).as("n")),
+      s"$dir/cells_store")
     Seq((a.nDocs, a.build.champM, a.build.champMinDf, a.build.lowercase,
         a.build.ivfK, a.build.pqM, a.build.pqKsub, a.build.iters))
       .toDF("n_docs", "champ_m", "champ_min_df", "lowercase",
         "ivf_k", "pq_m", "pq_ksub", "iters")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
-    // an empty store has no files to infer a schema from — that side
-    // simply contributes 0 to the verified count
-    def readCount(p: String): Long =
-      try spark.read.parquet(p).count()
-      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
-    readCount(s"$dir/index_store") + readCount(s"$dir/cells_store")
+    // an empty store's write action still runs, so its observation
+    // simply reports 0 toward the verified count
+    def n(o: org.apache.spark.sql.Observation): Long =
+      o.get("n").asInstanceOf[Long]
+    n(idxObs) + n(cellObs)
   }
 
   /** Rehydrate [[Artifacts]] from a [[save]]d directory: the models load

@@ -71,9 +71,13 @@ package graft.split
   *      same-block item at or below that column), under-indented or
   *      unclosed fences, and remaining block-syntax-shaped item content
   *      (headings, breaks, setext underlines) pass through byte-stable
-  *      or fall back to item-only renumbering (divergence); a fence in
-  *      a LOOSE item (blank line between the item and the fence) is
-  *      also pass-through (the region scanner is block-local).
+  *      or fall back to item-only renumbering (divergence). Fences in
+  *      LOOSE items (blank line between the item and the fence) carry
+  *      too: the run's scanner state rides across blocks, valid while
+  *      every rendered block head re-enters the run (items, or >= 3
+  *      columns of indent) — a loose fence under a 2-column bullet
+  *      level, or one with internal blank lines (its block cannot hold
+  *      together without items above), stays pass-through.
   *  R9. bracket escape normalization: [ and ] in TEXT — not part of a
   *      complete inline/reference link or image, not in a code span, not
   *      already escaped — render as \[ \] (mdformat's text renderer
@@ -117,9 +121,9 @@ package graft.split
   * Not implemented (documented divergence): emphasis-marker handling
   * needs none (mdformat renders em/strong with the SOURCE marker,
   * `node.markup` — markers are preserved, not rewritten); remaining gaps
-  * are headings/breaks/setext underlines nested in item content and
-  * fences in LOOSE items (item-only renumbering or byte-stable
-  * pass-through; R8h covers tight fences and quotes),
+  * are headings/breaks/setext underlines nested in item content
+  * (item-only renumbering or byte-stable pass-through; R8h covers
+  * tight AND loose fences, and quotes),
   * item-nested quote content re-formatting, and paragraph re-wrapping
   * (mdformat's default wrap mode keeps source line breaks anyway).
   * Table cells render through the mdformat-tables path (R6), not the
@@ -205,19 +209,26 @@ object MdFormatLite {
   }
 
   /** R8h region scanner over one text block's lines: inclusive
-    * (opener, closer) spans of item-nested FENCED CODE regions. A region
-    * opens at a line whose indent column reaches the minimum content
-    * column of an item line seen above it in the block and whose
-    * stripped content is fence-shaped; see [[fenceCloserAt]] for the
-    * closing rule. Region content never updates the item-column state
-    * (code bytes are not items). The block grouper consumes exactly
-    * these spans verbatim into the paragraph run, so scanning a grouped
-    * block re-derives the same regions — including after renumbering,
-    * whose output columns only ever sit at or beyond the outermost
-    * item's content column. */
-  private[split] def fenceSpans(lines: Vector[String]): Vector[(Int, Int)] = {
+    * (opener, closer) spans of item-nested FENCED CODE regions, plus the
+    * final item-column state so a LOOSE run can carry it across blocks
+    * (round 13: a fence in a continuation BLOCK of a loose list opens
+    * against items seen in EARLIER blocks of the same run — `minItem0`
+    * seeds the scan). A region opens at a line whose indent column
+    * reaches the minimum content column of an item line seen above it
+    * (same block, or carried) and whose stripped content is
+    * fence-shaped; see [[fenceCloserAt]] for the closing rule. Region
+    * content never updates the item-column state (code bytes are not
+    * items). The block grouper consumes exactly the same-block spans
+    * verbatim into the paragraph run (so tight regions keep their blank
+    * lines inside one block); loose regions hold together on their own
+    * because a blank-containing loose region never parses (its closer
+    * lands outside the block). Scanning a rendered block re-derives the
+    * same regions: output item columns are monotone with depth, so the
+    * carried minimum stays at or below every rendered region column. */
+  private[split] def fenceSpans(lines: Vector[String],
+                                minItem0: Int = Int.MaxValue): (Vector[(Int, Int)], Int) = {
     val spans = Vector.newBuilder[(Int, Int)]
-    var minItem = Int.MaxValue
+    var minItem = minItem0
     var i = 0
     while (i < lines.length) {
       val l = lines(i)
@@ -239,7 +250,7 @@ object MdFormatLite {
         i += 1
       }
     }
-    spans.result()
+    (spans.result(), minItem)
   }
 
   /** R15 (round 11): blockquote MARKER normalization — mdformat renders
@@ -388,11 +399,23 @@ object MdFormatLite {
     // the fence scanner) reclaim a quote/fence line as item content only
     // when an item AT OR BELOW its column sits above it in the SAME
     // block — a rendered quote/fence column this minimum does not reach
-    // would reclassify next pass, so those shapes bail instead.
+    // would reclassify next pass, so those shapes bail instead...
     var outBlockMin = Int.MaxValue
+    // ...EXCEPT a LOOSE fence (round 13), which the next pass reclaims
+    // through the RUN's carried item state — valid only while every
+    // rendered block head so far re-enters the run (an item line, or a
+    // continuation indented >= 3 columns = contish), tracked here.
+    var runStable = true
+    var atBlockStart = true
+    def noteBlockHead(stable: Boolean): Unit =
+      if (atBlockStart) {
+        if (!stable) runStable = false
+        atBlockStart = false
+      }
     for (line <- items) line match {
       case BlockBreak =>
         outBlockMin = Int.MaxValue
+        atBlockStart = true
       case FOpen(ind, text) =>
         // a fence at an open level's content column (extra < 4) is a
         // block INSIDE that item: deeper levels close (same dedent rule
@@ -413,11 +436,19 @@ object MdFormatLite {
         // scanner claimed its lines, so re-indenting as code here would
         // reclassify them next pass): pass the run through byte-stable
         if (extra >= 4) return None
-        // next pass's scanner reclaims the region only when an item at
-        // or below its column precedes it in the same block
-        if (outBlockMin > top.outContentCol) return None
+        // next pass's scanner reclaims the region when an item at or
+        // below its column precedes it in the same block (TIGHT), or —
+        // round 13, LOOSE — through the run's carried item state, which
+        // reaches this block only while the rendered run holds together:
+        // every block head so far re-enters the run, and this region's
+        // own lines render at >= 3 columns (contish). A loose fence
+        // under a 2-column bullet level renders contish-unstable — bail.
+        val outCol = top.outContentCol
+        if (!(outBlockMin <= outCol || (outCol >= 3 && runStable)))
+          return None
+        noteBlockHead(outCol >= 3)
         regionInCol = w
-        regionOutCol = top.outContentCol
+        regionOutCol = outCol
         out += (" " * regionOutCol) + text
       case FBody(raw) =>
         if (raw.isEmpty) out += ""
@@ -436,6 +467,7 @@ object MdFormatLite {
           case None => return None
           case Some(top) =>
             outBlockMin = math.min(outBlockMin, top.outContentCol)
+            noteBlockHead(stable = true) // item heads re-enter the run
             out += (" " * top.outIndent) + top.num + top.marker + " " + rest
         }
       case BItem(ind, rest) =>
@@ -443,6 +475,7 @@ object MdFormatLite {
           case None => return None
           case Some(top) =>
             outBlockMin = math.min(outBlockMin, top.outContentCol)
+            noteBlockHead(stable = true) // item heads re-enter the run
             // re-indenting can COMPLETE thematic-break (or, r13,
             // table-separator) syntax the grouper's own bullet guard
             // never saw ("\t* --" rendered at column 2 becomes "  - --",
@@ -481,6 +514,7 @@ object MdFormatLite {
           // there next pass, so bail byte-stable
           if (top.outContentCol < 4 && outBlockMin > top.outContentCol)
             return None
+          noteBlockHead(top.outContentCol >= 3)
           out += (" " * top.outContentCol) + normalizeQuoteMarkers(text)
         } else {
           // BLOCK-SYNTAX-shaped content (heading, fence outside a scanned
@@ -511,6 +545,7 @@ object MdFormatLite {
           if (w < top.contentCol) {
             // R8e (round 12): lazy paragraph continuation — mdformat
             // renders it AT the item's content column
+            noteBlockHead(outCol >= 3)
             out += (" " * outCol) + text
           } else {
             val extra = w - top.contentCol
@@ -524,9 +559,11 @@ object MdFormatLite {
               // representable, pass the run through byte-stable
               if (popped.exists(p => p.outContentCol <= outCol + extra))
                 return None
+              noteBlockHead(outCol + extra >= 3)
               out += (" " * (outCol + extra)) + text
             } else {
               // < 4 extra: paragraph continuation, renders AT the column
+              noteBlockHead(outCol >= 3)
               out += (" " * outCol) + text
             }
           }
@@ -755,7 +792,14 @@ object MdFormatLite {
     // clean items+continuations list falls back to the round-11
     // item-only treatment: its all-item sub-runs renumber, everything
     // else passes through untouched.
-    def renumberLoose(bs: Vector[(Vector[String], Boolean)]): Vector[(Vector[String], Boolean)] = {
+    // Output blocks are annotated with their R8h fence spans — the
+    // escape-time contract (span lines splice through the escape pass
+    // verbatim). Spans are computed ONCE here, because a LOOSE region
+    // (round 13: a fence in a continuation block of a loose list) is
+    // only derivable with the run's carried item-column state — a
+    // block-local rescan at escape time could not see it.
+    def renumberLoose(bs: Vector[(Vector[String], Boolean)]): Vector[(Vector[String], Boolean, Vector[(Int, Int)])] = {
+      val noSpans = Vector.empty[(Int, Int)]
       def orderedish(b: (Vector[String], Boolean)): Boolean =
         b._2 && b._1.nonEmpty &&
           (OrderedItemRe.matches(b._1.head) || BulletRe.matches(b._1.head))
@@ -771,10 +815,10 @@ object MdFormatLite {
       // R8h: classify each block's item-nested fence regions FIRST, so
       // verbatim code bytes (which may be item-shaped, blank, or
       // block-syntax-shaped) never parse as items or continuations.
-      // Spans never cross blocks: the grouper consumed each region into
-      // one paragraph run wholesale.
-      def parseBlock(ls: Vector[String]): Vector[ListLine] = {
-        val spans = fenceSpans(ls)
+      // Spans never cross blocks: the grouper consumed each tight region
+      // into one paragraph run wholesale, and a loose region's lines
+      // have no internal blanks (or its closer search already failed).
+      def parseBlock(ls: Vector[String], spans: Vector[(Int, Int)]): Vector[ListLine] = {
         if (spans.isEmpty) ls.map(parseLine)
         else {
           val out = Vector.newBuilder[ListLine]
@@ -794,30 +838,40 @@ object MdFormatLite {
           out.result()
         }
       }
-      def parse(ls: Vector[(Vector[String], Boolean)]): Vector[ListLine] =
+      def parse(ls: Vector[(Vector[String], Boolean)],
+                spans: Vector[Vector[(Int, Int)]]): Vector[ListLine] =
         ls.zipWithIndex.flatMap { case (b, bi) =>
           // BlockBreak carries the block boundary into renumberNested's
           // R8h safety state; it emits no output line, so emit()'s
           // slicing by block lengths is unaffected
-          val parsed = parseBlock(b._1)
+          val parsed = parseBlock(b._1, spans(bi))
           if (bi == 0) parsed else BlockBreak +: parsed
         }
-      def emit(out: scala.collection.mutable.Builder[(Vector[String], Boolean), Vector[(Vector[String], Boolean)]],
-               run: Seq[(Vector[String], Boolean)], lines: Vector[String]): Unit = {
+      val out = Vector.newBuilder[(Vector[String], Boolean, Vector[(Int, Int)])]
+      // renumbering maps lines 1:1, so per-block span INDICES survive it
+      def emit(run: Seq[(Vector[String], Boolean)],
+               spans: Seq[Vector[(Int, Int)]], lines: Vector[String]): Unit = {
         var off = 0
-        run.foreach { case (b, t) =>
-          out += ((lines.slice(off, off + b.length), t))
+        run.zip(spans).foreach { case ((b, t), sp) =>
+          out += ((lines.slice(off, off + b.length), t, sp))
           off += b.length
         }
       }
-      val out = Vector.newBuilder[(Vector[String], Boolean)]
       var idx = 0
       while (idx < bs.length) {
         if (orderedish(bs(idx))) {
           var j = idx + 1
           while (j < bs.length && (orderedish(bs(j)) || contish(bs(j)))) j += 1
           val run = (idx until j).map(bs)
-          val parsed = parse(run.toVector)
+          // per-block spans with the loose-list carry: items seen in
+          // earlier blocks of the run qualify fences in later ones
+          var carry = Int.MaxValue
+          val runSpans = run.map { b =>
+            val (sp, m) = fenceSpans(b._1, carry)
+            carry = m
+            sp
+          }.toVector
+          val parsed = parse(run.toVector, runSpans)
           // R8h: whether a fence/quote shape can attach is GEOMETRY-
           // dependent (the level stack, the block-local column minimum).
           // The item-only fallback below re-indents all-item sub-runs,
@@ -828,13 +882,28 @@ object MdFormatLite {
           // (blockShapedText) and keep the round-11 fallback.
           def r8hShaped(l: ListLine): Boolean = l match {
             case FOpen(_, _) => true
-            case Cont(raw) => raw.dropWhile(c => c == ' ' || c == '\t').startsWith(">")
+            case Cont(raw) =>
+              // fence-SHAPED continuations count even when no span
+              // claimed them (under-indented for the current carry,
+              // unclosed): the fallback's re-indent could qualify them
+              // as a span next pass. Tested on the raw AND unescaped
+              // spelling — after a pass-through the escape pass rewrites
+              // "```" to "\`\`\`", and both passes must take the same
+              // branch here or the fallback flips (deep-fuzz r13 finds)
+              val t = raw.dropWhile(c => c == ' ' || c == '\t')
+              def shaped(x: String): Boolean =
+                x.startsWith(">") || FenceRe.matches(x)
+              shaped(t) || shaped(unescapePunct(t))
             case _ => false
           }
           renumberNested(parsed) match {
-            case Some(lines) => emit(out, run, lines)
+            case Some(lines) => emit(run, runSpans, lines)
             case None if parsed.exists(r8hShaped) =>
-              run.foreach(out += _)
+              // pass through byte-stable, but KEEP the span annotations:
+              // the escape pass must still treat the code bytes as code,
+              // and the next pass re-derives the same spans from the
+              // same bytes either way
+              run.zip(runSpans).foreach { case ((b, t), sp) => out += ((b, t, sp)) }
             case None =>
               // round-11 fallback: renumber maximal all-item sub-runs
               var k = 0
@@ -845,16 +914,25 @@ object MdFormatLite {
                   var e = k
                   while (e < run.length && allItems(run(e))) e += 1
                   val sub = run.slice(k, e)
-                  renumberNested(parse(sub.toVector)) match {
-                    case Some(lines) => emit(out, sub, lines)
-                    case None => sub.foreach(out += _)
+                  val subSpans = runSpans.slice(k, e) // all-item: empty
+                  renumberNested(parse(sub.toVector, subSpans)) match {
+                    case Some(lines) => emit(sub, subSpans, lines)
+                    case None =>
+                      sub.zip(subSpans).foreach { case ((b, t), sp) => out += ((b, t, sp)) }
                   }
                   k = e
-                } else { out += run(k); k += 1 }
+                } else {
+                  out += ((run(k)._1, run(k)._2, runSpans(k)))
+                  k += 1
+                }
               }
           }
           idx = j
-        } else { out += bs(idx); idx += 1 }
+        } else {
+          val b = bs(idx)
+          out += ((b._1, b._2, if (b._2) fenceSpans(b._1)._1 else noSpans))
+          idx += 1
+        }
       }
       out.result()
     }
@@ -1008,21 +1086,22 @@ object MdFormatLite {
     // R8/R8b/R8c renumber first (raw indents intact), THEN the text-token
     // escape pass per text block (R9-R14; multi-line links stay whole)
     renumberLoose(blocks.result())
-      .map { case (b, isText) =>
-        if (isText) escapeTextWithFences(b) else b
+      .map { case (b, isText, spans) =>
+        if (isText) escapeTextWithFences(b, spans) else b
       }
       .map(_.mkString("\n")).mkString("\n\n")
   }
 
   /** Escape pass over one text block, R8h-aware: item-nested fenced
-    * regions (the fenceSpans scanner's spans — verbatim code bytes)
-    * splice through UNTOUCHED; only the text segments between them
-    * render through [[escapeTextBlock]]. The block stays ONE block, so
-    * no blank line appears around the fence and the list stays tight.
-    * A fence never splits a link or emphasis span legitimately (it is a
-    * block boundary), so per-segment escaping loses nothing. */
-  private def escapeTextWithFences(b: Vector[String]): Vector[String] = {
-    val spans = fenceSpans(b)
+    * regions (the spans renumberLoose annotated the block with —
+    * verbatim code bytes) splice through UNTOUCHED; only the text
+    * segments between them render through [[escapeTextBlock]]. The
+    * block stays ONE block, so no blank line appears around a tight
+    * fence and the list stays tight. A fence never splits a link or
+    * emphasis span legitimately (it is a block boundary), so
+    * per-segment escaping loses nothing. */
+  private def escapeTextWithFences(b: Vector[String],
+                                   spans: Vector[(Int, Int)]): Vector[String] = {
     if (spans.isEmpty) return escapeTextBlock(b.mkString("\n"))
     val out = Vector.newBuilder[String]
     var i = 0

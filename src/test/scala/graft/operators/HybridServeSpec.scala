@@ -126,7 +126,11 @@ class HybridServeSpec extends SparkSpec {
       val (ivf, pq) = tinyModels(embT)
       val arts = HybridServe.buildWith(docsT, "doc_id", "text",
         embT, "vec_id", "embedding", ivf, pq)
-      HybridServe.save(spark, arts, s"$root/store")
+      val saved = HybridServe.save(spark, arts, s"$root/store")
+      // the count save() measured DURING its write jobs (Observation
+      // metrics — no read-back scan) must equal a from-disk recount
+      assert(saved == spark.read.parquet(s"$root/store/index_store").count() +
+        spark.read.parquet(s"$root/store/cells_store").count())
       val loaded = HybridServe.load(spark, s"$root/store")
 
       // SERVE from the loaded artifacts + a client-supplied batch

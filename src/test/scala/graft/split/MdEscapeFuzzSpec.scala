@@ -51,7 +51,12 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
     "1. a\n   ~~~\n   - y\n   ~~~~\n", "- a\n  ```\n  `t\n  ```\n- b\n",
     "1. a\n   >q\n", "1. a\n   > >d\n2. c\n", "- a\n  > q\n- b\n",
     "1. a\n   \\> t\n", "1. a\n      > deep\n", "- a\n > u\n",
-    "\\~~~\n", "\\~", "  1. a\n", "*\t|\n", "* |\n", "|!\n*\t|\n")
+    "\\~~~\n", "\\~", "  1. a\n", "*\t|\n", "* |\n", "|!\n*\t|\n",
+    // r13 loose fences: blank line between the item and the fence (run
+    // carry), bullet-level looseness (contish-unstable, bails), and an
+    // internal blank (region cannot hold together, bails)
+    "2. a\n\n   ```\n   [c]\n   ```\n\n5. b\n", "- a\n\n  ```\n  x\n  ```\n",
+    "1. a\n\n   p\n\n   ```\n   x\n   ```\n", "1. a\n\n   ```\n   x\n\n   y\n   ```\n")
   private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123=\t|:~"
 
   private def fuzz(seed: Long, cases: Int): Unit = {

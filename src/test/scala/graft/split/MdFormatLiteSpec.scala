@@ -570,6 +570,34 @@ class MdFormatLiteSpec extends AnyFunSuite {
     assert(MdFormatLite.normalize(out2) == out2)
   }
 
+  test("R8h loose: a fence in a continuation block of a loose list renumbers with the list") {
+    // blank line between the item and its fence: the fence block rides
+    // the run's carried item state; the list stays loose (mdformat keeps
+    // the blank), the fence renders at the content column, and the code
+    // bytes stay verbatim and escape-exempt
+    val md = "2. a\n\n   ```\n   [code] *x*\n   ```\n\n5. b"
+    val out = MdFormatLite.normalize(md)
+    assert(out ==
+      """#2. a
+        #
+        #   ```
+        #   [code] *x*
+        #   ```
+        #
+        #2. b""".stripMargin('#'))
+    assert(MdFormatLite.normalize(out) == out)
+    // under a 2-column bullet level the rendered block would fall out of
+    // the run (contish needs 3 columns): conservative byte-stable
+    val md2 = "- a\n\n  ```\n  x\n  ```\n- b"
+    val out2 = MdFormatLite.normalize(md2)
+    assert(MdFormatLite.normalize(out2) == out2)
+    // a loose fence with an internal blank line cannot hold together as
+    // one block: conservative, byte-stable across passes
+    val md3 = "1. a\n\n   ```\n   x\n\n   y\n   ```\n2. b"
+    val out3 = MdFormatLite.normalize(md3)
+    assert(MdFormatLite.normalize(out3) == out3)
+  }
+
   test("R8h: quote lines nested in item content re-indent with normalized markers; list renumbers") {
     val md = "1. a\n   >q [b]\n   > >deep\n2. c"
     val out = MdFormatLite.normalize(md)

@@ -1164,8 +1164,10 @@ object TextQ {
       // VERBATIM and escape-exempt, the list renumbers around it and
       // stays TIGHT — and a QUOTE line at the content column re-indents
       // there with the list renumbering past it; a marker-type switch
-      // ('9)') still starts its own list. Symbolic byte rebuild, like
-      // q63/q118/q119/q120.
+      // ('9)') still starts its own list, as does the '4.' after it —
+      // whose fence is LOOSE (blank line between item and fence: the
+      // scanner's run carry qualifies it, and the blank is preserved).
+      // Symbolic byte rebuild, like q63/q118/q119/q120.
       (s, d) => {
         val w = split(col("text"), "\\s+")
         val md = concat(
@@ -1174,7 +1176,10 @@ object TextQ {
           lit(" [x]\n\n   val y = "), element_at(w, 3),
           lit("\n   ```\n7. next "), element_at(w, 4),
           lit("\n   > quoth "), element_at(w, 5),
-          lit("\n9) other "), element_at(w, 6))
+          lit("\n9) other "), element_at(w, 6),
+          lit("\n\n4. loose "), element_at(w, 7),
+          lit("\n\n   ```\n   tail "), element_at(w, 8),
+          lit("\n   ```"))
         val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
         docs(s, d)
           .select(col("doc_id"), fmtUdf(md).as("canon"))
@@ -1191,7 +1196,11 @@ object TextQ {
         |  '   ```' || chr(10) ||
         |  '2. next ' || t[4] || chr(10) ||
         |  '   > quoth ' || t[5] || chr(10) ||
-        |  '9) other ' || t[6] AS canon
+        |  '9) other ' || t[6] || chr(10) || chr(10) ||
+        |  '4. loose ' || t[7] || chr(10) || chr(10) ||
+        |  '   ```' || chr(10) ||
+        |  '   tail ' || t[8] || chr(10) ||
+        |  '   ```' AS canon
         |  FROM w)
         |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
         |FROM e ORDER BY doc_id""".stripMargin)),

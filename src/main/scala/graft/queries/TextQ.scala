@@ -1163,11 +1163,13 @@ object TextQ {
       // item-shaped line, a blank line, bracket/emphasis hazards) stay
       // VERBATIM and escape-exempt, the list renumbers around it and
       // stays TIGHT — and a QUOTE line at the content column re-indents
-      // there with the list renumbering past it; a marker-type switch
-      // ('9)') still starts its own list, as does the '4.' after it —
-      // whose fence is LOOSE (blank line between item and fence: the
-      // scanner's run carry qualifies it, and the blank is preserved).
-      // Symbolic byte rebuild, like q63/q118/q119/q120.
+      // there with the list renumbering past it; a quoted LIST inside
+      // the ')' item re-formats RECURSIVELY (its own items take the
+      // first number); a marker-type switch ('9)') still starts its own
+      // list, as does the '4.' after it — whose fence is LOOSE (blank
+      // line between item and fence: the scanner's run carry qualifies
+      // it, and the blank is preserved). Symbolic byte rebuild, like
+      // q63/q118/q119/q120.
       (s, d) => {
         val w = split(col("text"), "\\s+")
         val md = concat(
@@ -1177,6 +1179,8 @@ object TextQ {
           lit("\n   ```\n7. next "), element_at(w, 4),
           lit("\n   > quoth "), element_at(w, 5),
           lit("\n9) other "), element_at(w, 6),
+          lit("\n   > 5. uno "), element_at(w, 9),
+          lit("\n   > 7. dos"),
           lit("\n\n4. loose "), element_at(w, 7),
           lit("\n\n   ```\n   tail "), element_at(w, 8),
           lit("\n   ```"))
@@ -1196,7 +1200,9 @@ object TextQ {
         |  '   ```' || chr(10) ||
         |  '2. next ' || t[4] || chr(10) ||
         |  '   > quoth ' || t[5] || chr(10) ||
-        |  '9) other ' || t[6] || chr(10) || chr(10) ||
+        |  '9) other ' || t[6] || chr(10) ||
+        |  '   > 5. uno ' || t[9] || chr(10) ||
+        |  '   > 5. dos' || chr(10) || chr(10) ||
         |  '4. loose ' || t[7] || chr(10) || chr(10) ||
         |  '   ```' || chr(10) ||
         |  '   tail ' || t[8] || chr(10) ||

@@ -63,10 +63,14 @@ package graft.split
   *      the grouper, blank lines included, so the list stays TIGHT)
   *      that re-indents to the level's output content column with
   *      offsets beyond the opener preserved and its bytes exempt from
-  *      the escape pass; a quote-marker line at a content column
-  *      re-indents there with markers normalized per R15's per-line
-  *      rule (the quoted content itself is not re-formatted —
-  *      divergence: mdformat recurses into item-nested quotes). Shapes
+  *      the escape pass; QUOTE lines at the same content column form a
+  *      group whose content RE-FORMATS through this whole pipeline
+  *      (mdformat recurses into item-nested quotes) whenever the inner
+  *      re-format keeps the line count — the renderer's output must
+  *      stay 1:1 with its input lines — falling back to per-LINE
+  *      recursion (markers normalized, each line's content
+  *      canonicalized in its own line-start context) when it does not
+  *      (blank insertion, setext joins — divergence). Shapes
   *      whose rendered column the next pass would not reclaim (no
   *      same-block item at or below that column), under-indented or
   *      unclosed fences, and remaining block-syntax-shaped item content
@@ -123,8 +127,9 @@ package graft.split
   * `node.markup` — markers are preserved, not rewritten); remaining gaps
   * are headings/breaks/setext underlines nested in item content
   * (item-only renumbering or byte-stable pass-through; R8h covers
-  * tight AND loose fences, and quotes),
-  * item-nested quote content re-formatting, and paragraph re-wrapping
+  * tight AND loose fences, and quotes with recursive content
+  * re-formatting under the 1:1 line-count gate), and paragraph
+  * re-wrapping
   * (mdformat's default wrap mode keeps source line breaks anyway).
   * Table cells render through the mdformat-tables path (R6), not the
   * text-escape pass.
@@ -334,7 +339,12 @@ object MdFormatLite {
   // judge quote/fence lines against items in the SAME block only
   private case object BlockBreak extends ListLine
 
-  private def renumberNested(items: Vector[ListLine]): Option[Vector[String]] = {
+  /** Returns the rendered lines plus a parallel ESCAPE-EXEMPT mask: true
+    * lines (fence-region bytes, recursively re-formatted quote content)
+    * splice through the text-escape pass verbatim. `quoteDepth` bounds
+    * the R8h-quote recursion exactly like normalizeCore's R15b bound. */
+  private def renumberNested(items: Vector[ListLine],
+                             quoteDepth: Int): Option[(Vector[String], Vector[Boolean])] = {
     // bullet levels carry num = "" and marker = "-": width = "" + "-" +
     // " " = 2 columns, and the shared rendering/contentCol arithmetic
     // (num + marker + space) stays uniform across kinds
@@ -355,7 +365,14 @@ object MdFormatLite {
       case _ => return None
     }
     val stack = scala.collection.mutable.ArrayBuffer.empty[Level]
-    val out = Vector.newBuilder[String]
+    val outLines = Vector.newBuilder[String]
+    val outExempt = Vector.newBuilder[Boolean]
+    // keeps the existing `out += line` sites reading naturally: a plain
+    // += emits a NON-exempt line, outEx an escape-exempt one
+    object out {
+      def +=(s: String): Unit = { outLines += s; outExempt += false }
+    }
+    def outEx(s: String): Unit = { outLines += s; outExempt += true }
     // shared level resolution for marker lines of either kind
     def levelFor(w: Int, bullet: Boolean, n: String, m: String): Option[Level] = {
       // dedent closes nested levels; the OUTERMOST list never closes (a
@@ -394,6 +411,59 @@ object MdFormatLite {
     // column the region renders at (the attached level's content column)
     var regionInCol = -1
     var regionOutCol = -1
+    // R8h quote groups (round 13): consecutive quote-marker continuation
+    // lines rendering at the SAME column form one item-nested blockquote
+    // whose content re-formats through the full pipeline — mdformat
+    // recurses into item-nested quotes — whenever the re-format keeps
+    // the line count (this renderer's output must stay 1:1 with its
+    // input lines, and a count-changing inner re-format — blank
+    // collapse, setext joins — is not representable). Recursed lines are
+    // escape-EXEMPT (the recursion ran its own escape pass); the
+    // fallback is the per-line marker normalization, its content
+    // escaping in the outer text pass. Grouping by the RENDERED column
+    // (not input indent) keeps the next pass's grouping identical: it
+    // sees equal indents and forms the same group.
+    val qPend = scala.collection.mutable.ArrayBuffer.empty[String]
+    var qCol = -1
+    def flushQuotes(): Unit = {
+      if (qPend.isEmpty) return
+      val texts = qPend.toVector
+      val col = qCol
+      qPend.clear()
+      qCol = -1
+      var recursed = false
+      if (quoteDepth > 0) {
+        val inner = texts.map(stripOneMarker)
+        val rendered = normalizeCore(inner, quoteDepth - 1).split("\n", -1).toVector
+        if (rendered.length == texts.length) {
+          rendered.foreach(x => outEx((" " * col) + (if (x.isEmpty) ">" else "> " + x)))
+          recursed = true
+        }
+      }
+      if (!recursed) {
+        // per-LINE recursion fallback: the group's inner document
+        // re-formats with a different line count (blank insertion,
+        // setext joins — not representable 1:1 here), so each line
+        // re-formats ALONE in its own line-start context, still
+        // escape-exempt. Rendering through the outer escape instead
+        // would re-spell the content in the group's mid-line context
+        // ("> \* e" drops its line-start escape after "> ") and change
+        // the inner document the next pass's gate reads — the gate
+        // must always re-evaluate on bytes this path already fixed
+        // (deep-fuzz r13 find). At recursion depth 0 both passes take
+        // the plain-marker path, which is stable on its own.
+        texts.foreach { t =>
+          val one =
+            if (quoteDepth > 0)
+              normalizeCore(Vector(stripOneMarker(t)), quoteDepth - 1)
+                .split("\n", -1).toVector
+            else Vector.empty
+          if (one.length == 1)
+            outEx((" " * col) + (if (one.head.isEmpty) ">" else "> " + one.head))
+          else out += (" " * col) + normalizeQuoteMarkers(t)
+        }
+      }
+    }
     // R8h safety state: the minimum OUTPUT content column among item
     // lines rendered in the CURRENT block. The next pass's grouper (and
     // the fence scanner) reclaim a quote/fence line as item content only
@@ -414,9 +484,11 @@ object MdFormatLite {
       }
     for (line <- items) line match {
       case BlockBreak =>
+        flushQuotes()
         outBlockMin = Int.MaxValue
         atBlockStart = true
       case FOpen(ind, text) =>
+        flushQuotes()
         // a fence at an open level's content column (extra < 4) is a
         // block INSIDE that item: deeper levels close (same dedent rule
         // as continuations — block syntax is never lazy), the fence
@@ -449,20 +521,21 @@ object MdFormatLite {
         noteBlockHead(outCol >= 3)
         regionInCol = w
         regionOutCol = outCol
-        out += (" " * regionOutCol) + text
+        outEx((" " * regionOutCol) + text)
       case FBody(raw) =>
-        if (raw.isEmpty) out += ""
+        if (raw.isEmpty) outEx("")
         else {
           // strip up to the opener's column (CommonMark), keep the rest
           val lead = leadWs(raw)
           val off = math.max(0, colWidth(lead) - regionInCol)
-          out += (" " * (regionOutCol + off)) + raw.substring(lead.length)
+          outEx((" " * (regionOutCol + off)) + raw.substring(lead.length))
         }
       case FClose(text) =>
-        out += (" " * regionOutCol) + text
+        outEx((" " * regionOutCol) + text)
         regionInCol = -1
         regionOutCol = -1
       case OItem(ind, n, m, rest) =>
+        flushQuotes()
         levelFor(colWidth(ind), bullet = false, n, m) match {
           case None => return None
           case Some(top) =>
@@ -471,6 +544,7 @@ object MdFormatLite {
             out += (" " * top.outIndent) + top.num + top.marker + " " + rest
         }
       case BItem(ind, rest) =>
+        flushQuotes()
         levelFor(colWidth(ind), bullet = true, "", "-") match {
           case None => return None
           case Some(top) =>
@@ -515,8 +589,13 @@ object MdFormatLite {
           if (top.outContentCol < 4 && outBlockMin > top.outContentCol)
             return None
           noteBlockHead(top.outContentCol >= 3)
-          out += (" " * top.outContentCol) + normalizeQuoteMarkers(text)
+          // buffer into the current quote GROUP; a column change closes
+          // the group (different attach level = a different blockquote)
+          if (qCol >= 0 && qCol != top.outContentCol) flushQuotes()
+          qCol = top.outContentCol
+          qPend += text
         } else {
+          flushQuotes()
           // BLOCK-SYNTAX-shaped content (heading, fence outside a scanned
           // R8h region, break, setext underline) nested in item content
           // is beyond this grouper's container model — and re-indenting
@@ -569,7 +648,8 @@ object MdFormatLite {
           }
         }
     }
-    Some(out.result())
+    flushQuotes()
+    Some((outLines.result(), outExempt.result()))
   }
 
   /** R9-R14: the text-token escape pass ([[MdTextEscapes]]) over a whole
@@ -641,25 +721,17 @@ object MdFormatLite {
     (x.startsWith("    ") || x.startsWith("\t")) &&
       !OrderedItemRe.matches(x) && !BulletRe.matches(x)
 
-  /** CommonMark backslash-escape removal over ASCII punctuation — used to
-    * test whether a continuation line's ESCAPED spelling still denotes
-    * block syntax (the escape pass rewrites "```" to "\`\`\`"; both
-    * spellings must classify identically across normalize passes). */
-  private def unescapePunct(s: String): String = {
-    val b = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == '\\' && i + 1 < s.length &&
-          "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".indexOf(s.charAt(i + 1).toInt) >= 0) {
-        b.append(s.charAt(i + 1)); i += 2
-      } else { b.append(s.charAt(i)); i += 1 }
-    }
-    b.toString
-  }
+  /** The spelling-insensitive probe for the classifiers below: decode
+    * backslash escapes AND character references (the escape pass
+    * re-spells "&#62;" as "\>", so a test that saw only one spelling
+    * would classify differently across passes — r12 backslash find,
+    * r13 entity find). */
+  private def unescapePunct(s: String): String =
+    MdTextEscapes.decodeSpellings(s)
 
   /** Block-syntax shapes a list-item continuation line must never be
     * re-indented across (see renumberNested's Right case) — tested on
-    * the raw text AND its unescaped spelling. */
+    * the raw text AND its decoded spelling. */
   private def blockShapedText(text: String): Boolean = {
     def shaped(t: String): Boolean =
       isQuoteLine(t) || HeadingRe.matches(t) || EmptyHeadingRe.matches(t) ||
@@ -792,14 +864,21 @@ object MdFormatLite {
     // clean items+continuations list falls back to the round-11
     // item-only treatment: its all-item sub-runs renumber, everything
     // else passes through untouched.
-    // Output blocks are annotated with their R8h fence spans — the
-    // escape-time contract (span lines splice through the escape pass
-    // verbatim). Spans are computed ONCE here, because a LOOSE region
-    // (round 13: a fence in a continuation block of a loose list) is
-    // only derivable with the run's carried item-column state — a
-    // block-local rescan at escape time could not see it.
-    def renumberLoose(bs: Vector[(Vector[String], Boolean)]): Vector[(Vector[String], Boolean, Vector[(Int, Int)])] = {
-      val noSpans = Vector.empty[(Int, Int)]
+    // Output blocks are annotated with a per-line ESCAPE-EXEMPT mask —
+    // the escape-time contract (exempt lines splice through the escape
+    // pass verbatim: fence-region code bytes, recursively re-formatted
+    // quote content). The mask is computed ONCE here, because a LOOSE
+    // fence region (round 13) is only derivable with the run's carried
+    // item-column state, and quote recursion is only derivable with the
+    // renumberer's level stack — an escape-time rescan could see
+    // neither.
+    def renumberLoose(bs: Vector[(Vector[String], Boolean)]): Vector[(Vector[String], Boolean, Vector[Boolean])] = {
+      def maskFromSpans(len: Int, spans: Vector[(Int, Int)]): Vector[Boolean] = {
+        if (spans.isEmpty) return Vector.fill(len)(false)
+        val m = Array.fill(len)(false)
+        for ((a, b) <- spans; i <- a to b) m(i) = true
+        m.toVector
+      }
       def orderedish(b: (Vector[String], Boolean)): Boolean =
         b._2 && b._1.nonEmpty &&
           (OrderedItemRe.matches(b._1.head) || BulletRe.matches(b._1.head))
@@ -847,13 +926,15 @@ object MdFormatLite {
           val parsed = parseBlock(b._1, spans(bi))
           if (bi == 0) parsed else BlockBreak +: parsed
         }
-      val out = Vector.newBuilder[(Vector[String], Boolean, Vector[(Int, Int)])]
-      // renumbering maps lines 1:1, so per-block span INDICES survive it
+      val out = Vector.newBuilder[(Vector[String], Boolean, Vector[Boolean])]
+      // renumbering maps lines 1:1, so per-block slicing carries the
+      // renderer's exempt mask alongside the lines
       def emit(run: Seq[(Vector[String], Boolean)],
-               spans: Seq[Vector[(Int, Int)]], lines: Vector[String]): Unit = {
+               lines: Vector[String], mask: Vector[Boolean]): Unit = {
         var off = 0
-        run.zip(spans).foreach { case ((b, t), sp) =>
-          out += ((lines.slice(off, off + b.length), t, sp))
+        run.foreach { case (b, t) =>
+          out += ((lines.slice(off, off + b.length), t,
+            mask.slice(off, off + b.length)))
           off += b.length
         }
       }
@@ -896,14 +977,15 @@ object MdFormatLite {
               shaped(t) || shaped(unescapePunct(t))
             case _ => false
           }
-          renumberNested(parsed) match {
-            case Some(lines) => emit(run, runSpans, lines)
+          renumberNested(parsed, quoteDepth) match {
+            case Some((lines, mask)) => emit(run, lines, mask)
             case None if parsed.exists(r8hShaped) =>
-              // pass through byte-stable, but KEEP the span annotations:
-              // the escape pass must still treat the code bytes as code,
-              // and the next pass re-derives the same spans from the
-              // same bytes either way
-              run.zip(runSpans).foreach { case ((b, t), sp) => out += ((b, t, sp)) }
+              // pass through byte-stable, but KEEP the span-derived
+              // exemptions: the escape pass must still treat the code
+              // bytes as code, and the next pass re-derives the same
+              // spans from the same bytes either way
+              run.zip(runSpans).foreach { case ((b, t), sp) =>
+                out += ((b, t, maskFromSpans(b.length, sp))) }
             case None =>
               // round-11 fallback: renumber maximal all-item sub-runs
               var k = 0
@@ -915,14 +997,16 @@ object MdFormatLite {
                   while (e < run.length && allItems(run(e))) e += 1
                   val sub = run.slice(k, e)
                   val subSpans = runSpans.slice(k, e) // all-item: empty
-                  renumberNested(parse(sub.toVector, subSpans)) match {
-                    case Some(lines) => emit(sub, subSpans, lines)
+                  renumberNested(parse(sub.toVector, subSpans), quoteDepth) match {
+                    case Some((lines, mask)) => emit(sub, lines, mask)
                     case None =>
-                      sub.zip(subSpans).foreach { case ((b, t), sp) => out += ((b, t, sp)) }
+                      sub.zip(subSpans).foreach { case ((b, t), sp) =>
+                        out += ((b, t, maskFromSpans(b.length, sp))) }
                   }
                   k = e
                 } else {
-                  out += ((run(k)._1, run(k)._2, runSpans(k)))
+                  out += ((run(k)._1, run(k)._2,
+                    maskFromSpans(run(k)._1.length, runSpans(k))))
                   k += 1
                 }
               }
@@ -930,7 +1014,9 @@ object MdFormatLite {
           idx = j
         } else {
           val b = bs(idx)
-          out += ((b._1, b._2, if (b._2) fenceSpans(b._1)._1 else noSpans))
+          out += ((b._1, b._2,
+            if (b._2) maskFromSpans(b._1.length, fenceSpans(b._1)._1)
+            else Vector.empty))
           idx += 1
         }
       }
@@ -1086,31 +1172,33 @@ object MdFormatLite {
     // R8/R8b/R8c renumber first (raw indents intact), THEN the text-token
     // escape pass per text block (R9-R14; multi-line links stay whole)
     renumberLoose(blocks.result())
-      .map { case (b, isText, spans) =>
-        if (isText) escapeTextWithFences(b, spans) else b
+      .map { case (b, isText, mask) =>
+        if (isText) escapeTextWithMask(b, mask) else b
       }
       .map(_.mkString("\n")).mkString("\n\n")
   }
 
-  /** Escape pass over one text block, R8h-aware: item-nested fenced
-    * regions (the spans renumberLoose annotated the block with —
-    * verbatim code bytes) splice through UNTOUCHED; only the text
-    * segments between them render through [[escapeTextBlock]]. The
-    * block stays ONE block, so no blank line appears around a tight
-    * fence and the list stays tight. A fence never splits a link or
-    * emphasis span legitimately (it is a block boundary), so
-    * per-segment escaping loses nothing. */
-  private def escapeTextWithFences(b: Vector[String],
-                                   spans: Vector[(Int, Int)]): Vector[String] = {
-    if (spans.isEmpty) return escapeTextBlock(b.mkString("\n"))
+  /** Escape pass over one text block, R8h-aware: EXEMPT lines (fence
+    * region bytes, recursively re-formatted quote content) splice
+    * through UNTOUCHED; only the maximal non-exempt segments between
+    * them render through [[escapeTextBlock]]. The block stays ONE
+    * block, so no blank line appears around a tight fence and the list
+    * stays tight. An exempt region never splits a link or emphasis span
+    * legitimately (it is a block boundary), so per-segment escaping
+    * loses nothing. */
+  private def escapeTextWithMask(b: Vector[String],
+                                 mask: Vector[Boolean]): Vector[String] = {
+    if (!mask.contains(true)) return escapeTextBlock(b.mkString("\n"))
     val out = Vector.newBuilder[String]
     var i = 0
-    for ((a, e) <- spans) {
-      if (a > i) out ++= escapeTextBlock(b.slice(i, a).mkString("\n"))
-      out ++= b.slice(a, e + 1)
-      i = e + 1
+    while (i < b.length) {
+      val exempt = mask(i)
+      var j = i + 1
+      while (j < b.length && mask(j) == exempt) j += 1
+      if (exempt) out ++= b.slice(i, j)
+      else out ++= escapeTextBlock(b.slice(i, j).mkString("\n"))
+      i = j
     }
-    if (i < b.length) out ++= escapeTextBlock(b.slice(i, b.length).mkString("\n"))
     out.result()
   }
 }

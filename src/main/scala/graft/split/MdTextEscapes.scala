@@ -152,6 +152,29 @@ private[split] object MdTextEscapes {
     }
   }
 
+  /** Decode backslash escapes AND character references to plain chars —
+    * the spelling-INSENSITIVE view MdFormatLite's block-shape
+    * classifiers probe (a shape test must read "\\>", "&#62;" and ">"
+    * identically: the escape pass re-spells entity forms into backslash
+    * forms, and a classification that sees one spelling but not the
+    * other flips between passes — deep-fuzz r13 find). A shape probe,
+    * not a renderer: verbatim constructs are not protected. */
+  private[split] def decodeSpellings(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length && isAsciiPunct(s.charAt(i + 1))) {
+        b.append(s.charAt(i + 1)); i += 2
+      } else if (c == '&') {
+        val r = reference(s, i)
+        if (r == null) { b.append(c); i += 1 }
+        else { b.append(r._1); i += r._2 }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   /** Scan a block into inline elements (CommonMark consumption order:
     * escapes, code spans, autolinks/html, links, references, text). */
   private def scan(s: String): Vector[Item] = {

@@ -56,7 +56,15 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
     // carry), bullet-level looseness (contish-unstable, bails), and an
     // internal blank (region cannot hold together, bails)
     "2. a\n\n   ```\n   [c]\n   ```\n\n5. b\n", "- a\n\n  ```\n  x\n  ```\n",
-    "1. a\n\n   p\n\n   ```\n   x\n   ```\n", "1. a\n\n   ```\n   x\n\n   y\n   ```\n")
+    "1. a\n\n   p\n\n   ```\n   x\n   ```\n", "1. a\n\n   ```\n   x\n\n   y\n   ```\n",
+    // r13 quote-in-item recursion: quoted lists/headings/fences/setext,
+    // escaped and entity spellings, column changes mid-group, the
+    // count-gate fallbacks
+    "1. a\n   > 3. q\n   > 9. r\n", "1. a\n   > # h\n", "1. a\n   > ```\n   > z\n   > ```\n",
+    "1. a\n   > t\n   > ===\n", "1. a\n   > [x\n", "1. a\n   > \\* e\n",
+    "1. a\n   > p\n   >\n   > q\n", "1. a\n   > x\n      > y\n",
+    "1. a\n   > x\n   cont\n   > y\n", "1. a\n   1. b\n      > in\n   > out\n2. c\n",
+    "->bab)&#62;\n", "&#62;    ```\n", "\t>a*&1. a\n")
   private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123=\t|:~"
 
   private def fuzz(seed: Long, cases: Int): Unit = {

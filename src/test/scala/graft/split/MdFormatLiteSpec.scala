@@ -598,6 +598,36 @@ class MdFormatLiteSpec extends AnyFunSuite {
     assert(MdFormatLite.normalize(out3) == out3)
   }
 
+  test("R8h: item-nested quote CONTENT re-formats recursively when the line count holds") {
+    // a quoted LIST inside an item renumbers (mdformat recurses into
+    // item-nested quotes); the group re-formats as one inner document
+    val md = "1. a\n   > 5. uno\n   > 9. dos\n2. b"
+    val out = MdFormatLite.normalize(md)
+    assert(out ==
+      """#1. a
+        #   > 5. uno
+        #   > 5. dos
+        #1. b""".stripMargin('#'))
+    assert(MdFormatLite.normalize(out) == out)
+    // a count-changing inner re-format (paragraph -> nested quote needs
+    // a separating blank) falls back to PER-LINE recursion: markers
+    // normalize, each line's content canonicalizes in its own context
+    val md2 = "1. a\n   > q [b]\n   > > deep\n2. c"
+    val out2 = MdFormatLite.normalize(md2)
+    assert(out2 ==
+      """#1. a
+        #   > q \[b\]
+        #   > > deep
+        #1. c""".stripMargin('#'))
+    assert(MdFormatLite.normalize(out2) == out2)
+    // a quoted one-line setext inside an item: count gate fails (2
+    // lines -> 1 ATX line), per-line fallback keeps both lines
+    val md3 = "1. a\n   > t\n   > ==="
+    val out3 = MdFormatLite.normalize(md3)
+    assert(MdFormatLite.normalize(out3) == out3)
+    assert(out3.linesIterator.size == 3)
+  }
+
   test("R8h: quote lines nested in item content re-indent with normalized markers; list renumbers") {
     val md = "1. a\n   >q [b]\n   > >deep\n2. c"
     val out = MdFormatLite.normalize(md)

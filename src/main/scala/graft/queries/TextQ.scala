@@ -1163,7 +1163,8 @@ object TextQ {
       // item-shaped line, a blank line, bracket/emphasis hazards) stay
       // VERBATIM and escape-exempt, the list renumbers around it and
       // stays TIGHT — and a QUOTE line at the content column re-indents
-      // there with the list renumbering past it; a quoted LIST inside
+      // there with the list renumbering past it (and a HEADING at the
+      // content column normalizes in place); a quoted LIST inside
       // the ')' item re-formats RECURSIVELY (its own items take the
       // first number); a marker-type switch ('9)') still starts its own
       // list, as does the '4.' after it — whose fence is LOOSE (blank
@@ -1177,6 +1178,7 @@ object TextQ {
           lit("\n   ```scala\n   3. "), element_at(w, 2),
           lit(" [x]\n\n   val y = "), element_at(w, 3),
           lit("\n   ```\n7. next "), element_at(w, 4),
+          lit("\n   ## mid "), element_at(w, 2),
           lit("\n   > quoth "), element_at(w, 5),
           lit("\n9) other "), element_at(w, 6),
           lit("\n   > 5. uno "), element_at(w, 9),
@@ -1199,6 +1201,7 @@ object TextQ {
         |  '   val y = ' || t[3] || chr(10) ||
         |  '   ```' || chr(10) ||
         |  '2. next ' || t[4] || chr(10) ||
+        |  '   ## mid ' || t[2] || chr(10) ||
         |  '   > quoth ' || t[5] || chr(10) ||
         |  '9) other ' || t[6] || chr(10) ||
         |  '   > 5. uno ' || t[9] || chr(10) ||

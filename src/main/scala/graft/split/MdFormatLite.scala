@@ -70,11 +70,15 @@ package graft.split
   *      stay 1:1 with its input lines — falling back to per-LINE
   *      recursion (markers normalized, each line's content
   *      canonicalized in its own line-start context) when it does not
-  *      (blank insertion, setext joins — divergence). Shapes
-  *      whose rendered column the next pass would not reclaim (no
-  *      same-block item at or below that column), under-indented or
-  *      unclosed fences, and remaining block-syntax-shaped item content
-  *      (headings, breaks, setext underlines) pass through byte-stable
+  *      (blank insertion, setext joins — divergence); HEADINGS and
+  *      '*'/'_' THEMATIC BREAKS at a content column are item blocks
+  *      too, rendering there through a one-line recursion (dash runs
+  *      are setext-ambiguous inside an item and stay conservative).
+  *      Shapes whose rendered column the next pass would not reclaim
+  *      (no same-block item at or below that column), under-indented
+  *      or unclosed fences, and remaining block-syntax-shaped item
+  *      content (dash runs, setext underlines, escaped/entity
+  *      spellings) pass through byte-stable
   *      or fall back to item-only renumbering (divergence). Fences in
   *      LOOSE items (blank line between the item and the fence) carry
   *      too: the run's scanner state rides across blocks, valid while
@@ -125,11 +129,11 @@ package graft.split
   * Not implemented (documented divergence): emphasis-marker handling
   * needs none (mdformat renders em/strong with the SOURCE marker,
   * `node.markup` — markers are preserved, not rewritten); remaining gaps
-  * are headings/breaks/setext underlines nested in item content
+  * are dash-run/setext shapes nested in item content
   * (item-only renumbering or byte-stable pass-through; R8h covers
-  * tight AND loose fences, and quotes with recursive content
-  * re-formatting under the 1:1 line-count gate), and paragraph
-  * re-wrapping
+  * tight AND loose fences, headings, '*'/'_' breaks, and quotes with
+  * recursive content re-formatting under the 1:1 line-count gate), and
+  * paragraph re-wrapping
   * (mdformat's default wrap mode keeps source line breaks anyway).
   * Table cells render through the mdformat-tables path (R6), not the
   * text-escape pass.
@@ -594,6 +598,35 @@ object MdFormatLite {
           if (qCol >= 0 && qCol != top.outContentCol) flushQuotes()
           qCol = top.outContentCol
           qPend += text
+        } else if (quoteDepth > 0 &&
+            (HeadingRe.matches(text) || EmptyHeadingRe.matches(text) ||
+              (HrRe.matches(text) && !text.contains('-')))) {
+          flushQuotes()
+          // R8h (round 13): a HEADING or a '*'/'_' THEMATIC BREAK at an
+          // open level's content column is a block INSIDE that item —
+          // deeper levels close (block syntax is never lazy), and the
+          // line renders at the level's output content column through a
+          // one-line recursion (canonical heading spacing/escapes, the
+          // 70-underscore break), escape-exempt like recursed quotes.
+          // Dash runs stay on the conservative path (setext-ambiguous
+          // inside an item); so do escaped/entity spellings (the
+          // blockShapedText bail below, both spellings, both passes).
+          if (w < stack.head.contentCol) return None // interrupts the list
+          while (stack.length > 1 && w < stack.last.contentCol)
+            stack.dropRightInPlace(1)
+          val top = stack.last
+          if (w - top.contentCol >= 4) return None // indented-code bytes
+          val outCol = top.outContentCol
+          // same reclaim rule as quotes: the next pass's grouper keeps
+          // the line in the paragraph run only via a same-block item at
+          // or below its column (headings match at <= 3 columns of
+          // indent; deeper ones reach the paragraph path on their own)
+          if (outCol < 4 && outBlockMin > outCol) return None
+          noteBlockHead(outCol >= 3)
+          val one = normalizeCore(Vector(text), quoteDepth - 1)
+            .split("\n", -1).toVector
+          if (one.length != 1) return None // not representable 1:1
+          outEx((" " * outCol) + one.head)
         } else {
           flushQuotes()
           // BLOCK-SYNTAX-shaped content (heading, fence outside a scanned
@@ -888,6 +921,11 @@ object MdFormatLite {
         b._2 && b._1.nonEmpty && b._1.head.startsWith("   ")
       def parseLine(l: String): ListLine = l match {
         case OrderedItemRe(ind, nu, m, rest) => OItem(ind, nu, m, rest)
+        // a spaced '*' thematic break ("* * *") is bullet-SHAPED; the
+        // R8h block-in-item rule must see it as a continuation, never a
+        // bullet whose marker would be rewritten (dash runs never reach
+        // a paragraph as breaks, so no ambiguity here)
+        case hr if HrRe.matches(hr) && !hr.contains('-') => Cont(hr)
         case BulletRe(ind, rest) => BItem(ind, rest)
         case other => Cont(other)
       }
@@ -973,7 +1011,9 @@ object MdFormatLite {
               // branch here or the fallback flips (deep-fuzz r13 finds)
               val t = raw.dropWhile(c => c == ' ' || c == '\t')
               def shaped(x: String): Boolean =
-                x.startsWith(">") || FenceRe.matches(x)
+                x.startsWith(">") || FenceRe.matches(x) ||
+                  HeadingRe.matches(x) || EmptyHeadingRe.matches(x) ||
+                  (HrRe.matches(x) && !x.contains('-'))
               shaped(t) || shaped(unescapePunct(t))
             case _ => false
           }
@@ -1089,6 +1129,17 @@ object MdFormatLite {
         val hashes = if (SetextH1Re.matches(l)) "#" else "##"
         blocks += ((escapeTextBlock(s"$hashes $t"), false))
         i += 1
+      } else if (HrRe.matches(l) && !l.contains('-') &&
+          para.nonEmpty && paraItemMin <= colWidth(leadWs(l))) {
+        // R8h (round 13): a '*'/'_' thematic break whose indent reaches
+        // the open list's item content column is ITEM CONTENT — it stays
+        // in the paragraph run for renumberNested's block-in-item rule
+        // (appended verbatim: a spaced '*' run is bullet-shaped and the
+        // bullet branch would corrupt it; parseLine classifies it as a
+        // continuation). Dash runs are excluded — a '-' break inside an
+        // item is setext-ambiguous and stays on the conservative path.
+        para = para :+ l
+        i += 1
       } else if (HrRe.matches(l) && (para.isEmpty || !SetextH2Re.matches(l))) {
         // thematic break. With a paragraph open, only a line that could
         // be a SETEXT UNDERLINE (a pure '-' run, no internal spaces) is
@@ -1138,6 +1189,13 @@ object MdFormatLite {
           i = j
         }
       } else l match {
+        // R8h (round 13): a heading whose indent reaches the open list's
+        // item content column is ITEM CONTENT — it stays in the
+        // paragraph run for renumberNested's block-in-item rule
+        case _ if (HeadingRe.matches(l) || EmptyHeadingRe.matches(l)) &&
+            para.nonEmpty && paraItemMin <= colWidth(leadWs(l)) =>
+          paraAdd(l)
+          i += 1
         case HeadingRe(hashes, title) =>
           closePara()
           // a title that is ONLY a #-run was a closing sequence after

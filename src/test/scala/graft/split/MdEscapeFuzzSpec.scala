@@ -64,7 +64,11 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
     "1. a\n   > t\n   > ===\n", "1. a\n   > [x\n", "1. a\n   > \\* e\n",
     "1. a\n   > p\n   >\n   > q\n", "1. a\n   > x\n      > y\n",
     "1. a\n   > x\n   cont\n   > y\n", "1. a\n   1. b\n      > in\n   > out\n2. c\n",
-    "->bab)&#62;\n", "&#62;    ```\n", "\t>a*&1. a\n")
+    "->bab)&#62;\n", "&#62;    ```\n", "\t>a*&1. a\n",
+    // r13 headings / */_ breaks in item content (dash runs conservative)
+    "1. a\n   # h\n2. b\n", "1. a\n   # h [x\n", "1. a\n   #\n", "1. a\n   ## #\n",
+    "1. a\n   ***\n", "1. a\n   * * *\n", "- a\n  # h\n- b\n", "1. a\n  # h\n",
+    "1. a\n   \\# h\n", "1. a\n   &#35; h\n", "1. a\n   ===\n", "10. a\n    # h\n")
   private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123=\t|:~"
 
   private def fuzz(seed: Long, cases: Int): Unit = {

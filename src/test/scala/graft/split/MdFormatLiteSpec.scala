@@ -598,6 +598,31 @@ class MdFormatLiteSpec extends AnyFunSuite {
     assert(MdFormatLite.normalize(out3) == out3)
   }
 
+  test("R8h: headings and */_ breaks nested in item content render at the content column") {
+    // a heading at the item's content column is item content (CommonMark)
+    // — the list stays together and renumbers, the heading normalizes
+    val md = "1. a\n   #  h [x\n2. b"
+    val out = MdFormatLite.normalize(md)
+    assert(out ==
+      """#1. a
+        #   # h \[x
+        #1. b""".stripMargin('#'))
+    assert(MdFormatLite.normalize(out) == out)
+    // a spaced '*' break inside an item renders as the 70-underscore
+    // line at the content column (never rewritten as a bullet)
+    val md2 = "1. a\n   * * *\n2. b"
+    val out2 = MdFormatLite.normalize(md2)
+    assert(out2 == "1. a\n   " + ("_" * 70) + "\n1. b")
+    assert(MdFormatLite.normalize(out2) == out2)
+    // dash runs are setext-ambiguous inside items: conservative path
+    val md3 = "1. a\n   ---\n2. b"
+    val out3 = MdFormatLite.normalize(md3)
+    assert(MdFormatLite.normalize(out3) == out3)
+    // under-indented headings still interrupt the list (own block)
+    val md4 = "1. a\n# h\n2. b"
+    assert(MdFormatLite.normalize(md4) == "1. a\n\n# h\n\n2. b")
+  }
+
   test("R8h: item-nested quote CONTENT re-formats recursively when the line count holds") {
     // a quoted LIST inside an item renumbers (mdformat recurses into
     // item-nested quotes); the group re-formats as one inner document

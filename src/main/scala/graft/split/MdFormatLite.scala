@@ -322,11 +322,15 @@ object MdFormatLite {
     * list (an ordered list resuming after a bullet interruption takes
     * its own first number). Bullets themselves never renumber.
     *
-    * Returns None when the shape is not a clean list — a leading 4-space
+    * Returns None when the shape is not a clean list — a leading 4-column
     * indent, an over-indent CommonMark would read as indented CODE in
-    * place of an item, tab indents, or a continuation whose content is
-    * block-syntax-shaped — and the caller falls back to the round-11
-    * item-only treatment. */
+    * place of an item, a continuation whose content is block-syntax-
+    * shaped beyond the R8h fence/quote/heading/break support (dash runs,
+    * setext underlines, escaped/entity spellings), or an R8h shape whose
+    * rendered column the next pass would not reclaim — and the caller
+    * falls back to the round-11 item-only treatment (whole-run
+    * pass-through when the run holds R8h shapes, whose attachment is
+    * geometry-dependent). */
   private sealed trait ListLine
   private final case class OItem(ind: String, num: String, marker: String, rest: String) extends ListLine
   private final case class BItem(ind: String, rest: String) extends ListLine
@@ -858,8 +862,9 @@ object MdFormatLite {
     val blocks = Vector.newBuilder[(Vector[String], Boolean)] // (lines, isText)
     var para = Vector.empty[String] // open paragraph/list run
     // R8h (round 13): minimum content column among the open para's ITEM
-    // lines — the gate for claiming indented fences (and 3-space-indent
-    // quote lines) as item content. Mirrors the fenceSpans scanner's
+    // lines — the gate for claiming indented fences, quote lines,
+    // headings, and '*'/'_' breaks (all <= 3 columns of indent by their
+    // own syntax) as item content. Mirrors the fenceSpans scanner's
     // state exactly: region content is appended verbatim and never
     // updates it (code bytes are not items).
     var paraItemMin = Int.MaxValue

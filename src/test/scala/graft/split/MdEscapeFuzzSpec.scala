@@ -12,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * text-escape pass together. */
 class MdEscapeFuzzSpec extends AnyFunSuite {
 
-  private val atoms = Seq("&amp;", "&copy;", "&#65;", "&nope;", "**", "](u)",
+  private[split] val atoms = Seq("&amp;", "&copy;", "&#65;", "&nope;", "**", "](u)",
     "<https://x.y>", "<div>", "`c`", "\\*", "\\\\",
     "1. ", "2) ", "   5. ", "\\- ", "1\\. ", "&#42; ", "&#45; ",
     "[a*b](u)", "![i](p)", "\\!", "\\.", "\\,", "foo\\\n", "- x\n", "# h\n",

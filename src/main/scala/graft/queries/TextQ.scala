@@ -1214,6 +1214,44 @@ object TextQ {
         |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
         |FROM e ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q123_mdformat_table_in_item",
+      // Round-13 R8h table-in-item closure (F11) under oracle coverage:
+      // a pipe table at an ordered item's content column re-renders IN
+      // PLACE through the mdformat-tables math (cells trimmed, columns
+      // padded to the widest cell with the delimiter row participating,
+      // alignment colons preserved) at the content column — previously
+      // the grouper hoisted it to column 0 and split the list — and the
+      // list renumbers around it ('8.' takes the first item's '3.').
+      // The oracle recomputes the widths and rebuilds the indented
+      // bytes, like q63's top-level table leg.
+      (s, d) => {
+        val w = split(col("text"), "\\s+")
+        val md = concat(
+          lit("3. row "), element_at(w, 1),
+          lit("\n   |k|"), element_at(w, 2),
+          lit("|\n   |-|:-:|\n   |"), element_at(w, 3),
+          lit("| v |\n8. end "), element_at(w, 4))
+        val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
+        docs(s, d)
+          .select(col("doc_id"), fmtUdf(md).as("canon"))
+          .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
+            length(col("canon")).cast("long").as("canon_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $W AS t FROM documents),
+        |wd AS (SELECT doc_id, t,
+        |  CAST(greatest(3, length(t[3])) AS INTEGER) AS c1,
+        |  CAST(greatest(3, length(t[2])) AS INTEGER) AS c2 FROM w),
+        |e AS (SELECT doc_id,
+        |  '3. row ' || t[1] || chr(10) ||
+        |  '   | ' || rpad('k', c1, ' ') || ' | ' || rpad(t[2], c2, ' ') || ' |' || chr(10) ||
+        |  '   | ' || repeat('-', c1) || ' | :' || repeat('-', c2 - 2) || ': |' || chr(10) ||
+        |  '   | ' || rpad(t[3], c1, ' ') || ' | ' || rpad('v', c2, ' ') || ' |' || chr(10) ||
+        |  '3. end ' || t[4] AS canon
+        |  FROM wd)
+        |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
+        |FROM e ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q65_minhash_union",
       // The typed UDAF (Aggregator via udaf, §2.14) under oracle coverage:
       // per-source MinHash union — elementwise min of the per-doc

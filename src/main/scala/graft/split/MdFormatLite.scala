@@ -73,7 +73,9 @@ package graft.split
   *      (blank insertion, setext joins — divergence); HEADINGS and
   *      '*'/'_' THEMATIC BREAKS at a content column are item blocks
   *      too, rendering there through a one-line recursion (dash runs
-  *      are setext-ambiguous inside an item and stay conservative).
+  *      are setext-ambiguous inside an item and stay conservative);
+  *      PIPE TABLES at a content column re-render in place through the
+  *      R6 math (renderTable is 1:1 on lines), tight only.
   *      Shapes whose rendered column the next pass would not reclaim
   *      (no same-block item at or below that column), under-indented
   *      or unclosed fences, and remaining block-syntax-shaped item
@@ -131,9 +133,9 @@ package graft.split
   * `node.markup` — markers are preserved, not rewritten); remaining gaps
   * are dash-run/setext shapes nested in item content
   * (item-only renumbering or byte-stable pass-through; R8h covers
-  * tight AND loose fences, headings, '*'/'_' breaks, and quotes with
-  * recursive content re-formatting under the 1:1 line-count gate), and
-  * paragraph re-wrapping
+  * tight AND loose fences, headings, '*'/'_' breaks, tight tables, and
+  * quotes with recursive content re-formatting under the 1:1
+  * line-count gate), and paragraph re-wrapping
   * (mdformat's default wrap mode keeps source line breaks anyway).
   * Table cells render through the mdformat-tables path (R6), not the
   * text-escape pass.
@@ -342,6 +344,10 @@ object MdFormatLite {
   private final case class FOpen(ind: String, text: String) extends ListLine
   private final case class FBody(raw: String) extends ListLine
   private final case class FClose(text: String) extends ListLine
+  // R8h (round 13): an item-nested PIPE TABLE — one element carrying its
+  // raw lines (head, separator, rows), rendered 1:1 through renderTable
+  // at the attached level's content column
+  private final case class TBlock(ind: String, rows: Vector[String]) extends ListLine
   // block boundary within a loose run (no output line): R8h safety state
   // is BLOCK-local, because the next pass's grouper and fence scanner
   // judge quote/fence lines against items in the SAME block only
@@ -542,6 +548,31 @@ object MdFormatLite {
         outEx((" " * regionOutCol) + text)
         regionInCol = -1
         regionOutCol = -1
+      case TBlock(ind, rows) =>
+        flushQuotes()
+        // R8h (round 13): a pipe table at an open level's content column
+        // is a block INSIDE that item — deeper levels close, the table
+        // re-renders through the R6 path (cells trimmed/padded, NOT the
+        // text-escape pass — exempt) at the level's output content
+        // column. renderTable is exactly 1:1 on lines (head + separator
+        // + data rows), so the renderer's slicing contract holds.
+        // TIGHT only (a same-block item at or below the column): the
+        // next pass's grouper reclaims indented table heads into the
+        // paragraph run by exactly that rule.
+        if (stack.isEmpty) return None
+        val w = colWidth(ind)
+        if (w < stack.head.contentCol) return None // interrupts the list
+        while (stack.length > 1 && w < stack.last.contentCol)
+          stack.dropRightInPlace(1)
+        val top = stack.last
+        if (w - top.contentCol >= 4) return None // indented-code bytes
+        val outCol = top.outContentCol
+        if (outBlockMin > outCol) return None
+        noteBlockHead(outCol >= 3)
+        val s = rows.map(r => r.substring(leadWs(r).length))
+        val rendered = renderTable(s.head, s(1), s.drop(2))
+        if (rendered.length != rows.length) return None // defensive: 1:1
+        rendered.foreach(x => outEx((" " * outCol) + x))
       case OItem(ind, n, m, rest) =>
         flushQuotes()
         levelFor(colWidth(ind), bullet = false, n, m) match {
@@ -941,24 +972,31 @@ object MdFormatLite {
       // into one paragraph run wholesale, and a loose region's lines
       // have no internal blanks (or its closer search already failed).
       def parseBlock(ls: Vector[String], spans: Vector[(Int, Int)]): Vector[ListLine] = {
-        if (spans.isEmpty) ls.map(parseLine)
-        else {
-          val out = Vector.newBuilder[ListLine]
-          var si = 0
-          var i = 0
-          while (i < ls.length) {
-            if (si < spans.length && spans(si)._1 == i) {
-              val (a, b) = spans(si)
-              val lead = leadWs(ls(a))
-              out += FOpen(lead, ls(a).substring(lead.length))
-              (a + 1 until b).foreach(x => out += FBody(ls(x)))
-              out += FClose(ls(b).trim)
-              i = b + 1
-              si += 1
-            } else { out += parseLine(ls(i)); i += 1 }
-          }
-          out.result()
+        val out = Vector.newBuilder[ListLine]
+        var si = 0
+        var i = 0
+        while (i < ls.length) {
+          if (si < spans.length && spans(si)._1 == i) {
+            val (a, b) = spans(si)
+            val lead = leadWs(ls(a))
+            out += FOpen(lead, ls(a).substring(lead.length))
+            (a + 1 until b).foreach(x => out += FBody(ls(x)))
+            out += FClose(ls(b).trim)
+            i = b + 1
+            si += 1
+          } else if (ls(i).contains("|") && itemContentCol(ls(i)) < 0 &&
+              i + 1 < ls.length && isSep(ls(i + 1)) &&
+              (si >= spans.length || i + 1 < spans(si)._1)) {
+            // R8h item-nested pipe table: head + separator + data rows
+            // (rows stop at the next fence span — regions stay verbatim)
+            var j = i + 2
+            while (j < ls.length && ls(j).contains("|") &&
+                (si >= spans.length || j < spans(si)._1)) j += 1
+            out += TBlock(leadWs(ls(i)), ls.slice(i, j))
+            i = j
+          } else { out += parseLine(ls(i)); i += 1 }
         }
+        out.result()
       }
       def parse(ls: Vector[(Vector[String], Boolean)],
                 spans: Vector[Vector[(Int, Int)]]): Vector[ListLine] =
@@ -1006,6 +1044,7 @@ object MdFormatLite {
           // (blockShapedText) and keep the round-11 fallback.
           def r8hShaped(l: ListLine): Boolean = l match {
             case FOpen(_, _) => true
+            case TBlock(_, _) => true
             case Cont(raw) =>
               // fence-SHAPED continuations count even when no span
               // claimed them (under-indented for the current carry,
@@ -1090,7 +1129,13 @@ object MdFormatLite {
         // list stays TIGHT (the fence never splits the block)
         para = para ++ lines.slice(i, r8hEnd + 1) // verbatim: not paraAdd
         i = r8hEnd + 1
-      } else if (l.contains("|") && i + 1 < lines.length && isSep(lines(i + 1))) {
+      } else if (l.contains("|") && i + 1 < lines.length && isSep(lines(i + 1)) &&
+          !(para.nonEmpty && paraItemMin <= colWidth(leadWs(l)))) {
+        // (the guard is R8h: a table head whose indent reaches the open
+        // list's item content column is ITEM CONTENT — it stays in the
+        // paragraph run, line by line, for renumberNested's table-in-
+        // item rule. Rows contain '|' and no blanks, so the block holds
+        // together on its own.)
         closePara()
         val rows = Vector.newBuilder[String]
         var j = i + 2

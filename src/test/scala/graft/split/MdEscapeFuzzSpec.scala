@@ -68,7 +68,12 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
     // r13 headings / */_ breaks in item content (dash runs conservative)
     "1. a\n   # h\n2. b\n", "1. a\n   # h [x\n", "1. a\n   #\n", "1. a\n   ## #\n",
     "1. a\n   ***\n", "1. a\n   * * *\n", "- a\n  # h\n- b\n", "1. a\n  # h\n",
-    "1. a\n   \\# h\n", "1. a\n   &#35; h\n", "1. a\n   ===\n", "10. a\n    # h\n")
+    "1. a\n   \\# h\n", "1. a\n   &#35; h\n", "1. a\n   ===\n", "10. a\n    # h\n",
+    // r13 tables in item content (tight at the content column; deeper,
+    // under-indented, loose, and sep-shaped-row variants)
+    "1. a\n   |k|v|\n   |-|-|\n   |x|y|\n2. b\n", "- a\n  |p|q|\n  |-|-|\n- b\n",
+    "1. a\n|k|v|\n|-|-|\n", "1. a\n    |k|v|\n    |-|-|\n", "1. a\n   |k|v|\n   |-|-|\n   lazy\n",
+    "1. a\n\n   |k|v|\n   |-|-|\n", "1. a\n   1. b\n      |k|v|\n      |-|-|\n   2. c\n")
   private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123=\t|:~"
 
   private def fuzz(seed: Long, cases: Int): Unit = {

@@ -623,6 +623,34 @@ class MdFormatLiteSpec extends AnyFunSuite {
     assert(MdFormatLite.normalize(md4) == "1. a\n\n# h\n\n2. b")
   }
 
+  test("R8h: pipe tables nested in item content re-render at the content column") {
+    // previously the grouper hoisted the table to column 0 and split the
+    // list; now it pads/aligns in place and the list renumbers around it
+    val md = "1. a\n   |k|value|\n   |-|-|\n   |x|y|\n2. b"
+    val out = MdFormatLite.normalize(md)
+    assert(out ==
+      """#1. a
+        #   | k   | value |
+        #   | --- | ----- |
+        #   | x   | y     |
+        #1. b""".stripMargin('#'))
+    assert(MdFormatLite.normalize(out) == out)
+    // under a bullet (2-column content): same, at column 2
+    val md2 = "- a\n  |p|q|\n  |-|-|\n- b"
+    val out2 = MdFormatLite.normalize(md2)
+    assert(out2 ==
+      """#- a
+        #  | p   | q   |
+        #  | --- | --- |
+        #- b""".stripMargin('#'))
+    assert(MdFormatLite.normalize(out2) == out2)
+    // an UNDER-indented table still interrupts the list (own block)
+    val md3 = "1. a\n|k|v|\n|-|-|\n2. b"
+    val out3 = MdFormatLite.normalize(md3)
+    assert(out3.contains("\n\n| k   | v   |"))
+    assert(MdFormatLite.normalize(out3) == out3)
+  }
+
   test("R8h: item-nested quote CONTENT re-formats recursively when the line count holds") {
     // a quoted LIST inside an item renumbers (mdformat recurses into
     // item-nested quotes); the group re-formats as one inner document

@@ -75,7 +75,9 @@ package graft.split
   *      too, rendering there through a one-line recursion (dash runs
   *      are setext-ambiguous inside an item and stay conservative);
   *      PIPE TABLES at a content column re-render in place through the
-  *      R6 math (renderTable is 1:1 on lines), tight only.
+  *      R6 math (renderTable is 1:1 on lines), tight only; and
+  *      INDENTED-CODE blocks (every non-blank line >= 6 columns) ride
+  *      a loose run VERBATIM, so items after them keep renumbering.
   *      Shapes whose rendered column the next pass would not reclaim
   *      (no same-block item at or below that column), under-indented
   *      or unclosed fences, and remaining block-syntax-shaped item
@@ -348,6 +350,12 @@ object MdFormatLite {
   // raw lines (head, separator, rows), rendered 1:1 through renderTable
   // at the attached level's content column
   private final case class TBlock(ind: String, rows: Vector[String]) extends ListLine
+  // a line the renderer passes through VERBATIM with no effect on the
+  // level stack — an indented-code block riding a loose run (round 13:
+  // the run used to BREAK at a code block, so items after it never
+  // renumbered with the list; the code block itself stays a non-text
+  // block, untouched by re-indent and escape alike)
+  private final case class Skip(raw: String) extends ListLine
   // block boundary within a loose run (no output line): R8h safety state
   // is BLOCK-local, because the next pass's grouper and fence scanner
   // judge quote/fence lines against items in the SAME block only
@@ -497,6 +505,10 @@ object MdFormatLite {
         atBlockStart = false
       }
     for (line <- items) line match {
+      case Skip(raw) =>
+        flushQuotes()
+        noteBlockHead(stable = true) // its whole block is code: verbatim
+        out += raw
       case BlockBreak =>
         flushQuotes()
         outBlockMin = Int.MaxValue
@@ -955,6 +967,15 @@ object MdFormatLite {
       // starts at or beyond the minimum possible content column (3)
       def contish(b: (Vector[String], Boolean)): Boolean =
         b._2 && b._1.nonEmpty && b._1.head.startsWith("   ")
+      // an indented-CODE block rides a loose run VERBATIM (round 13):
+      // every non-blank line at >= 6 columns — at or beyond a 2-column
+      // bullet's content column + 4 — so items after it keep
+      // renumbering with the list instead of restarting. Only indented
+      // code qualifies: every other non-text block (headings, tables,
+      // quotes, col-0 fences, breaks) renders at column 0.
+      def codeish(b: (Vector[String], Boolean)): Boolean =
+        !b._2 && b._1.nonEmpty &&
+          b._1.forall(x => x.isEmpty || colWidth(leadWs(x)) >= 6)
       def parseLine(l: String): ListLine = l match {
         case OrderedItemRe(ind, nu, m, rest) => OItem(ind, nu, m, rest)
         // a spaced '*' thematic break ("* * *") is bullet-SHAPED; the
@@ -1003,8 +1024,12 @@ object MdFormatLite {
         ls.zipWithIndex.flatMap { case (b, bi) =>
           // BlockBreak carries the block boundary into renumberNested's
           // R8h safety state; it emits no output line, so emit()'s
-          // slicing by block lengths is unaffected
-          val parsed = parseBlock(b._1, spans(bi))
+          // slicing by block lengths is unaffected. NON-TEXT blocks
+          // (riding code) pass line-for-line as Skip — never item/
+          // continuation-parsed, never scanned for regions.
+          val parsed =
+            if (b._2) parseBlock(b._1, spans(bi))
+            else b._1.map(Skip(_): ListLine)
           if (bi == 0) parsed else BlockBreak +: parsed
         }
       val out = Vector.newBuilder[(Vector[String], Boolean, Vector[Boolean])]
@@ -1023,15 +1048,21 @@ object MdFormatLite {
       while (idx < bs.length) {
         if (orderedish(bs(idx))) {
           var j = idx + 1
-          while (j < bs.length && (orderedish(bs(j)) || contish(bs(j)))) j += 1
+          while (j < bs.length &&
+              (orderedish(bs(j)) || contish(bs(j)) || codeish(bs(j)))) j += 1
           val run = (idx until j).map(bs)
           // per-block spans with the loose-list carry: items seen in
-          // earlier blocks of the run qualify fences in later ones
+          // earlier blocks of the run qualify fences in later ones;
+          // riding CODE blocks are never scanned (their bytes may be
+          // fence-shaped) and leave the carry untouched
           var carry = Int.MaxValue
           val runSpans = run.map { b =>
-            val (sp, m) = fenceSpans(b._1, carry)
-            carry = m
-            sp
+            if (!b._2) Vector.empty[(Int, Int)]
+            else {
+              val (sp, m) = fenceSpans(b._1, carry)
+              carry = m
+              sp
+            }
           }.toVector
           val parsed = parse(run.toVector, runSpans)
           // R8h: whether a fence/quote shape can attach is GEOMETRY-

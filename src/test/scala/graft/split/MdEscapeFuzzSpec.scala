@@ -73,7 +73,11 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
     // under-indented, loose, and sep-shaped-row variants)
     "1. a\n   |k|v|\n   |-|-|\n   |x|y|\n2. b\n", "- a\n  |p|q|\n  |-|-|\n- b\n",
     "1. a\n|k|v|\n|-|-|\n", "1. a\n    |k|v|\n    |-|-|\n", "1. a\n   |k|v|\n   |-|-|\n   lazy\n",
-    "1. a\n\n   |k|v|\n   |-|-|\n", "1. a\n   1. b\n      |k|v|\n      |-|-|\n   2. c\n")
+    "1. a\n\n   |k|v|\n   |-|-|\n", "1. a\n   1. b\n      |k|v|\n      |-|-|\n   2. c\n",
+    // r13 indented-code blocks riding loose runs (verbatim, incl.
+    // fence- and item-shaped code bytes); under-indented code breaks
+    "2. a\n\n       code [1]\n\n5. b\n", "1. a\n\n       ```\n       3. x\n\n9. b\n",
+    "1. a\n\n      - c\n\n2. b\n", "1. a\n\n    low\n\n2. b\n")
   private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123=\t|:~"
 
   private def fuzz(seed: Long, cases: Int): Unit = {

@@ -623,6 +623,29 @@ class MdFormatLiteSpec extends AnyFunSuite {
     assert(MdFormatLite.normalize(md4) == "1. a\n\n# h\n\n2. b")
   }
 
+  test("R8h: indented-code blocks ride a loose run; items after them keep renumbering") {
+    // the run used to BREAK at the code block, so '5. b' restarted its
+    // own list; now the code rides verbatim and the list renumbers
+    val md = "2. a\n\n       code [1]\n       more\n\n5. b"
+    val out = MdFormatLite.normalize(md)
+    assert(out ==
+      """#2. a
+        #
+        #       code [1]
+        #       more
+        #
+        #2. b""".stripMargin('#'))
+    assert(MdFormatLite.normalize(out) == out)
+    // code bytes that LOOK like fences stay verbatim (item-shaped code
+    // lines keep their r11 loose-list reading and split the block —
+    // such runs bail byte-stable instead)
+    val md2 = "1. a\n\n       ```\n       x *y*\n\n9. b"
+    val out2 = MdFormatLite.normalize(md2)
+    assert(out2.contains("       ```\n       x *y*"))
+    assert(out2.endsWith("1. b"))
+    assert(MdFormatLite.normalize(out2) == out2)
+  }
+
   test("R8h: pipe tables nested in item content re-render at the content column") {
     // previously the grouper hoisted the table to column 0 and split the
     // list; now it pads/aligns in place and the list renumbers around it

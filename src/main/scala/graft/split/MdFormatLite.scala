@@ -1045,87 +1045,111 @@ object MdFormatLite {
         }
       }
       var idx = 0
+      // one run through renumbering. A whole-run failure takes the
+      // round-11 fallback (renumber maximal all-item sub-runs) — but a
+      // byte-CHANGING fallback RE-ENTERS this function on its own
+      // output: the whole-run bail reasons are geometry-dependent
+      // (output-indent collisions, code re-attach, the R8h gates), and
+      // the next pass's whole-run attempt on the re-indented bytes
+      // could otherwise succeed where this pass fell back — a flip the
+      // wide fuzz caught in a shape that predates round 13. The
+      // fallback is idempotent on its own output (canonical sub-blocks
+      // renumber to themselves), so one re-entry converges; `depth`
+      // bounds it regardless.
+      def processRun(run: Vector[(Vector[String], Boolean)], depth: Int): Unit = {
+        // per-block spans with the loose-list carry: items seen in
+        // earlier blocks of the run qualify fences in later ones;
+        // riding CODE blocks are never scanned (their bytes may be
+        // fence-shaped) and leave the carry untouched
+        var carry = Int.MaxValue
+        val runSpans = run.map { b =>
+          if (!b._2) Vector.empty[(Int, Int)]
+          else {
+            val (sp, m) = fenceSpans(b._1, carry)
+            carry = m
+            sp
+          }
+        }
+        val parsed = parse(run, runSpans)
+        // R8h: a failed run containing fence/quote/heading/table shapes
+        // never takes the fallback at all — their attachment is
+        // geometry-dependent AND their handling interacts with the
+        // escape-exempt masks, so the conservative move is byte-stable
+        // pass-through (deep-fuzz r13 finds; see also the escaped-
+        // spelling note below).
+        def r8hShaped(l: ListLine): Boolean = l match {
+          case FOpen(_, _) => true
+          case TBlock(_, _) => true
+          case Cont(raw) =>
+            // fence-SHAPED continuations count even when no span
+            // claimed them (under-indented for the current carry,
+            // unclosed): the fallback's re-indent could qualify them
+            // as a span next pass. Tested on the raw AND unescaped
+            // spelling — after a pass-through the escape pass rewrites
+            // "```" to "\`\`\`", and both passes must take the same
+            // branch here or the fallback flips (deep-fuzz r13 finds)
+            val t = raw.dropWhile(c => c == ' ' || c == '\t')
+            def shaped(x: String): Boolean =
+              x.startsWith(">") || FenceRe.matches(x) ||
+                HeadingRe.matches(x) || EmptyHeadingRe.matches(x) ||
+                (HrRe.matches(x) && !x.contains('-'))
+            shaped(t) || shaped(unescapePunct(t))
+          case _ => false
+        }
+        renumberNested(parsed, quoteDepth) match {
+          case Some((lines, mask)) => emit(run, lines, mask)
+          case None if parsed.exists(r8hShaped) =>
+            // pass through byte-stable, but KEEP the span-derived
+            // exemptions: the escape pass must still treat the code
+            // bytes as code, and the next pass re-derives the same
+            // spans from the same bytes either way
+            run.zip(runSpans).foreach { case ((b, t), sp) =>
+              out += ((b, t, maskFromSpans(b.length, sp))) }
+          case None =>
+            // round-11 fallback: renumber maximal all-item sub-runs
+            // (into a buffer, so a byte-changing result can re-enter)
+            val fb = Vector.newBuilder[(Vector[String], Boolean)]
+            var k = 0
+            while (k < run.length) {
+              def allItems(b: (Vector[String], Boolean)): Boolean =
+                b._1.forall(OrderedItemRe.matches(_))
+              if (allItems(run(k))) {
+                var e = k
+                while (e < run.length && allItems(run(e))) e += 1
+                val sub = run.slice(k, e)
+                val subSpans = runSpans.slice(k, e) // all-item: empty
+                renumberNested(parse(sub, subSpans), quoteDepth) match {
+                  case Some((lines, _)) => // all-item: no exempt lines
+                    var off = 0
+                    sub.foreach { case (b, t) =>
+                      fb += ((lines.slice(off, off + b.length), t))
+                      off += b.length
+                    }
+                  case None => sub.foreach(fb += _)
+                }
+                k = e
+              } else { fb += run(k); k += 1 }
+            }
+            val out2 = fb.result()
+            if (depth > 0 && out2.map(_._1) != run.map(_._1))
+              processRun(out2, depth - 1)
+            else {
+              var c2 = Int.MaxValue
+              out2.foreach { case (b, t) =>
+                val sp =
+                  if (!t) Vector.empty[(Int, Int)]
+                  else { val (s0, m0) = fenceSpans(b, c2); c2 = m0; s0 }
+                out += ((b, t, maskFromSpans(b.length, sp)))
+              }
+            }
+        }
+      }
       while (idx < bs.length) {
         if (orderedish(bs(idx))) {
           var j = idx + 1
           while (j < bs.length &&
               (orderedish(bs(j)) || contish(bs(j)) || codeish(bs(j)))) j += 1
-          val run = (idx until j).map(bs)
-          // per-block spans with the loose-list carry: items seen in
-          // earlier blocks of the run qualify fences in later ones;
-          // riding CODE blocks are never scanned (their bytes may be
-          // fence-shaped) and leave the carry untouched
-          var carry = Int.MaxValue
-          val runSpans = run.map { b =>
-            if (!b._2) Vector.empty[(Int, Int)]
-            else {
-              val (sp, m) = fenceSpans(b._1, carry)
-              carry = m
-              sp
-            }
-          }.toVector
-          val parsed = parse(run.toVector, runSpans)
-          // R8h: whether a fence/quote shape can attach is GEOMETRY-
-          // dependent (the level stack, the block-local column minimum).
-          // The item-only fallback below re-indents all-item sub-runs,
-          // CHANGING that geometry — so a failed run containing R8h
-          // shapes must pass through whole, or the next pass would
-          // classify the re-indented bytes differently (deep-fuzz r13
-          // find). Runs without R8h shapes bail geometry-independently
-          // (blockShapedText) and keep the round-11 fallback.
-          def r8hShaped(l: ListLine): Boolean = l match {
-            case FOpen(_, _) => true
-            case TBlock(_, _) => true
-            case Cont(raw) =>
-              // fence-SHAPED continuations count even when no span
-              // claimed them (under-indented for the current carry,
-              // unclosed): the fallback's re-indent could qualify them
-              // as a span next pass. Tested on the raw AND unescaped
-              // spelling — after a pass-through the escape pass rewrites
-              // "```" to "\`\`\`", and both passes must take the same
-              // branch here or the fallback flips (deep-fuzz r13 finds)
-              val t = raw.dropWhile(c => c == ' ' || c == '\t')
-              def shaped(x: String): Boolean =
-                x.startsWith(">") || FenceRe.matches(x) ||
-                  HeadingRe.matches(x) || EmptyHeadingRe.matches(x) ||
-                  (HrRe.matches(x) && !x.contains('-'))
-              shaped(t) || shaped(unescapePunct(t))
-            case _ => false
-          }
-          renumberNested(parsed, quoteDepth) match {
-            case Some((lines, mask)) => emit(run, lines, mask)
-            case None if parsed.exists(r8hShaped) =>
-              // pass through byte-stable, but KEEP the span-derived
-              // exemptions: the escape pass must still treat the code
-              // bytes as code, and the next pass re-derives the same
-              // spans from the same bytes either way
-              run.zip(runSpans).foreach { case ((b, t), sp) =>
-                out += ((b, t, maskFromSpans(b.length, sp))) }
-            case None =>
-              // round-11 fallback: renumber maximal all-item sub-runs
-              var k = 0
-              while (k < run.length) {
-                def allItems(b: (Vector[String], Boolean)): Boolean =
-                  b._1.forall(OrderedItemRe.matches(_))
-                if (allItems(run(k))) {
-                  var e = k
-                  while (e < run.length && allItems(run(e))) e += 1
-                  val sub = run.slice(k, e)
-                  val subSpans = runSpans.slice(k, e) // all-item: empty
-                  renumberNested(parse(sub.toVector, subSpans), quoteDepth) match {
-                    case Some((lines, mask)) => emit(sub, lines, mask)
-                    case None =>
-                      sub.zip(subSpans).foreach { case ((b, t), sp) =>
-                        out += ((b, t, maskFromSpans(b.length, sp))) }
-                  }
-                  k = e
-                } else {
-                  out += ((run(k)._1, run(k)._2,
-                    maskFromSpans(run(k)._1.length, runSpans(k))))
-                  k += 1
-                }
-              }
-          }
+          processRun((idx until j).map(bs).toVector, depth = 3)
           idx = j
         } else {
           val b = bs(idx)

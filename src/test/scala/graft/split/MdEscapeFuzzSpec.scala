@@ -139,7 +139,13 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
       "\\~~~`x\ny\n```\nz",
       "|!&\n*\t|",
       "  1. a\n\n   p\n\n2. b\nc\n    7. z\nA1. a\n\t```\n\tc\n\t```",
-      "  1. a\n\n   p\n\n2. b\n   > q\nr")
+      "  1. a\n\n   p\n\n2. b\n   > q\nr",
+      // wide-fuzz r13 find (pre-r13 shape): an output-indent collision
+      // bails the whole run, the item-only fallback re-indents the
+      // all-item sub-block, and the next pass's whole-run attempt on
+      // the new geometry SUCCEEDS — the fallback must re-enter the
+      // whole-run renumber on its own output within one pass
+      "- b\nx\n\n   5. a\n   7. z\n  3. x")
     for (s <- cases) {
       val once = MdFormatLite.normalize(s)
       assert(MdFormatLite.normalize(once) == once,

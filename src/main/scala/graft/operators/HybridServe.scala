@@ -5,12 +5,13 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The hybrid-retrieval serving LIFECYCLE as one engine API — the
-  * build/save/load/serve packaging of the q117 composition (champion-list
-  * lexical index + IVF coarse quantizer + PQ codebooks + cell-partitioned
-  * codes, fused by RRF), mirroring how the reference packages a vector
-  * collection's lifecycle as a reusable step (collection create/upsert/
-  * alias-swap/retire, wurzel/steps/qdrant/step.py:35-283) rather than a
-  * recipe the user reassembles by hand.
+  * build/save/load/serve/ingest/remove/upsert/compact packaging of the
+  * q117 composition (champion-list lexical index + IVF coarse quantizer +
+  * PQ codebooks + cell-partitioned codes, fused by RRF), mirroring how the
+  * reference packages a vector collection's lifecycle as a reusable step
+  * (collection create/upsert/alias-swap/retire,
+  * wurzel/steps/qdrant/step.py:35-283) rather than a recipe the user
+  * reassembles by hand.
   *
   * Phases and their scale shapes:
   *  - BUILD (amortized, corpus-sized): one [[Rank.championIndex]] pass over
@@ -26,7 +27,8 @@ import org.apache.spark.sql.functions._
   *    crash-safe version lifecycle as any other collection.
   *  - LOAD: models come back as bounded driver state (kilobytes); the
   *    index and cells stores stay as lazy DataFrames — a restarted server
-  *    never re-fits and never re-reads the corpus.
+  *    never re-fits and never re-reads the corpus. The index store's
+  *    schema is VALIDATED against the canonical column set on the way in.
   *  - SERVE (per query batch): index-only BM25 over the batch vocabulary
   *    ([[Rank.bm25FromIndex]] DataFrame form — one equi-join, no driver
   *    collect), IVF-probed ADC over the cells store
@@ -34,20 +36,70 @@ import org.apache.spark.sql.functions._
   *    partitioned store prunes to the probed cells), RRF fusion
   *    ([[Rank.rrfFuse]]). graft.tools.ScaleCurve measured this serve
   *    phase FLAT across 100x corpus growth.
+  *  - MUTATE ([[ingest]]/[[remove]]/[[upsert]]): index-sized incremental
+  *    maintenance; with [[BuildConfig.champSlack]] > 0 removal is EXACT
+  *    until a term loses more than `champSlack` stored postings
+  *    (cumulatively since the last rebuild), monitored by
+  *    [[compactionDue]] and compacted by [[maybeCompact]].
   */
 object HybridServe {
 
-  /** Build-phase knobs. `champM`/`champMinDf`/`lowercase` parameterize the
-    * champion index; `ivfK`, `pqM`, `pqKsub`, `iters` parameterize the
-    * [[build]] overload's model fits (ignored by [[buildWith]]). */
+  /** Build-phase knobs. `champM`/`champSlack`/`champMinDf`/`lowercase`
+    * parameterize the champion index; `ivfK`, `pqM`, `pqKsub`, `iters`
+    * parameterize the [[build]] overload's model fits (ignored by
+    * [[buildWith]]).
+    *
+    * `champSlack` is the removal-exactness budget: the index PERSISTS the
+    * top-(champM + champSlack) postings per term while [[serve]] ranks
+    * from the top-champM survivors. A slack posting is a pre-paid
+    * backfill — when [[remove]] deletes a champion, the next-ranked
+    * stored posting promotes into the vacated serving slot, so removal
+    * serves EXACTLY like a from-scratch build of the survivors until a
+    * term has lost more than `champSlack` stored postings since the last
+    * rebuild (a stored top-(m+s) list is a prefix of the full ranking,
+    * so as long as >= m stored postings survive they ARE the survivors'
+    * true top-m). Storage cost is (m+s)/m versus a slack-less index;
+    * serve cost is unchanged (the slack rows filter out of the lexical
+    * leg before scoring). */
   final case class BuildConfig(
       champM: Int = 8,
+      champSlack: Int = 0,
       champMinDf: Long = 1L,
       lowercase: Boolean = true,
       ivfK: Int = 16,
       pqM: Int = 2,
       pqKsub: Int = 16,
       iters: Int = 3)
+
+  /** Sentinel `champMinDf` marking a store whose meta predates the
+    * persisted [[BuildConfig]] (round-12 and earlier saves): the build
+    * knobs are UNKNOWN PROVENANCE, so the mutation paths refuse it (a
+    * pre-config store actually built pruned would merge
+    * silently-approximately — the exact failure [[requireMergeable]]
+    * advertises it prevents) while [[serve]] still works, skipping only
+    * the lowercase cross-check it cannot perform. A real build can never
+    * produce this value ([[Rank.championIndex]] requires minDf >= 1). */
+  val LegacyUnknownMinDf: Long = -1L
+
+  /** The canonical index schema every stored/mutated index carries:
+    * [[Rank.championIndex]]'s output with the caller's id column
+    * normalized to `id`. All consumers select BY NAME against this
+    * contract (never positionally), so a reordered frame is re-ordered
+    * and a renamed/extra column fails loudly instead of silently
+    * mislabeling df/cf in a subtraction. */
+  private[operators] val IndexColumns = Seq("term", "df", "cf", "rank", "id", "tf")
+
+  /** Validate `index` against [[IndexColumns]] and normalize column ORDER
+    * by name — the name-based schema contract every mutation/serve path
+    * goes through. */
+  private def requireIndexSchema(index: DataFrame, op: String): DataFrame = {
+    require(index.columns.toSet == IndexColumns.toSet,
+      s"$op: index schema ${index.columns.mkString("(", ", ", ")")} does not " +
+        s"match the canonical ${IndexColumns.mkString("(", ", ", ")")} — refusing " +
+        "to guess which column is which (a positional rebind would silently " +
+        "mislabel df/cf). Build through HybridServe, or rename your columns.")
+    index.select(IndexColumns.map(col): _*)
+  }
 
   /** Serve-phase knobs: per-leg depth, fusion constants, probe width.
     * `lowercase` must agree with the index's build-time setting —
@@ -63,7 +115,8 @@ object HybridServe {
       lowercase: Boolean = true)
 
   /** The complete serving artifact set. `index` and `cells` are frames
-    * (persisted stores after [[load]]); `ivf`/`pq` are kilobytes of
+    * (persisted stores after [[load]]); the index carries the canonical
+    * [[IndexColumns]] schema. `ivf`/`pq` are kilobytes of
     * driver/broadcast model state; `nDocs` is the index's corpus size
     * (idf metadata the index itself cannot carry); `build` is the
     * [[BuildConfig]] the index was built with — persisted in the meta
@@ -84,15 +137,25 @@ object HybridServe {
     * oracle queries use (deterministic models from pinned vectors) and the
     * form a deployment uses when models are fitted on a sample or carried
     * forward from the previous version (the carry-vs-retrain policy on
-    * [[PqIndex.encode]]). */
+    * [[PqIndex.encode]]). The index persists champM + champSlack postings
+    * per term (the slack rows are [[remove]]'s backfill budget; [[serve]]
+    * ranks only the top champM). */
   def buildWith(corpus: DataFrame, docIdCol: String, textCol: String,
                 embeddings: DataFrame, vecIdCol: String, vecCol: String,
                 ivf: IvfIndex.Model, pq: PqIndex.Model,
                 cfg: BuildConfig = BuildConfig()): Artifacts = {
+    require(cfg.champSlack >= 0, "buildWith: champSlack must be >= 0")
+    require(cfg.champMinDf != LegacyUnknownMinDf,
+      "buildWith: champMinDf = -1 is the legacy-meta sentinel, not a build knob")
     val index = Rank.championIndex(corpus, docIdCol, textCol,
-      m = cfg.champM, minDf = cfg.champMinDf, lowercase = cfg.lowercase)
-    val cells = PqIndex.encodeCells(embeddings, vecIdCol, vecCol, ivf, pq)
-    Artifacts(index, corpus.count(), ivf, pq, cells, cfg)
+        m = cfg.champM + cfg.champSlack, minDf = cfg.champMinDf,
+        lowercase = cfg.lowercase)
+      // championIndex's id column keeps the caller's name; normalize it to
+      // the canonical schema HERE, at the one site where the adjacent call
+      // pins which column that is — downstream everything is by-name
+      .withColumnRenamed(docIdCol, "id")
+    Artifacts(requireIndexSchema(index, "buildWith"), corpus.count(),
+      ivf, pq, PqIndex.encodeCells(embeddings, vecIdCol, vecCol, ivf, pq), cfg)
   }
 
   /** [[buildWith]] with the models fitted here: IVF centroids via
@@ -113,20 +176,43 @@ object HybridServe {
     * df/cf are unrecoverable at subtraction time. The [[BuildConfig]]
     * travels inside [[Artifacts]] and the meta store, so a LOADED
     * store is checked too — a minDf-50 build fails here loudly instead
-    * of merging silently-approximately. */
-  private def requireMergeable(a: Artifacts, op: String): Unit =
+    * of merging silently-approximately, and a store whose meta predates
+    * the persisted config ([[LegacyUnknownMinDf]]) is refused outright:
+    * its build knobs are unknown, so its mergeability cannot be
+    * established (rebuild once through [[build]] to re-enter the
+    * incremental path; serving such a store still works). */
+  private def requireMergeable(a: Artifacts, op: String): Unit = {
+    require(a.build.champMinDf != LegacyUnknownMinDf,
+      s"$op: the stored meta predates the persisted build config (legacy " +
+        "save) — its champMinDf/lowercase provenance is unknown, so exact " +
+        "incremental maintenance cannot be established. Rebuild once (build + " +
+        "saveVersioned) to record the config; serving the store still works.")
     require(a.build.champMinDf == 1L,
       s"$op: the stored index was built with champMinDf = ${a.build.champMinDf}; " +
         "exact incremental maintenance requires champMinDf = 1 (unpruned terms — " +
         "a pruned term's postings and df/cf cannot be reconstructed). Either " +
         "rebuild once with champMinDf = 1 and carry forward from there, or stay " +
         "on the full-rebuild-per-version path (build + saveVersioned).")
+  }
+
+  /** The stored serving set's membership roster: every id in the lexical
+    * index or the cells store. Both stores contribute — a doc can be
+    * lexically indexed without an embedding, or embedded with lexically
+    * empty text ([[save]]'s scaladoc supports both shapes) — so guarding
+    * against only one store would let [[ingest]] double-count a
+    * text-only doc's df/cf (or [[remove]] refuse to delete it). One
+    * distinct over index-plus-cells-sized ids, used inside a single
+    * bounded guard job per mutation. */
+  private def rosterIds(a: Artifacts, op: String): DataFrame =
+    a.cells.select(col("cid").as("__rid"))
+      .unionByName(requireIndexSchema(a.index, op).select(col("id").as("__rid")))
+      .distinct()
 
   /** Incremental ingest — the reference's upsert-create analog, composed
     * from the engine's two exact merge paths: the arriving batch indexes
     * ALONE ([[Rank.championIndex]] with minDf 1), merges with the
     * stored index ([[Rank.mergeChampionIndexes]] — bit-identical to a
-    * from-scratch build over the union, `validateDisjoint` guards
+    * from-scratch build over the union, the roster probe guards
     * double-counting), and the batch's embeddings encode against the
     * FROZEN models ([[PqIndex.encodeCells]] — encoding is a pure
     * per-row function of the codebook, so appended cells equal a
@@ -136,33 +222,34 @@ object HybridServe {
     * All knobs come from `a.build` (the config the stored index was
     * actually built with — persisted by [[save]]), and the stored index
     * must satisfy [[requireMergeable]]; the merged index stays minDf-1
-    * so the NEXT ingest is exact too. Models carry frozen — monitor
-    * drift per the carry-vs-retrain policy on [[PqIndex.encode]]; a
-    * retrain is a fresh [[build]]. Persist the result with
-    * [[saveVersioned]]: the union writes as a NEW version (one file per
-    * cell again), the alias swaps, and the previous version retires on
-    * schedule. */
+    * so the NEXT ingest is exact too, and keeps champM + champSlack
+    * postings per term so the slack backfill budget survives the merge.
+    * Models carry frozen — monitor drift per the carry-vs-retrain policy
+    * on [[PqIndex.encode]]; a retrain is a fresh [[build]]. Persist the
+    * result with [[saveVersioned]]: the union writes as a NEW version
+    * (one file per cell again), the alias swaps, and the previous
+    * version retires on schedule. */
   def ingest(a: Artifacts, corpus: DataFrame, docIdCol: String, textCol: String,
              embeddings: DataFrame, vecIdCol: String, vecCol: String): Artifacts = {
     requireMergeable(a, "ingest")
     // ONE guard job doubling as the nDocs count: the batch's ids probe the
-    // CELLS store — the serving set's membership roster (exactly one row
-    // per stored candidate, the same table [[remove]] validates against) —
-    // instead of mergeChampionIndexes' index-side validateDisjoint, which
-    // would re-derive the stored champion census just to read its ids.
-    // An overlap would silently double-count df/cf in the merge, so it
-    // fails fast here.
-    val probe = corpus.select(col(docIdCol).as("__bid"))
-      .join(a.cells.select(col("cid").as("__bid"), lit(1).as("__hit")),
-        Seq("__bid"), "left")
+    // full membership roster (index ids UNION cells ids — a text-only doc
+    // has no cells row, and re-ingesting it would silently double-count
+    // its df/cf in the merge, so the cells store alone is not enough).
+    val probe = corpus.select(col(docIdCol).as("__rid"))
+      .join(rosterIds(a, "ingest").withColumn("__hit", lit(1)), Seq("__rid"), "left")
       .agg(count(lit(1)).as("n"), count(col("__hit")).as("overlap")).head()
     require(probe.getLong(1) == 0,
       "ingest: batch contains ids already in the stored serving set — corpora " +
         "must be disjoint (updating a stored doc is upsert: remove, then ingest)")
     val batchIndex = Rank.championIndex(corpus, docIdCol, textCol,
-      m = a.build.champM, minDf = 1L, lowercase = a.build.lowercase)
-    val merged = Rank.mergeChampionIndexes(a.index, batchIndex,
-      m = a.build.champM, minDf = 1L)
+        m = a.build.champM + a.build.champSlack, minDf = 1L,
+        lowercase = a.build.lowercase)
+      .withColumnRenamed(docIdCol, "id")
+    val merged = Rank.mergeChampionIndexes(
+      requireIndexSchema(a.index, "ingest"),
+      requireIndexSchema(batchIndex, "ingest"),
+      m = a.build.champM + a.build.champSlack, minDf = 1L)
     val newCells = PqIndex.encodeCells(embeddings, vecIdCol, vecCol, a.ivf, a.pq)
     Artifacts(merged, a.nDocs + probe.getLong(0), a.ivf, a.pq,
       a.cells.select(col("cid"), col("cell"), col("codes"))
@@ -188,44 +275,52 @@ object HybridServe {
     *    per-term (df, cf) subtract from the stored stats; nDocs
     *    decrements — so serve-time idf equals a from-scratch build over
     *    the survivors. This is why [[requireMergeable]] applies: pruned
-    *    stats could not be subtracted.
-    *  - CHAMPION LISTS: stale postings anti-join away — surviving
-    *    entries are exactly the from-scratch champions MINUS any
-    *    backfill. Exact in-place deletion is impossible in general: the
-    *    build's top-m heap DISCARDED postings ranked m+1..df, so when a
-    *    stale doc was a champion of a term with df > m, the doc that
-    *    would back-fill the slot is unrecoverable (in the extreme, a
-    *    term whose every champion was stale vanishes outright). Lists
-    *    can therefore go SHORT — a recall degradation, never a wrong
-    *    score: every posting still served carries its exact (tf, df).
-    *    With `m >= df` for the query vocabulary (full posting lists)
-    *    removal is fully exact — the q121 oracle pins that end-to-end.
-    *  - `rank` keeps its build-time value (gaps where stale champions
-    *    dropped): every consumer recomputes or ignores it, and keeping
-    *    it avoids a full index re-rank window; the next merge or
-    *    rebuild re-normalizes.
-    * Monitor degradation with [[compactionDue]]; compaction is the
-    * existing versioned rebuild ([[build]] + [[saveVersioned]] — alias
-    * swap, old version retires).
+    *    stats could not be subtracted. An adjustment that would drive a
+    *    surviving term's df below 1 (or cf below 0) can only mean the
+    *    stale frame does not match the stored rows, and RAISES from the
+    *    first action that evaluates the adjusted stats — [[save]] and
+    *    [[serve]] both do — instead of masking the corruption (pre-r14 a
+    *    df >= 1 filter silently dropped such rows).
+    *  - CHAMPION LISTS: stale postings anti-join away and the surviving
+    *    postings of each affected term RE-RANK (slack PROMOTION: the
+    *    stored list is a prefix of the term's full tf ranking, so the
+    *    next-ranked slack posting moves into the vacated serving slot).
+    *    Serving is therefore EXACT — identical to a from-scratch build
+    *    of the survivors — until a term has lost more than
+    *    `build.champSlack` stored postings since the last rebuild; past
+    *    that the list goes SHORT (a recall degradation, never a wrong
+    *    score: every posting still served carries its exact tf/df).
+    *    The deeper postings a short list would need were discarded by
+    *    the build's top-(m+s) heap and are unrecoverable without a
+    *    rebuild. With slack 0 this degenerates to the m >= df full-list
+    *    exactness the q121 oracle pins; q124 pins the slack-backfilled
+    *    case (champions of df > champM terms removed, serving
+    *    hash-identical to a from-scratch survivor build).
+    * Monitor degradation with [[compactionDue]] (slack-exhausted terms);
+    * compaction is the versioned rebuild [[maybeCompact]] runs when the
+    * degraded share crosses the deployment's recall tolerance.
     *
-    * Scale shape: both anti-joins and the stats join broadcast the
-    * stale side (a prune batch is small relative to a 100 TB corpus by
-    * assumption — a corpus-scale removal IS a rebuild), so [[serve]]
-    * over the result adds NO exchange; work is index-sized, never
-    * survivor-corpus-sized. [[save]] persists the filtered frames, so
-    * the next version is physically compacted postings-wise. */
+    * Scale shape: the anti-joins and the stats join broadcast the stale
+    * side (a prune batch is small relative to a 100 TB corpus by
+    * assumption — a corpus-scale removal IS a rebuild), and the
+    * promotion re-rank windows ONLY the affected terms (stale-vocabulary
+    * x (m+s) rows — batch-sized, never index-sized), so [[serve]] over
+    * the result adds no index-wide exchange; work is index-sized at
+    * worst, never survivor-corpus-sized. [[save]] persists the filtered
+    * frames, so the next version is physically compacted postings-wise. */
   def remove(a: Artifacts, stale: DataFrame, docIdCol: String,
              textCol: String): Artifacts = {
     requireMergeable(a, "remove")
     val staleIds = stale.select(col(docIdCol).as("__sid")).distinct()
     // ONE guard job doubling as the nDocs decrement count: every stale id
-    // must be in the stored set (the cells store carries exactly one row
-    // per stored candidate) — subtracting a never-added doc's stats would
-    // silently corrupt df/cf (the ingest disjointness guard's mirror
-    // image), so an unknown id fails fast.
-    val probe = staleIds
-      .join(a.cells.select(col("cid").as("__sid"), lit(1).as("__hit")),
-        Seq("__sid"), "left")
+    // must be in the stored serving set's roster (index ids UNION cells
+    // ids — a text-only doc has no cells row but is genuinely stored, and
+    // must be removable; the cells anti-join is simply a no-op for it) —
+    // subtracting a never-added doc's stats would silently corrupt df/cf
+    // (the ingest disjointness guard's mirror image), so an unknown id
+    // fails fast.
+    val probe = staleIds.withColumnRenamed("__sid", "__rid")
+      .join(rosterIds(a, "remove").withColumn("__hit", lit(1)), Seq("__rid"), "left")
       .agg(count(lit(1)).as("n"), count(col("__hit")).as("known")).head()
     require(probe.getLong(0) == probe.getLong(1),
       "remove: stale ids not present in the stored serving set — stale rows " +
@@ -236,17 +331,35 @@ object HybridServe {
     val staleStats = Rank.championIndex(stale, docIdCol, textCol,
         m = 1, minDf = 1L, lowercase = a.build.lowercase)
       .select(col("term"), col("df").as("__rdf"), col("cf").as("__rcf"))
-    val adjusted = a.index.toDF("term", "df", "cf", "rank", "id", "tf")
+    val tagged = requireIndexSchema(a.index, "remove")
       .join(broadcast(staleIds), col("id") === col("__sid"), "left_anti")
       .join(broadcast(staleStats), Seq("term"), "left")
+    // terms the stale batch never mentions pass through untouched — no
+    // stats change, no rank change, no exchange
+    val untouched = tagged.filter(col("__rdf").isNull)
+      .select(IndexColumns.map(col): _*)
+    // affected terms: subtract the stale stats (raising on corruption —
+    // a surviving posting's own doc counts toward df, so an adjusted
+    // df < 1 or cf < 0 can only mean the stale text does not match what
+    // was indexed) and PROMOTE by re-ranking the survivors; the window
+    // covers only stale-vocabulary terms, each <= m+s rows
+    val dfAdj = col("df") - col("__rdf")
+    val cfAdj = col("cf") - col("__rcf")
+    val corrupt = concat(
+      lit("remove: adjusted df/cf went below the floor for term '"), col("term"),
+      lit("' — the stale rows do not match what was indexed (stale must be " +
+        "the previous corpus version AS STORED)"))
+    val touched = tagged.filter(col("__rdf").isNotNull)
       .select(col("term"),
-        (col("df") - coalesce(col("__rdf"), lit(0L))).as("df"),
-        (col("cf") - coalesce(col("__rcf"), lit(0L))).as("cf"),
-        col("rank"), col("id"), col("tf"))
-      .filter(col("df") >= 1)
+        when(dfAdj >= 1 && cfAdj >= 0, dfAdj).otherwise(raise_error(corrupt)).as("df"),
+        cfAdj.as("cf"), col("id"), col("tf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("tf").desc, col("id").asc)))
+      .select(IndexColumns.map(col): _*)
     val cells = a.cells.select(col("cid"), col("cell"), col("codes"))
       .join(broadcast(staleIds), col("cid") === col("__sid"), "left_anti")
-    Artifacts(adjusted, a.nDocs - probe.getLong(0), a.ivf, a.pq, cells, a.build)
+    Artifacts(untouched.unionByName(touched), a.nDocs - probe.getLong(0),
+      a.ivf, a.pq, cells, a.build)
   }
 
   /** Document update — the reference's create-vs-update upsert
@@ -260,7 +373,8 @@ object HybridServe {
     * batch (updated docs under their ids, plus any genuinely new ids);
     * `freshEmb` = the incoming batch's embeddings. Exactness is
     * [[remove]]'s + [[ingest]]'s: stats and the vector leg exact,
-    * champion lists exact up to removal backfill. */
+    * champion lists exact until a term overdraws its champSlack
+    * backfill budget. */
   def upsert(a: Artifacts, stale: DataFrame, fresh: DataFrame,
              docIdCol: String, textCol: String,
              freshEmb: DataFrame, vecIdCol: String, vecCol: String): Artifacts =
@@ -268,20 +382,70 @@ object HybridServe {
       fresh, docIdCol, textCol, freshEmb, vecIdCol, vecCol)
 
   /** Removal-degradation monitor, the compaction trigger [[remove]]'s
-    * scaladoc promises: terms whose champion list went SHORT — fewer
-    * surviving postings than `least(champM, df)`, the list length a
-    * from-scratch build would produce. (A term whose every champion was
-    * removed has vanished and cannot be seen here — another reason the
-    * trigger should fire well before lists empty out.) One index-sized
-    * aggregate; compact by rebuilding ([[build]] + [[saveVersioned]])
-    * when the degraded share crosses the deployment's recall tolerance.
+    * scaladoc promises: terms whose stored list can no longer serve the
+    * full from-scratch champion list — fewer surviving postings than
+    * `least(champM, df)`. With slack this is exactly SLACK EXHAUSTION:
+    * promotion keeps serving exact while >= champM stored postings
+    * survive (or the list is complete), so a term appears here only once
+    * its cumulative removals overdraw the champSlack budget and recall
+    * genuinely degrades. (A term whose every stored posting was removed
+    * has vanished and cannot be seen here — another reason the trigger
+    * should fire well before lists empty out.) One index-sized
+    * aggregate; compact by rebuilding ([[maybeCompact]], or [[build]] +
+    * [[saveVersioned]] by hand) when the degraded share crosses the
+    * deployment's recall tolerance.
     * @return (term, df, have) — degraded terms only. */
   def compactionDue(a: Artifacts): DataFrame =
-    a.index.toDF("term", "df", "cf", "rank", "id", "tf")
+    requireIndexSchema(a.index, "compactionDue")
       .groupBy(col("term"))
       .agg(first(col("df")).as("df"), count(lit(1)).as("have"))
       .filter(col("have") < least(lit(a.build.champM.toLong), col("df")))
       .select(col("term"), col("df"), col("have"))
+
+  /** The compaction POLICY hook closing the mutation lifecycle — the
+    * reference's retirement loop is policy-driven the same way
+    * (wurzel/steps/qdrant/retirement.py:19-117 decides per collection
+    * whether a version retires): measure the degraded share (terms
+    * [[compactionDue]] would flag, over all index terms — one bounded
+    * aggregate job) and, when it exceeds `threshold`, rebuild from the
+    * CURRENT corpus via [[buildWith]] (models carry frozen — compaction
+    * restores champion lists; refreshing drifted models is a separate
+    * policy decision, the carry-vs-retrain note on [[PqIndex.encode]])
+    * and commit it with [[saveVersioned]] (alias swap, old version
+    * retires on schedule).
+    *
+    * @param corpus/embeddings the current SURVIVING corpus — compaction
+    *        is the one lifecycle step that re-reads it (that is what a
+    *        rebuild is); everything else stays index-sized.
+    * @param threshold degraded-term share in [0, 1] above which the
+    *        rebuild fires; 0 compacts on any degradation.
+    * @return Some((committed version, rebuilt artifacts)) when compaction
+    *         ran, None when the store is within tolerance (no-op: no
+    *         rebuild, no new version). */
+  def maybeCompact(spark: SparkSession, a: Artifacts,
+                   corpus: DataFrame, docIdCol: String, textCol: String,
+                   embeddings: DataFrame, vecIdCol: String, vecCol: String,
+                   root: String, name: String, threshold: Double,
+                   historyLen: Int = 10): Option[(Int, Artifacts)] = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      "maybeCompact: threshold is a share in [0, 1]")
+    val m = a.build.champM.toLong
+    val st = requireIndexSchema(a.index, "maybeCompact")
+      .groupBy(col("term"))
+      .agg(first(col("df")).as("df"), count(lit(1)).as("have"))
+      .agg(count(lit(1)).as("terms"),
+        sum(when(col("have") < least(lit(m), col("df")), 1L).otherwise(0L))
+          .as("degraded"))
+      .head()
+    val terms = st.getLong(0)
+    val degraded = if (st.isNullAt(1)) 0L else st.getLong(1)
+    if (terms == 0L || degraded.toDouble / terms.toDouble <= threshold) None
+    else {
+      val rebuilt = buildWith(corpus, docIdCol, textCol,
+        embeddings, vecIdCol, vecCol, a.ivf, a.pq, a.build)
+      Some((saveVersioned(spark, rebuilt, root, name, historyLen), rebuilt))
+    }
+  }
 
   /** Persist the artifact set under `dir`: `index_store`, `ivf_store`,
     * `pq_store`, `cells_store` (via [[PqIndex.writeCells]] — the
@@ -306,9 +470,10 @@ object HybridServe {
     PqIndex.save(spark, a.pq, s"$dir/pq_store")
     PqIndex.writeCells(a.cells.observe(cellObs, count(lit(1)).as("n")),
       s"$dir/cells_store")
-    Seq((a.nDocs, a.build.champM, a.build.champMinDf, a.build.lowercase,
-        a.build.ivfK, a.build.pqM, a.build.pqKsub, a.build.iters))
-      .toDF("n_docs", "champ_m", "champ_min_df", "lowercase",
+    Seq((a.nDocs, a.build.champM, a.build.champSlack, a.build.champMinDf,
+        a.build.lowercase, a.build.ivfK, a.build.pqM, a.build.pqKsub,
+        a.build.iters))
+      .toDF("n_docs", "champ_m", "champ_slack", "champ_min_df", "lowercase",
         "ivf_k", "pq_m", "pq_ksub", "iters")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
@@ -321,26 +486,48 @@ object HybridServe {
 
   /** Rehydrate [[Artifacts]] from a [[save]]d directory: the models load
     * into driver state (bounded collects — centroid and codebook rows),
-    * the index and cells stores stay lazy parquet scans. A server
+    * the index and cells stores stay lazy parquet scans. The index
+    * store's schema is validated on the way in (the five fixed columns
+    * by NAME; the one remaining column is the id, normalized to the
+    * canonical `id` — stores written before the canonicalization carry
+    * the builder's id column name). Meta back-compat: a meta without
+    * `champ_slack` (round-13 saves) loads as slack 0; a meta without the
+    * config columns at all (round-12 and earlier) loads with the
+    * [[LegacyUnknownMinDf]] sentinel — servable, but the mutation paths
+    * refuse it until a rebuild records real provenance. A server
     * restarted from this alone ranks bit-identically to the builder
     * (HybridServeSpec pins it). */
   def load(spark: SparkSession, dir: String): Artifacts = {
     import spark.implicits._
     val meta = spark.read.parquet(s"$dir/meta")
     val nDocs = meta.select(col("n_docs")).as[Long].head()
-    // metas written before the config was persisted carry only n_docs;
-    // fall back to the defaults rather than refusing to load the store
+    val metaCols = meta.columns.toSet
     val build =
-      if (meta.columns.contains("champ_m"))
+      if (metaCols.contains("champ_m")) {
+        val slack =
+          if (metaCols.contains("champ_slack"))
+            meta.select(col("champ_slack")).as[Int].head()
+          else 0
         meta.select(col("champ_m"), col("champ_min_df"), col("lowercase"),
             col("ivf_k"), col("pq_m"), col("pq_ksub"), col("iters"))
           .as[(Int, Long, Boolean, Int, Int, Int, Int)].head() match {
             case (m, minDf, lc, ivfK, pqM, pqKsub, iters) =>
-              BuildConfig(m, minDf, lc, ivfK, pqM, pqKsub, iters)
+              BuildConfig(m, slack, minDf, lc, ivfK, pqM, pqKsub, iters)
           }
-      else BuildConfig()
+      } else
+        // pre-config meta: UNKNOWN provenance, marked with the sentinel so
+        // requireMergeable refuses what it cannot verify (ADVICE r13)
+        BuildConfig(champMinDf = LegacyUnknownMinDf)
+    val rawIndex = spark.read.parquet(s"$dir/index_store")
+    val fixed = IndexColumns.toSet - "id"
+    val idCand = rawIndex.columns.filterNot(fixed)
+    require(fixed.subsetOf(rawIndex.columns.toSet) && idCand.length == 1,
+      s"load: index store schema ${rawIndex.columns.mkString("(", ", ", ")")} " +
+        s"does not match (term, df, cf, rank, <id>, tf) — refusing to serve " +
+        "from a store whose columns cannot be identified by name")
     Artifacts(
-      index = spark.read.parquet(s"$dir/index_store"),
+      index = requireIndexSchema(
+        rawIndex.withColumnRenamed(idCand.head, "id"), "load"),
       nDocs = nDocs,
       ivf = IvfIndex.load(spark, s"$dir/ivf_store"),
       pq = PqIndex.load(spark, s"$dir/pq_store"),
@@ -382,26 +569,38 @@ object HybridServe {
     * Both legs rank to `kTopPerLeg`, then RRF fuses to `kTop`:
     * (query_id, doc_id, rank, rrf_micro, n_sources). Everything is one
     * batch-sized plan — no driver collect, no corpus scan: the lexical
-    * leg joins the batch vocabulary against the index store, the vector
-    * leg equi-joins probed cell ids against the cells store (partition
-    * pruning does the rest). */
+    * leg joins the batch vocabulary against the index store (filtered to
+    * the top-champM serving postings when the index carries champSlack
+    * overflow rows — the slack exists for [[remove]]'s backfill, not for
+    * scoring), the vector leg equi-joins probed cell ids against the
+    * cells store (partition pruning does the rest). */
   def serve(a: Artifacts, queries: DataFrame, vecCol: String = "embedding",
             cfg: ServeConfig = ServeConfig()): DataFrame = {
     val cols = queries.columns.toSet
     require(cols.contains("query_id"), "serve: queries needs a query_id column")
     require(cols.contains("terms") || cols.contains(vecCol),
       s"serve: queries needs a terms and/or $vecCol column")
-    require(cfg.lowercase == a.build.lowercase,
-      s"serve: cfg.lowercase = ${cfg.lowercase} but the index was built with " +
-        s"lowercase = ${a.build.lowercase} — query terms must normalize the way " +
-        "the indexed text did or the lexical leg silently returns nothing " +
-        "(the build setting is persisted in the meta store and restored by load)")
+    if (a.build.champMinDf != LegacyUnknownMinDf)
+      // a legacy store's build-time lowercase setting is unknown — the
+      // cross-check is skipped there (documented on load), never guessed
+      require(cfg.lowercase == a.build.lowercase,
+        s"serve: cfg.lowercase = ${cfg.lowercase} but the index was built with " +
+          s"lowercase = ${a.build.lowercase} — query terms must normalize the way " +
+          "the indexed text did or the lexical leg silently returns nothing " +
+          "(the build setting is persisted in the meta store and restored by load)")
     val legs = Seq.newBuilder[DataFrame]
     if (cols.contains("terms")) {
+      val index = requireIndexSchema(a.index, "serve")
+      // slack rows are removal backfill, not serving candidates: rank is
+      // kept contiguous by build/merge/promotion, so rank <= champM IS the
+      // from-scratch champion list of the current serving set
+      val servedIndex =
+        if (a.build.champSlack > 0) index.filter(col("rank") <= a.build.champM)
+        else index
       // explode drops null/empty term arrays — those queries simply have
       // no lexical leg, the serving contract (not an error)
       val lexQ = queries.select(col("query_id"), explode(col("terms")).as("term"))
-      legs += Rank.bm25FromIndex(a.index, a.nDocs, lexQ,
+      legs += Rank.bm25FromIndex(servedIndex, a.nDocs, lexQ,
           cfg.kTopPerLeg, cfg.k1, cfg.lowercase)
         .select(col("query_id"), col("id").as("doc_id"), col("rank"))
     }

@@ -181,8 +181,9 @@ object ScaleCurve {
               element_at(vocabCol, (pmod(col("vec_id") * 7 + 3, lit(9)) + 1).cast("int"))
             ).as("terms"),
             col("embedding"))
+        // Artifacts carry the canonical index schema (id column named "id")
         val arts = graft.operators.HybridServe.Artifacts(
-          savedIndex, nDocs, ivfS, pqS, savedCells)
+          savedIndex.withColumnRenamed("doc_id", "id"), nDocs, ivfS, pqS, savedCells)
         time("q117_serve_1k") {
           graft.operators.HybridServe.serve(arts, batchQ)
             .queryExecution.toRdd.count()
@@ -219,6 +220,20 @@ object ScaleCurve {
         time("q121_remove") {
           graft.operators.HybridServe.remove(arts,
               docs.filter(col("doc_id") < 500), "doc_id", "text")
+            .index.queryExecution.toRdd.count()
+        }
+        // r14 UPSERT leg (completes the mutation measurement matrix):
+        // remove∘ingest with a fixed 500-doc changed batch — the wall
+        // should be ~the sum of the two legs above (the composition adds
+        // no extra pass: removal's output index frame feeds the merge
+        // lazily). Timed action materializes the maintained index.
+        time("q121_upsert") {
+          graft.operators.HybridServe.upsert(arts,
+              docs.filter(col("doc_id") < 500),
+              docs.filter(col("doc_id") < 500)
+                .select(col("doc_id"), concat(col("text"), lit(" upsertv2")).as("text")),
+              "doc_id", "text",
+              vecs.filter(col("vec_id") < 500), "vec_id", "embedding")
             .index.queryExecution.toRdd.count()
         }
       } finally {

@@ -414,6 +414,239 @@ class HybridServeSpec extends SparkSpec {
     }
   }
 
+  // ---- round-14: champSlack backfill, roster guards, schema contract ----
+
+  /** 6-doc corpus where "scan" has df=4 — deep enough that a small champM
+    * leaves real slack postings and real discarded postings. */
+  private def slackCorpus = Seq(
+    (1L, "spark join spark agg"),
+    (2L, "spark scan"),
+    (3L, "filter scan scan scan"),
+    (4L, "window batch stream stream"),
+    (5L, "scan batch"),
+    (6L, "scan stream")
+  ).toDF("doc_id", "text")
+
+  private def slackEmbeddings = Seq(
+    (1L, Array(1.0f, 0.1f, 0.0f, 0.2f)),
+    (2L, Array(0.9f, 0.2f, 0.1f, 0.1f)),
+    (3L, Array(0.0f, 1.0f, 0.8f, 0.0f)),
+    (4L, Array(0.1f, 0.9f, 1.0f, 0.1f)),
+    (5L, Array(0.5f, 0.5f, 0.4f, 0.3f)),
+    (6L, Array(0.2f, 0.3f, 0.9f, 0.6f))
+  ).toDF("vec_id", "embedding")
+
+  private def slackServeRows(a: HybridServe.Artifacts) =
+    HybridServe.serve(a, queryBatch,
+        cfg = HybridServe.ServeConfig(kTopPerLeg = 3, kTop = 3, nprobe = 1))
+      .select($"query_id", $"doc_id", $"rank", $"rrf_micro", $"n_sources")
+      .as[(String, Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+
+  test("champSlack: removing a champion of a df > champM term backfills from the slack and serves EXACTLY like a from-scratch survivor build") {
+    val (ivf, pq) = tinyModels(slackEmbeddings)
+    // champM=1, slack=1: "spark" (df=2 > champM) stores doc1 (champion,
+    // tf 2) + doc2 (slack); "scan" (df=4) stores doc3 (champion, tf 3) +
+    // doc2 (slack, tf-tie id-asc)
+    val cfg = HybridServe.BuildConfig(champM = 1, champSlack = 1)
+    val full = HybridServe.buildWith(slackCorpus, "doc_id", "text",
+      slackEmbeddings, "vec_id", "embedding", ivf, pq, cfg)
+    // the stored index carries m+s postings; serving uses only the top m —
+    // a terms-only query for "spark" sees champion doc 1, never slack doc 2
+    assert(full.index.filter($"term" === "spark").count() == 2)
+    val lexOnly = Seq(("qx", Seq("spark"))).toDF("query_id", "terms")
+    val lexDocs = HybridServe.serve(full, lexOnly,
+        cfg = HybridServe.ServeConfig(kTopPerLeg = 3, kTop = 3, nprobe = 1))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(lexDocs == Set(1L), s"slack row leaked into serving: $lexDocs")
+
+    // doc 1 goes stale — "spark" loses its ONLY serving champion
+    val removed = HybridServe.remove(full, slackCorpus.filter($"doc_id" === 1),
+      "doc_id", "text")
+    val fromScratch = HybridServe.buildWith(slackCorpus.filter($"doc_id" =!= 1),
+      "doc_id", "text", slackEmbeddings.filter($"vec_id" =!= 1),
+      "vec_id", "embedding", ivf, pq, cfg)
+    val got = slackServeRows(removed)
+    assert(got.nonEmpty)
+    assert(got == slackServeRows(fromScratch),
+      s"slack-backfilled remove diverged from from-scratch:\n$got\nvs\n${slackServeRows(fromScratch)}")
+    // the promotion is visible: doc 2 now serves "spark" (rank 1)
+    assert(removed.index.filter($"term" === "spark" && $"id" === 2L && $"rank" === 1)
+      .count() == 1)
+    // within the slack budget nothing is degraded
+    assert(HybridServe.compactionDue(removed).count() == 0)
+  }
+
+  test("champSlack exhaustion: a term losing more stored postings than its slack degrades LOUDLY in compactionDue") {
+    val (ivf, pq) = tinyModels(slackEmbeddings)
+    // champM=2, slack=1: "scan" (df=4) stores docs 3 (tf 3), 2, 5 — doc 6
+    // was discarded by the build's top-(m+s) heap
+    val cfg = HybridServe.BuildConfig(champM = 2, champSlack = 1)
+    val full = HybridServe.buildWith(slackCorpus, "doc_id", "text",
+      slackEmbeddings, "vec_id", "embedding", ivf, pq, cfg)
+    // docs 2 AND 3 go stale: "scan" loses 2 stored postings > slack 1
+    val removed = HybridServe.remove(full,
+      slackCorpus.filter($"doc_id".isin(2L, 3L)), "doc_id", "text")
+    val due = HybridServe.compactionDue(removed)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(due == Seq(("scan", 2L, 1L)),
+      s"expected scan (df 2, have 1) to be flagged, got $due")
+    // the degradation is recall-shaped, never score-shaped: the surviving
+    // posting still serves with exact stats (df=2 — doc 6 counts even
+    // though its posting is unrecoverable)
+    val scanRows = removed.index.filter($"term" === "scan")
+      .select($"id", $"df").as[(Long, Long)].collect().toSeq
+    assert(scanRows == Seq((5L, 2L)))
+  }
+
+  test("maybeCompact: no-op within tolerance, versioned rebuild past it, and the rebuilt store serves like a from-scratch survivor build") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_compact").toString
+    try {
+      val (ivf, pq) = tinyModels(slackEmbeddings)
+      val cfg = HybridServe.BuildConfig(champM = 2, champSlack = 1)
+      val full = HybridServe.buildWith(slackCorpus, "doc_id", "text",
+        slackEmbeddings, "vec_id", "embedding", ivf, pq, cfg)
+      val removed = HybridServe.remove(full,
+        slackCorpus.filter($"doc_id".isin(2L, 3L)), "doc_id", "text")
+      val survivors = slackCorpus.filter(!$"doc_id".isin(2L, 3L))
+      val survEmb = slackEmbeddings.filter(!$"vec_id".isin(2L, 3L))
+      // within tolerance: nothing rebuilt, nothing committed
+      assert(HybridServe.maybeCompact(spark, removed, survivors, "doc_id", "text",
+        survEmb, "vec_id", "embedding", root, "hybrid", threshold = 0.9).isEmpty)
+      assert(new graft.sinks.VersionedTableSink(root, "hybrid").aliasedVersion().isEmpty)
+      // past tolerance: rebuild + versioned commit + alias swap
+      val (v, rebuilt) = HybridServe.maybeCompact(spark, removed,
+        survivors, "doc_id", "text", survEmb, "vec_id", "embedding",
+        root, "hybrid", threshold = 0.0).get
+      assert(v == 1)
+      assert(new graft.sinks.VersionedTableSink(root, "hybrid").aliasedVersion().contains(1))
+      assert(HybridServe.compactionDue(rebuilt).count() == 0)
+      // the aliased store IS the from-scratch survivor build
+      val current = HybridServe.loadCurrent(spark, root, "hybrid")
+      val fromScratch = HybridServe.buildWith(survivors, "doc_id", "text",
+        survEmb, "vec_id", "embedding", ivf, pq, cfg)
+      assert(slackServeRows(current) == slackServeRows(fromScratch))
+      // the degraded term serves FULLY again post-compaction ("scan"
+      // recovered doc 6's posting from the corpus re-read)
+      assert(current.index.filter($"term" === "scan").count() == 2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("index schema contract is name-based: renamed columns fail loudly, reordered columns serve identically") {
+    val (ivf, pq) = tinyModels(slackEmbeddings)
+    val full = HybridServe.buildWith(slackCorpus, "doc_id", "text",
+      slackEmbeddings, "vec_id", "embedding", ivf, pq,
+      HybridServe.BuildConfig(champM = 2, champSlack = 1))
+    // a renamed column would have been silently mislabeled by a positional
+    // rebind (the pre-r14 hazard); now every consumer refuses it
+    val renamed = full.copy(index = full.index.withColumnRenamed("df", "docfreq"))
+    for (op <- Seq(
+        () => HybridServe.remove(renamed,
+          slackCorpus.filter($"doc_id" === 1), "doc_id", "text").index.count(),
+        () => HybridServe.compactionDue(renamed).count(),
+        () => slackServeRows(renamed))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("canonical"), e.getMessage)
+    }
+    // a REORDERED frame is re-ordered by name, not mislabeled
+    val reordered = full.copy(index =
+      full.index.select($"tf", $"id", $"rank", $"cf", $"df", $"term"))
+    assert(slackServeRows(reordered) == slackServeRows(full))
+    assert(HybridServe.remove(reordered, slackCorpus.filter($"doc_id" === 1),
+        "doc_id", "text").index.orderBy($"term", $"rank").collect().toSeq ==
+      HybridServe.remove(full, slackCorpus.filter($"doc_id" === 1),
+        "doc_id", "text").index.orderBy($"term", $"rank").collect().toSeq)
+  }
+
+  test("membership roster is index UNION cells: a text-only doc (no embedding) blocks re-ingest and is removable") {
+    val (ivf, pq) = tinyModels(slackEmbeddings)
+    // doc 7 is lexically indexed but has NO embedding — the roster shape
+    // save()'s scaladoc supports (lexical index and cells store need not
+    // cover the same ids)
+    val corpus7 = slackCorpus.unionByName(
+      Seq((7L, "spark lexonly")).toDF("doc_id", "text"))
+    val full = HybridServe.buildWith(corpus7, "doc_id", "text",
+      slackEmbeddings, "vec_id", "embedding", ivf, pq,
+      HybridServe.BuildConfig(champM = 8))
+    assert(full.index.filter($"id" === 7L).count() > 0)
+    assert(full.cells.filter($"cid" === 7L).count() == 0)
+    // re-ingesting the text-only doc would double-count its df/cf — the
+    // cells-only probe missed this (r13 ADVICE); the roster catches it
+    val e = intercept[IllegalArgumentException] {
+      HybridServe.ingest(full, Seq((7L, "spark lexonly")).toDF("doc_id", "text"),
+        "doc_id", "text", slackEmbeddings.limit(0), "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("already in the stored serving set"))
+    // ...and the text-only doc is REMOVABLE (the cells anti-join is a
+    // no-op for it) — the mirror-image guard gap
+    val removed = HybridServe.remove(full,
+      Seq((7L, "spark lexonly")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(removed.nDocs == full.nDocs - 1)
+    assert(removed.index.filter($"id" === 7L).count() == 0)
+    val fromScratch = HybridServe.buildWith(slackCorpus, "doc_id", "text",
+      slackEmbeddings, "vec_id", "embedding", ivf, pq,
+      HybridServe.BuildConfig(champM = 8))
+    assert(slackServeRows(removed) == slackServeRows(fromScratch))
+  }
+
+  test("legacy meta (pre-config save) loads with the unknown-provenance sentinel: serving works, mutations refuse") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_legacy").toString
+    try {
+      val (ivf, pq) = tinyModels(embeddings)
+      val arts = HybridServe.buildWith(corpus, "doc_id", "text",
+        embeddings, "vec_id", "embedding", ivf, pq)
+      HybridServe.save(spark, arts, s"$root/store")
+      // simulate a round-12 store: meta carries ONLY n_docs
+      Seq(arts.nDocs).toDF("n_docs").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/store/meta")
+      val legacy = HybridServe.load(spark, s"$root/store")
+      assert(legacy.build.champMinDf == HybridServe.LegacyUnknownMinDf)
+      // serving still works — and the lowercase cross-check is SKIPPED
+      // (unknown provenance), not guessed from defaults
+      assert(HybridServe.serve(legacy, queryBatch,
+        cfg = HybridServe.ServeConfig(kTopPerLeg = 3, kTop = 3, nprobe = 1))
+        .count() > 0)
+      assert(HybridServe.serve(legacy, queryBatch,
+        cfg = HybridServe.ServeConfig(kTopPerLeg = 3, kTop = 3, nprobe = 1,
+          lowercase = false)).count() >= 0)
+      // mutations refuse: a pre-config store actually built pruned would
+      // merge silently-approximately — exactly what the guard prevents
+      for (msg <- Seq(
+          intercept[IllegalArgumentException](HybridServe.ingest(legacy,
+            corpus.limit(0), "doc_id", "text",
+            embeddings.limit(0), "vec_id", "embedding")).getMessage,
+          intercept[IllegalArgumentException](HybridServe.remove(legacy,
+            corpus.filter($"doc_id" === 1), "doc_id", "text")).getMessage)) {
+        assert(msg.contains("legacy") && msg.contains("provenance"), msg)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("a stale frame that does not match the stored rows RAISES from the adjusted index instead of masking the corruption") {
+    val (ivf, pq) = tinyModels(embeddings)
+    val full = HybridServe.buildWith(corpus, "doc_id", "text",
+      embeddings, "vec_id", "embedding", ivf, pq)
+    // doc 2 as stored is "spark scan" (cf contribution 1 to "spark"); the
+    // caller hands a WRONG text whose subtraction would drive "spark"'s
+    // cf negative — pre-r14 a df>=1 filter silently dropped such rows
+    val corrupted = HybridServe.remove(full,
+      Seq((2L, "spark spark spark spark scan")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // the raise lives in the adjusted df/cf columns, so any action that
+    // evaluates the stats trips it — save and serve both do (a bare
+    // count() would prune the columns and see nothing, which is fine:
+    // a count doesn't consume the corrupt stats)
+    val e = intercept[Exception](corrupted.index.queryExecution.toRdd.count())
+    assert(e.getMessage != null && e.getMessage.contains("AS STORED"),
+      s"expected the stale-mismatch raise, got: $e")
+    val e2 = intercept[Exception](slackServeRows(corrupted))
+    assert(e2.getMessage != null && e2.getMessage.contains("AS STORED"),
+      s"expected the stale-mismatch raise from serve, got: $e2")
+  }
+
   test("versioned lifecycle: saveVersioned commits and alias-swaps, loadCurrent follows the alias, old versions retire") {
     val root = java.nio.file.Files.createTempDirectory("graft_hybrid_versioned").toString
     try {

@@ -893,6 +893,119 @@ object VectorQ {
         |fr AS (SELECT query_id, doc_id, rrf_micro, n_sources,
         |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rank FROM fu)
         |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, rrf_micro, n_sources
+        |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef("q124_serve_slack_remove",
+      // The champSlack removal-exactness contract (r14), end-to-end with
+      // REAL champion-pruned lists — q121 proved mutations exact when
+      // champM >= df (full lists); this query proves them exact when the
+      // build DISCARDS postings. champM=8 + champSlack=4: the store
+      // persists the top-12 postings per term and serves the top-8. The
+      // stale batch (doc_id % 17 = 5, ~6% of the corpus) removes genuine
+      // top-8 champions of df~400 query terms (verified at sf0.001/0.01/
+      // 0.1: each query term loses 1-2 stored postings, within the slack
+      // budget), so remove() must PROMOTE slack postings into the vacated
+      // serving slots, subtract the stale term stats, and decrement
+      // nDocs — and then serve hash-identically to a from-scratch build
+      // of the survivors (the oracle: survivor census, rank <= 8 champion
+      // prune, survivor df/idf). Models stay frozen through the mutation;
+      // the vector leg is the surviving cells store (exact by anti-join).
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{HybridServe, IvfIndex, PqIndex}
+        val embT = emb(s, d)
+        val corpus = Tables.load(s, d, "documents")
+          .join(embT.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+        val qv4 = embT.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(graft.functions.Kernels.quantNormUdf(col("embedding")).getField("_1").as("qv"))
+          .as[Seq[Long]].collect().map(_.toArray)
+        val ivf = IvfIndex.Model(qv4)
+        val subDim = 32
+        val pq = PqIndex.Model(
+          (0 until 2).map(j => qv4.map(v =>
+            java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))).toArray)
+        val arts = HybridServe.buildWith(corpus, "doc_id", "text",
+          embT, "vec_id", "embedding", ivf, pq,
+          HybridServe.BuildConfig(champM = 8, champSlack = 4, champMinDf = 1L))
+        val stale = corpus.filter(col("doc_id") % 17 === 5)
+        val maintained = HybridServe.remove(arts, stale, "doc_id", "text")
+        val queries = embT.filter(col("vec_id") < 3)
+          .select(
+            when(col("vec_id") === 0, "agg_pipeline")
+              .when(col("vec_id") === 1, "scan_perf")
+              .otherwise("stream_state").as("query_id"),
+            when(col("vec_id") === 0, typedlit(Seq("spark", "join", "agg")))
+              .when(col("vec_id") === 1, typedlit(Seq("scan", "fast", "filter")))
+              .otherwise(typedlit(Seq("stream", "window", "batch"))).as("terms"),
+            col("embedding"), col("vec_id").as("exclude_id"))
+        HybridServe.serve(maintained, queries)
+          .select(col("query_id"), col("doc_id"), big(col("rank")).as("rank"),
+            col("rrf_micro"), big(col("n_sources")).as("n_sources"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH surv AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id IN (SELECT vec_id FROM embeddings) AND doc_id % 17 <> 5),
+        |tk AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM surv),
+        |tl AS (SELECT doc_id, unnest(w) AS term FROM tk),
+        |tfc AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tl GROUP BY 1, 2),
+        |st AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+        |rk AS (SELECT term, doc_id, tf,
+        |  row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank FROM tfc),
+        |idx AS (SELECT r.term, s.df, r.doc_id, r.tf FROM rk r JOIN st s USING (term) WHERE r.rank <= 8),
+        |q(query_id, term) AS (VALUES
+        |  ('agg_pipeline', 'spark'), ('agg_pipeline', 'join'), ('agg_pipeline', 'agg'),
+        |  ('scan_perf', 'scan'), ('scan_perf', 'fast'), ('scan_perf', 'filter'),
+        |  ('stream_state', 'stream'), ('stream_state', 'window'), ('stream_state', 'batch')),
+        |idf AS (SELECT term, CAST(floor(1e6 * ln(1 + ((SELECT count(*) FROM surv) - df + 0.5e0)
+        |  / (df + 0.5e0))) AS BIGINT) AS idf
+        |  FROM (SELECT DISTINCT term, df FROM idx) WHERE term IN (SELECT term FROM q)),
+        |co AS (SELECT q.query_id, i.doc_id,
+        |  CAST(floor(f.idf * ((i.tf * (1.2e0 + 1)) / (i.tf + 1.2e0))) AS BIGINT) AS c
+        |  FROM idx i JOIN q ON i.term = q.term JOIN idf f ON i.term = f.term),
+        |sc AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro FROM co GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+        |  FROM sc WHERE score_micro > 0),
+        |lexk AS (SELECT query_id, doc_id, rank FROM lex WHERE rank <= 20),
+        |v AS (SELECT vec_id, $QV AS qv FROM embeddings),
+        |vc AS (SELECT vec_id, qv FROM v WHERE vec_id % 17 <> 5),
+        |cent AS (SELECT vec_id AS cidx, qv AS cv FROM v WHERE vec_id < 4),
+        |dc AS (SELECT c2.vec_id, c.cidx,
+        |  list_sum(list_transform(range(1, len(c2.qv) + 1),
+        |    i -> (c2.qv[i] - c.cv[i]) * (c2.qv[i] - c.cv[i]))) AS dist
+        |  FROM vc c2 CROSS JOIN cent c),
+        |rc AS (SELECT vec_id, cidx,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn FROM dc),
+        |cellof AS (SELECT vec_id, cidx AS cell FROM rc WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, cidx AS cell FROM rc WHERE rn <= 2 AND vec_id < 3),
+        |sub AS (SELECT vec_id, 0 AS j, qv[1:32] AS sv FROM vc
+        |        UNION ALL SELECT vec_id, 1, qv[33:64] FROM vc),
+        |cb AS (SELECT vec_id AS cidx, j, sv AS cv FROM sub WHERE vec_id < 4),
+        |dpq AS (SELECT s2.vec_id, s2.j, c2.cidx,
+        |  list_sum(list_transform(range(1, 33), i -> (s2.sv[i] - c2.cv[i]) * (s2.sv[i] - c2.cv[i]))) AS dist
+        |  FROM sub s2 JOIN cb c2 ON s2.j = c2.j),
+        |enc AS (SELECT vec_id AS cid, j, cidx AS cell FROM (
+        |  SELECT vec_id, j, cidx, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cidx) AS rn FROM dpq)
+        |  WHERE rn = 1),
+        |vscored AS (SELECT p.qid, cf.vec_id AS cid, SUM(dq.dist) AS adist
+        |  FROM probes p
+        |  JOIN cellof cf ON cf.cell = p.cell AND cf.vec_id <> p.qid
+        |  JOIN enc e ON e.cid = cf.vec_id
+        |  JOIN dpq dq ON dq.vec_id = p.qid AND dq.j = e.j AND dq.cidx = e.cell
+        |  GROUP BY p.qid, cf.vec_id),
+        |vr AS (SELECT qid, cid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rank FROM vscored),
+        |veck AS (SELECT CASE WHEN qid = 0 THEN 'agg_pipeline'
+        |    WHEN qid = 1 THEN 'scan_perf' ELSE 'stream_state' END AS query_id,
+        |  cid AS doc_id, rank FROM vr WHERE rank <= 20),
+        |uni AS (SELECT query_id, doc_id, CAST(floor(1e6 / (60 + rank)) AS BIGINT) AS c FROM lexk
+        |  UNION ALL
+        |  SELECT query_id, doc_id, CAST(floor(1e6 / (60 + rank)) AS BIGINT) AS c FROM veck),
+        |fu AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+        |  CAST(count(*) AS BIGINT) AS n_sources FROM uni GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, rrf_micro, n_sources,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rank FROM fu)
+        |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, rrf_micro, n_sources
         |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
   )
 }

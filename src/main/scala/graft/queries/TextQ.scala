@@ -1252,6 +1252,45 @@ object TextQ {
         |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
         |FROM e ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q125_mdformat_setext_item",
+      // Round-14 setext-in-item closure (F11) under oracle coverage: a
+      // '-'/'=' underline at an item's content column JOINS the item's
+      // open paragraph into an ATX heading (merged into the head line,
+      // multi-line content joining with spaces — mdformat's reading of
+      // an item-nested setext heading), renumbering carries through the
+      // headed items, a marker-type switch (')') still starts its own
+      // list, a dash run with NO open paragraph (a heading closed it)
+      // renders as the item's 70-underscore thematic break, and the
+      // whole run stays one tight list. Symbolic byte rebuild, like
+      // q63/q118-q120/q122/q123.
+      (s, d) => {
+        val w = split(col("text"), "\\s+")
+        val md = concat(
+          lit("5. title "), element_at(w, 1),
+          lit("\n   ---\n9. alpha "), element_at(w, 2),
+          lit("\n   beta "), element_at(w, 3),
+          lit("\n   ===\n2) block "), element_at(w, 4),
+          lit("\n   # mid "), element_at(w, 5),
+          lit("\n   ----\n7) tail "), element_at(w, 6))
+        val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
+        docs(s, d)
+          .select(col("doc_id"), fmtUdf(md).as("canon"))
+          .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
+            length(col("canon")).cast("long").as("canon_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $W AS t FROM documents),
+        |e AS (SELECT doc_id,
+        |  '5. ## title ' || t[1] || chr(10) ||
+        |  '5. # alpha ' || t[2] || ' beta ' || t[3] || chr(10) ||
+        |  '2) block ' || t[4] || chr(10) ||
+        |  '   # mid ' || t[5] || chr(10) ||
+        |  '   ' || repeat('_', 70) || chr(10) ||
+        |  '2) tail ' || t[6] AS canon
+        |  FROM w)
+        |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
+        |FROM e ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q65_minhash_union",
       // The typed UDAF (Aggregator via udaf, §2.14) under oracle coverage:
       // per-source MinHash union — elementwise min of the per-doc

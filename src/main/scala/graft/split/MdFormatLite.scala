@@ -78,11 +78,24 @@ package graft.split
   *      R6 math (renderTable is 1:1 on lines), tight only; and
   *      INDENTED-CODE blocks (every non-blank line >= 6 columns) ride
   *      a loose run VERBATIM, so items after them keep renumbering.
+  *      AND — r14 — SETEXT UNDERLINES at a content column JOIN the
+  *      item's open paragraph into an ATX heading (merged into the
+  *      head line when the paragraph starts there — "1. title" +
+  *      "---" -> "1. ## title" — multi-line content joining with
+  *      spaces), a dash run with NO open paragraph renders as the
+  *      item's thematic break, a '='-run with none is plain text,
+  *      and ESCAPED/ENTITY spellings of quote / heading / setext
+  *      syntax render as plain TEXT at the content column (fence and
+  *      '*'/'_'-break spellings stay conservative: the escape pass
+  *      rewrites those raw shapes into escaped spellings inside a
+  *      bailed block, so rendering the spelling would flip one pass
+  *      after a raw bail).
   *      Shapes whose rendered column the next pass would not reclaim
   *      (no same-block item at or below that column), under-indented
-  *      or unclosed fences, and remaining block-syntax-shaped item
-  *      content (dash runs, setext underlines, escaped/entity
-  *      spellings) pass through byte-stable
+  *      or unclosed fences, lazy setext shapes, bare '-'/'--' with no
+  *      paragraph (an empty-bullet reading), pipe-bearing setext
+  *      joins near tables, and fence/break escaped spellings pass
+  *      through byte-stable
   *      or fall back to item-only renumbering (divergence). Fences in
   *      LOOSE items (blank line between the item and the fence) carry
   *      too: the run's scanner state rides across blocks, valid while
@@ -133,12 +146,12 @@ package graft.split
   * Not implemented (documented divergence): emphasis-marker handling
   * needs none (mdformat renders em/strong with the SOURCE marker,
   * `node.markup` — markers are preserved, not rewritten); remaining gaps
-  * are dash-run/setext shapes nested in item content
-  * (item-only renumbering or byte-stable pass-through; R8h covers
-  * tight AND loose fences, headings, '*'/'_' breaks, tight tables, and
-  * quotes with recursive content re-formatting under the 1:1
-  * line-count gate), and paragraph re-wrapping
-  * (mdformat's default wrap mode keeps source line breaks anyway).
+  * are the narrow conservative bails listed under R8h (lazy setext
+  * shapes, bare short dash runs without a paragraph, pipe-bearing
+  * setext joins near tables, fence/'*'-break escaped spellings,
+  * loose-block dash runs — each byte-stable pass-through or item-only
+  * renumbering), and paragraph re-wrapping (mdformat's default wrap
+  * mode keeps source line breaks anyway).
   * Table cells render through the mdformat-tables path (R6), not the
   * text-escape pass.
   */
@@ -361,12 +374,16 @@ object MdFormatLite {
   // judge quote/fence lines against items in the SAME block only
   private case object BlockBreak extends ListLine
 
-  /** Returns the rendered lines plus a parallel ESCAPE-EXEMPT mask: true
-    * lines (fence-region bytes, recursively re-formatted quote content)
-    * splice through the text-escape pass verbatim. `quoteDepth` bounds
-    * the R8h-quote recursion exactly like normalizeCore's R15b bound. */
+  /** Returns the rendered lines plus a parallel ESCAPE-EXEMPT mask (true
+    * lines — fence-region bytes, recursively re-formatted quote content —
+    * splice through the text-escape pass verbatim) plus the PER-BLOCK
+    * output line counts. Rendering is 1:1 on lines EXCEPT the r14 setext
+    * join (a paragraph plus its underline collapse into one ATX line), so
+    * the caller re-slices blocks by the returned counts, not the input
+    * lengths. `quoteDepth` bounds the R8h-quote recursion exactly like
+    * normalizeCore's R15b bound. */
   private def renumberNested(items: Vector[ListLine],
-                             quoteDepth: Int): Option[(Vector[String], Vector[Boolean])] = {
+                             quoteDepth: Int): Option[(Vector[String], Vector[Boolean], Vector[Int])] = {
     // bullet levels carry num = "" and marker = "-": width = "" + "-" +
     // " " = 2 columns, and the shared rendering/contentCol arithmetic
     // (num + marker + space) stays uniform across kinds
@@ -387,14 +404,48 @@ object MdFormatLite {
       case _ => return None
     }
     val stack = scala.collection.mutable.ArrayBuffer.empty[Level]
-    val outLines = Vector.newBuilder[String]
-    val outExempt = Vector.newBuilder[Boolean]
+    // ArrayBuffers, not builders: the r14 setext join POPS the open
+    // paragraph's already-emitted lines and replaces them with one ATX
+    // heading line
+    val outLines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val outExempt = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    // per-block output lengths (a BlockBreak closes a block): the caller
+    // re-slices its blocks by these, because a setext join makes a block
+    // SHORTER than its input
+    val blockLens = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var blockStart = 0
     // keeps the existing `out += line` sites reading naturally: a plain
     // += emits a NON-exempt line, outEx an escape-exempt one
     object out {
       def +=(s: String): Unit = { outLines += s; outExempt += false }
     }
     def outEx(s: String): Unit = { outLines += s; outExempt += true }
+    // The OPEN ITEM PARAGRAPH (r14): the run of plain paragraph lines —
+    // the item head's own text and its continuation lines — currently
+    // open at the deepest level, tracked so a setext underline can JOIN
+    // it the way mdformat does (ATX conversion, softbreaks to spaces).
+    // paraIdx holds the emitted lines' indices (popped on join),
+    // paraTexts their raw content, paraHeadPrefix the "  1. " marker
+    // prefix when the paragraph starts at the item head line itself
+    // (the heading then merges INTO the head: "1. ## title"). Whenever
+    // paraIdx is non-empty, paraLevel is stack.last by construction —
+    // every level change flows through a site that resets or re-opens
+    // the paragraph.
+    var paraLevel: Level = null
+    var paraHeadPrefix: String = null
+    val paraIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val paraTexts = scala.collection.mutable.ArrayBuffer.empty[String]
+    def paraReset(): Unit = {
+      paraLevel = null; paraHeadPrefix = null; paraIdx.clear(); paraTexts.clear()
+    }
+    def paraOpen(level: Level, text: String, headPrefix: String = null): Unit = {
+      paraReset()
+      paraLevel = level; paraHeadPrefix = headPrefix
+      paraIdx += outLines.length - 1; paraTexts += text
+    }
+    def paraAppend(text: String): Unit = {
+      paraIdx += outLines.length - 1; paraTexts += text
+    }
     // shared level resolution for marker lines of either kind
     def levelFor(w: Int, bullet: Boolean, n: String, m: String): Option[Level] = {
       // dedent closes nested levels; the OUTERMOST list never closes (a
@@ -507,14 +558,19 @@ object MdFormatLite {
     for (line <- items) line match {
       case Skip(raw) =>
         flushQuotes()
+        paraReset()
         noteBlockHead(stable = true) // its whole block is code: verbatim
         out += raw
       case BlockBreak =>
         flushQuotes()
+        paraReset()
+        blockLens += outLines.length - blockStart
+        blockStart = outLines.length
         outBlockMin = Int.MaxValue
         atBlockStart = true
       case FOpen(ind, text) =>
         flushQuotes()
+        paraReset()
         // a fence at an open level's content column (extra < 4) is a
         // block INSIDE that item: deeper levels close (same dedent rule
         // as continuations — block syntax is never lazy), the fence
@@ -562,6 +618,7 @@ object MdFormatLite {
         regionOutCol = -1
       case TBlock(ind, rows) =>
         flushQuotes()
+        paraReset()
         // R8h (round 13): a pipe table at an open level's content column
         // is a block INSIDE that item — deeper levels close, the table
         // re-renders through the R6 path (cells trimmed/padded, NOT the
@@ -587,15 +644,24 @@ object MdFormatLite {
         rendered.foreach(x => outEx((" " * outCol) + x))
       case OItem(ind, n, m, rest) =>
         flushQuotes()
+        paraReset()
         levelFor(colWidth(ind), bullet = false, n, m) match {
           case None => return None
           case Some(top) =>
             outBlockMin = math.min(outBlockMin, top.outContentCol)
             noteBlockHead(stable = true) // item heads re-enter the run
             out += (" " * top.outIndent) + top.num + top.marker + " " + rest
+            // the head's text opens the item's paragraph — a following
+            // setext underline joins it (r14) — unless the rest is
+            // itself block-syntax-shaped (then the item's first block is
+            // not a paragraph and an underline cannot apply)
+            if (rest.trim.nonEmpty && !blockShapedText(rest))
+              paraOpen(top, rest,
+                headPrefix = (" " * top.outIndent) + top.num + top.marker + " ")
         }
       case BItem(ind, rest) =>
         flushQuotes()
+        paraReset()
         levelFor(colWidth(ind), bullet = true, "", "-") match {
           case None => return None
           case Some(top) =>
@@ -607,9 +673,10 @@ object MdFormatLite {
             // a valid break) — apply the same collision escape here
             // (deep-fuzz r12/r13 finds)
             val line = (" " * top.outIndent) + "- " + rest
-            out += (if (HrRe.matches(line) || isSep(line))
-                      (" " * top.outIndent) + "- \\" + rest
-                    else line)
+            val collided = HrRe.matches(line) || isSep(line)
+            out += (if (collided) (" " * top.outIndent) + "- \\" + rest else line)
+            if (!collided && rest.trim.nonEmpty && !blockShapedText(rest))
+              paraOpen(top, rest, headPrefix = (" " * top.outIndent) + "- ")
         }
       case Cont(raw) =>
         if (stack.isEmpty) return None
@@ -640,6 +707,7 @@ object MdFormatLite {
           if (top.outContentCol < 4 && outBlockMin > top.outContentCol)
             return None
           noteBlockHead(top.outContentCol >= 3)
+          paraReset() // a quote block closes the item's open paragraph
           // buffer into the current quote GROUP; a column change closes
           // the group (different attach level = a different blockquote)
           if (qCol >= 0 && qCol != top.outContentCol) flushQuotes()
@@ -670,24 +738,151 @@ object MdFormatLite {
           // indent; deeper ones reach the paragraph path on their own)
           if (outCol < 4 && outBlockMin > outCol) return None
           noteBlockHead(outCol >= 3)
+          paraReset() // a heading/break block closes the open paragraph
           val one = normalizeCore(Vector(text), quoteDepth - 1)
             .split("\n", -1).toVector
           if (one.length != 1) return None // not representable 1:1
           outEx((" " * outCol) + one.head)
+        } else if (SetextH1Re.matches(text) || SetextH2Re.matches(text)) {
+          flushQuotes()
+          // r14: SETEXT-SHAPED lines in item content resolve the way
+          // mdformat reads them instead of bailing the run:
+          //  - at/beyond the open paragraph's content column, a '='/'-'
+          //    run is that paragraph's SETEXT UNDERLINE — the paragraph
+          //    (the item head's own text and its continuations) JOINS
+          //    into one ATX line, softbreaks becoming spaces (the
+          //    top-level multi-line setext rule), merged into the head
+          //    line itself when the paragraph starts there ("1. title /
+          //    --- " -> "1. ## title");
+          //  - with NO open paragraph, a 3+ dash run is a THEMATIC
+          //    BREAK in the item (the existing '*'/'_' rule's missing
+          //    dash case) and a '=' run is plain TEXT (no block
+          //    meaning of its own).
+          // Everything else stays on the conservative bail path: bare
+          // '-'/'--' with no open paragraph (an empty-bullet reading
+          // this renderer does not model), and LAZY (under-column)
+          // setext shapes — CommonMark absorbs a lazy '=' run as
+          // paragraph text, but re-indenting it to the content column
+          // would turn it into a REAL underline next pass, so the 1:1
+          // geometry cannot express the absorption.
+          if (stack.isEmpty) return None
+          val isBreakShape = HrRe.matches(text) // pure 3+ dash run here
+          // mirror the plain-continuation attach rule: intermediate
+          // columns close deeper levels
+          if (w >= stack.head.contentCol)
+            while (stack.length > 1 && w < stack.last.contentCol)
+              stack.dropRightInPlace(1)
+          val top = stack.last
+          val paraHere = paraLevel != null && (paraLevel eq top) && paraIdx.nonEmpty
+          if (w < top.contentCol || w - top.contentCol >= 4)
+            return None // lazy setext shape / indented-code bytes
+          if (paraHere) {
+            // the underline JOINS the open paragraph into an ATX heading
+            val hashes = if (SetextH1Re.matches(text)) "#" else "##"
+            val content = paraTexts.map(_.trim).mkString(" ")
+            // POPPING the paragraph changes line adjacency in BOTH
+            // directions, and a pipe-bearing heading is table-hazardous
+            // either way: landing after a rendered table row it joins
+            // the next pass's row slurp as a DATA ROW, and landing
+            // before a separator-shaped line it becomes a table HEAD
+            // ("1. |\n   -\n-|" -> "1. ## |\n   -|") — both fuzz r14
+            // finds. Not representable; bail byte-stable.
+            if (content.contains("|")) return None
+            val at = paraIdx.head
+            if (paraHeadPrefix != null) {
+              // merged into the item head: a plain NON-exempt line. The
+              // next pass reads it as an ordinary item rest, so its
+              // escaping must run in the same item-rest context BOTH
+              // passes — an exempt pre-escaped line here would exclude
+              // its emphasis markers from the block's delimiter
+              // matching in this pass only, flipping a neighbor's
+              // escape next pass (fuzz r14 find).
+              outLines.takeInPlace(at)
+              outExempt.takeInPlace(at)
+              out += paraHeadPrefix + hashes + " " + content
+            } else {
+              // standalone heading line: one-line recursion, exempt —
+              // exactly the R8h heading branch's treatment, which is
+              // also how the NEXT pass will re-render this line, so
+              // the escape segmentation stays identical across passes
+              if (quoteDepth <= 0) return None
+              if (top.outContentCol < 4 && outBlockMin > top.outContentCol)
+                return None // next-pass reclaim gate
+              val one = normalizeCore(Vector(s"$hashes $content"), quoteDepth - 1)
+                .split("\n", -1).toVector
+              if (one.length != 1) return None // not representable
+              if (one.head.contains("|")) return None // table hazard (above)
+              outLines.takeInPlace(at)
+              outExempt.takeInPlace(at)
+              outEx((" " * top.outContentCol) + one.head)
+            }
+            paraReset()
+          } else if (isBreakShape) {
+            // dash thematic break inside the item — the heading/'*'/'_'
+            // branch's exact gates and one-line recursion
+            if (w < stack.head.contentCol) return None // interrupts the list
+            if (quoteDepth <= 0) return None
+            val outCol = top.outContentCol
+            if (outCol < 4 && outBlockMin > outCol) return None
+            noteBlockHead(outCol >= 3)
+            paraReset()
+            val one = normalizeCore(Vector(text), quoteDepth - 1)
+              .split("\n", -1).toVector
+            if (one.length != 1) return None
+            outEx((" " * outCol) + one.head)
+          } else if (SetextH1Re.matches(text)) {
+            // '=' run with no paragraph to underline: plain text — it
+            // opens the item's next paragraph (a later underline may
+            // join IT: "=== / ---" is setext h2 of the text "===").
+            // ONLY with an item line in the current output block: in an
+            // item-less continuation block a <=3-column '=' run would be
+            // claimed by the next pass's TOP-LEVEL setext branch as the
+            // indented paragraph's underline (fuzz r14 find — a
+            // tab-indented "=" rendered as spaces flipped the whole
+            // block into "# ..."), so those bail byte-stable
+            if (top.outContentCol <= 3 && outBlockMin == Int.MaxValue)
+              return None
+            noteBlockHead(top.outContentCol >= 3)
+            out += (" " * top.outContentCol) + text
+            paraOpen(top, text)
+          } else return None // bare '-'/'--', no paragraph: empty-item ambiguity
         } else {
           flushQuotes()
-          // BLOCK-SYNTAX-shaped content (heading, fence outside a scanned
-          // R8h region, break, setext underline) nested in item content
-          // is beyond this grouper's container model — and re-indenting
-          // it to the content column could even CHANGE its block reading
-          // ("    >" stripped to "   >" becomes a quote marker, the
-          // fuzz-found r12 case) — so the run passes through byte-stable
-          // instead. The check also covers the ESCAPED spelling: the
-          // escape pass may rewrite such a line ("```" -> "\`\`\`")
-          // after this pass bails, and the next normalize must classify
-          // the rewritten bytes the same way or the fixpoint breaks
-          // (second r12 fuzz find)
-          if (blockShapedText(text)) return None
+          // RAW block-syntax-shaped content that no branch above claimed
+          // (unclosed/under-indented fences, depth-0 headings/breaks) is
+          // beyond this grouper's container model — and re-indenting it
+          // could even CHANGE its block reading ("    >" stripped to
+          // "   >" becomes a quote marker, the fuzz-found r12 case) —
+          // so the run passes through byte-stable.
+          def shapedOn(t: String): Boolean =
+            isQuoteLine(t) || HeadingRe.matches(t) || EmptyHeadingRe.matches(t) ||
+              FenceRe.matches(t) || HrRe.matches(t) ||
+              SetextH1Re.matches(t) || SetextH2Re.matches(t)
+          if (shapedOn(text)) return None
+          val dec = unescapePunct(text)
+          if (shapedOn(dec)) {
+            // An ESCAPED or ENTITY spelling of block syntax is plain
+            // TEXT (r14): mdformat renders "\> q" / "&#62; q" / "\# h" /
+            // "\-\-\-" at the content column with the escape kept (the
+            // escape pass keeps line-start spellings escape-necessary
+            // and re-spells entities to backslashes — both passes then
+            // classify the same bytes the same way). QUOTE, HEADING,
+            // and SETEXT/DASH spellings render; FENCE and '*'/'_'
+            // BREAK spellings STAY on the bail path — the escape pass
+            // rewrites those RAW shapes into their escaped spellings
+            // inside a bailed block ("```" -> "\`\`\`", "***" ->
+            // "\*\*\*"), so rendering the escaped form here would flip
+            // the bytes one pass after a raw bail (the r12 fuzz class
+            // the old spelling-insensitive bail existed to prevent).
+            val renderableSpelling =
+              !FenceRe.matches(dec) &&
+                !(HrRe.matches(dec) && !dec.contains('-')) &&
+                (isQuoteLine(dec) ||
+                  ((HeadingRe.matches(dec) || EmptyHeadingRe.matches(dec)) &&
+                    quoteDepth > 0) ||
+                  SetextH1Re.matches(dec) || SetextH2Re.matches(dec))
+            if (!renderableSpelling) return None
+          }
           // a continuation at an outer content column closes deeper
           // levels — but a LAZY (under-everything) line continues the
           // DEEPEST open item's paragraph (CommonMark laziness), so
@@ -701,11 +896,18 @@ object MdFormatLite {
             }
           val top = stack.last
           val outCol = top.outContentCol
+          // r14: plain lines continue (or open) the item's paragraph —
+          // the state a later setext underline joins against
+          def trackPara(): Unit =
+            if (paraLevel != null && (paraLevel eq top) && paraIdx.nonEmpty)
+              paraAppend(text)
+            else paraOpen(top, text)
           if (w < top.contentCol) {
             // R8e (round 12): lazy paragraph continuation — mdformat
             // renders it AT the item's content column
             noteBlockHead(outCol >= 3)
             out += (" " * outCol) + text
+            trackPara()
           } else {
             val extra = w - top.contentCol
             if (extra >= 4) {
@@ -720,16 +922,19 @@ object MdFormatLite {
                 return None
               noteBlockHead(outCol + extra >= 3)
               out += (" " * (outCol + extra)) + text
+              paraReset() // a code line is not underline-able paragraph text
             } else {
               // < 4 extra: paragraph continuation, renders AT the column
               noteBlockHead(outCol >= 3)
               out += (" " * outCol) + text
+              trackPara()
             }
           }
         }
     }
     flushQuotes()
-    Some((outLines.result(), outExempt.result()))
+    blockLens += outLines.length - blockStart
+    Some((outLines.toVector, outExempt.toVector, blockLens.toVector))
   }
 
   /** R9-R14: the text-token escape pass ([[MdTextEscapes]]) over a whole
@@ -1033,15 +1238,16 @@ object MdFormatLite {
           if (bi == 0) parsed else BlockBreak +: parsed
         }
       val out = Vector.newBuilder[(Vector[String], Boolean, Vector[Boolean])]
-      // renumbering maps lines 1:1, so per-block slicing carries the
-      // renderer's exempt mask alongside the lines
+      // per-block slicing by the renderer's OWN output lengths (r14: a
+      // setext join shrinks its block, so input lengths no longer apply),
+      // carrying the exempt mask alongside the lines
       def emit(run: Seq[(Vector[String], Boolean)],
-               lines: Vector[String], mask: Vector[Boolean]): Unit = {
+               lines: Vector[String], mask: Vector[Boolean],
+               lens: Vector[Int]): Unit = {
         var off = 0
-        run.foreach { case (b, t) =>
-          out += ((lines.slice(off, off + b.length), t,
-            mask.slice(off, off + b.length)))
-          off += b.length
+        run.zip(lens).foreach { case ((_, t), n) =>
+          out += ((lines.slice(off, off + n), t, mask.slice(off, off + n)))
+          off += n
         }
       }
       var idx = 0
@@ -1097,7 +1303,7 @@ object MdFormatLite {
           case _ => false
         }
         renumberNested(parsed, quoteDepth) match {
-          case Some((lines, mask)) => emit(run, lines, mask)
+          case Some((lines, mask, lens)) => emit(run, lines, mask, lens)
           case None if parsed.exists(r8hShaped) =>
             // pass through byte-stable, but KEEP the span-derived
             // exemptions: the escape pass must still treat the code
@@ -1119,11 +1325,11 @@ object MdFormatLite {
                 val sub = run.slice(k, e)
                 val subSpans = runSpans.slice(k, e) // all-item: empty
                 renumberNested(parse(sub, subSpans), quoteDepth) match {
-                  case Some((lines, _)) => // all-item: no exempt lines
+                  case Some((lines, _, lens)) => // all-item: no exempt lines
                     var off = 0
-                    sub.foreach { case (b, t) =>
-                      fb += ((lines.slice(off, off + b.length), t))
-                      off += b.length
+                    sub.zip(lens).foreach { case ((_, t), n) =>
+                      fb += ((lines.slice(off, off + n), t))
+                      off += n
                     }
                   case None => sub.foreach(fb += _)
                 }

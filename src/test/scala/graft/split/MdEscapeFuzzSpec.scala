@@ -77,7 +77,28 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
     // r13 indented-code blocks riding loose runs (verbatim, incl.
     // fence- and item-shaped code bytes); under-indented code breaks
     "2. a\n\n       code [1]\n\n5. b\n", "1. a\n\n       ```\n       3. x\n\n9. b\n",
-    "1. a\n\n      - c\n\n2. b\n", "1. a\n\n    low\n\n2. b\n")
+    "1. a\n\n      - c\n\n2. b\n", "1. a\n\n    low\n\n2. b\n",
+    // r14 setext shapes in item content: underlines joining the item's
+    // open paragraph (head-merged, multi-line, nested, after R8h blocks),
+    // no-paragraph dash breaks and '='-run text, short runs, lazy and
+    // escaped/entity spellings (those stay conservative), and joins whose
+    // content carries escapes
+    "1. a\n   ---\n2. b\n", "1. t\n   ===\n", "1. a\n   b\n   ---\n2. c\n",
+    "- t\n  ---\n", "1. a\n   ----\n", "1. a\n   --\n", "1. a\n   =\n",
+    "1. a\n   # h\n   ---\n2. b\n", "1. a\n   # h\n   p\n   ---\n",
+    "1. a\n   # h\n   ===\n", "1. a\n   1. b\n      ---\n2. c\n",
+    "1. a\n   1. b\n   ---\n   c\n", "1. [x\n   ---\n", "1. a *b\n   ---\n",
+    "1. a\n   > q\n   ---\n", "1. a\n   ```\n   x\n   ```\n   ---\n",
+    "1. a\n   \\-\\-\\-\n", "1. a\n   &#61;==\n", "1. a\n   =\\=\n",
+    "1. a\n\n   ---\n\n2. b\n", "1. a\n  ---\n", "1. a\n    ---\n",
+    "1. a\n       ---\n", "1. ---\n", "1. a\n   ===\n   ---\n",
+    // r14 escaped/entity spellings of block syntax as item TEXT (quote,
+    // heading, setext render; fence and '*'-break spellings still bail)
+    "1. a\n   \\> q\n5. b\n", "1. a\n   \\# h\n", "1. a\n   \\-\\-\\-\n",
+    "1. a\n   \\=\\=\\=\n", "1. a\n   &#62; q\n5. b\n", "1. a\n   &#35; h\n",
+    "1. a\n   \\`\\`\\`\n", "1. a\n   \\*\\*\\*\n", "1. a\n     \\> q\n",
+    "1. a\n   \\> q\n   ---\n", "1. x\n\n   ```\n   ```\n\t=\n",
+    "1. a\n\n   p\n\n   ```\n   x\n   ```\n\t=====\n")
   private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123=\t|:~"
 
   private def fuzz(seed: Long, cases: Int): Unit = {
@@ -140,6 +161,24 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
       "|!&\n*\t|",
       "  1. a\n\n   p\n\n2. b\nc\n    7. z\nA1. a\n\t```\n\tc\n\t```",
       "  1. a\n\n   p\n\n2. b\n   > q\nr",
+      // fuzz r14 finds: a setext join pops its paragraph lines, changing
+      // adjacency in both directions — a pipe-bearing heading can land
+      // under an item-nested table (row slurp absorbs it as a DATA ROW)
+      // or above a separator-shaped line (it becomes a table HEAD); such
+      // joins bail byte-stable
+      "1. b\n   |\n-|\nc\n|\n   -",
+      "1. |\n   -\n-|",
+      // fuzz r14 find: a head-merged setext join must emit a plain
+      // NON-exempt line — pre-escaping it via recursion excluded its
+      // emphasis markers from this pass's block-wide delimiter matching,
+      // while the next pass (reading an ordinary item rest) included
+      // them, flipping a neighboring line's escape
+      "- b\n*_3_\n  -\n&*`*",
+      // fuzz r14 find: a no-paragraph '=' run in an ITEM-LESS loose
+      // block must not re-indent tab->spaces — at <=3 columns the next
+      // pass's TOP-LEVEL setext branch would claim it as the indented
+      // paragraph's underline and hoist the block into a heading
+      "1. x\n\n   ```\n   ```\n\t=",
       // wide-fuzz r13 find (pre-r13 shape): an output-indent collision
       // bails the whole run, the item-only fallback re-indents the
       // all-item sub-block, and the next pass's whole-run attempt on

@@ -349,8 +349,10 @@ class MdFormatLiteSpec extends AnyFunSuite {
     // laziness reaches the DEEPEST open item's paragraph
     assert(MdFormatLite.normalize("1. a\n   4. b\n  z")
       == "1. a\n   4. b\n      z")
-    // an under-indented break/underline shape interrupts, never lazy:
-    // the run passes through byte-stable
+    // an under-indented setext shape stays byte-stable: a dash run is a
+    // break interrupting the list, and a lazy '=' run — CommonMark
+    // absorbs it as paragraph text — cannot re-indent to the content
+    // column without BECOMING an underline there (r14 note)
     assert(MdFormatLite.normalize("2. a\n---") == "2. a\n---")
     assert(MdFormatLite.normalize("2. a\n===") == "2. a\n===")
     // tab continuation (R8g): 4-column stop = content col 3 + 1 extra,
@@ -614,9 +616,12 @@ class MdFormatLiteSpec extends AnyFunSuite {
     val out2 = MdFormatLite.normalize(md2)
     assert(out2 == "1. a\n   " + ("_" * 70) + "\n1. b")
     assert(MdFormatLite.normalize(out2) == out2)
-    // dash runs are setext-ambiguous inside items: conservative path
+    // a dash run at the content column under the item's open paragraph
+    // is its setext underline (r14): the paragraph joins into an ATX h2
+    // merged into the head line, and the list still renumbers
     val md3 = "1. a\n   ---\n2. b"
     val out3 = MdFormatLite.normalize(md3)
+    assert(out3 == "1. ## a\n1. b")
     assert(MdFormatLite.normalize(out3) == out3)
     // under-indented headings still interrupt the list (own block)
     val md4 = "1. a\n# h\n2. b"
@@ -724,6 +729,61 @@ class MdFormatLiteSpec extends AnyFunSuite {
     val md3 = "- a\n> q\nlazy"
     val out3 = MdFormatLite.normalize(md3)
     assert(out3.startsWith("- a\n\n> q"))
+  }
+
+  test("r14: setext underlines in item content join the open paragraph into ATX; dash runs without one break") {
+    // underline at the content column under the item head's text: the
+    // paragraph joins into an ATX heading merged into the head line
+    assert(MdFormatLite.normalize("1. a\n   ---\n2. b") == "1. ## a\n1. b")
+    assert(MdFormatLite.normalize("1. title\n   ===\n2. b") == "1. # title\n1. b")
+    assert(MdFormatLite.normalize("- title\n  ---") == "- ## title")
+    // 4+ dashes are still an underline when a paragraph is open
+    // (CommonMark: setext wins over the break reading)
+    assert(MdFormatLite.normalize("1. a\n   ----\n2. b") == "1. ## a\n1. b")
+    // short runs underline too ('--', '='); multi-line paragraph content
+    // joins with spaces (the top-level multi-line setext rule)
+    assert(MdFormatLite.normalize("1. a\n   --\n2. b") == "1. ## a\n1. b")
+    assert(MdFormatLite.normalize("1. a\n   =\n2. b") == "1. # a\n1. b")
+    assert(MdFormatLite.normalize("1. a\n   b\n   ---\n2. c") == "1. ## a b\n1. c")
+    // a paragraph OPENED AFTER another block in the item joins at the
+    // content column (standalone ATX line, not head-merged)
+    assert(MdFormatLite.normalize("1. a\n   # h\n   p\n   ---\n2. b")
+      == "1. a\n   # h\n   ## p\n1. b")
+    // content following the join starts the item's next paragraph
+    assert(MdFormatLite.normalize("1. a\n   ---\n   b\n2. c") == "1. ## a\n   b\n1. c")
+    // joined content renders through the heading escape recursion
+    assert(MdFormatLite.normalize("1. [x\n   ---\n2. b") == "1. ## \\[x\n1. b")
+    assert(MdFormatLite.normalize("1. a *b\n   ---") == "1. ## a \\*b")
+    // nested: the underline joins at ITS level; at an outer column it
+    // closes the inner level (no paragraph there) and becomes a break
+    assert(MdFormatLite.normalize("1. a\n   1. b\n      ---\n2. c")
+      == "1. a\n   1. ## b\n1. c")
+    assert(MdFormatLite.normalize("1. a\n   1. b\n   ---\n   c")
+      == "1. a\n   1. b\n   " + ("_" * 70) + "\n   c")
+    // NO open paragraph (a heading closed it): a 3+ dash run is the
+    // item's thematic break — the '*'/'_' rule's dash case
+    assert(MdFormatLite.normalize("1. a\n   # h\n   ---\n2. b")
+      == "1. a\n   # h\n   " + ("_" * 70) + "\n1. b")
+    // ...and a '=' run with no paragraph is plain text
+    assert(MdFormatLite.normalize("1. a\n   # h\n   ===\n2. b")
+      == "1. a\n   # h\n   ===\n1. b")
+    // that text then opens a paragraph a later underline can join
+    assert(MdFormatLite.normalize("1. a\n   # h\n   ===\n   ---\n2. b")
+      == "1. a\n   # h\n   ## ===\n1. b")
+    // escaped/entity spellings stay conservative (byte-stable)
+    for (s <- Seq("1. a\n   \\-\\-\\-\n2. b", "1. a\n   &#61;==\n2. b")) {
+      val once = MdFormatLite.normalize(s)
+      assert(MdFormatLite.normalize(once) == once, s)
+    }
+    // everything above is a fixpoint
+    for (s <- Seq("1. a\n   ---\n2. b", "1. title\n   ===", "- t\n  ---",
+        "1. a\n   b\n   ---\n2. c", "1. a\n   # h\n   p\n   ---",
+        "1. a\n   1. b\n      ---\n2. c", "1. a\n   # h\n   ---\n2. b",
+        "1. a\n   ---\n   b\n2. c", "3. a\n7. b\n   ---\n9. c")) {
+      val once = MdFormatLite.normalize(s)
+      assert(MdFormatLite.normalize(once) == once,
+        s.replace("\n", "\\n") + " -> " + once.replace("\n", "\\n"))
+    }
   }
 
   test("R14: character references decode; literal text that would re-parse as a reference escapes its &") {

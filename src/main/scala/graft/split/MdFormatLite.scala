@@ -150,8 +150,11 @@ package graft.split
   * shapes, bare short dash runs without a paragraph, pipe-bearing
   * setext joins near tables, fence/'*'-break escaped spellings,
   * loose-block dash runs — each byte-stable pass-through or item-only
-  * renumbering), and paragraph re-wrapping (mdformat's default wrap
-  * mode keeps source line breaks anyway).
+  * renumbering). Paragraph re-wrapping (mdformat `--wrap no|N`) is
+  * implemented behind the [[Wrap]] knob on the [[normalize]] overload
+  * — default [[Wrap.Keep]] matches mdformat's default and leaves every
+  * oracle untouched; list-item and quote paragraphs keep source breaks
+  * in all modes (divergence).
   * Table cells render through the mdformat-tables path (R6), not the
   * text-escape pass.
   */
@@ -969,8 +972,34 @@ object MdFormatLite {
     (fmtRow(hc) +: fmtSep +: rc.map(fmtRow)).toVector
   }
 
+  /** mdformat's `--wrap` modes (r14): [[Wrap.Keep]] preserves source
+    * soft line breaks (mdformat's default — every oracle and fixture
+    * runs this), [[Wrap.No]] joins each paragraph's lines into one,
+    * [[Wrap.Width]] greedily re-fills at the given column. Wrapping
+    * applies to TOP-LEVEL plain paragraph blocks only — paragraphs
+    * inside list items and quote containers keep source breaks
+    * (documented divergence; mdformat re-wraps those too, accounting
+    * for marker widths). Wrapped blocks render through the
+    * escape+re-fill fixpoint loop ([[wrapAndEscape]]); a break is
+    * refused before a word whose decoded form would start block
+    * syntax at its new line start, and a re-fill that would COMPLETE
+    * block syntax ("*" joining "a" into a bullet) reverts to source
+    * breaks — keeping one application a fixpoint under the same
+    * mode. */
+  sealed trait Wrap
+  object Wrap {
+    case object Keep extends Wrap
+    case object No extends Wrap
+    final case class Width(columns: Int) extends Wrap {
+      require(columns >= 1, "Wrap.Width: columns must be positive")
+    }
+  }
+
   /** Canonicalize a markdown string per the rule list above. */
-  def normalize(md: String): String = {
+  def normalize(md: String): String = normalize(md, Wrap.Keep)
+
+  /** [[normalize]] with a [[Wrap]] mode (mdformat `--wrap`). */
+  def normalize(md: String, wrap: Wrap): String = {
     // leading whitespace is pre-stripped: the trailing .strip() (R7)
     // erases it from the OUTPUT anyway, so parsing the input as if it
     // were already gone makes one pass convergent — otherwise a leading
@@ -978,7 +1007,99 @@ object MdFormatLite {
     // to the strip, and parse as different block syntax next time
     val lines = md.stripLeading().replace("\r\n", "\n").replace("\r", "\n")
       .split("\n", -1).toVector.map(l => TrailWs.matcher(l).replaceAll(""))
-    normalizeCore(lines).strip()
+    normalizeCore(lines, wrap = wrap).strip()
+  }
+
+  /** The --wrap rendering of one text block: iterate escape -> re-fill
+    * until the block is a FIXPOINT of both (the escape pass's spelling
+    * depends on line geometry, and the fill's break points depend on
+    * the spelled byte lengths — each feeds the other, so a single
+    * ordering of the two passes is not stable under re-normalization;
+    * the loop converges in 1-2 iterations in practice). The emitted
+    * block is escape-canonical AND fill-stable, so the next pass's
+    * identical loop reproduces it byte-for-byte. If the cap is hit
+    * (a pathological escape/fill oscillation), fall back to the
+    * UN-wrapped canonical escape of the source lines — also a fixpoint,
+    * because the next pass's loop runs the same iteration sequence from
+    * an escape-equivalent start and hits the same cap. */
+  private def wrapAndEscape(b: Vector[String], wrap: Wrap): Vector[String] = {
+    var x = b
+    var k = 0
+    while (k < 5) {
+      val y = escapeTextBlock(x.mkString("\n"))
+      val z = wrapParagraph(y, wrap)
+      if (z == y) return y
+      x = z
+      k += 1
+    }
+    escapeTextBlock(b.mkString("\n"))
+  }
+
+  /** Re-fill one escape-canonical paragraph block per `wrap` (the
+    * [[wrapAndEscape]] loop body). Eligibility is conservative:
+    * flush-left, non-empty, marker-free, pipe-free lines with no
+    * trailing-backslash hard breaks — everything else (list runs,
+    * passed-through continuations, hard breaks, table-adjacent text)
+    * keeps its source breaks. */
+  private def wrapParagraph(b: Vector[String], wrap: Wrap): Vector[String] = {
+    val eligible = b.nonEmpty && b.forall { l =>
+      l.nonEmpty && !l.charAt(0).isWhitespace && !l.endsWith("\\") &&
+        !l.contains("|") && !OrderedItemRe.matches(l) && !BulletRe.matches(l)
+    }
+    if (!eligible) return b
+    // split on ANY whitespace run: a mid-line tab kept inside a "word"
+    // would land at a re-filled line end, where the next pass's
+    // trailing-whitespace strip changes the word sequence (fuzz r14)
+    val words = b.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+    if (words.isEmpty) return b
+    // re-filling can COMPLETE block syntax a source break kept apart
+    // ("*" + "a" joins to the bullet "* a"; "-" + a word to "- x";
+    // "#" + a word to a heading) — if any re-filled line would parse
+    // as a block start, in either spelling, keep the source breaks
+    // (fuzz r14 finds). Deterministic, so both passes agree.
+    def mints(l: String): Boolean = {
+      def on(t: String): Boolean =
+        BulletRe.matches(t) || OrderedItemRe.matches(t) || HrRe.matches(t) ||
+          HeadingRe.matches(t) || EmptyHeadingRe.matches(t) ||
+          FenceRe.matches(t) || SetextH1Re.matches(t) ||
+          SetextH2Re.matches(t) || isSep(t) || isQuoteLine(t)
+      on(l) || on(unescapePunct(l))
+    }
+    def checked(out: Vector[String]): Vector[String] =
+      if (out.exists(mints)) b else out
+    wrap match {
+      case Wrap.Keep => b
+      case Wrap.No => checked(Vector(words.mkString(" ")))
+      case Wrap.Width(cols) =>
+        // a word whose decoded form would start block syntax must not
+        // open a line — the next pass would re-parse the paragraph
+        def hazardStart(word: String): Boolean = {
+          val w0 = unescapePunct(word)
+          w0 == "-" || w0 == "*" || w0 == "+" || w0.startsWith("#") ||
+            w0.startsWith(">") || w0.startsWith("```") || w0.startsWith("~~~") ||
+            w0.matches("\\d{1,9}[.)]") || w0.matches("[-=_*]+") ||
+            w0.startsWith("    ")
+        }
+        val out = Vector.newBuilder[String]
+        val line = new StringBuilder
+        var lineLen = 0
+        for (word <- words) {
+          val wl = word.length
+          if (lineLen == 0) { line ++= word; lineLen = wl }
+          else if (lineLen + 1 + wl <= cols) {
+            line += ' '; line ++= word; lineLen += 1 + wl
+          } else if (hazardStart(word)) {
+            // refuse the break: the line runs long rather than minting
+            // a bullet/heading/quote/break at the new line start
+            line += ' '; line ++= word; lineLen += 1 + wl
+          } else {
+            out += line.result(); line.clear(); lineLen = 0
+            line ++= word; lineLen = wl
+          }
+        }
+        if (lineLen > 0) out += line.result()
+        checked(out.result())
+    }
   }
 
   /** One quote-marker level off a line ('>' + at most one space after
@@ -1099,7 +1220,8 @@ object MdFormatLite {
     * kill the executor with a StackOverflowError (the same budget idea
     * as matchEmphasis's workBudget); past the cap, quote runs take the
     * byte-stable paragraph path. */
-  private def normalizeCore(lines: Vector[String], quoteDepth: Int = 32): String = {
+  private def normalizeCore(lines: Vector[String], quoteDepth: Int = 32,
+                            wrap: Wrap = Wrap.Keep): String = {
 
     // group lines into blocks; every block renders as its joined lines and
     // blocks are separated by exactly one blank line. Text (paragraph/
@@ -1538,11 +1660,16 @@ object MdFormatLite {
       }
     }
     closePara()
-    // R8/R8b/R8c renumber first (raw indents intact), THEN the text-token
-    // escape pass per text block (R9-R14; multi-line links stay whole)
+    // R8/R8b/R8c renumber first (raw indents intact), THEN the
+    // text-token escape pass per text block (R9-R14; multi-line links
+    // stay whole). Under an r14 --wrap mode, exempt-free text blocks
+    // instead run the escape+re-fill FIXPOINT loop (see wrapAndEscape —
+    // escaping and filling feed back into each other's geometry).
     renumberLoose(blocks.result())
       .map { case (b, isText, mask) =>
-        if (isText) escapeTextWithMask(b, mask) else b
+        if (!isText) b
+        else if (wrap != Wrap.Keep && !mask.contains(true)) wrapAndEscape(b, wrap)
+        else escapeTextWithMask(b, mask)
       }
       .map(_.mkString("\n")).mkString("\n\n")
   }

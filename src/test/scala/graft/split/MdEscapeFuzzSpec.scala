@@ -125,6 +125,31 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
   test("normalize is a fixpoint under marker/escape-dense fuzz (seed 42)") { fuzz(42L, 10000) }
   test("normalize is a fixpoint under marker/escape-dense fuzz (seed 7)") { fuzz(7L, 10000) }
 
+  test("normalize is a fixpoint under every --wrap mode (r14)") {
+    val modes = Seq(MdFormatLite.Wrap.No, MdFormatLite.Wrap.Width(12),
+      MdFormatLite.Wrap.Width(40))
+    val rnd = new scala.util.Random(19L)
+    def gen(): String = {
+      val n = rnd.nextInt(40)
+      (0 until n).map { _ =>
+        if (rnd.nextInt(6) == 0) atoms(rnd.nextInt(atoms.length))
+        else chars(rnd.nextInt(chars.length)).toString
+      }.mkString
+    }
+    var i = 0
+    while (i < 5000) {
+      val s = gen()
+      for (m <- modes) {
+        val once = MdFormatLite.normalize(s, m)
+        val twice = MdFormatLite.normalize(once, m)
+        assert(twice == once,
+          s"wrap $m not idempotent (case=$i) on: " +
+            s.replace("\\", "\\\\").replace("\n", "\\n"))
+      }
+      i += 1
+    }
+  }
+
   test("regression pins from fuzz-found round-11 failures") {
     val cases = Seq(
       "\\__*_&",          // escape drop merges into a matched delimiter run

@@ -786,6 +786,42 @@ class MdFormatLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("r14: --wrap modes re-fill top-level paragraphs; keep is the default and byte-identical") {
+    import MdFormatLite.Wrap
+    val md = "alpha beta gamma delta\nepsilon zeta\n\n# h\n\ncode eta theta"
+    // keep (default): source breaks preserved — the two entry points agree
+    assert(MdFormatLite.normalize(md, Wrap.Keep) == MdFormatLite.normalize(md))
+    // no: each paragraph joins to one line; headings untouched
+    assert(MdFormatLite.normalize(md, Wrap.No) ==
+      "alpha beta gamma delta epsilon zeta\n\n# h\n\ncode eta theta")
+    // width: greedy fill at the column
+    assert(MdFormatLite.normalize(md, Wrap.Width(11)) ==
+      "alpha beta\ngamma delta\nepsilon\nzeta\n\n# h\n\ncode eta\ntheta")
+    // a break is refused before a word that would mint block syntax at
+    // its new line start: the dash rides the previous line (over-width)
+    // instead of opening a bullet
+    assert(MdFormatLite.normalize("aaaa bbbb - cc", Wrap.Width(10)) ==
+      "aaaa bbbb -\ncc")
+    // list items and quotes keep source breaks in all modes (documented)
+    val listy = "1. a\n   cont\n2. b"
+    assert(MdFormatLite.normalize(listy, Wrap.No) == MdFormatLite.normalize(listy))
+    // hard line breaks are never joined
+    val hard = "foo\\\nbar baz"
+    assert(MdFormatLite.normalize(hard, Wrap.No) == MdFormatLite.normalize(hard))
+    // fixpoint under the SAME mode, including when escapes change word
+    // lengths (fill counts DECODED lengths, so the re-spelled pass
+    // breaks at the same words)
+    for ((s, m) <- Seq(
+        (md, Wrap.No), (md, Wrap.Width(11)), ("aaaa bbbb - cc", Wrap.Width(10)),
+        ("[x y [z w [q aa bb cc", Wrap.Width(8)),
+        ("a &#62; b &amp; c *d e* f", Wrap.Width(6)),
+        ("&#49;. x plain words here", Wrap.Width(8))): Seq[(String, Wrap)]) {
+      val once = MdFormatLite.normalize(s, m)
+      assert(MdFormatLite.normalize(once, m) == once,
+        s"not a fixpoint under $m: ${s.replace("\n", "\\n")} -> ${once.replace("\n", "\\n")}")
+    }
+  }
+
   test("R14: character references decode; literal text that would re-parse as a reference escapes its &") {
     assert(MdFormatLite.normalize("&#65;&#x42;") == "AB")
     assert(MdFormatLite.normalize("&lt;tag&gt;") == "\\<tag>") // decoded < then escaped; > is not special

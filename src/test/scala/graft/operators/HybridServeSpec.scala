@@ -533,6 +533,36 @@ class HybridServeSpec extends SparkSpec {
     }
   }
 
+  test("the slack filter reaches the index store's parquet scan: slack rows never leave the scan at serve time") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_slackplan").toString
+    try {
+      val (ivf, pq) = tinyModels(slackEmbeddings)
+      val arts = HybridServe.buildWith(slackCorpus, "doc_id", "text",
+        slackEmbeddings, "vec_id", "embedding", ivf, pq,
+        HybridServe.BuildConfig(champM = 2, champSlack = 1))
+      HybridServe.save(spark, arts, s"$root/store")
+      val loaded = HybridServe.load(spark, s"$root/store")
+      val fused = HybridServe.serve(loaded, queryBatch,
+        cfg = HybridServe.ServeConfig(kTopPerLeg = 3, kTop = 3, nprobe = 1))
+      assert(fused.count() > 0)
+      val idxScans = fused.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("index_store")) => f
+      }
+      assert(idxScans.nonEmpty)
+      // the rank <= champM serving filter is a pushed parquet filter on
+      // the index scan — at 100 TB the slack rows (removal backfill
+      // budget) are skipped by row-group stats, not shuffled and dropped
+      assert(idxScans.exists(_.dataFilters.exists(_.toString.contains("rank"))),
+        idxScans.map(_.dataFilters).toString)
+      assert(idxScans.exists(f => f.metadata.get("PushedFilters")
+          .exists(p => p.contains("LessThanOrEqual(rank") || p.contains("rank"))),
+        idxScans.map(_.metadata.get("PushedFilters")).toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("index schema contract is name-based: renamed columns fail loudly, reordered columns serve identically") {
     val (ivf, pq) = tinyModels(slackEmbeddings)
     val full = HybridServe.buildWith(slackCorpus, "doc_id", "text",

@@ -1291,6 +1291,52 @@ object TextQ {
         |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
         |FROM e ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q126_mdformat_loose_item",
+      // Round-14 LOOSE-defer closure (F11) under oracle coverage: block
+      // syntax separated from its list item by BLANK LINES — a '*'
+      // thematic break, a setext paragraph ("beta\n---" -> "## beta"),
+      // a heading, a quote group, and a pipe table, each opening its own
+      // block inside a live loose run — renders at the item's content
+      // column with the run renumbering THROUGH all of it ('9.' takes
+      // '3.'); previously every one of these hoisted to a column-0
+      // block and split the list. The table re-renders through the R6
+      // math at the column (q123's width rules). Symbolic byte rebuild,
+      // like q63/q118-q120/q122/q123/q125.
+      (s, d) => {
+        val w = split(col("text"), "\\s+")
+        val md = concat(
+          lit("3. alpha "), element_at(w, 1),
+          lit("\n\n   ***\n\n   beta "), element_at(w, 2),
+          lit("\n   ---\n\n   # mid "), element_at(w, 3),
+          lit("\n\n   > quoth "), element_at(w, 4),
+          lit("\n\n   |k|"), element_at(w, 5),
+          lit("|\n   |-|:-:|\n   |"), element_at(w, 6),
+          lit("| v |\n\n9. tail "), element_at(w, 7))
+        val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
+        docs(s, d)
+          .select(col("doc_id"), fmtUdf(md).as("canon"))
+          .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
+            length(col("canon")).cast("long").as("canon_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $W AS t FROM documents),
+        |wd AS (SELECT doc_id, t,
+        |  CAST(greatest(3, length(t[6])) AS INTEGER) AS c1,
+        |  CAST(greatest(3, length(t[5])) AS INTEGER) AS c2 FROM w),
+        |e AS (SELECT doc_id,
+        |  '3. alpha ' || t[1] || chr(10) || chr(10) ||
+        |  '   ' || repeat('_', 70) || chr(10) || chr(10) ||
+        |  '   ## beta ' || t[2] || chr(10) || chr(10) ||
+        |  '   # mid ' || t[3] || chr(10) || chr(10) ||
+        |  '   > quoth ' || t[4] || chr(10) || chr(10) ||
+        |  '   | ' || rpad('k', c1, ' ') || ' | ' || rpad(t[5], c2, ' ') || ' |' || chr(10) ||
+        |  '   | ' || repeat('-', c1) || ' | :' || repeat('-', c2 - 2) || ': |' || chr(10) ||
+        |  '   | ' || rpad(t[6], c1, ' ') || ' | ' || rpad('v', c2, ' ') || ' |' || chr(10) || chr(10) ||
+        |  '3. tail ' || t[7] AS canon
+        |  FROM wd)
+        |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
+        |FROM e ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q65_minhash_union",
       // The typed UDAF (Aggregator via udaf, §2.14) under oracle coverage:
       // per-source MinHash union — elementwise min of the per-doc

@@ -90,8 +90,19 @@ package graft.split
   *      rewrites those raw shapes into escaped spellings inside a
   *      bailed block, so rendering the spelling would flip one pass
   *      after a raw bail).
+  *      AND — r14 LOOSE DEFER — the same block-in-item rules reach
+  *      blocks separated from their items by BLANK LINES: an indented
+  *      (>= 3 column) break / heading / quote group / pipe table /
+  *      setext paragraph opening its own block inside a live loose
+  *      run stays in the paragraph stream and renders at the item's
+  *      content column (those shapes used to hoist to a column-0
+  *      block that SPLIT the list), gated on the run-level stability
+  *      carry plus an item-less contish-pure block (the state the
+  *      next pass's defer re-derives); bullet-level (2-column) and
+  *      wide-marker (4+-column) variants stay conservative.
   *      Shapes whose rendered column the next pass would not reclaim
-  *      (no same-block item at or below that column), under-indented
+  *      (no same-block item at or below that column, no loose
+  *      reclaim), under-indented
   *      or unclosed fences, lazy setext shapes, bare '-'/'--' with no
   *      paragraph (an empty-bullet reading), pipe-bearing setext
   *      joins near tables, and fence/break escaped spellings pass
@@ -417,12 +428,27 @@ object MdFormatLite {
     // SHORTER than its input
     val blockLens = scala.collection.mutable.ArrayBuffer.empty[Int]
     var blockStart = 0
+    // r14 LOOSE reclaim state: true while EVERY line rendered in the
+    // current block is >= 3 columns of indent — the next pass's grouper
+    // extends its loose defer through such a block (contish-pure), so a
+    // deferred block-syntax line rendered mid-block stays deferred.
+    // Item lines are excluded separately (outBlockMin != MaxValue): an
+    // item in the block re-instates the TIGHT paraItemMin guard, which
+    // reclaims only at or beyond the item's content column.
+    var blockContish = true
+    def noteLine(s: String): Unit =
+      // item-SHAPED lines disqualify too, whatever their provenance: a
+      // fence region's verbatim "   - y" code byte updates the next
+      // pass's grouper paraItemMin (the grouper cannot know a loose
+      // region's bytes are code), re-instating the tight content-column
+      // guard there — the loose reclaim must predict that (fuzz r14)
+      if (!s.startsWith("   ") || itemContentCol(s) >= 0) blockContish = false
     // keeps the existing `out += line` sites reading naturally: a plain
     // += emits a NON-exempt line, outEx an escape-exempt one
     object out {
-      def +=(s: String): Unit = { outLines += s; outExempt += false }
+      def +=(s: String): Unit = { outLines += s; outExempt += false; noteLine(s) }
     }
-    def outEx(s: String): Unit = { outLines += s; outExempt += true }
+    def outEx(s: String): Unit = { outLines += s; outExempt += true; noteLine(s) }
     // The OPEN ITEM PARAGRAPH (r14): the run of plain paragraph lines —
     // the item head's own text and its continuation lines — currently
     // open at the deepest level, tracked so a setext underline can JOIN
@@ -553,6 +579,12 @@ object MdFormatLite {
     // continuation indented >= 3 columns = contish), tracked here.
     var runStable = true
     var atBlockStart = true
+    // the loose-reclaim disjunct for quote/heading/break/setext gates:
+    // rendered at exactly column 3 (deeper reads as indented code at a
+    // loose block start), in a stable run, in an item-less contish-pure
+    // block — precisely the state the next pass's looseDefer re-derives
+    def looseReclaim(outCol: Int): Boolean =
+      outCol == 3 && runStable && outBlockMin == Int.MaxValue && blockContish
     def noteBlockHead(stable: Boolean): Unit =
       if (atBlockStart) {
         if (!stable) runStable = false
@@ -570,6 +602,7 @@ object MdFormatLite {
         blockLens += outLines.length - blockStart
         blockStart = outLines.length
         outBlockMin = Int.MaxValue
+        blockContish = true
         atBlockStart = true
       case FOpen(ind, text) =>
         flushQuotes()
@@ -639,7 +672,12 @@ object MdFormatLite {
         val top = stack.last
         if (w - top.contentCol >= 4) return None // indented-code bytes
         val outCol = top.outContentCol
-        if (outBlockMin > outCol) return None
+        // reclaim via a same-block item, or — r14 LOOSE — the run-level
+        // defer (table detection is indent-agnostic, so any >= 3 column
+        // works while the run holds together)
+        if (outBlockMin > outCol &&
+            !(outCol >= 3 && runStable && outBlockMin == Int.MaxValue &&
+              blockContish)) return None
         noteBlockHead(outCol >= 3)
         val s = rows.map(r => r.substring(leadWs(r).length))
         val rendered = renderTable(s.head, s(1), s.drop(2))
@@ -704,10 +742,12 @@ object MdFormatLite {
           if (w - top.contentCol >= 4) return None // indented-code bytes
           // a rendered column of 4+ stays paragraph content next pass
           // (isQuoteLine caps at 3 spaces); at <= 3 the grouper's R8h
-          // guard reclaims it only via a same-block item at or below
-          // that column — otherwise it would mint a quote CONTAINER
-          // there next pass, so bail byte-stable
-          if (top.outContentCol < 4 && outBlockMin > top.outContentCol)
+          // guard reclaims it via a same-block item at or below that
+          // column, or — r14 LOOSE — via the run-level defer at exactly
+          // column 3 while the run holds together; otherwise it would
+          // mint a quote CONTAINER there next pass, so bail byte-stable
+          if (top.outContentCol < 4 && outBlockMin > top.outContentCol &&
+              !looseReclaim(top.outContentCol))
             return None
           noteBlockHead(top.outContentCol >= 3)
           paraReset() // a quote block closes the item's open paragraph
@@ -735,11 +775,13 @@ object MdFormatLite {
           val top = stack.last
           if (w - top.contentCol >= 4) return None // indented-code bytes
           val outCol = top.outContentCol
-          // same reclaim rule as quotes: the next pass's grouper keeps
-          // the line in the paragraph run only via a same-block item at
-          // or below its column (headings match at <= 3 columns of
-          // indent; deeper ones reach the paragraph path on their own)
-          if (outCol < 4 && outBlockMin > outCol) return None
+          // same reclaim rule as quotes: a same-block item at or below
+          // the column, or — r14 LOOSE — the run-level defer at exactly
+          // column 3 (headings/breaks match at <= 3 columns of indent;
+          // deeper ones reach the paragraph path on their own in tight
+          // blocks, but read as indented CODE at a loose block start)
+          if (outCol < 4 && outBlockMin > outCol &&
+              !looseReclaim(outCol)) return None
           noteBlockHead(outCol >= 3)
           paraReset() // a heading/break block closes the open paragraph
           val one = normalizeCore(Vector(text), quoteDepth - 1)
@@ -809,8 +851,9 @@ object MdFormatLite {
               // also how the NEXT pass will re-render this line, so
               // the escape segmentation stays identical across passes
               if (quoteDepth <= 0) return None
-              if (top.outContentCol < 4 && outBlockMin > top.outContentCol)
-                return None // next-pass reclaim gate
+              if (top.outContentCol < 4 && outBlockMin > top.outContentCol &&
+                  !looseReclaim(top.outContentCol))
+                return None // next-pass reclaim gate (tight or r14 loose)
               val one = normalizeCore(Vector(s"$hashes $content"), quoteDepth - 1)
                 .split("\n", -1).toVector
               if (one.length != 1) return None // not representable
@@ -826,7 +869,8 @@ object MdFormatLite {
             if (w < stack.head.contentCol) return None // interrupts the list
             if (quoteDepth <= 0) return None
             val outCol = top.outContentCol
-            if (outCol < 4 && outBlockMin > outCol) return None
+            if (outCol < 4 && outBlockMin > outCol &&
+                !looseReclaim(outCol)) return None
             noteBlockHead(outCol >= 3)
             paraReset()
             val one = normalizeCore(Vector(text), quoteDepth - 1)
@@ -905,6 +949,15 @@ object MdFormatLite {
             if (paraLevel != null && (paraLevel eq top) && paraIdx.nonEmpty)
               paraAppend(text)
             else paraOpen(top, text)
+          // a plain line re-indented to >= 4 columns AT ITS BLOCK START
+          // would read as an INDENTED CODE block next pass (the grouper
+          // only keeps 4+-column lines in a paragraph when the block
+          // already has content above them) — the run is unrepresentable,
+          // pass through byte-stable. Latent since r12's lazy re-indent
+          // ("21. a\n\n   |\n1. a" re-indented the lazy '|' to the wide
+          // marker's column-4 content col); surfaced by the r14 fuzz mix.
+          if (atBlockStart && outCol >= 4 && w < top.contentCol + 4)
+            return None
           if (w < top.contentCol) {
             // R8e (round 12): lazy paragraph continuation — mdformat
             // renders it AT the item's content column
@@ -1238,14 +1291,47 @@ object MdFormatLite {
     // state exactly: region content is appended verbatim and never
     // updates it (code bytes are not items).
     var paraItemMin = Int.MaxValue
+    // r14: is a LOOSE LIST RUN alive at the current blank-separated block
+    // boundary? True after a text block headed by a list item, carried
+    // through contish ("   "-led) text blocks and codeish (>= 6-column)
+    // riding code blocks, false after everything else — mirroring
+    // renumberLoose's own run-formation test, so a line the grouper
+    // DEFERS on this signal is guaranteed to reach renumberNested
+    // through the run whose level state it needs.
+    var runHasItems = false
+    // r14 LOOSE DEFER: an indented (>= 3 columns) block-syntax line
+    // opening its own block inside a live loose run is ITEM CONTENT
+    // (mdformat renders it at the item's content column) — it stays in
+    // the paragraph stream for renumberNested's block-in-item rules
+    // instead of hoisting to a column-0 block that would split the
+    // list. The loose analog of the tight paraItemMin guards; the
+    // renumberer's runStable gates decide whether the rendered column
+    // is reclaimable, bailing byte-stable when not.
+    def looseDefer(l: String): Boolean =
+      runHasItems && colWidth(leadWs(l)) >= 3 &&
+        (para.isEmpty ||
+          (paraItemMin == Int.MaxValue && para.forall(_.startsWith("   "))))
     def paraAdd(l: String): Unit = {
       val c = itemContentCol(l)
       if (c >= 0) paraItemMin = math.min(paraItemMin, c)
       para = para :+ l
     }
     def closePara(): Unit = {
-      if (para.nonEmpty) { blocks += ((para, true)); para = Vector.empty }
+      if (para.nonEmpty) {
+        blocks += ((para, true))
+        val h = para.head
+        if (OrderedItemRe.matches(h) || BulletRe.matches(h)) runHasItems = true
+        else if (!h.startsWith("   ")) runHasItems = false
+        // a contish ("   "-led) block carries the run state through
+        para = Vector.empty
+      }
       paraItemMin = Int.MaxValue
+    }
+    // non-text blocks end the loose run, EXCEPT codeish indented code
+    // (>= 6 columns everywhere), which renumberLoose lets ride
+    def addBlock(b: Vector[String], keepsRun: Boolean = false): Unit = {
+      blocks += ((b, false))
+      if (!keepsRun) runHasItems = false
     }
     // R8h opener test: when lines(at) opens an item-nested fenced region
     // of the open para's list, the region's CLOSER index; -1 otherwise
@@ -1501,7 +1587,7 @@ object MdFormatLite {
         var j = i + 1
         while (j < lines.length && !FenceRe.matches(lines(j))) { fence += lines(j); j += 1 }
         if (j < lines.length) { fence += lines(j); j += 1 }
-        blocks += ((fence.result(), false))
+        addBlock(fence.result())
         i = j
       } else if ({ r8hEnd = fenceRegionEnd(i); r8hEnd >= 0 }) {
         // R8h: an indented fence at/beyond the open list's item content
@@ -1513,7 +1599,11 @@ object MdFormatLite {
         para = para ++ lines.slice(i, r8hEnd + 1) // verbatim: not paraAdd
         i = r8hEnd + 1
       } else if (l.contains("|") && i + 1 < lines.length && isSep(lines(i + 1)) &&
-          !(para.nonEmpty && paraItemMin <= colWidth(leadWs(l)))) {
+          !(para.nonEmpty && paraItemMin <= colWidth(leadWs(l))) &&
+          !looseDefer(l)) {
+        // (looseDefer: an indented table head inside a live loose run
+        // stays in the paragraph stream — renumberNested's TBlock rule
+        // renders it at the item's content column, r14)
         // (the guard is R8h: a table head whose indent reaches the open
         // list's item content column is ITEM CONTENT — it stays in the
         // paragraph run, line by line, for renumberNested's table-in-
@@ -1523,7 +1613,7 @@ object MdFormatLite {
         val rows = Vector.newBuilder[String]
         var j = i + 2
         while (j < lines.length && lines(j).contains("|")) { rows += lines(j); j += 1 }
-        blocks += ((renderTable(l, lines(i + 1), rows.result()), false))
+        addBlock(renderTable(l, lines(i + 1), rows.result()))
         i = j
       } else if (para.isEmpty && isIndentedCode(l)) {
         // indented CODE block: verbatim — its bytes are not text tokens,
@@ -1544,11 +1634,19 @@ object MdFormatLite {
             j = k
           } else done = true
         }
-        blocks += ((code.result(), false))
+        val codeB = code.result()
+        addBlock(codeB, keepsRun =
+          codeB.forall(x => x.isEmpty || colWidth(leadWs(x)) >= 6))
         i = j
       } else if (para.nonEmpty && para.forall(p => !p.trim.startsWith("- ") &&
           !p.startsWith(">") && !OrderedItemRe.matches(p)) &&
-          (SetextH1Re.matches(l) || SetextH2Re.matches(l))) {
+          (SetextH1Re.matches(l) || SetextH2Re.matches(l)) &&
+          !(runHasItems && para.forall(_.startsWith("   ")) &&
+            colWidth(leadWs(l)) >= 3)) {
+        // (the r14 exclusion: an indented paragraph + underline inside a
+        // live loose run is an ITEM's setext heading — both stay in the
+        // paragraph stream for renumberNested's join rule, instead of
+        // hoisting a column-0 "# ..." that would split the list)
         // setext heading: the open PARAGRAPH above is the content
         // ('=' -> h1, '-' -> h2); a list item or quote above is not a
         // paragraph (bullet lines always read "- " here — the grouper
@@ -1560,10 +1658,11 @@ object MdFormatLite {
         para = Vector.empty
         paraItemMin = Int.MaxValue
         val hashes = if (SetextH1Re.matches(l)) "#" else "##"
-        blocks += ((escapeTextBlock(s"$hashes $t"), false))
+        addBlock(escapeTextBlock(s"$hashes $t"))
         i += 1
       } else if (HrRe.matches(l) && !l.contains('-') &&
-          para.nonEmpty && paraItemMin <= colWidth(leadWs(l))) {
+          (para.nonEmpty && paraItemMin <= colWidth(leadWs(l)) ||
+            looseDefer(l))) {
         // R8h (round 13): a '*'/'_' thematic break whose indent reaches
         // the open list's item content column is ITEM CONTENT — it stays
         // in the paragraph run for renumberNested's block-in-item rule
@@ -1573,17 +1672,19 @@ object MdFormatLite {
         // item is setext-ambiguous and stays on the conservative path.
         para = para :+ l
         i += 1
-      } else if (HrRe.matches(l) && (para.isEmpty || !SetextH2Re.matches(l))) {
+      } else if (HrRe.matches(l) && (para.isEmpty || !SetextH2Re.matches(l)) &&
+          !looseDefer(l)) {
         // thematic break. With a paragraph open, only a line that could
         // be a SETEXT UNDERLINE (a pure '-' run, no internal spaces) is
         // setext-or-text per CommonMark; * and _ runs, and — round 12 —
         // SPACED '-' runs like "- - -" (which can never be underlines),
         // interrupt the paragraph as breaks
         closePara()
-        blocks += ((Vector(HrOut), false))
+        addBlock(Vector(HrOut))
         i += 1
       } else if (isQuoteLine(l) &&
-          !(para.nonEmpty && paraItemMin <= colWidth(leadWs(l)))) {
+          !(para.nonEmpty && paraItemMin <= colWidth(leadWs(l))) &&
+          !looseDefer(l)) {
         // (the guard is R8h: a quote line whose indent reaches the open
         // list's item content column is ITEM CONTENT — it stays in the
         // paragraph run for renumberNested's quote-in-item rule, not a
@@ -1618,7 +1719,7 @@ object MdFormatLite {
           val inner = (i until j).map(x => stripOneMarker(lines(x))).toVector
           val prefixed = normalizeCore(inner, quoteDepth - 1).split("\n", -1).toVector
             .map(x => if (x.isEmpty) ">" else "> " + x)
-          blocks += ((prefixed, false))
+          addBlock(prefixed)
           i = j
         }
       } else l match {
@@ -1626,7 +1727,8 @@ object MdFormatLite {
         // item content column is ITEM CONTENT — it stays in the
         // paragraph run for renumberNested's block-in-item rule
         case _ if (HeadingRe.matches(l) || EmptyHeadingRe.matches(l)) &&
-            para.nonEmpty && paraItemMin <= colWidth(leadWs(l)) =>
+            (para.nonEmpty && paraItemMin <= colWidth(leadWs(l)) ||
+              looseDefer(l)) =>
           paraAdd(l)
           i += 1
         case HeadingRe(hashes, title) =>
@@ -1634,13 +1736,13 @@ object MdFormatLite {
           // a title that is ONLY a #-run was a closing sequence after
           // all (CommonMark reads "# #" as an empty heading)
           val t = if (title.matches("#+")) "" else title
-          blocks += ((if (t.isEmpty) Vector(hashes)
-                      else escapeTextBlock(s"$hashes $t"), false))
+          addBlock(if (t.isEmpty) Vector(hashes)
+                   else escapeTextBlock(s"$hashes $t"))
           i += 1
         case EmptyHeadingRe(hashes) =>
           // bare-marker ATX heading ("#", "##  ") — empty content
           closePara()
-          blocks += ((Vector(hashes), false))
+          addBlock(Vector(hashes))
           i += 1
         case BulletRe(indent, rest) =>
           // marker normalization can COLLIDE with block syntax the source

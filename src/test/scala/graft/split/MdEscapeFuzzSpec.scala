@@ -98,7 +98,18 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
     "1. a\n   \\=\\=\\=\n", "1. a\n   &#62; q\n5. b\n", "1. a\n   &#35; h\n",
     "1. a\n   \\`\\`\\`\n", "1. a\n   \\*\\*\\*\n", "1. a\n     \\> q\n",
     "1. a\n   \\> q\n   ---\n", "1. x\n\n   ```\n   ```\n\t=\n",
-    "1. a\n\n   p\n\n   ```\n   x\n   ```\n\t=====\n")
+    "1. a\n\n   p\n\n   ```\n   x\n   ```\n\t=====\n",
+    // r14 LOOSE defer shapes: breaks/headings/quotes/tables/setext
+    // paragraphs opening their own blank-separated block inside a live
+    // loose run render at the content column (they used to hoist to
+    // column 0 and split the list); bullet-level (col 2) and wide-marker
+    // (col 4) variants stay conservative
+    "1. a\n\n   ***\n\n2. b\n", "1. a\n\n   # h\n\n5. b\n",
+    "1. a\n\n   > q\n   > r\n\n5. b\n", "1. a\n\n   |k|v|\n   |-|-|\n\n5. b\n",
+    "1. a\n\n   p\n   ---\n\n5. b\n", "1. a\n\n   p\n   ===\n",
+    "- a\n\n  ***\n- b\n", "10. a\n\n    ***\n\n12. b\n",
+    "1. a\n\n   |\n    >\n", "9. d\n   ```\n   ```\n\n\t0. w\n\t>\n",
+    "1. a\n\n   > q\n\n   # h\n\n5. b\n", "1. a\n\n   ---\n\n   > x\n")
   private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123=\t|:~"
 
   private def fuzz(seed: Long, cases: Int): Unit = {
@@ -204,6 +215,21 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
       // pass's TOP-LEVEL setext branch would claim it as the indented
       // paragraph's underline and hoist the block into a heading
       "1. x\n\n   ```\n   ```\n\t=",
+      // fuzz r14 finds (loose-defer refinement): a renumber-rendered
+      // block-syntax line is loose-reclaimable only in an ITEM-LESS
+      // contish-pure block — a quote re-indented to column 3 below a
+      // same-block item's deeper content column (or after a column-0
+      // line) would interrupt the list as a container next pass
+      "9. d\n   ```\n   ```\n\n\t0. w\n\t>",
+      "1. a\n\n   |\n    >",
+      // fuzz r14 finds (latent since r12, surfaced by the new atom mix):
+      // a lazy line re-indented to a wide marker's >= 4-column content
+      // col AT ITS BLOCK START reads as indented CODE next pass; and a
+      // loose fence region's item-shaped code byte pollutes the next
+      // pass's paraItemMin, so the loose reclaim must treat such blocks
+      // as item-bearing
+      "21. a\n\n   |\n1. a",
+      "1. a\n\n   ```\n   ```\n   ~~~\n   - y\n   ~~~\n   ---",
       // wide-fuzz r13 find (pre-r13 shape): an output-indent collision
       // bails the whole run, the item-only fallback re-indents the
       // all-item sub-block, and the next pass's whole-run attempt on

@@ -786,6 +786,45 @@ class MdFormatLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("r14: LOOSE block syntax in items renders at the content column instead of hoisting and splitting the list") {
+    val hr = "_" * 70
+    // a blank-separated '*' (or '-') break inside a live loose run is the
+    // ITEM's thematic break — previously a column-0 HrOut block that
+    // split the run ('2. b' restarted)
+    assert(MdFormatLite.normalize("1. a\n\n   ***\n\n2. b")
+      == s"1. a\n\n   $hr\n\n1. b")
+    assert(MdFormatLite.normalize("1. a\n\n   ---\n\n2. b")
+      == s"1. a\n\n   $hr\n\n1. b")
+    // loose headings, quote groups, and tables defer the same way
+    assert(MdFormatLite.normalize("1. a\n\n   # h\n\n5. b")
+      == "1. a\n\n   # h\n\n1. b")
+    assert(MdFormatLite.normalize("1. a\n\n   > q\n   > r\n\n5. b")
+      == "1. a\n\n   > q\n   > r\n\n1. b")
+    assert(MdFormatLite.normalize("1. a\n\n   |k|v|\n   |-|-|\n\n5. b")
+      == "1. a\n\n   | k   | v   |\n   | --- | --- |\n\n1. b")
+    // a loose indented paragraph + setext underline is the item's
+    // heading (was: a hoisted column-0 '## p')
+    assert(MdFormatLite.normalize("1. a\n\n   p\n   ---\n\n5. b")
+      == "1. a\n\n   ## p\n\n1. b")
+    // conservative bails hold: bullet content column (2) and wide-marker
+    // columns (4+) pass through byte-stable / hoist as before
+    assert(MdFormatLite.normalize("10. a\n\n    ***\n\n12. b")
+      == "10. a\n\n    ***\n\n12. b")
+    assert(MdFormatLite.normalize("- a\n\n  ***\n- b")
+      == s"- a\n\n$hr\n\n- b")
+    // an item inside the block re-instates the tight reclaim rule: a
+    // quote below the item's content column stays byte-stable
+    assert(MdFormatLite.normalize("9. d\n   ```\n   ```\n\n\t0. w\n\t>")
+      == "9. d\n   ```\n   ```\n\n\t0. w\n\t>")
+    for (m <- Seq("1. a\n\n   ***\n\n2. b", "1. a\n\n   # h\n\n5. b",
+        "1. a\n\n   > q\n   > r\n\n5. b", "1. a\n\n   |k|v|\n   |-|-|\n\n5. b",
+        "1. a\n\n   p\n   ---\n\n5. b", "1. a\n\n   |\n    >")) {
+      val once = MdFormatLite.normalize(m)
+      assert(MdFormatLite.normalize(once) == once,
+        m.replace("\n", "\\n") + " -> " + once.replace("\n", "\\n"))
+    }
+  }
+
   test("r14: --wrap modes re-fill top-level paragraphs; keep is the default and byte-identical") {
     import MdFormatLite.Wrap
     val md = "alpha beta gamma delta\nepsilon zeta\n\n# h\n\ncode eta theta"

@@ -52,6 +52,17 @@ object GraftFunctions {
       (md: String) => graft.split.MarkdownText.toPlain(md))
     spark.udf.register("mdformat",
       (md: String) => graft.split.MdFormatLite.normalize(md))
+    // mdformat --wrap surface (r14): mode "keep" | "no" | a positive
+    // integer column width, mirroring the CLI flag's accepted values
+    spark.udf.register("mdformat_wrap",
+      (md: String, mode: String) => {
+        val w = mode.trim.toLowerCase match {
+          case "keep" => graft.split.MdFormatLite.Wrap.Keep
+          case "no"   => graft.split.MdFormatLite.Wrap.No
+          case n      => graft.split.MdFormatLite.Wrap.Width(n.toInt)
+        }
+        graft.split.MdFormatLite.normalize(md, w)
+      })
     // BPE surface (split/Bpe.scala): executor-side vocab loads lazily from
     // the classpath resource, so the closures serialize as plain config.
     // Counting/truncation are BUDGET contexts — they use the full trained

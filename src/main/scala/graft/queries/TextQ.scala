@@ -1337,6 +1337,53 @@ object TextQ {
         |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
         |FROM e ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q127_mdformat_wrap",
+      // Late-r14 --wrap extension (F11) under oracle coverage, two legs:
+      // (A) `--wrap no` joins paragraph lines — including a QUOTE with a
+      // lazy continuation (the container recursion re-fills the inner
+      // document) and a simple LIST (each item's words join after the
+      // marker, wrapListBlock) — a join that is fully symbolic in SQL
+      // because single-space joining is length-independent; (B)
+      // `--wrap 10` greedily re-fills fixed text — the paragraph at 10
+      // columns, quote content at 10-2 (marker width), item content at
+      // 10-3 (content column), mdformat's indent accounting — emitted
+      // as the exact expected bytes. Hash compare like q63/q118-q126.
+      (s, d) => {
+        val w = split(col("text"), "\\s+")
+        val mdA = concat(
+          lit("a "), element_at(w, 1), lit("\nb "), element_at(w, 2),
+          lit("\n\n> q "), element_at(w, 3),
+          lit("\nlazy\n\n1. i "), element_at(w, 4), lit("\n   cont\n2. z"))
+        val mdB = lit("eins zwei drei vier\n\n> fuenf sechs sieben acht" +
+          "\n\n1. neun zehn elf zwoelf")
+        val fmtUdf = udf((m: String, mode: String) => {
+          val wr = mode match {
+            case "no" => graft.split.MdFormatLite.Wrap.No
+            case n    => graft.split.MdFormatLite.Wrap.Width(n.toInt)
+          }
+          graft.split.MdFormatLite.normalize(m, wr)
+        })
+        docs(s, d)
+          .select(col("doc_id"),
+            concat(fmtUdf(mdA, lit("no")), lit("\n====\n"),
+              fmtUdf(mdB, lit("10"))).as("canon"))
+          .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
+            length(col("canon")).cast("long").as("canon_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $W AS t FROM documents),
+        |e AS (SELECT doc_id,
+        |  'a ' || t[1] || ' b ' || t[2] || chr(10) || chr(10) ||
+        |  '> q ' || t[3] || ' lazy' || chr(10) || chr(10) ||
+        |  '1. i ' || t[4] || ' cont' || chr(10) || '1. z' || chr(10) ||
+        |  '====' || chr(10) ||
+        |  'eins zwei' || chr(10) || 'drei vier' || chr(10) || chr(10) ||
+        |  '> fuenf' || chr(10) || '> sechs' || chr(10) || '> sieben' || chr(10) || '> acht' || chr(10) || chr(10) ||
+        |  '1. neun' || chr(10) || '   zehn' || chr(10) || '   elf' || chr(10) || '   zwoelf' AS canon
+        |  FROM w)
+        |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
+        |FROM e ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q65_minhash_union",
       // The typed UDAF (Aggregator via udaf, §2.14) under oracle coverage:
       // per-source MinHash union — elementwise min of the per-doc

@@ -164,8 +164,10 @@ package graft.split
   * renumbering). Paragraph re-wrapping (mdformat `--wrap no|N`) is
   * implemented behind the [[Wrap]] knob on the [[normalize]] overload
   * — default [[Wrap.Keep]] matches mdformat's default and leaves every
-  * oracle untouched; list-item and quote paragraphs keep source breaks
-  * in all modes (divergence).
+  * oracle untouched; top-level paragraphs, quote content (width
+  * reduced by the marker per level), and simple list items re-fill,
+  * while loose continuation blocks, nested levels, and item-nested
+  * quotes keep source breaks (divergence).
   * Table cells render through the mdformat-tables path (R6), not the
   * text-escape pass.
   */
@@ -1029,16 +1031,20 @@ object MdFormatLite {
     * soft line breaks (mdformat's default — every oracle and fixture
     * runs this), [[Wrap.No]] joins each paragraph's lines into one,
     * [[Wrap.Width]] greedily re-fills at the given column. Wrapping
-    * applies to TOP-LEVEL plain paragraph blocks only — paragraphs
-    * inside list items and quote containers keep source breaks
-    * (documented divergence; mdformat re-wraps those too, accounting
-    * for marker widths). Wrapped blocks render through the
-    * escape+re-fill fixpoint loop ([[wrapAndEscape]]); a break is
-    * refused before a word whose decoded form would start block
-    * syntax at its new line start, and a re-fill that would COMPLETE
-    * block syntax ("*" joining "a" into a bullet) reverts to source
-    * breaks — keeping one application a fixpoint under the same
-    * mode. */
+    * applies to top-level paragraph blocks, to QUOTE content through
+    * the container recursion (the fill width shrinks by the "> "
+    * marker per nesting level, mdformat's indent accounting —
+    * [[innerWrap]]), and to simple LIST blocks per item at the
+    * content column ([[wrapListBlock]]). Paragraphs in shapes beyond
+    * those — loose-run continuation blocks, nested list levels,
+    * item-nested quotes, blocks carrying R8h regions — keep source
+    * breaks (documented divergence; mdformat re-wraps those too).
+    * Wrapped blocks render through the escape+re-fill fixpoint loop
+    * ([[wrapAndEscape]]); a break is refused before a word whose
+    * decoded form would start block syntax at its new line start, and
+    * a re-fill that would COMPLETE block syntax ("*" joining "a" into
+    * a bullet) reverts to source breaks — keeping one application a
+    * fixpoint under the same mode. */
   sealed trait Wrap
   object Wrap {
     case object Keep extends Wrap
@@ -1075,12 +1081,13 @@ object MdFormatLite {
     * UN-wrapped canonical escape of the source lines — also a fixpoint,
     * because the next pass's loop runs the same iteration sequence from
     * an escape-equivalent start and hits the same cap. */
-  private def wrapAndEscape(b: Vector[String], wrap: Wrap): Vector[String] = {
+  private def wrapAndEscape(b: Vector[String], wrap: Wrap,
+                            cleanRenumber: Boolean = true): Vector[String] = {
     var x = b
     var k = 0
     while (k < 5) {
       val y = escapeTextBlock(x.mkString("\n"))
-      val z = wrapParagraph(y, wrap)
+      val z = wrapTextBlock(y, wrap, cleanRenumber)
       if (z == y) return y
       x = z
       k += 1
@@ -1105,55 +1112,161 @@ object MdFormatLite {
     // trailing-whitespace strip changes the word sequence (fuzz r14)
     val words = b.flatMap(_.split("\\s+")).filter(_.nonEmpty)
     if (words.isEmpty) return b
-    // re-filling can COMPLETE block syntax a source break kept apart
-    // ("*" + "a" joins to the bullet "* a"; "-" + a word to "- x";
-    // "#" + a word to a heading) — if any re-filled line would parse
-    // as a block start, in either spelling, keep the source breaks
-    // (fuzz r14 finds). Deterministic, so both passes agree.
-    def mints(l: String): Boolean = {
-      def on(t: String): Boolean =
-        BulletRe.matches(t) || OrderedItemRe.matches(t) || HrRe.matches(t) ||
-          HeadingRe.matches(t) || EmptyHeadingRe.matches(t) ||
-          FenceRe.matches(t) || SetextH1Re.matches(t) ||
-          SetextH2Re.matches(t) || isSep(t) || isQuoteLine(t)
-      on(l) || on(unescapePunct(l))
-    }
     def checked(out: Vector[String]): Vector[String] =
-      if (out.exists(mints)) b else out
+      if (out.exists(mintsBlock)) b else out
     wrap match {
       case Wrap.Keep => b
       case Wrap.No => checked(Vector(words.mkString(" ")))
-      case Wrap.Width(cols) =>
-        // a word whose decoded form would start block syntax must not
-        // open a line — the next pass would re-parse the paragraph
-        def hazardStart(word: String): Boolean = {
-          val w0 = unescapePunct(word)
-          w0 == "-" || w0 == "*" || w0 == "+" || w0.startsWith("#") ||
-            w0.startsWith(">") || w0.startsWith("```") || w0.startsWith("~~~") ||
-            w0.matches("\\d{1,9}[.)]") || w0.matches("[-=_*]+") ||
-            w0.startsWith("    ")
-        }
-        val out = Vector.newBuilder[String]
-        val line = new StringBuilder
-        var lineLen = 0
-        for (word <- words) {
-          val wl = word.length
-          if (lineLen == 0) { line ++= word; lineLen = wl }
-          else if (lineLen + 1 + wl <= cols) {
-            line += ' '; line ++= word; lineLen += 1 + wl
-          } else if (hazardStart(word)) {
-            // refuse the break: the line runs long rather than minting
-            // a bullet/heading/quote/break at the new line start
-            line += ' '; line ++= word; lineLen += 1 + wl
-          } else {
-            out += line.result(); line.clear(); lineLen = 0
-            line ++= word; lineLen = wl
-          }
-        }
-        if (lineLen > 0) out += line.result()
-        checked(out.result())
+      case Wrap.Width(cols) => checked(fillWords(words, cols))
     }
   }
+
+  /** Re-filling can COMPLETE block syntax a source break kept apart
+    * ("*" + "a" joins to the bullet "* a"; "-" + a word to "- x";
+    * "#" + a word to a heading) — if any re-filled line would parse
+    * as a block start, in either spelling, the caller keeps the source
+    * breaks (fuzz r14 finds). Deterministic, so both passes agree. */
+  private def mintsBlock(l: String): Boolean = {
+    def on(t: String): Boolean =
+      BulletRe.matches(t) || OrderedItemRe.matches(t) || HrRe.matches(t) ||
+        HeadingRe.matches(t) || EmptyHeadingRe.matches(t) ||
+        FenceRe.matches(t) || SetextH1Re.matches(t) ||
+        SetextH2Re.matches(t) || isSep(t) || isQuoteLine(t)
+    on(l) || on(unescapePunct(l))
+  }
+
+  /** Greedy fill of a word sequence to `cols` columns. A word whose
+    * decoded form would start block syntax must not open a line — the
+    * next pass would re-parse the paragraph — so the break before it is
+    * refused and the line runs long instead. */
+  private def fillWords(words: Vector[String], cols: Int): Vector[String] = {
+    def hazardStart(word: String): Boolean = {
+      val w0 = unescapePunct(word)
+      w0 == "-" || w0 == "*" || w0 == "+" || w0.startsWith("#") ||
+        w0.startsWith(">") || w0.startsWith("```") || w0.startsWith("~~~") ||
+        w0.matches("\\d{1,9}[.)]") || w0.matches("[-=_*]+") ||
+        w0.startsWith("    ")
+    }
+    val out = Vector.newBuilder[String]
+    val line = new StringBuilder
+    var lineLen = 0
+    for (word <- words) {
+      val wl = word.length
+      if (lineLen == 0) { line ++= word; lineLen = wl }
+      else if (lineLen + 1 + wl <= cols) {
+        line += ' '; line ++= word; lineLen += 1 + wl
+      } else if (hazardStart(word)) {
+        line += ' '; line ++= word; lineLen += 1 + wl
+      } else {
+        out += line.result(); line.clear(); lineLen = 0
+        line ++= word; lineLen = wl
+      }
+    }
+    if (lineLen > 0) out += line.result()
+    out.result()
+  }
+
+  /** The wrap mode a nested container's INNER document re-fills under:
+    * the fill width shrinks by the container's marker width — mdformat
+    * reduces the paragraph fill width by the accumulated container
+    * indent (quote markers, list content columns) so the RENDERED line
+    * including the prefix targets the requested width — clamped at one
+    * column; `no` and `keep` pass through unchanged. */
+  private def innerWrap(wrap: Wrap, marker: Int): Wrap = wrap match {
+    case Wrap.Width(c) => Wrap.Width(math.max(1, c - marker))
+    case w             => w
+  }
+
+  /** `--wrap` inside a LIST block (r14 follow-up): re-fill each item's
+    * paragraph content at the item's content column — the first filled
+    * line carries the marker, the rest indent to the content column, and
+    * the fill width shrinks by that column ([[innerWrap]]). Eligibility
+    * is strict: flush-left canonical item heads (exactly one space after
+    * the marker, non-empty content) and continuation lines indented with
+    * spaces EXACTLY to the open item's content column, plain-shaped in
+    * both spellings — anything else (nested levels, loose geometry,
+    * block shapes, pipes, hard breaks, tabs in the indent) keeps its
+    * source breaks via None. The produced geometry is exactly what the
+    * next pass's renumberer re-derives (continuations at the output
+    * content column), so one application is a fixpoint. */
+  private def wrapListBlock(b: Vector[String], wrap: Wrap): Option[Vector[String]] = {
+    if (b.isEmpty) return None
+    val markers = scala.collection.mutable.ArrayBuffer.empty[String]
+    val itemWords = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+    var curCol = -1
+    // the block must ALREADY be renumber-canonical — every ordered head
+    // in a same-delimiter run carries the run's first number, bullets
+    // are "- " — because only blocks the renumberer processed cleanly
+    // look like that. A block whose renumber BAILED (pass-through) must
+    // not be re-filled: the fill would change the very geometry the
+    // bail depended on, and the next pass's renumber could then take a
+    // different path (deep-sweep find: "5. b\n10. a\nb\n11. a" joined
+    // pass 1, renumbered to 5/5/5 pass 2).
+    var runMarker: String = null
+    for (l <- b) {
+      if (l.isEmpty || l.contains("|") || l.endsWith("\\")) return None
+      val headCol = if (l.charAt(0).isWhitespace) -1 else itemContentCol(l)
+      if (headCol >= 0) {
+        // canonical head shape only: marker + ONE space + content
+        val marker = l.substring(0, headCol)
+        if (!marker.endsWith(" ") || marker.dropRight(1).endsWith(" "))
+          return None
+        val head = marker.dropRight(1)
+        if (head == "*" || head == "+") return None // canonical bullet is "-"
+        if (runMarker != null && runMarker.last == head.last && runMarker != head)
+          return None // same delimiter, different number: renumber bailed
+        runMarker = head
+        val rest = l.substring(headCol)
+        if (rest.isEmpty || rest.charAt(0).isWhitespace) return None
+        markers += marker
+        itemWords += rest.split("\\s+").filter(_.nonEmpty).toVector
+        curCol = headCol
+      } else {
+        if (curCol < 0) return None
+        val lead = leadWs(l)
+        if (lead != " " * curCol) return None
+        val t = l.substring(curCol)
+        if (t.isEmpty || t.charAt(0).isWhitespace) return None
+        if (blockShapedText(t) || itemContentCol(t) >= 0 || isSep(t) ||
+            mintsBlock(t)) return None
+        itemWords(itemWords.length - 1) =
+          itemWords.last ++ t.split("\\s+").filter(_.nonEmpty)
+      }
+    }
+    if (markers.isEmpty) return None
+    val out = Vector.newBuilder[String]
+    for (i <- markers.indices) {
+      val marker = markers(i)
+      val col = marker.length
+      val ws = itemWords(i)
+      wrap match {
+        case Wrap.Keep => return None
+        case Wrap.No   => out += marker + ws.mkString(" ")
+        case Wrap.Width(c) =>
+          val filled = fillWords(ws, math.max(1, c - col))
+          // a filled continuation must stay plain in both spellings —
+          // else the next pass reads different block structure
+          if (filled.tail.exists(t => mintsBlock(t) || blockShapedText(t)))
+            return None
+          out += marker + filled.head
+          filled.tail.foreach(t => out += (" " * col) + t)
+      }
+    }
+    Some(out.result())
+  }
+
+  /** The `--wrap` dispatcher for one text block: simple list blocks
+    * re-fill per item ([[wrapListBlock]]) — but ONLY when the block
+    * came out of a clean whole-run renumber (`cleanRenumber`; a bailed
+    * run must stay byte-stable or the fill changes the geometry its
+    * bail depended on) — and plain paragraph blocks re-fill whole
+    * ([[wrapParagraph]]); ineligible shapes keep their source
+    * breaks. */
+  private def wrapTextBlock(b: Vector[String], wrap: Wrap,
+                            cleanRenumber: Boolean): Vector[String] =
+    if (b.exists(l => OrderedItemRe.matches(l) || BulletRe.matches(l))) {
+      if (cleanRenumber) wrapListBlock(b, wrap).getOrElse(b) else b
+    } else wrapParagraph(b, wrap)
 
   /** One quote-marker level off a line ('>' + at most one space after
     * ≤3-space indent); content spacing beyond the marker space stays. */
@@ -1366,7 +1479,14 @@ object MdFormatLite {
     // item-column state, and quote recursion is only derivable with the
     // renumberer's level stack — an escape-time rescan could see
     // neither.
-    def renumberLoose(bs: Vector[(Vector[String], Boolean)]): Vector[(Vector[String], Boolean, Vector[Boolean])] = {
+    // each output block carries (lines, isText, exemptMask, cleanRenumber):
+    // cleanRenumber is true only when the block came out of a SUCCESSFUL
+    // whole-run renumber (or never entered a run at all) — the r8h
+    // pass-through and the item-only fallback emit false, and the --wrap
+    // dispatcher must not re-fill list blocks from those paths (the fill
+    // would change the geometry the bail depended on, so the next pass's
+    // renumber could take a different path — deep-sweep r14 find)
+    def renumberLoose(bs: Vector[(Vector[String], Boolean)]): Vector[(Vector[String], Boolean, Vector[Boolean], Boolean)] = {
       def maskFromSpans(len: Int, spans: Vector[(Int, Int)]): Vector[Boolean] = {
         if (spans.isEmpty) return Vector.fill(len)(false)
         val m = Array.fill(len)(false)
@@ -1445,7 +1565,7 @@ object MdFormatLite {
             else b._1.map(Skip(_): ListLine)
           if (bi == 0) parsed else BlockBreak +: parsed
         }
-      val out = Vector.newBuilder[(Vector[String], Boolean, Vector[Boolean])]
+      val out = Vector.newBuilder[(Vector[String], Boolean, Vector[Boolean], Boolean)]
       // per-block slicing by the renderer's OWN output lengths (r14: a
       // setext join shrinks its block, so input lengths no longer apply),
       // carrying the exempt mask alongside the lines
@@ -1454,7 +1574,7 @@ object MdFormatLite {
                lens: Vector[Int]): Unit = {
         var off = 0
         run.zip(lens).foreach { case ((_, t), n) =>
-          out += ((lines.slice(off, off + n), t, mask.slice(off, off + n)))
+          out += ((lines.slice(off, off + n), t, mask.slice(off, off + n), true))
           off += n
         }
       }
@@ -1518,7 +1638,7 @@ object MdFormatLite {
             // bytes as code, and the next pass re-derives the same
             // spans from the same bytes either way
             run.zip(runSpans).foreach { case ((b, t), sp) =>
-              out += ((b, t, maskFromSpans(b.length, sp))) }
+              out += ((b, t, maskFromSpans(b.length, sp), false)) }
           case None =>
             // round-11 fallback: renumber maximal all-item sub-runs
             // (into a buffer, so a byte-changing result can re-enter)
@@ -1553,7 +1673,7 @@ object MdFormatLite {
                 val sp =
                   if (!t) Vector.empty[(Int, Int)]
                   else { val (s0, m0) = fenceSpans(b, c2); c2 = m0; s0 }
-                out += ((b, t, maskFromSpans(b.length, sp)))
+                out += ((b, t, maskFromSpans(b.length, sp), false))
               }
             }
         }
@@ -1569,7 +1689,7 @@ object MdFormatLite {
           val b = bs(idx)
           out += ((b._1, b._2,
             if (b._2) maskFromSpans(b._1.length, fenceSpans(b._1)._1)
-            else Vector.empty))
+            else Vector.empty, true))
           idx += 1
         }
       }
@@ -1717,7 +1837,11 @@ object MdFormatLite {
         } else {
           closePara()
           val inner = (i until j).map(x => stripOneMarker(lines(x))).toVector
-          val prefixed = normalizeCore(inner, quoteDepth - 1).split("\n", -1).toVector
+          // r14 follow-up: the inner document re-fills under the same
+          // --wrap mode with the fill width reduced by the "> " marker
+          // ([[innerWrap]]) — nested quotes reduce again per level
+          val prefixed = normalizeCore(inner, quoteDepth - 1,
+              wrap = innerWrap(wrap, 2)).split("\n", -1).toVector
             .map(x => if (x.isEmpty) ">" else "> " + x)
           addBlock(prefixed)
           i = j
@@ -1768,9 +1892,10 @@ object MdFormatLite {
     // instead run the escape+re-fill FIXPOINT loop (see wrapAndEscape —
     // escaping and filling feed back into each other's geometry).
     renumberLoose(blocks.result())
-      .map { case (b, isText, mask) =>
+      .map { case (b, isText, mask, clean) =>
         if (!isText) b
-        else if (wrap != Wrap.Keep && !mask.contains(true)) wrapAndEscape(b, wrap)
+        else if (wrap != Wrap.Keep && !mask.contains(true))
+          wrapAndEscape(b, wrap, clean)
         else escapeTextWithMask(b, mask)
       }
       .map(_.mkString("\n")).mkString("\n\n")

@@ -58,6 +58,15 @@ class GraftFunctionsSpec extends SparkSpec {
     assert("# Head\n\nsome body text here with words".startsWith(t3), "truncate must be a prefix")
     assert(row.getAs[String]("plain") == "Head\nsome body text here with words")
     assert(row.getAs[String]("canon") == "# Head\n\nsome body text here with words")
+    // r14 --wrap surface: keep/no/width accepted, width counts columns
+    val w = spark.sql(
+      """SELECT mdformat_wrap('a b\nc d', 'no') AS joined,
+        |mdformat_wrap('aaa bbb ccc', '7') AS filled,
+        |mdformat_wrap('a b\nc d', 'keep') AS kept FROM m""".stripMargin)
+      .collect()(0)
+    assert(w.getAs[String]("joined") == "a b c d")
+    assert(w.getAs[String]("filled") == "aaa bbb\nccc")
+    assert(w.getAs[String]("kept") == "a b\nc d")
   }
 
   test("SQL surface: semantic_split_rows generator via LATERAL VIEW") {

@@ -159,6 +159,23 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
       }
       i += 1
     }
+    // deep-sweep r14 pins (late-r14 list/quote wrap extension): the
+    // --wrap list fill must NOT touch a block from a BAILED loose-run
+    // renumber — the riding ```-byte code block makes the whole-run
+    // renumber pass through (r8h), and joining "10. a\nb" (or even a
+    // uniformly-numbered "1. a\nb\n1. a", whose run-level first number
+    // lives in an EARLIER block) changes the geometry the bail depended
+    // on, so the next pass's renumber succeeds and renumbers — a flip.
+    // Gated by the cleanRenumber bit renumberLoose now threads out.
+    for (s <- Seq(
+        "5. b\n10. a\nb\n11. a\n\n       ```\n\n       3. x\n\n9. b",
+        "2. c\n\n1. a\nb\n1. a\n\n       ```\n\n       3. x\n\n9. b",
+        "5. b\n10. a\nb\n\n       ```\n\n9. c",
+        "2. c\n\n1. a\nb"); m <- modes) {
+      val once = MdFormatLite.normalize(s, m)
+      assert(MdFormatLite.normalize(once, m) == once,
+        s"wrap $m pin: " + s.replace("\\", "\\\\").replace("\n", "\\n"))
+    }
   }
 
   test("regression pins from fuzz-found round-11 failures") {

@@ -841,9 +841,27 @@ class MdFormatLiteSpec extends AnyFunSuite {
     // instead of opening a bullet
     assert(MdFormatLite.normalize("aaaa bbbb - cc", Wrap.Width(10)) ==
       "aaaa bbbb -\ncc")
-    // list items and quotes keep source breaks in all modes (documented)
+    // r14 follow-up: simple LIST items re-fill at the content column —
+    // the fill width shrinks by the marker width, continuations indent
+    // to the content column (mdformat's list-aware fill)
     val listy = "1. a\n   cont\n2. b"
-    assert(MdFormatLite.normalize(listy, Wrap.No) == MdFormatLite.normalize(listy))
+    assert(MdFormatLite.normalize(listy, Wrap.No) == "1. a cont\n1. b")
+    assert(MdFormatLite.normalize("1. aaa bbb ccc ddd\n2. x", Wrap.Width(11)) ==
+      "1. aaa bbb\n   ccc ddd\n1. x")
+    assert(MdFormatLite.normalize("- aa bb cc dd\n- e", Wrap.Width(8)) ==
+      "- aa bb\n  cc dd\n- e")
+    // nested levels / block shapes in item content keep source breaks
+    val nested = "1. a\n   - b\n2. c"
+    assert(MdFormatLite.normalize(nested, Wrap.No) == MdFormatLite.normalize(nested))
+    // r14 follow-up: QUOTE content re-fills through the inner-document
+    // recursion, width reduced by the "> " marker per nesting level;
+    // lazy continuation lines join before the fill
+    assert(MdFormatLite.normalize("> a\n> b c\n> d", Wrap.No) == "> a b c d")
+    assert(MdFormatLite.normalize("> aaa bbb ccc ddd eee", Wrap.Width(10)) ==
+      "> aaa bbb\n> ccc ddd\n> eee")
+    assert(MdFormatLite.normalize("> a\nb", Wrap.No) == "> a b")
+    assert(MdFormatLite.normalize("> > aaa bbb ccc ddd", Wrap.Width(12)) ==
+      "> > aaa bbb\n> > ccc ddd")
     // hard line breaks are never joined
     val hard = "foo\\\nbar baz"
     assert(MdFormatLite.normalize(hard, Wrap.No) == MdFormatLite.normalize(hard))

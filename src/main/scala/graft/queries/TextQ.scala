@@ -1384,6 +1384,45 @@ object TextQ {
         |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
         |FROM e ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q128_mdformat_quote_count",
+      // Late-r14 lifted 1:1 quote-group gate (F11) under oracle
+      // coverage: item-nested quote groups whose inner re-format
+      // CHANGES the line count — (A) a quoted setext joins to ATX,
+      // shrinking the group 2 -> 1; (B) an inner blank run collapses to
+      // one bare ">"; (C) a paragraph followed by a nested quote gains
+      // the separating blank mdformat inserts, rendered as ">" — each
+      // with the run renumbering through the quote. Previously all
+      // three fell back to per-line recursion (A kept 2 lines, B kept
+      // both blanks, C stayed blank-less). Symbolic byte rebuild.
+      (s, d) => {
+        val w = split(col("text"), "\\s+")
+        val mdA = concat(lit("1. a "), element_at(w, 1),
+          lit("\n   > t "), element_at(w, 2),
+          lit("\n   > ===\n2. b "), element_at(w, 3))
+        val mdB = concat(lit("1. q "), element_at(w, 4),
+          lit("\n   > p\n   >\n   >\n   > r "), element_at(w, 5), lit("\n2. s"))
+        val mdC = concat(lit("1. h "), element_at(w, 6),
+          lit("\n   > x [y]\n   > > d\n2. e"))
+        val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
+        docs(s, d)
+          .select(col("doc_id"),
+            concat(fmtUdf(mdA), lit("\n====\n"), fmtUdf(mdB),
+              lit("\n====\n"), fmtUdf(mdC)).as("canon"))
+          .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
+            length(col("canon")).cast("long").as("canon_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $W AS t FROM documents),
+        |e AS (SELECT doc_id,
+        |  '1. a ' || t[1] || chr(10) || '   > # t ' || t[2] || chr(10) || '1. b ' || t[3] || chr(10) ||
+        |  '====' || chr(10) ||
+        |  '1. q ' || t[4] || chr(10) || '   > p' || chr(10) || '   >' || chr(10) || '   > r ' || t[5] || chr(10) || '1. s' || chr(10) ||
+        |  '====' || chr(10) ||
+        |  '1. h ' || t[6] || chr(10) || '   > x \\[y\\]' || chr(10) || '   >' || chr(10) || '   > > d' || chr(10) || '1. e' AS canon
+        |  FROM w)
+        |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
+        |FROM e ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q65_minhash_union",
       // The typed UDAF (Aggregator via udaf, §2.14) under oracle coverage:
       // per-source MinHash union — elementwise min of the per-doc

@@ -65,12 +65,11 @@ package graft.split
   *      offsets beyond the opener preserved and its bytes exempt from
   *      the escape pass; QUOTE lines at the same content column form a
   *      group whose content RE-FORMATS through this whole pipeline
-  *      (mdformat recurses into item-nested quotes) whenever the inner
-  *      re-format keeps the line count — the renderer's output must
-  *      stay 1:1 with its input lines — falling back to per-LINE
-  *      recursion (markers normalized, each line's content
-  *      canonicalized in its own line-start context) when it does not
-  *      (blank insertion, setext joins — divergence); HEADINGS and
+  *      (mdformat recurses into item-nested quotes) — late r14 lifts
+  *      the r13 1:1 line-count gate, so count-changing inner
+  *      re-formats (blank insertion/collapse, setext joins) recurse
+  *      too, the per-block renderer lengths making them representable
+  *      and inner blanks rendering as bare ">"; HEADINGS and
   *      '*'/'_' THEMATIC BREAKS at a content column are item blocks
   *      too, rendering there through a one-line recursion (dash runs
   *      are setext-ambiguous inside an item and stay conservative);
@@ -394,10 +393,11 @@ object MdFormatLite {
     * lines — fence-region bytes, recursively re-formatted quote content —
     * splice through the text-escape pass verbatim) plus the PER-BLOCK
     * output line counts. Rendering is 1:1 on lines EXCEPT the r14 setext
-    * join (a paragraph plus its underline collapse into one ATX line), so
-    * the caller re-slices blocks by the returned counts, not the input
-    * lengths. `quoteDepth` bounds the R8h-quote recursion exactly like
-    * normalizeCore's R15b bound. */
+    * join (a paragraph plus its underline collapse into one ATX line) and
+    * the late-r14 count-changing quote-group recursion (the group's inner
+    * document may shrink or grow), so the caller re-slices blocks by the
+    * returned counts, not the input lengths. `quoteDepth` bounds the
+    * R8h-quote recursion exactly like normalizeCore's R15b bound. */
   private def renumberNested(items: Vector[ListLine],
                              quoteDepth: Int): Option[(Vector[String], Vector[Boolean], Vector[Int])] = {
     // bullet levels carry num = "" and marker = "-": width = "" + "-" +
@@ -515,18 +515,24 @@ object MdFormatLite {
     // column the region renders at (the attached level's content column)
     var regionInCol = -1
     var regionOutCol = -1
-    // R8h quote groups (round 13): consecutive quote-marker continuation
-    // lines rendering at the SAME column form one item-nested blockquote
-    // whose content re-formats through the full pipeline — mdformat
-    // recurses into item-nested quotes — whenever the re-format keeps
-    // the line count (this renderer's output must stay 1:1 with its
-    // input lines, and a count-changing inner re-format — blank
-    // collapse, setext joins — is not representable). Recursed lines are
-    // escape-EXEMPT (the recursion ran its own escape pass); the
+    // R8h quote groups (round 13, count-gate lifted late r14):
+    // consecutive quote-marker continuation lines rendering at the SAME
+    // column form one item-nested blockquote whose content re-formats
+    // through the full pipeline — mdformat recurses into item-nested
+    // quotes — INCLUDING count-changing re-formats (blank collapse,
+    // blank insertion between inner blocks, setext joins): since r14
+    // the renderer reports PER-BLOCK output lengths (blockLens), so a
+    // group that shrinks or grows is representable, inner blank lines
+    // render as bare ">" (never an outer blank), and the next pass
+    // re-groups the same marker lines around a now-canonical inner
+    // document (identity — the fixpoint the r13 1:1 gate used to
+    // enforce by bailing). Recursed lines are escape-EXEMPT (the
+    // recursion ran its own escape pass); at recursion depth 0 the
     // fallback is the per-line marker normalization, its content
-    // escaping in the outer text pass. Grouping by the RENDERED column
-    // (not input indent) keeps the next pass's grouping identical: it
-    // sees equal indents and forms the same group.
+    // escaping in the outer text pass — stable on its own since both
+    // passes take it. Grouping by the RENDERED column (not input
+    // indent) keeps the next pass's grouping identical: it sees equal
+    // indents and forms the same group.
     val qPend = scala.collection.mutable.ArrayBuffer.empty[String]
     var qCol = -1
     def flushQuotes(): Unit = {
@@ -535,37 +541,12 @@ object MdFormatLite {
       val col = qCol
       qPend.clear()
       qCol = -1
-      var recursed = false
       if (quoteDepth > 0) {
         val inner = texts.map(stripOneMarker)
         val rendered = normalizeCore(inner, quoteDepth - 1).split("\n", -1).toVector
-        if (rendered.length == texts.length) {
-          rendered.foreach(x => outEx((" " * col) + (if (x.isEmpty) ">" else "> " + x)))
-          recursed = true
-        }
-      }
-      if (!recursed) {
-        // per-LINE recursion fallback: the group's inner document
-        // re-formats with a different line count (blank insertion,
-        // setext joins — not representable 1:1 here), so each line
-        // re-formats ALONE in its own line-start context, still
-        // escape-exempt. Rendering through the outer escape instead
-        // would re-spell the content in the group's mid-line context
-        // ("> \* e" drops its line-start escape after "> ") and change
-        // the inner document the next pass's gate reads — the gate
-        // must always re-evaluate on bytes this path already fixed
-        // (deep-fuzz r13 find). At recursion depth 0 both passes take
-        // the plain-marker path, which is stable on its own.
-        texts.foreach { t =>
-          val one =
-            if (quoteDepth > 0)
-              normalizeCore(Vector(stripOneMarker(t)), quoteDepth - 1)
-                .split("\n", -1).toVector
-            else Vector.empty
-          if (one.length == 1)
-            outEx((" " * col) + (if (one.head.isEmpty) ">" else "> " + one.head))
-          else out += (" " * col) + normalizeQuoteMarkers(t)
-        }
+        rendered.foreach(x => outEx((" " * col) + (if (x.isEmpty) ">" else "> " + x)))
+      } else {
+        texts.foreach(t => out += (" " * col) + normalizeQuoteMarkers(t))
       }
     }
     // R8h safety state: the minimum OUTPUT content column among item
@@ -781,9 +762,16 @@ object MdFormatLite {
           // the column, or — r14 LOOSE — the run-level defer at exactly
           // column 3 (headings/breaks match at <= 3 columns of indent;
           // deeper ones reach the paragraph path on their own in tight
-          // blocks, but read as indented CODE at a loose block start)
-          if (outCol < 4 && outBlockMin > outCol &&
-              !looseReclaim(outCol)) return None
+          // blocks, but read as indented CODE at a loose block start).
+          // The same-block reclaim ALSO requires a stable run (late-r14
+          // sweep find, latent since r13): the next pass renumbers this
+          // block only if every rendered block head re-enters the run —
+          // a continuation head re-indented to a bullet's 2-column
+          // content col breaks it, the block then skips renumbering,
+          // and a rendered 70-underscore break would be escaped as
+          // emphasis markers by the plain text pass (a flip)
+          if (outCol < 4 && !((outBlockMin <= outCol && runStable) ||
+              looseReclaim(outCol))) return None
           noteBlockHead(outCol >= 3)
           paraReset() // a heading/break block closes the open paragraph
           val one = normalizeCore(Vector(text), quoteDepth - 1)
@@ -871,8 +859,10 @@ object MdFormatLite {
             if (w < stack.head.contentCol) return None // interrupts the list
             if (quoteDepth <= 0) return None
             val outCol = top.outContentCol
-            if (outCol < 4 && outBlockMin > outCol &&
-                !looseReclaim(outCol)) return None
+            // same-block reclaim requires a stable run, like the
+            // heading/'*'/'_' branch (the HrOut bytes flip otherwise)
+            if (outCol < 4 && !((outBlockMin <= outCol && runStable) ||
+                looseReclaim(outCol))) return None
             noteBlockHead(outCol >= 3)
             paraReset()
             val one = normalizeCore(Vector(text), quoteDepth - 1)
@@ -1234,6 +1224,17 @@ object MdFormatLite {
       }
     }
     if (markers.isEmpty) return None
+    // a re-filled HEAD line can complete NON-item block syntax: "- " +
+    // a leading "--" reads as the thematic break "- --" next pass, and
+    // a joined "- " + "-" + "-" as "- - -" (deep-sweep r14 find via the
+    // quote-inner wrap). The head must still be ONLY an item head, in
+    // both spellings.
+    def headHazard(h: String): Boolean = {
+      def on(t: String): Boolean =
+        HrRe.matches(t) || isSep(t) ||
+          SetextH1Re.matches(t) || SetextH2Re.matches(t)
+      on(h) || on(unescapePunct(h))
+    }
     val out = Vector.newBuilder[String]
     for (i <- markers.indices) {
       val marker = markers(i)
@@ -1241,14 +1242,19 @@ object MdFormatLite {
       val ws = itemWords(i)
       wrap match {
         case Wrap.Keep => return None
-        case Wrap.No   => out += marker + ws.mkString(" ")
+        case Wrap.No =>
+          val h = marker + ws.mkString(" ")
+          if (headHazard(h)) return None
+          out += h
         case Wrap.Width(c) =>
           val filled = fillWords(ws, math.max(1, c - col))
           // a filled continuation must stay plain in both spellings —
           // else the next pass reads different block structure
           if (filled.tail.exists(t => mintsBlock(t) || blockShapedText(t)))
             return None
-          out += marker + filled.head
+          val h = marker + filled.head
+          if (headHazard(h)) return None
+          out += h
           filled.tail.foreach(t => out += (" " * col) + t)
       }
     }

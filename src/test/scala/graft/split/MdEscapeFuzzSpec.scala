@@ -171,7 +171,15 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
         "5. b\n10. a\nb\n11. a\n\n       ```\n\n       3. x\n\n9. b",
         "2. c\n\n1. a\nb\n1. a\n\n       ```\n\n       3. x\n\n9. b",
         "5. b\n10. a\nb\n\n       ```\n\n9. c",
-        "2. c\n\n1. a\nb"); m <- modes) {
+        "2. c\n\n1. a\nb",
+        // a re-filled bullet HEAD completing a thematic break ("- " +
+        // "--" -> "- --"), found through the quote-inner wrap recursion
+        "1. a\n       ---\n>- -- a\n1. x",
+        "> - -- a",
+        // count-changing item-nested quote recursion under wrap (the
+        // lifted 1:1 gate composing with the wrap modes)
+        "1. a\n   > t\n   > ===\n2. b",
+        "1. a\n   > q [b]\n   > > deep\n2. c"); m <- modes) {
       val once = MdFormatLite.normalize(s, m)
       assert(MdFormatLite.normalize(once, m) == once,
         s"wrap $m pin: " + s.replace("\\", "\\\\").replace("\n", "\\n"))
@@ -252,7 +260,16 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
       // all-item sub-block, and the next pass's whole-run attempt on
       // the new geometry SUCCEEDS — the fallback must re-enter the
       // whole-run renumber on its own output within one pass
-      "- b\nx\n\n   5. a\n   7. z\n  3. x")
+      "- b\nx\n\n   5. a\n   7. z\n  3. x",
+      // late-r14 sweep find (latent since r13): an in-item thematic
+      // break's same-block reclaim must also require a STABLE run — a
+      // loose continuation head re-indented to the bullet's 2-column
+      // content col breaks the run, the block then skips renumbering
+      // next pass, and a rendered 70-underscore break would be escaped
+      // as emphasis markers by the plain text pass
+      "- b\n\n   5\n1. a\n   >\n   ---",
+      "- b\n\n   5\n1. a\n   ***",
+      "- b\n\n   5\n1. a\n   >\n   ___")
     for (s <- cases) {
       val once = MdFormatLite.normalize(s)
       assert(MdFormatLite.normalize(once) == once,

@@ -690,34 +690,43 @@ class MdFormatLiteSpec extends AnyFunSuite {
         #   > 5. dos
         #1. b""".stripMargin('#'))
     assert(MdFormatLite.normalize(out) == out)
-    // a count-changing inner re-format (paragraph -> nested quote needs
-    // a separating blank) falls back to PER-LINE recursion: markers
-    // normalize, each line's content canonicalizes in its own context
+    // a count-CHANGING inner re-format recurses too (late r14 — the
+    // per-block renderer lengths made it representable): a paragraph
+    // followed by a nested quote gains the separating blank mdformat
+    // inserts, rendered as a bare ">" line inside the group
     val md2 = "1. a\n   > q [b]\n   > > deep\n2. c"
     val out2 = MdFormatLite.normalize(md2)
     assert(out2 ==
       """#1. a
         #   > q \[b\]
+        #   >
         #   > > deep
         #1. c""".stripMargin('#'))
     assert(MdFormatLite.normalize(out2) == out2)
-    // a quoted one-line setext inside an item: count gate fails (2
-    // lines -> 1 ATX line), per-line fallback keeps both lines
+    // a quoted one-line setext inside an item joins to ATX, SHRINKING
+    // the group (2 lines -> 1)
     val md3 = "1. a\n   > t\n   > ==="
     val out3 = MdFormatLite.normalize(md3)
+    assert(out3 == "1. a\n   > # t")
     assert(MdFormatLite.normalize(out3) == out3)
-    assert(out3.linesIterator.size == 3)
+    // inner blank runs collapse to one separating blank
+    val md4 = "1. a\n   > p\n   >\n   >\n   > q\n2. b"
+    val out4 = MdFormatLite.normalize(md4)
+    assert(out4 == "1. a\n   > p\n   >\n   > q\n1. b")
+    assert(MdFormatLite.normalize(out4) == out4)
   }
 
   test("R8h: quote lines nested in item content re-indent with normalized markers; list renumbers") {
     val md = "1. a\n   >q [b]\n   > >deep\n2. c"
     val out = MdFormatLite.normalize(md)
-    // quote markers normalize per R15's per-line rule at the content
-    // column; quoted TEXT still takes the block's escape pass (mdformat
-    // re-formats quoted content); the list renumbers around the quote
+    // quote markers normalize at the content column and the group's
+    // inner document re-formats whole (late r14: including the blank
+    // mdformat inserts between the paragraph and the nested quote);
+    // the list renumbers around the quote
     assert(out ==
       """#1. a
         #   > q \[b\]
+        #   >
         #   > > deep
         #1. c""".stripMargin('#'))
     assert(MdFormatLite.normalize(out) == out)

@@ -164,9 +164,10 @@ package graft.split
   * implemented behind the [[Wrap]] knob on the [[normalize]] overload
   * — default [[Wrap.Keep]] matches mdformat's default and leaves every
   * oracle untouched; top-level paragraphs, quote content (width
-  * reduced by the marker per level), and simple list items re-fill,
-  * while loose continuation blocks, nested levels, and item-nested
-  * quotes keep source breaks (divergence).
+  * reduced by the marker per level), simple list items, and 3-column
+  * loose continuation blocks re-fill, while bullet-level
+  * continuations, nested levels, and item-nested quotes keep source
+  * breaks (divergence).
   * Table cells render through the mdformat-tables path (R6), not the
   * text-escape pass.
   */
@@ -1025,8 +1026,10 @@ object MdFormatLite {
     * the container recursion (the fill width shrinks by the "> "
     * marker per nesting level, mdformat's indent accounting —
     * [[innerWrap]]), and to simple LIST blocks per item at the
-    * content column ([[wrapListBlock]]). Paragraphs in shapes beyond
-    * those — loose-run continuation blocks, nested list levels,
+    * content column ([[wrapListBlock]]), and to a loose run's
+    * three-column continuation paragraph blocks
+    * ([[wrapIndentedParagraph]]). Paragraphs in shapes beyond those —
+    * bullet-level (two-column) continuations, nested list levels,
     * item-nested quotes, blocks carrying R8h regions — keep source
     * breaks (documented divergence; mdformat re-wraps those too).
     * Wrapped blocks render through the escape+re-fill fixpoint loop
@@ -1261,17 +1264,54 @@ object MdFormatLite {
     Some(out.result())
   }
 
+  /** `--wrap` for a loose run's continuation PARAGRAPH block: every
+    * line indented exactly three spaces (the only column where an
+    * indented paragraph block exists — four or more reads as indented
+    * code, two belongs to bullet levels whose run-break hazard keeps
+    * it byte-stable) with plain content in both spellings. Re-fills at
+    * the column with the fill width reduced by it, like the list fill;
+    * the renumberer has already re-indented the block to its output
+    * column, and the filled lines keep it, so the next pass re-forms
+    * the same run and re-derives the same fill. */
+  private def wrapIndentedParagraph(b: Vector[String], wrap: Wrap): Vector[String] = {
+    val eligible = b.nonEmpty && b.forall { l =>
+      l.startsWith("   ") && l.length > 3 && !l.charAt(3).isWhitespace &&
+        !l.endsWith("\\") && !l.contains("|") && {
+          val t = l.substring(3)
+          !(blockShapedText(t) || mintsBlock(t)) && itemContentCol(l) < 0
+        }
+    }
+    if (!eligible) return b
+    val words = b.flatMap(_.substring(3).split("\\s+")).filter(_.nonEmpty)
+    if (words.isEmpty) return b
+    def checked(out: Vector[String]): Vector[String] =
+      if (out.exists { l =>
+        val t = l.substring(3)
+        mintsBlock(t) || blockShapedText(t)
+      }) b else out
+    wrap match {
+      case Wrap.Keep => b
+      case Wrap.No => checked(Vector("   " + words.mkString(" ")))
+      case Wrap.Width(c) =>
+        checked(fillWords(words, math.max(1, c - 3)).map("   " + _))
+    }
+  }
+
   /** The `--wrap` dispatcher for one text block: simple list blocks
-    * re-fill per item ([[wrapListBlock]]) — but ONLY when the block
-    * came out of a clean whole-run renumber (`cleanRenumber`; a bailed
-    * run must stay byte-stable or the fill changes the geometry its
-    * bail depended on) — and plain paragraph blocks re-fill whole
+    * re-fill per item ([[wrapListBlock]]) and three-column loose
+    * continuation blocks re-fill at their column
+    * ([[wrapIndentedParagraph]]) — both ONLY when the block came out
+    * of a clean whole-run renumber (`cleanRenumber`; a bailed run must
+    * stay byte-stable or the fill changes the geometry its bail
+    * depended on) — and plain paragraph blocks re-fill whole
     * ([[wrapParagraph]]); ineligible shapes keep their source
     * breaks. */
   private def wrapTextBlock(b: Vector[String], wrap: Wrap,
                             cleanRenumber: Boolean): Vector[String] =
     if (b.exists(l => OrderedItemRe.matches(l) || BulletRe.matches(l))) {
       if (cleanRenumber) wrapListBlock(b, wrap).getOrElse(b) else b
+    } else if (b.exists(_.startsWith("   "))) {
+      if (cleanRenumber) wrapIndentedParagraph(b, wrap) else b
     } else wrapParagraph(b, wrap)
 
   /** One quote-marker level off a line ('>' + at most one space after

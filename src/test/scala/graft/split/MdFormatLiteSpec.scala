@@ -862,6 +862,16 @@ class MdFormatLiteSpec extends AnyFunSuite {
     // nested levels / block shapes in item content keep source breaks
     val nested = "1. a\n   - b\n2. c"
     assert(MdFormatLite.normalize(nested, Wrap.No) == MdFormatLite.normalize(nested))
+    // a LOOSE run's 3-column continuation paragraph block re-fills at
+    // its column (width reduced by it); 2-column bullet continuations
+    // keep source breaks (the run-break hazard)
+    assert(MdFormatLite.normalize("1. a\n\n   cc dd\n   ee\n\n2. b", Wrap.No) ==
+      "1. a\n\n   cc dd ee\n\n1. b")
+    assert(MdFormatLite.normalize("1. a\n\n   cc dd ee ff gg\n\n2. b", Wrap.Width(9)) ==
+      "1. a\n\n   cc dd\n   ee ff\n   gg\n\n1. b")
+    val bulletLoose = "- a\n\n  p q\n- b"
+    assert(MdFormatLite.normalize(bulletLoose, Wrap.No) ==
+      MdFormatLite.normalize(bulletLoose))
     // r14 follow-up: QUOTE content re-fills through the inner-document
     // recursion, width reduced by the "> " marker per nesting level;
     // lazy continuation lines join before the fill

@@ -109,7 +109,14 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
     "1. a\n\n   p\n   ---\n\n5. b\n", "1. a\n\n   p\n   ===\n",
     "- a\n\n  ***\n- b\n", "10. a\n\n    ***\n\n12. b\n",
     "1. a\n\n   |\n    >\n", "9. d\n   ```\n   ```\n\n\t0. w\n\t>\n",
-    "1. a\n\n   > q\n\n   # h\n\n5. b\n", "1. a\n\n   ---\n\n   > x\n")
+    "1. a\n\n   > q\n\n   # h\n\n5. b\n", "1. a\n\n   ---\n\n   > x\n",
+    // late-r14 wrap-surface shapes: loose 3-column continuation
+    // paragraphs (re-fill), bullet-level 2-column ones (kept), quote
+    // containers with lazy joins, and simple multi-item lists — the
+    // wrap fuzz runs the same atom mix through every mode
+    "1. a\n\n   cc dd\n   ee\n\n2. b\n", "- a\n\n  p q\n- b\n",
+    "1. aa bb cc\n   dd ee\n2. x\n", "> aa bb\n> cc\ndd\n",
+    "- aa bb cc dd\n- e\n", "1. a\n\n   long words here to fill\n\n2. b\n")
   private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123=\t|:~"
 
   private def fuzz(seed: Long, cases: Int): Unit = {

@@ -163,11 +163,11 @@ package graft.split
   * renumbering). Paragraph re-wrapping (mdformat `--wrap no|N`) is
   * implemented behind the [[Wrap]] knob on the [[normalize]] overload
   * — default [[Wrap.Keep]] matches mdformat's default and leaves every
-  * oracle untouched; top-level paragraphs, quote content (width
-  * reduced by the marker per level), simple list items, and 3-column
-  * loose continuation blocks re-fill, while bullet-level
-  * continuations, nested levels, and item-nested quotes keep source
-  * breaks (divergence).
+  * oracle untouched; top-level paragraphs, quote content — top-level
+  * AND item-nested (width reduced by the cumulative marker indent) —
+  * simple list items, and 3-column loose continuation blocks
+  * re-fill, while bullet-level continuations and nested levels keep
+  * source breaks (divergence).
   * Table cells render through the mdformat-tables path (R6), not the
   * text-escape pass.
   */
@@ -399,8 +399,8 @@ object MdFormatLite {
     * document may shrink or grow), so the caller re-slices blocks by the
     * returned counts, not the input lengths. `quoteDepth` bounds the
     * R8h-quote recursion exactly like normalizeCore's R15b bound. */
-  private def renumberNested(items: Vector[ListLine],
-                             quoteDepth: Int): Option[(Vector[String], Vector[Boolean], Vector[Int])] = {
+  private def renumberNested(items: Vector[ListLine], quoteDepth: Int,
+                             wrap: Wrap = Wrap.Keep): Option[(Vector[String], Vector[Boolean], Vector[Int])] = {
     // bullet levels carry num = "" and marker = "-": width = "" + "-" +
     // " " = 2 columns, and the shared rendering/contentCol arithmetic
     // (num + marker + space) stays uniform across kinds
@@ -543,8 +543,12 @@ object MdFormatLite {
       qPend.clear()
       qCol = -1
       if (quoteDepth > 0) {
+        // late r14: the inner document re-fills under the active --wrap
+        // mode with the width reduced by the rendered column plus the
+        // "> " marker ([[innerWrap]] — mdformat's cumulative indent)
         val inner = texts.map(stripOneMarker)
-        val rendered = normalizeCore(inner, quoteDepth - 1).split("\n", -1).toVector
+        val rendered = normalizeCore(inner, quoteDepth - 1,
+          wrap = innerWrap(wrap, col + 2)).split("\n", -1).toVector
         rendered.foreach(x => outEx((" " * col) + (if (x.isEmpty) ">" else "> " + x)))
       } else {
         texts.foreach(t => out += (" " * col) + normalizeQuoteMarkers(t))
@@ -1026,12 +1030,14 @@ object MdFormatLite {
     * the container recursion (the fill width shrinks by the "> "
     * marker per nesting level, mdformat's indent accounting —
     * [[innerWrap]]), and to simple LIST blocks per item at the
-    * content column ([[wrapListBlock]]), and to a loose run's
+    * content column ([[wrapListBlock]]), to a loose run's
     * three-column continuation paragraph blocks
-    * ([[wrapIndentedParagraph]]). Paragraphs in shapes beyond those —
-    * bullet-level (two-column) continuations, nested list levels,
-    * item-nested quotes, blocks carrying R8h regions — keep source
-    * breaks (documented divergence; mdformat re-wraps those too).
+    * ([[wrapIndentedParagraph]]), and to ITEM-NESTED quote content
+    * (the flushQuotes recursion threads the mode, width reduced by
+    * the rendered column plus the marker). Paragraphs in shapes
+    * beyond those — bullet-level (two-column) continuations, nested
+    * list levels, blocks carrying fence regions — keep source breaks
+    * (documented divergence; mdformat re-wraps those too).
     * Wrapped blocks render through the escape+re-fill fixpoint loop
     * ([[wrapAndEscape]]); a break is refused before a word whose
     * decoded form would start block syntax at its new line start, and
@@ -1676,7 +1682,7 @@ object MdFormatLite {
             shaped(t) || shaped(unescapePunct(t))
           case _ => false
         }
-        renumberNested(parsed, quoteDepth) match {
+        renumberNested(parsed, quoteDepth, wrap) match {
           case Some((lines, mask, lens)) => emit(run, lines, mask, lens)
           case None if parsed.exists(r8hShaped) =>
             // pass through byte-stable, but KEEP the span-derived

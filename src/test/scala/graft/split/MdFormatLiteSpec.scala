@@ -872,6 +872,13 @@ class MdFormatLiteSpec extends AnyFunSuite {
     val bulletLoose = "- a\n\n  p q\n- b"
     assert(MdFormatLite.normalize(bulletLoose, Wrap.No) ==
       MdFormatLite.normalize(bulletLoose))
+    // ITEM-NESTED quote content re-fills too (late r14): the recursion
+    // threads the mode with the width reduced by the rendered column
+    // plus the "> " marker
+    assert(MdFormatLite.normalize("1. a\n   > p q\n   > r\n2. b", Wrap.No) ==
+      "1. a\n   > p q r\n1. b")
+    assert(MdFormatLite.normalize("1. a\n   > aaa bbb ccc ddd eee\n2. b",
+      Wrap.Width(14)) == "1. a\n   > aaa bbb\n   > ccc ddd\n   > eee\n1. b")
     // r14 follow-up: QUOTE content re-fills through the inner-document
     // recursion, width reduced by the "> " marker per nesting level;
     // lazy continuation lines join before the fill

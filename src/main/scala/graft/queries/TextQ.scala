@@ -1338,16 +1338,19 @@ object TextQ {
         |FROM e ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q127_mdformat_wrap",
-      // Late-r14 --wrap extension (F11) under oracle coverage, two legs:
-      // (A) `--wrap no` joins paragraph lines — including a QUOTE with a
-      // lazy continuation (the container recursion re-fills the inner
-      // document) and a simple LIST (each item's words join after the
-      // marker, wrapListBlock) — a join that is fully symbolic in SQL
-      // because single-space joining is length-independent; (B)
+      // Late-r14 --wrap extension (F11) under oracle coverage, four
+      // legs: (A) `--wrap no` joins paragraph lines — including a QUOTE
+      // with a lazy continuation (the container recursion re-fills the
+      // inner document) and a simple LIST (each item's words join after
+      // the marker, wrapListBlock) — a join that is fully symbolic in
+      // SQL because single-space joining is length-independent; (B)
       // `--wrap 10` greedily re-fills fixed text — the paragraph at 10
       // columns, quote content at 10-2 (marker width), item content at
-      // 10-3 (content column), mdformat's indent accounting — emitted
-      // as the exact expected bytes. Hash compare like q63/q118-q126.
+      // 10-3 (content column), mdformat's indent accounting; (C)
+      // `--wrap no` through an ITEM-NESTED quote (flushQuotes threads
+      // the mode), symbolic; (D) `--wrap 12` on an item-nested quote —
+      // content fills at 12-(3+2), the cumulative indent. Hash compare
+      // like q63/q118-q126.
       (s, d) => {
         val w = split(col("text"), "\\s+")
         val mdA = concat(
@@ -1356,6 +1359,9 @@ object TextQ {
           lit("\nlazy\n\n1. i "), element_at(w, 4), lit("\n   cont\n2. z"))
         val mdB = lit("eins zwei drei vier\n\n> fuenf sechs sieben acht" +
           "\n\n1. neun zehn elf zwoelf")
+        val mdC = concat(lit("1. i "), element_at(w, 5),
+          lit("\n   > p q\n   > r\n2. z"))
+        val mdD = lit("1. neun\n   > aaa bbb ccc\n2. s")
         val fmtUdf = udf((m: String, mode: String) => {
           val wr = mode match {
             case "no" => graft.split.MdFormatLite.Wrap.No
@@ -1366,7 +1372,9 @@ object TextQ {
         docs(s, d)
           .select(col("doc_id"),
             concat(fmtUdf(mdA, lit("no")), lit("\n====\n"),
-              fmtUdf(mdB, lit("10"))).as("canon"))
+              fmtUdf(mdB, lit("10")), lit("\n====\n"),
+              fmtUdf(mdC, lit("no")), lit("\n====\n"),
+              fmtUdf(mdD, lit("12"))).as("canon"))
           .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
             length(col("canon")).cast("long").as("canon_len"))
           .orderBy(col("doc_id"))
@@ -1379,7 +1387,11 @@ object TextQ {
         |  '====' || chr(10) ||
         |  'eins zwei' || chr(10) || 'drei vier' || chr(10) || chr(10) ||
         |  '> fuenf' || chr(10) || '> sechs' || chr(10) || '> sieben' || chr(10) || '> acht' || chr(10) || chr(10) ||
-        |  '1. neun' || chr(10) || '   zehn' || chr(10) || '   elf' || chr(10) || '   zwoelf' AS canon
+        |  '1. neun' || chr(10) || '   zehn' || chr(10) || '   elf' || chr(10) || '   zwoelf' || chr(10) ||
+        |  '====' || chr(10) ||
+        |  '1. i ' || t[5] || chr(10) || '   > p q r' || chr(10) || '1. z' || chr(10) ||
+        |  '====' || chr(10) ||
+        |  '1. neun' || chr(10) || '   > aaa bbb' || chr(10) || '   > ccc' || chr(10) || '1. s' AS canon
         |  FROM w)
         |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
         |FROM e ORDER BY doc_id""".stripMargin)),

@@ -59,7 +59,10 @@ object GraftFunctions {
         val w = mode.trim.toLowerCase match {
           case "keep" => graft.split.MdFormatLite.Wrap.Keep
           case "no"   => graft.split.MdFormatLite.Wrap.No
-          case n      => graft.split.MdFormatLite.Wrap.Width(n.toInt)
+          case n if n.nonEmpty && n.forall(_.isDigit) =>
+            graft.split.MdFormatLite.Wrap.Width(n.toInt)
+          case bad => throw new IllegalArgumentException(
+            s"mdformat_wrap: mode must be 'keep', 'no', or a positive integer width, got '$bad'")
         }
         graft.split.MdFormatLite.normalize(md, w)
       })

@@ -197,7 +197,6 @@ object MdFormatLite {
   private val FenceRe = "^(```|~~~).*$".r
   // Per-line hot-path patterns precompiled (String.replaceAll/split recompile per call)
   private val TrailWs = java.util.regex.Pattern.compile("\\s+$")
-  private val PipeSplit = java.util.regex.Pattern.compile("\\|")
 
   private def isSep(l: String): Boolean = TableSepRe.matches(l)
 
@@ -996,8 +995,41 @@ object MdFormatLite {
   private def escapeTextBlock(s: String): Vector[String] =
     MdTextEscapes.render(s).split("\n", -1).toVector
 
-  private def cells(row: String): Vector[String] =
-    PipeSplit.split(row.trim.stripPrefix("|").stripSuffix("|"), -1).toVector.map(_.trim)
+  /** Cell split on UNESCAPED pipes only — markdown-it's escapedSplit: a
+    * backslash escapes the next char, so "\|" is literal cell content
+    * while "\\|" splits. The old escape-blind split/stripSuffix mangled
+    * a row whose only pipe is escaped ("- \|" became a cell holding a
+    * bare trailing backslash, which the next pass's escape pass then
+    * doubled — a late-r14 sweep find, latent since the r13 row slurp
+    * began consuming such lines the way markdown-it does). One leading/
+    * trailing UNESCAPED boundary pipe drops, as before. */
+  private def cells(row: String): Vector[String] = {
+    val t = row.trim
+    val parts = Vector.newBuilder[String]
+    val sb = new StringBuilder
+    var i = 0
+    var esc = false
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (esc) { sb += c; esc = false }
+      else if (c == '\\') { sb += c; esc = true }
+      else if (c == '|') { parts += sb.result(); sb.clear() }
+      else sb += c
+      i += 1
+    }
+    parts += sb.result()
+    var all = parts.result()
+    if (t.startsWith("|") && all.nonEmpty) all = all.tail
+    // only an UNESCAPED trailing pipe can produce an empty final part
+    // (an escaped one stays inside its cell, making it non-empty), so
+    // empty-last + '|'-last means the boundary split — drop it. t.length
+    // > 1 keeps a lone "|" one empty cell (its single char is the
+    // leading boundary, already consumed), matching the old
+    // stripPrefix-then-stripSuffix sequencing.
+    if (t.endsWith("|") && t.length > 1 && all.nonEmpty && all.last.isEmpty)
+      all = all.init
+    all.map(_.trim)
+  }
 
   /** Re-render one pipe table (header, sep, rows) with aligned columns. */
   private def renderTable(header: String, sep: String, rows: Vector[String]): Vector[String] = {
@@ -1345,6 +1377,17 @@ object MdFormatLite {
     (x.startsWith("    ") || x.startsWith("\t")) &&
       !OrderedItemRe.matches(x) && !BulletRe.matches(x)
 
+  /** GFM: a table's body rows run until a blank line or ANOTHER block
+    * start — a list item, heading, fence, quote, or break line ends the
+    * table even when it contains a pipe (markdown-it's terminator
+    * rules). Late-r14 sweep find: a bullet-shaped "- \|" (minted by the
+    * bullet branch's separator escape) slurped as a row ERASED the item
+    * line the next pass's para item-column state depends on, flipping a
+    * following fence's classification. */
+  private def tableRowStops(l: String): Boolean =
+    itemContentCol(l) >= 0 || HeadingRe.matches(l) || EmptyHeadingRe.matches(l) ||
+      FenceRe.matches(l) || isQuoteLine(l) || HrRe.matches(l)
+
   /** The spelling-insensitive probe for the classifiers below: decode
     * backslash escapes AND character references (the escape pass
     * re-spells "&#62;" as "\>", so a test that saw only one spelling
@@ -1414,7 +1457,8 @@ object MdFormatLite {
         else if (l.contains("|") && idx + 1 < doc.length && isSep(doc(idx + 1))) {
           state = 2
           idx += 2
-          while (idx < doc.length && doc(idx).contains("|")) idx += 1
+          while (idx < doc.length && doc(idx).contains("|") &&
+              !tableRowStops(doc(idx))) idx += 1
           idx -= 1 // the loop's own increment lands on the first non-row
         }
         else if (state != 1 && isIndentedCodeLine(l)) state = 2
@@ -1594,9 +1638,11 @@ object MdFormatLite {
               i + 1 < ls.length && isSep(ls(i + 1)) &&
               (si >= spans.length || i + 1 < spans(si)._1)) {
             // R8h item-nested pipe table: head + separator + data rows
-            // (rows stop at the next fence span — regions stay verbatim)
+            // (rows stop at the next fence span — regions stay
+            // verbatim — and at any other block start, tableRowStops)
             var j = i + 2
             while (j < ls.length && ls(j).contains("|") &&
+                !tableRowStops(ls(j)) &&
                 (si >= spans.length || j < spans(si)._1)) j += 1
             out += TBlock(leadWs(ls(i)), ls.slice(i, j))
             i = j
@@ -1784,7 +1830,8 @@ object MdFormatLite {
         closePara()
         val rows = Vector.newBuilder[String]
         var j = i + 2
-        while (j < lines.length && lines(j).contains("|")) { rows += lines(j); j += 1 }
+        while (j < lines.length && lines(j).contains("|") &&
+            !tableRowStops(lines(j))) { rows += lines(j); j += 1 }
         addBlock(renderTable(l, lines(i + 1), rows.result()))
         i = j
       } else if (para.isEmpty && isIndentedCode(l)) {

@@ -276,7 +276,17 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
       // as emphasis markers by the plain text pass
       "- b\n\n   5\n1. a\n   >\n   ---",
       "- b\n\n   5\n1. a\n   ***",
-      "- b\n\n   5\n1. a\n   >\n   ___")
+      "- b\n\n   5\n1. a\n   >\n   ___",
+      // late-r14 sweep find: a bullet-shaped pipe line ("*\t|", minted
+      // to "- \|" by the bullet branch's separator escape) must END a
+      // table's row slurp (GFM: a list item terminates the table) —
+      // slurped as a row it erased the item line the next pass's para
+      // state depends on; and the cell splitter must treat "\|" as
+      // literal content (escape-aware escapedSplit, boundary strips
+      // only unescaped pipes)
+      "1. a\n\n   |\n-|\n*\t|\n   ```\n\n   ```",
+      "|a\\|b|\n|-|\nx\\||",
+      "| \\| |\n|-|")
     for (s <- cases) {
       val once = MdFormatLite.normalize(s)
       assert(MdFormatLite.normalize(once) == once,

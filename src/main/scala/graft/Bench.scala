@@ -151,9 +151,11 @@ object Bench {
     // has never parsed cleanly, so the parseable full record travels in git
     // instead — committed each round, readable by the judge and the next
     // round without re-running. SPARK_GRAFT_BENCH_SELF overrides the path;
+    // the default is relative to the working directory (a checkout
+    // elsewhere writes its own record, not a warning or a stray file);
     // an unwritable location degrades to a warning, never a bench failure.
     val selfPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF",
-      "/root/repo/BENCH_SELF.json")
+      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_SELF.json").toString)
     try java.nio.file.Files.write(java.nio.file.Paths.get(selfPath),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>

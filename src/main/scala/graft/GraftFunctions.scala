@@ -59,7 +59,10 @@ object GraftFunctions {
         val w = mode.trim.toLowerCase match {
           case "keep" => graft.split.MdFormatLite.Wrap.Keep
           case "no"   => graft.split.MdFormatLite.Wrap.No
-          case n if n.nonEmpty && n.forall(_.isDigit) =>
+          // toIntOption (not an all-digits check) so '0' and overflowing
+          // digit strings get the clear message instead of leaking a
+          // require/NumberFormatException from deeper down
+          case n if n.toIntOption.exists(_ >= 1) =>
             graft.split.MdFormatLite.Wrap.Width(n.toInt)
           case bad => throw new IllegalArgumentException(
             s"mdformat_wrap: mode must be 'keep', 'no', or a positive integer width, got '$bad'")

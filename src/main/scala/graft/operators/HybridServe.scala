@@ -83,11 +83,30 @@ object HybridServe {
 
   /** The canonical index schema every stored/mutated index carries:
     * [[Rank.championIndex]]'s output with the caller's id column
-    * normalized to `id`. All consumers select BY NAME against this
-    * contract (never positionally), so a reordered frame is re-ordered
-    * and a renamed/extra column fails loudly instead of silently
-    * mislabeling df/cf in a subtraction. */
-  private[operators] val IndexColumns = Seq("term", "df", "cf", "rank", "id", "tf")
+    * normalized to `id`, plus the per-term `loss` counter (r15). All
+    * consumers select BY NAME against this contract (never
+    * positionally), so a reordered frame is re-ordered and a
+    * renamed/extra column fails loudly instead of silently mislabeling
+    * df/cf in a subtraction.
+    *
+    * `loss` is the term's cumulative count of stored postings DISCARDED
+    * below its list boundary since the last rebuild — the bookkeeping
+    * that makes the slack budget honest across remove/ingest cycles.
+    * The maintained invariant: a term's stored list is ALWAYS a true
+    * prefix of the current corpus's full (tf desc, id asc) ranking —
+    * either COMPLETE (`have == df`, nothing was ever discarded below
+    * it) or exactly `champM + champSlack - loss` postings long. [[remove]]
+    * increments `loss` for incomplete terms; the ingest merge CAPS a
+    * term's merged list at `champM + champSlack - loss` (deeper merged
+    * positions could hold postings that outrank ones discarded at
+    * build, so they are untrusted and never stored); `loss` resets only
+    * at a rebuild. A term with `loss == champM + champSlack` has no
+    * trustworthy postings at all and is kept as a TOMBSTONE: a
+    * stats-only row (null id, tf 0, null rank) that preserves the
+    * term's exact df/cf through future merges (so serve-time idf never
+    * undercounts) while [[serve]] skips it and [[compactionDue]] flags
+    * it as fully degraded. */
+  private[operators] val IndexColumns = Seq("term", "df", "cf", "rank", "id", "tf", "loss")
 
   /** Validate `index` against [[IndexColumns]] and normalize column ORDER
     * by name — the name-based schema contract every mutation/serve path
@@ -154,6 +173,9 @@ object HybridServe {
       // the canonical schema HERE, at the one site where the adjacent call
       // pins which column that is — downstream everything is by-name
       .withColumnRenamed(docIdCol, "id")
+      // a rebuild stores every term's true top-(m+s) prefix: nothing has
+      // been discarded below any list boundary yet
+      .withColumn("loss", lit(0L))
     Artifacts(requireIndexSchema(index, "buildWith"), corpus.count(),
       ivf, pq, PqIndex.encodeCells(embeddings, vecIdCol, vecCol, ivf, pq), cfg)
   }
@@ -205,30 +227,46 @@ object HybridServe {
     * bounded guard job per mutation. */
   private def rosterIds(a: Artifacts, op: String): DataFrame =
     a.cells.select(col("cid").as("__rid"))
-      .unionByName(requireIndexSchema(a.index, op).select(col("id").as("__rid")))
+      .unionByName(requireIndexSchema(a.index, op)
+        // tombstone rows carry a null id — stats bookkeeping, not members
+        .filter(col("id").isNotNull).select(col("id").as("__rid")))
       .distinct()
 
   /** Incremental ingest — the reference's upsert-create analog, composed
     * from the engine's two exact merge paths: the arriving batch indexes
     * ALONE ([[Rank.championIndex]] with minDf 1), merges with the
-    * stored index ([[Rank.mergeChampionIndexes]] — bit-identical to a
-    * from-scratch build over the union, the roster probe guards
-    * double-counting), and the batch's embeddings encode against the
-    * FROZEN models ([[PqIndex.encodeCells]] — encoding is a pure
-    * per-row function of the codebook, so appended cells equal a
-    * from-scratch encode) and union into the cells frame. Neither the
-    * stored corpus text nor the stored embeddings are ever re-read.
+    * stored index ([[mergeIndexes]] — bit-identical to a from-scratch
+    * build over the union wherever the stored half is still a full
+    * top-(m+s) prefix, the roster probe guards double-counting), and the
+    * batch's embeddings encode against the FROZEN models
+    * ([[PqIndex.encodeCells]] — encoding is a pure per-row function of
+    * the codebook, so appended cells equal a from-scratch encode) and
+    * union into the cells frame. Neither the stored corpus text nor the
+    * stored embeddings are ever re-read.
+    *
+    * THE SLACK BUDGET DOES NOT REPLENISH ACROSS A MERGE. A term that
+    * lost `loss` stored postings to [[remove]] since the last rebuild
+    * has discarded postings below its list boundary that a merged list
+    * position might need — so the merge CAPS that term's list at
+    * champM + champSlack - loss (the [[IndexColumns]] prefix invariant)
+    * instead of silently refilling the deep positions with
+    * possibly-wrong postings. A term whose loss has consumed the whole
+    * budget stays a tombstone even when the batch re-arrives with the
+    * term: its df/cf merge exactly (serve-time idf counts the unstored
+    * survivors), but no posting is served until a rebuild re-reads the
+    * corpus — recall-shaped degradation, visible in [[compactionDue]],
+    * never a wrong score. Only a rebuild ([[build]]/[[maybeCompact]])
+    * resets loss.
     *
     * All knobs come from `a.build` (the config the stored index was
     * actually built with — persisted by [[save]]), and the stored index
     * must satisfy [[requireMergeable]]; the merged index stays minDf-1
-    * so the NEXT ingest is exact too, and keeps champM + champSlack
-    * postings per term so the slack backfill budget survives the merge.
-    * Models carry frozen — monitor drift per the carry-vs-retrain policy
-    * on [[PqIndex.encode]]; a retrain is a fresh [[build]]. Persist the
-    * result with [[saveVersioned]]: the union writes as a NEW version
-    * (one file per cell again), the alias swaps, and the previous
-    * version retires on schedule. */
+    * so the NEXT ingest is exact too. Models carry frozen — monitor
+    * drift per the carry-vs-retrain policy on [[PqIndex.encode]]; a
+    * retrain is a fresh [[build]]. Persist the result with
+    * [[saveVersioned]]: the union writes as a NEW version (one file per
+    * cell again), the alias swaps, and the previous version retires on
+    * schedule. */
   def ingest(a: Artifacts, corpus: DataFrame, docIdCol: String, textCol: String,
              embeddings: DataFrame, vecIdCol: String, vecCol: String): Artifacts = {
     requireMergeable(a, "ingest")
@@ -246,15 +284,67 @@ object HybridServe {
         m = a.build.champM + a.build.champSlack, minDf = 1L,
         lowercase = a.build.lowercase)
       .withColumnRenamed(docIdCol, "id")
-    val merged = Rank.mergeChampionIndexes(
+      // a fresh batch half is a full top-(m+s) prefix of its own corpus
+      .withColumn("loss", lit(0L))
+    val merged = mergeIndexes(
       requireIndexSchema(a.index, "ingest"),
       requireIndexSchema(batchIndex, "ingest"),
-      m = a.build.champM + a.build.champSlack, minDf = 1L)
+      mTotal = a.build.champM + a.build.champSlack)
     val newCells = PqIndex.encodeCells(embeddings, vecIdCol, vecCol, a.ivf, a.pq)
     Artifacts(merged, a.nDocs + probe.getLong(0), a.ivf, a.pq,
       a.cells.select(col("cid"), col("cell"), col("codes"))
         .unionByName(newCells.select(col("cid"), col("cell"), col("codes"))),
       a.build)
+  }
+
+  /** The lifecycle's loss-aware champion merge over DISJOINT corpora —
+    * [[Rank.mergeChampionIndexes]]'s algebra (a global top-k posting is
+    * top-k within its half, so merging two true prefixes and re-ranking
+    * yields a true prefix of the union; df/cf add) extended with the
+    * [[IndexColumns]] prefix invariant:
+    *  - the per-term `loss` carries forward (max across halves — a term
+    *    in both takes the stored half's, a batch-only term starts at 0);
+    *  - the merged list is CAPPED at `mTotal - loss`: positions beyond
+    *    that could be outranked by postings the build/remove history
+    *    discarded, so storing them would let a later [[remove]] promote
+    *    a wrong posting into a serving slot with no monitor signal;
+    *  - a term whose loss consumed the whole budget keeps a TOMBSTONE
+    *    stats row (null id, tf 0) so its exact df/cf survive the merge.
+    * Tombstone rows never enter the posting re-rank (null ids are
+    * filtered before the top-k), only the stats sum. Everything is
+    * index-sized: one stats groupBy over the distinct per-(half, term)
+    * stats rows, one bounded GroupTopK + re-rank window over <= 2*mTotal
+    * rows per term. */
+  private def mergeIndexes(stored: DataFrame, batch: DataFrame,
+                           mTotal: Int): DataFrame = {
+    val idType = stored.schema("id").dataType
+    val u = stored.withColumn("__half", lit(0))
+      .unionByName(batch.withColumn("__half", lit(1)))
+    // the half tag keeps the per-term stats rows distinct even when both
+    // halves coincidentally share identical (df, cf, loss)
+    val stats = u.select(col("__half"), col("term"), col("df"), col("cf"),
+        col("loss")).distinct()
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
+        max(col("loss")).as("loss"))
+    val champs = graft.plans.GroupTopK.topK(
+      u.filter(col("id").isNotNull).select(col("term"), col("id"), col("tf")),
+      Seq("term"), Seq(col("tf").desc, col("id").asc), mTotal)
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("tf").desc, col("id").asc)
+    val ranked = champs.join(stats, Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(mTotal.toLong) - col("loss"))
+      .select(IndexColumns.map(col): _*)
+    // loss == mTotal is exactly the tombstone regime: the cap filter kept
+    // nothing, so the term's stats survive as a posting-less row (every
+    // other term keeps >= 1 row: a real prefix of length mTotal - loss
+    // exists by the invariant, or the term is batch-fresh with loss 0)
+    val tomb = stats.filter(col("loss") >= lit(mTotal.toLong))
+      .select(col("term"), col("df"), col("cf"),
+        lit(null).cast("int").as("rank"), lit(null).cast(idType).as("id"),
+        lit(0L).as("tf"), col("loss"))
+    ranked.unionByName(tomb)
   }
 
   /** Document removal — the reference's prune-stale analog
@@ -287,18 +377,32 @@ object HybridServe {
     *    next-ranked slack posting moves into the vacated serving slot).
     *    Serving is therefore EXACT — identical to a from-scratch build
     *    of the survivors — until a term has lost more than
-    *    `build.champSlack` stored postings since the last rebuild; past
-    *    that the list goes SHORT (a recall degradation, never a wrong
-    *    score: every posting still served carries its exact tf/df).
-    *    The deeper postings a short list would need were discarded by
-    *    the build's top-(m+s) heap and are unrecoverable without a
-    *    rebuild. With slack 0 this degenerates to the m >= df full-list
-    *    exactness the q121 oracle pins; q124 pins the slack-backfilled
-    *    case (champions of df > champM terms removed, serving
-    *    hash-identical to a from-scratch survivor build).
-    * Monitor degradation with [[compactionDue]] (slack-exhausted terms);
-    * compaction is the versioned rebuild [[maybeCompact]] runs when the
-    * degraded share crosses the deployment's recall tolerance.
+    *    `build.champSlack` stored postings since the last rebuild
+    *    (cumulatively: each incomplete term's losses accrue in the
+    *    persisted `loss` column, and the ingest merge never refills the
+    *    spent budget — [[IndexColumns]]); past that the list goes SHORT
+    *    (a recall degradation, never a wrong score: every posting still
+    *    served carries its exact tf/df). The deeper postings a short
+    *    list would need were discarded by the build's top-(m+s) heap
+    *    and are unrecoverable without a rebuild. With slack 0 this
+    *    degenerates to the m >= df full-list exactness the q121 oracle
+    *    pins; q124 pins the slack-backfilled case (champions of
+    *    df > champM terms removed, serving hash-identical to a
+    *    from-scratch survivor build).
+    *  - VANISHED TERMS: a term whose EVERY stored posting is removed
+    *    while its adjusted df stays >= 1 (unstored surviving docs still
+    *    contain it) keeps a TOMBSTONE stats row — null id, tf 0,
+    *    loss = m+s — instead of silently dropping out of the index.
+    *    The tombstone preserves the term's exact df/cf for future
+    *    ingest merges (serve-time idf never undercounts), [[serve]]
+    *    skips it, and [[compactionDue]] reports it as fully degraded
+    *    (have = 0) — so the one state where serving could silently
+    *    diverge from the survivor oracle is loudly monitored instead.
+    *    q129 pins this regime end-to-end.
+    * Monitor degradation with [[compactionDue]] (slack-exhausted and
+    * vanished terms); compaction is the versioned rebuild
+    * [[maybeCompact]] runs when the degraded share crosses the
+    * deployment's recall tolerance.
     *
     * Scale shape: the anti-joins and the stats join broadcast the stale
     * side (a prune batch is small relative to a 100 TB corpus by
@@ -331,35 +435,84 @@ object HybridServe {
     val staleStats = Rank.championIndex(stale, docIdCol, textCol,
         m = 1, minDf = 1L, lowercase = a.build.lowercase)
       .select(col("term"), col("df").as("__rdf"), col("cf").as("__rcf"))
-    val tagged = requireIndexSchema(a.index, "remove")
+    val stored = requireIndexSchema(a.index, "remove")
+    val tagged = stored
       .join(broadcast(staleIds), col("id") === col("__sid"), "left_anti")
       .join(broadcast(staleStats), Seq("term"), "left")
     // terms the stale batch never mentions pass through untouched — no
-    // stats change, no rank change, no exchange
+    // stats change, no rank change, no loss change, no exchange
     val untouched = tagged.filter(col("__rdf").isNull)
       .select(IndexColumns.map(col): _*)
-    // affected terms: subtract the stale stats (raising on corruption —
-    // a surviving posting's own doc counts toward df, so an adjusted
-    // df < 1 or cf < 0 can only mean the stale text does not match what
-    // was indexed) and PROMOTE by re-ranking the survivors; the window
-    // covers only stale-vocabulary terms, each <= m+s rows
-    val dfAdj = col("df") - col("__rdf")
-    val cfAdj = col("cf") - col("__rcf")
+    // affected terms: ONE bounded group pass over the stale vocabulary's
+    // stored rows computes each term's pre-removal posting count, its
+    // surviving count, and the adjusted stats — the inputs for loss
+    // accrual, corruption checks, and tombstone detection. The inner
+    // broadcast join prunes to stale-vocabulary rows map-side; the
+    // aggregate is batch-vocabulary-sized, never index-sized.
+    val grp = stored
+      .join(broadcast(staleStats), Seq("term"))
+      .join(broadcast(staleIds), col("id") === col("__sid"), "left")
+      .groupBy(col("term"))
+      .agg(first(col("df")).as("__df0"), first(col("cf")).as("__cf0"),
+        first(col("loss")).as("__loss0"),
+        first(col("__rdf")).as("__rdf"), first(col("__rcf")).as("__rcf"),
+        count(col("id")).as("__prevHave"),
+        count(when(col("__sid").isNull && col("id").isNotNull, lit(1)))
+          .as("__surv"))
+    val dfAdj = col("__df0") - col("__rdf")
+    val cfAdj = col("__cf0") - col("__rcf")
+    // loss accrues ONLY for incomplete terms (prevHave < df means
+    // postings were discarded below the list boundary at build/merge
+    // time, so each removal genuinely erodes the trusted prefix); a
+    // COMPLETE term's list stays the survivors' full posting set no
+    // matter how much of it is removed, so its budget never spends
+    val lossAdj = col("__loss0") +
+      when(col("__prevHave") < col("__df0"),
+        col("__prevHave") - col("__surv")).otherwise(lit(0L))
+    // corruption floors (raising from the first action that evaluates
+    // the adjusted stats): a surviving stored posting's own doc counts
+    // toward df, so df < 1 with survivors — or any negative adjustment,
+    // or a df 0 term with leftover cf — can only mean the stale text
+    // does not match what was indexed
+    val corruptCond =
+      (col("__surv") >= 1 && (dfAdj < 1 || cfAdj < 0)) ||
+      (col("__surv") === 0 &&
+        (dfAdj < 0 || cfAdj < 0 || (dfAdj === 0 && cfAdj > 0)))
     val corrupt = concat(
       lit("remove: adjusted df/cf went below the floor for term '"), col("term"),
       lit("' — the stale rows do not match what was indexed (stale must be " +
         "the previous corpus version AS STORED)"))
-    val touched = tagged.filter(col("__rdf").isNotNull)
-      .select(col("term"),
-        when(dfAdj >= 1 && cfAdj >= 0, dfAdj).otherwise(raise_error(corrupt)).as("df"),
-        cfAdj.as("cf"), col("id"), col("tf"))
+    val adj = grp.select(col("term"),
+      when(corruptCond, raise_error(corrupt)).otherwise(dfAdj).as("__dfN"),
+      cfAdj.as("__cfN"), lossAdj.as("__lossN"), col("__surv"))
+    // survivors of affected terms PROMOTE by re-ranking (the stored list
+    // is a prefix of the term's full tf ranking, so the next-ranked
+    // slack posting moves into the vacated serving slot); the window
+    // covers only stale-vocabulary terms, each <= m+s rows
+    val touched = tagged.filter(col("__rdf").isNotNull && col("id").isNotNull)
+      .select(col("term"), col("id"), col("tf"))
+      .join(broadcast(adj.filter(col("__surv") >= 1)), Seq("term"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("term")).orderBy(col("tf").desc, col("id").asc)))
-      .select(IndexColumns.map(col): _*)
+      .select(col("term"), col("__dfN").as("df"), col("__cfN").as("cf"),
+        col("rank"), col("id"), col("tf"), col("__lossN").as("loss"))
+    // vanished terms with surviving unstored docs become tombstones:
+    // stats-only rows that keep df/cf exact for future merges while
+    // serve skips them and compactionDue flags them (have = 0). A term
+    // whose adjusted df reached 0 is genuinely gone and drops. Only
+    // incomplete terms can vanish this way (a complete term's every
+    // stored posting removed means every doc with the term was stale,
+    // driving df to 0), so the tombstone's loss is loss0 + prevHave =
+    // the whole m+s budget — consistent with the merge's cap algebra.
+    val idType = stored.schema("id").dataType
+    val tomb = adj.filter(col("__surv") === 0 && col("__dfN") >= 1)
+      .select(col("term"), col("__dfN").as("df"), col("__cfN").as("cf"),
+        lit(null).cast("int").as("rank"), lit(null).cast(idType).as("id"),
+        lit(0L).as("tf"), col("__lossN").as("loss"))
     val cells = a.cells.select(col("cid"), col("cell"), col("codes"))
       .join(broadcast(staleIds), col("cid") === col("__sid"), "left_anti")
-    Artifacts(untouched.unionByName(touched), a.nDocs - probe.getLong(0),
-      a.ivf, a.pq, cells, a.build)
+    Artifacts(untouched.unionByName(touched).unionByName(tomb),
+      a.nDocs - probe.getLong(0), a.ivf, a.pq, cells, a.build)
   }
 
   /** Document update — the reference's create-vs-update upsert
@@ -374,12 +527,27 @@ object HybridServe {
     * `freshEmb` = the incoming batch's embeddings. Exactness is
     * [[remove]]'s + [[ingest]]'s: stats and the vector leg exact,
     * champion lists exact until a term overdraws its champSlack
-    * backfill budget. */
+    * backfill budget.
+    *
+    * The removed index and cells frames MATERIALIZE (eager
+    * localCheckpoint — the PageRank/ConnectedComponents truncation
+    * pattern) before [[ingest]] consumes them: ingest runs its roster
+    * guard action AND the merge jobs over the removed frames, and
+    * without the checkpoint each action would re-execute remove's
+    * anti-joins, stats aggregate, and promotion window from scratch
+    * (measured at 1.7x the sum of the two legs in round 14's
+    * ScaleCurve). The checkpoint also surfaces remove's corruption
+    * raise at upsert call time instead of at the first downstream
+    * action. Checkpointed state is index-sized (the exact frames a
+    * [[save]] would write). */
   def upsert(a: Artifacts, stale: DataFrame, fresh: DataFrame,
              docIdCol: String, textCol: String,
-             freshEmb: DataFrame, vecIdCol: String, vecCol: String): Artifacts =
-    ingest(remove(a, stale, docIdCol, textCol),
+             freshEmb: DataFrame, vecIdCol: String, vecCol: String): Artifacts = {
+    val removed = remove(a, stale, docIdCol, textCol)
+    ingest(removed.copy(index = removed.index.localCheckpoint(),
+        cells = removed.cells.localCheckpoint()),
       fresh, docIdCol, textCol, freshEmb, vecIdCol, vecCol)
+  }
 
   /** Removal-degradation monitor, the compaction trigger [[remove]]'s
     * scaladoc promises: terms whose stored list can no longer serve the
@@ -388,17 +556,19 @@ object HybridServe {
     * promotion keeps serving exact while >= champM stored postings
     * survive (or the list is complete), so a term appears here only once
     * its cumulative removals overdraw the champSlack budget and recall
-    * genuinely degrades. (A term whose every stored posting was removed
-    * has vanished and cannot be seen here — another reason the trigger
-    * should fire well before lists empty out.) One index-sized
-    * aggregate; compact by rebuilding ([[maybeCompact]], or [[build]] +
-    * [[saveVersioned]] by hand) when the degraded share crosses the
-    * deployment's recall tolerance.
+    * genuinely degrades. A term whose every stored posting was removed
+    * while unstored docs still contain it persists as a TOMBSTONE
+    * (null-id stats row, [[remove]]) and reports here with have = 0 —
+    * the monitor sees fully-vanished terms, not just shortened lists.
+    * One index-sized aggregate; compact by rebuilding ([[maybeCompact]],
+    * or [[build]] + [[saveVersioned]] by hand) when the degraded share
+    * crosses the deployment's recall tolerance.
     * @return (term, df, have) — degraded terms only. */
   def compactionDue(a: Artifacts): DataFrame =
     requireIndexSchema(a.index, "compactionDue")
       .groupBy(col("term"))
-      .agg(first(col("df")).as("df"), count(lit(1)).as("have"))
+      // count(id) skips nulls, so a tombstone's have is 0, not 1
+      .agg(first(col("df")).as("df"), count(col("id")).as("have"))
       .filter(col("have") < least(lit(a.build.champM.toLong), col("df")))
       .select(col("term"), col("df"), col("have"))
 
@@ -432,7 +602,8 @@ object HybridServe {
     val m = a.build.champM.toLong
     val st = requireIndexSchema(a.index, "maybeCompact")
       .groupBy(col("term"))
-      .agg(first(col("df")).as("df"), count(lit(1)).as("have"))
+      // count(id) skips nulls: a tombstone counts as fully degraded
+      .agg(first(col("df")).as("df"), count(col("id")).as("have"))
       .agg(count(lit(1)).as("terms"),
         sum(when(col("have") < least(lit(m), col("df")), 1L).otherwise(0L))
           .as("degraded"))
@@ -486,17 +657,22 @@ object HybridServe {
 
   /** Rehydrate [[Artifacts]] from a [[save]]d directory: the models load
     * into driver state (bounded collects — centroid and codebook rows),
-    * the index and cells stores stay lazy parquet scans. The index
-    * store's schema is validated on the way in (the five fixed columns
-    * by NAME; the one remaining column is the id, normalized to the
-    * canonical `id` — stores written before the canonicalization carry
-    * the builder's id column name). Meta back-compat: a meta without
-    * `champ_slack` (round-13 saves) loads as slack 0; a meta without the
-    * config columns at all (round-12 and earlier) loads with the
-    * [[LegacyUnknownMinDf]] sentinel — servable, but the mutation paths
-    * refuse it until a rebuild records real provenance. A server
-    * restarted from this alone ranks bit-identically to the builder
-    * (HybridServeSpec pins it). */
+    * the index and cells stores stay lazy parquet scans. BOTH stores'
+    * schemas are validated by NAME on the way in: the index's fixed
+    * columns must be present (the one remaining column is the id,
+    * normalized to the canonical `id` — stores written before the
+    * canonicalization carry the builder's id column name), and the
+    * cells store must carry exactly (cid, cell, codes) — a renamed or
+    * reordered cells column fails loudly HERE rather than mislabeling
+    * positionally mid-serve. Back-compat: an index store without `loss`
+    * (round-14 and earlier saves) loads as loss 0 — equivalent to the
+    * pre-r15 behavior of treating the stored depth as fully trusted; a
+    * meta without `champ_slack` (round-13 saves) loads as slack 0; a
+    * meta without the config columns at all (round-12 and earlier)
+    * loads with the [[LegacyUnknownMinDf]] sentinel — servable, but the
+    * mutation paths refuse it until a rebuild records real provenance.
+    * A server restarted from this alone ranks bit-identically to the
+    * builder (HybridServeSpec pins it). */
   def load(spark: SparkSession, dir: String): Artifacts = {
     import spark.implicits._
     val meta = spark.read.parquet(s"$dir/meta")
@@ -518,20 +694,32 @@ object HybridServe {
         // pre-config meta: UNKNOWN provenance, marked with the sentinel so
         // requireMergeable refuses what it cannot verify (ADVICE r13)
         BuildConfig(champMinDf = LegacyUnknownMinDf)
-    val rawIndex = spark.read.parquet(s"$dir/index_store")
+    val rawIndex0 = spark.read.parquet(s"$dir/index_store")
+    // r14-and-earlier stores predate the loss column: nothing had been
+    // discarded beyond what those rounds' semantics already tolerated,
+    // so they load with a fresh (zero) loss ledger
+    val rawIndex =
+      if (rawIndex0.columns.contains("loss")) rawIndex0
+      else rawIndex0.withColumn("loss", lit(0L))
     val fixed = IndexColumns.toSet - "id"
     val idCand = rawIndex.columns.filterNot(fixed)
     require(fixed.subsetOf(rawIndex.columns.toSet) && idCand.length == 1,
-      s"load: index store schema ${rawIndex.columns.mkString("(", ", ", ")")} " +
-        s"does not match (term, df, cf, rank, <id>, tf) — refusing to serve " +
-        "from a store whose columns cannot be identified by name")
+      s"load: index store schema ${rawIndex0.columns.mkString("(", ", ", ")")} " +
+        s"does not match (term, df, cf, rank, <id>, tf[, loss]) — refusing to " +
+        "serve from a store whose columns cannot be identified by name")
+    val rawCells = spark.read.parquet(s"$dir/cells_store")
+    require(rawCells.columns.toSet == Set("cid", "cell", "codes"),
+      s"load: cells store schema ${rawCells.columns.mkString("(", ", ", ")")} " +
+        "does not match the canonical (cid, cell, codes) — refusing to guess " +
+        "which column is which (a positional rebind would silently mislabel " +
+        "candidate ids vs cells). Write through HybridServe/PqIndex.writeCells.")
     Artifacts(
       index = requireIndexSchema(
         rawIndex.withColumnRenamed(idCand.head, "id"), "load"),
       nDocs = nDocs,
       ivf = IvfIndex.load(spark, s"$dir/ivf_store"),
       pq = PqIndex.load(spark, s"$dir/pq_store"),
-      cells = spark.read.parquet(s"$dir/cells_store"),
+      cells = rawCells.select(col("cid"), col("cell"), col("codes")),
       build = build)
   }
 
@@ -590,7 +778,11 @@ object HybridServe {
           "(the build setting is persisted in the meta store and restored by load)")
     val legs = Seq.newBuilder[DataFrame]
     if (cols.contains("terms")) {
+      // tombstone rows (null id — vanished terms' stats bookkeeping) never
+      // score; the IsNotNull filter pushes into the index scan alongside
+      // the slack filter
       val index = requireIndexSchema(a.index, "serve")
+        .filter(col("id").isNotNull)
       // slack rows are removal backfill, not serving candidates: rank is
       // kept contiguous by build/merge/promotion, so rank <= champM IS the
       // from-scratch champion list of the current serving set
@@ -600,8 +792,11 @@ object HybridServe {
       // explode drops null/empty term arrays — those queries simply have
       // no lexical leg, the serving contract (not an error)
       val lexQ = queries.select(col("query_id"), explode(col("terms")).as("term"))
-      legs += Rank.bm25FromIndex(servedIndex, a.nDocs, lexQ,
-          cfg.kTopPerLeg, cfg.k1, cfg.lowercase)
+      // bm25FromIndex takes championIndex's 6-column shape; the loss
+      // ledger is mutation bookkeeping the scorer never needs
+      legs += Rank.bm25FromIndex(
+          servedIndex.select((IndexColumns.filterNot(_ == "loss")).map(col): _*),
+          a.nDocs, lexQ, cfg.kTopPerLeg, cfg.k1, cfg.lowercase)
         .select(col("query_id"), col("id").as("doc_id"), col("rank"))
     }
     if (cols.contains(vecCol)) {

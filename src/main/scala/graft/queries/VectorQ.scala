@@ -1006,6 +1006,191 @@ object VectorQ {
         |fr AS (SELECT query_id, doc_id, rrf_micro, n_sources,
         |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rank FROM fu)
         |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, rrf_micro, n_sources
+        |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef("q129_tombstone_monitor",
+      // The vanished-term tombstone contract (r15): an adversarial stale
+      // batch removes EVERY stored posting (all champM + champSlack = 12)
+      // of the three query-vocabulary terms while unstored surviving docs
+      // still contain them. remove() must keep each vanished term as a
+      // tombstone stats row (exact adjusted df, zero postings), and
+      // compactionDue must report it as fully degraded (have = 0) — the
+      // monitor sees vanished terms, not just shortened lists. The oracle
+      // is fully symbolic: DuckDB re-derives the stored top-12 lists, the
+      // stale set (the union of the chosen terms' stored postings), each
+      // term's surviving-doc count (adjusted df) and surviving stored
+      // postings (have), and flags have < least(champM, df). Slack-
+      // exhausted terms the stale set degrades in passing are flagged by
+      // BOTH sides too, so the comparison covers the whole monitor output.
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{HybridServe, IvfIndex, PqIndex}
+        val embT = emb(s, d)
+        val corpus = Tables.load(s, d, "documents")
+          .join(embT.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+        val qv4 = embT.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(graft.functions.Kernels.quantNormUdf(col("embedding")).getField("_1").as("qv"))
+          .as[Seq[Long]].collect().map(_.toArray)
+        val ivf = IvfIndex.Model(qv4)
+        val subDim = 32
+        val pq = PqIndex.Model(
+          (0 until 2).map(j => qv4.map(v =>
+            java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))).toArray)
+        val arts = HybridServe.buildWith(corpus, "doc_id", "text",
+          embT, "vec_id", "embedding", ivf, pq,
+          HybridServe.BuildConfig(champM = 8, champSlack = 4, champMinDf = 1L))
+        // the stale set = every stored posting of the chosen terms — the
+        // exact shape that vanishes them (their unstored occurrences
+        // survive, so adjusted df stays >= 1 and a tombstone must appear)
+        val staleIds = arts.index
+          .filter(col("term").isin("spark", "scan", "stream") && col("id").isNotNull)
+          .select(col("id").as("doc_id")).distinct()
+        val stale = corpus.join(staleIds, Seq("doc_id"), "left_semi")
+        val maintained = HybridServe.remove(arts, stale, "doc_id", "text")
+        HybridServe.compactionDue(maintained)
+          .select(col("term"), col("df"), big(col("have")).as("have"))
+          .orderBy(col("term"))
+      },
+      Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+        |tk AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM corpus),
+        |tl AS (SELECT doc_id, unnest(w) AS term FROM tk),
+        |tfc AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tl GROUP BY 1, 2),
+        |rk AS (SELECT term, doc_id, tf,
+        |  row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank FROM tfc),
+        |stored AS (SELECT term, doc_id FROM rk WHERE rank <= 12),
+        |stale AS (SELECT DISTINCT doc_id FROM stored
+        |  WHERE term IN ('spark', 'scan', 'stream')),
+        |adf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM stale) GROUP BY 1),
+        |hv AS (SELECT term, CAST(count(*) AS BIGINT) AS have FROM stored
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM stale) GROUP BY 1)
+        |SELECT a.term, a.df, CAST(COALESCE(h.have, 0) AS BIGINT) AS have
+        |FROM adf a LEFT JOIN hv h USING (term)
+        |WHERE COALESCE(h.have, 0) < least(8, a.df)
+        |ORDER BY a.term""".stripMargin)),
+
+    QueryDef("q130_serve_degraded",
+      // Serving the DEGRADED store itself (r15) — q129 pins the monitor,
+      // this pins what serve does between the degradation and the rebuild:
+      // tombstoned terms contribute NOTHING to the lexical leg (never a
+      // null candidate, never a stale-df score), surviving terms serve
+      // their surviving stored postings re-ranked with EXACT adjusted
+      // df/idf and decremented nDocs, and the vector leg is the exact
+      // surviving cells. The oracle models the degraded regime
+      // symbolically: stored top-12 lists from the FULL census, minus the
+      // stale postings, re-ranked to the top-8 serving prefix, idf from
+      // survivor df over survivor N — plus the q124-shaped ADC/RRF legs
+      // over the surviving vectors.
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{HybridServe, IvfIndex, PqIndex}
+        val embT = emb(s, d)
+        val corpus = Tables.load(s, d, "documents")
+          .join(embT.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+        val qv4 = embT.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(graft.functions.Kernels.quantNormUdf(col("embedding")).getField("_1").as("qv"))
+          .as[Seq[Long]].collect().map(_.toArray)
+        val ivf = IvfIndex.Model(qv4)
+        val subDim = 32
+        val pq = PqIndex.Model(
+          (0 until 2).map(j => qv4.map(v =>
+            java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))).toArray)
+        val arts = HybridServe.buildWith(corpus, "doc_id", "text",
+          embT, "vec_id", "embedding", ivf, pq,
+          HybridServe.BuildConfig(champM = 8, champSlack = 4, champMinDf = 1L))
+        val staleIds = arts.index
+          .filter(col("term").isin("spark", "scan", "stream") && col("id").isNotNull)
+          .select(col("id").as("doc_id")).distinct()
+        val stale = corpus.join(staleIds, Seq("doc_id"), "left_semi")
+        val maintained = HybridServe.remove(arts, stale, "doc_id", "text")
+        val queries = embT.filter(col("vec_id") < 3)
+          .select(
+            when(col("vec_id") === 0, "agg_pipeline")
+              .when(col("vec_id") === 1, "scan_perf")
+              .otherwise("stream_state").as("query_id"),
+            when(col("vec_id") === 0, typedlit(Seq("spark", "join", "agg")))
+              .when(col("vec_id") === 1, typedlit(Seq("scan", "fast", "filter")))
+              .otherwise(typedlit(Seq("stream", "window", "batch"))).as("terms"),
+            col("embedding"), col("vec_id").as("exclude_id"))
+        HybridServe.serve(maintained, queries)
+          .select(col("query_id"), col("doc_id"), big(col("rank")).as("rank"),
+            col("rrf_micro"), big(col("n_sources")).as("n_sources"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+        |tk AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM corpus),
+        |tl AS (SELECT doc_id, unnest(w) AS term FROM tk),
+        |tfc AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tl GROUP BY 1, 2),
+        |rk AS (SELECT term, doc_id, tf,
+        |  row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank FROM tfc),
+        |stored AS (SELECT term, doc_id, tf FROM rk WHERE rank <= 12),
+        |stale AS (SELECT DISTINCT doc_id FROM stored
+        |  WHERE term IN ('spark', 'scan', 'stream')),
+        |surv AS (SELECT doc_id FROM corpus
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM stale)),
+        |adf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM stale) GROUP BY 1),
+        |srk AS (SELECT term, doc_id, tf,
+        |  row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank
+        |  FROM stored WHERE doc_id NOT IN (SELECT doc_id FROM stale)),
+        |idx AS (SELECT s.term, a.df, s.doc_id, s.tf FROM srk s JOIN adf a USING (term)
+        |  WHERE s.rank <= 8),
+        |q(query_id, term) AS (VALUES
+        |  ('agg_pipeline', 'spark'), ('agg_pipeline', 'join'), ('agg_pipeline', 'agg'),
+        |  ('scan_perf', 'scan'), ('scan_perf', 'fast'), ('scan_perf', 'filter'),
+        |  ('stream_state', 'stream'), ('stream_state', 'window'), ('stream_state', 'batch')),
+        |idf AS (SELECT term, CAST(floor(1e6 * ln(1 + ((SELECT count(*) FROM surv) - df + 0.5e0)
+        |  / (df + 0.5e0))) AS BIGINT) AS idf
+        |  FROM (SELECT DISTINCT term, df FROM idx) WHERE term IN (SELECT term FROM q)),
+        |co AS (SELECT q.query_id, i.doc_id,
+        |  CAST(floor(f.idf * ((i.tf * (1.2e0 + 1)) / (i.tf + 1.2e0))) AS BIGINT) AS c
+        |  FROM idx i JOIN q ON i.term = q.term JOIN idf f ON i.term = f.term),
+        |sc AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro FROM co GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+        |  FROM sc WHERE score_micro > 0),
+        |lexk AS (SELECT query_id, doc_id, rank FROM lex WHERE rank <= 20),
+        |v AS (SELECT vec_id, $QV AS qv FROM embeddings),
+        |vc AS (SELECT vec_id, qv FROM v WHERE vec_id NOT IN (SELECT doc_id FROM stale)),
+        |cent AS (SELECT vec_id AS cidx, qv AS cv FROM v WHERE vec_id < 4),
+        |dc AS (SELECT c2.vec_id, c.cidx,
+        |  list_sum(list_transform(range(1, len(c2.qv) + 1),
+        |    i -> (c2.qv[i] - c.cv[i]) * (c2.qv[i] - c.cv[i]))) AS dist
+        |  FROM vc c2 CROSS JOIN cent c),
+        |rc AS (SELECT vec_id, cidx,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn FROM dc),
+        |cellof AS (SELECT vec_id, cidx AS cell FROM rc WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, cidx AS cell FROM rc WHERE rn <= 2 AND vec_id < 3),
+        |sub AS (SELECT vec_id, 0 AS j, qv[1:32] AS sv FROM vc
+        |        UNION ALL SELECT vec_id, 1, qv[33:64] FROM vc),
+        |cb AS (SELECT vec_id AS cidx, j, sv AS cv FROM sub WHERE vec_id < 4),
+        |dpq AS (SELECT s2.vec_id, s2.j, c2.cidx,
+        |  list_sum(list_transform(range(1, 33), i -> (s2.sv[i] - c2.cv[i]) * (s2.sv[i] - c2.cv[i]))) AS dist
+        |  FROM sub s2 JOIN cb c2 ON s2.j = c2.j),
+        |enc AS (SELECT vec_id AS cid, j, cidx AS cell FROM (
+        |  SELECT vec_id, j, cidx, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cidx) AS rn FROM dpq)
+        |  WHERE rn = 1),
+        |vscored AS (SELECT p.qid, cf.vec_id AS cid, SUM(dq.dist) AS adist
+        |  FROM probes p
+        |  JOIN cellof cf ON cf.cell = p.cell AND cf.vec_id <> p.qid
+        |  JOIN enc e ON e.cid = cf.vec_id
+        |  JOIN dpq dq ON dq.vec_id = p.qid AND dq.j = e.j AND dq.cidx = e.cell
+        |  GROUP BY p.qid, cf.vec_id),
+        |vr AS (SELECT qid, cid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rank FROM vscored),
+        |veck AS (SELECT CASE WHEN qid = 0 THEN 'agg_pipeline'
+        |    WHEN qid = 1 THEN 'scan_perf' ELSE 'stream_state' END AS query_id,
+        |  cid AS doc_id, rank FROM vr WHERE rank <= 20),
+        |uni AS (SELECT query_id, doc_id, CAST(floor(1e6 / (60 + rank)) AS BIGINT) AS c FROM lexk
+        |  UNION ALL
+        |  SELECT query_id, doc_id, CAST(floor(1e6 / (60 + rank)) AS BIGINT) AS c FROM veck),
+        |fu AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+        |  CAST(count(*) AS BIGINT) AS n_sources FROM uni GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, rrf_micro, n_sources,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rank FROM fu)
+        |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, rrf_micro, n_sources
         |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -181,9 +181,11 @@ object ScaleCurve {
               element_at(vocabCol, (pmod(col("vec_id") * 7 + 3, lit(9)) + 1).cast("int"))
             ).as("terms"),
             col("embedding"))
-        // Artifacts carry the canonical index schema (id column named "id")
+        // Artifacts carry the canonical index schema (id column named "id",
+        // loss ledger zero on a fresh build)
         val arts = graft.operators.HybridServe.Artifacts(
-          savedIndex.withColumnRenamed("doc_id", "id"), nDocs, ivfS, pqS, savedCells)
+          savedIndex.withColumnRenamed("doc_id", "id").withColumn("loss", lit(0L)),
+          nDocs, ivfS, pqS, savedCells)
         time("q117_serve_1k") {
           graft.operators.HybridServe.serve(arts, batchQ)
             .queryExecution.toRdd.count()
@@ -235,6 +237,31 @@ object ScaleCurve {
               "doc_id", "text",
               vecs.filter(col("vec_id") < 500), "vec_id", "embedding")
             .index.queryExecution.toRdd.count()
+        }
+        // r15 MAYBECOMPACT legs (completes the lifecycle measurement
+        // matrix): the degraded store is the remove leg's output. The
+        // NO-OP path (threshold 1.0 never trips) is the steady-state
+        // maintenance-cycle cost — one bounded index-sized aggregate, so
+        // it must track the index curve like ingest/remove. The TRIGGERED
+        // path (threshold 0.0) pays the full corpus re-read + versioned
+        // commit — the amortized cost the monitor exists to schedule.
+        val degraded = graft.operators.HybridServe.remove(arts,
+          docs.filter(col("doc_id") < 500), "doc_id", "text")
+        val eager = degraded.copy(
+          index = degraded.index.localCheckpoint(),
+          cells = degraded.cells.localCheckpoint())
+        val survDocs = docs.filter(col("doc_id") >= 500)
+        val survVecs = vecs.filter(col("vec_id") >= 500)
+        time("compact_noop") {
+          if (graft.operators.HybridServe.maybeCompact(spark, eager,
+            survDocs, "doc_id", "text", survVecs, "vec_id", "embedding",
+            s"$root/vt", "hybrid", threshold = 1.0).isEmpty) 0L else 1L
+        }
+        time("compact_rebuild") {
+          graft.operators.HybridServe.maybeCompact(spark, eager,
+            survDocs, "doc_id", "text", survVecs, "vec_id", "embedding",
+            s"$root/vt", "hybrid", threshold = 0.0)
+            .map(_._1.toLong).getOrElse(0L)
         }
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))

@@ -67,6 +67,17 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(w.getAs[String]("joined") == "a b c d")
     assert(w.getAs[String]("filled") == "aaa bbb\nccc")
     assert(w.getAs[String]("kept") == "a b\nc d")
+    // malformed widths all get the clear message: '0' (fails the >= 1
+    // floor, not a deep require) and a digit string beyond Int.MaxValue
+    // (toIntOption, not NumberFormatException)
+    for (bad <- Seq("0", "9999999999", "-3", "wide")) {
+      val e = intercept[Exception](
+        spark.sql(s"SELECT mdformat_wrap('a b', '$bad') FROM m").collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("must be 'keep', 'no', or a positive integer width")),
+        s"'$bad': ${msgs(e)}")
+    }
   }
 
   test("SQL surface: semantic_split_rows generator via LATERAL VIEW") {

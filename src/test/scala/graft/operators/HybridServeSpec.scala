@@ -581,7 +581,7 @@ class HybridServeSpec extends SparkSpec {
     }
     // a REORDERED frame is re-ordered by name, not mislabeled
     val reordered = full.copy(index =
-      full.index.select($"tf", $"id", $"rank", $"cf", $"df", $"term"))
+      full.index.select($"tf", $"id", $"loss", $"rank", $"cf", $"df", $"term"))
     assert(slackServeRows(reordered) == slackServeRows(full))
     assert(HybridServe.remove(reordered, slackCorpus.filter($"doc_id" === 1),
         "doc_id", "text").index.orderBy($"term", $"rank").collect().toSeq ==
@@ -675,6 +675,157 @@ class HybridServeSpec extends SparkSpec {
     val e2 = intercept[Exception](slackServeRows(corrupted))
     assert(e2.getMessage != null && e2.getMessage.contains("AS STORED"),
       s"expected the stale-mismatch raise from serve, got: $e2")
+  }
+
+  // ---- round-15: loss ledger, tombstones, merge cap, cells contract ----
+
+  test("vanished-term tombstone: removing a term's EVERY stored posting keeps its stats, flags compactionDue, serves nothing — and maybeCompact restores exact serving") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_tomb").toString
+    try {
+      val (ivf, pq) = tinyModels(slackEmbeddings)
+      // champM=1, slack=1: "scan" (df=4, ranking 3,2,5,6 by tf desc id asc)
+      // stores docs 3 (champion, tf 3) and 2 (slack); docs 5 and 6 were
+      // discarded by the build's top-2 heap
+      val cfg = HybridServe.BuildConfig(champM = 1, champSlack = 1)
+      val full = HybridServe.buildWith(slackCorpus, "doc_id", "text",
+        slackEmbeddings, "vec_id", "embedding", ivf, pq, cfg)
+      // docs 2 AND 3 go stale: "scan" loses BOTH stored postings while
+      // docs 5 and 6 (unstored) still contain it — the r14 blind spot
+      val removed = HybridServe.remove(full,
+        slackCorpus.filter($"doc_id".isin(2L, 3L)), "doc_id", "text")
+      // the tombstone: a stats-only row with exact adjusted df/cf and the
+      // whole budget spent
+      val tombRows = removed.index.filter($"term" === "scan")
+        .select($"df", $"cf", $"id".isNull, $"tf", $"loss")
+        .as[(Long, Long, Boolean, Long, Long)].collect().toSeq
+      assert(tombRows == Seq((2L, 2L, true, 0L, 2L)), tombRows.toString)
+      // the monitor SEES the vanished term (have = 0), not just short lists
+      val due = HybridServe.compactionDue(removed)
+        .as[(String, Long, Long)].collect().toSet
+      assert(due.contains(("scan", 2L, 0L)), due.toString)
+      // serving skips the tombstone: a "scan" query returns nothing
+      // lexically (recall degradation, loudly monitored — never a wrong
+      // score and never a null candidate id)
+      val lexOnly = Seq(("qx", Seq("scan"))).toDF("query_id", "terms")
+      val servedCfg = HybridServe.ServeConfig(kTopPerLeg = 3, kTop = 3, nprobe = 1)
+      assert(HybridServe.serve(removed, lexOnly, cfg = servedCfg).count() == 0)
+      // the tombstone persists through save/load
+      HybridServe.save(spark, removed, s"$root/store")
+      val reloaded = HybridServe.load(spark, s"$root/store")
+      assert(reloaded.index.filter($"term" === "scan" && $"id".isNull).count() == 1)
+      // a REBUILD (maybeCompact past tolerance) recovers the discarded
+      // postings from the corpus and serves the term exactly again
+      val survivors = slackCorpus.filter(!$"doc_id".isin(2L, 3L))
+      val survEmb = slackEmbeddings.filter(!$"vec_id".isin(2L, 3L))
+      val (_, rebuilt) = HybridServe.maybeCompact(spark, reloaded,
+        survivors, "doc_id", "text", survEmb, "vec_id", "embedding",
+        root, "hybrid", threshold = 0.0).get
+      assert(HybridServe.compactionDue(rebuilt).count() == 0)
+      assert(rebuilt.index.filter($"loss" =!= 0L).count() == 0)
+      val servedScan = HybridServe.serve(rebuilt, lexOnly, cfg = servedCfg)
+        .select($"doc_id").as[Long].collect().toSet
+      // survivor ranking for "scan" is 5, 6 (tf tie, id asc) — champM=1
+      assert(servedScan == Set(5L), servedScan.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("the slack budget does NOT replenish across an ingest merge: the merged list caps at m+s-loss, so a later remove degrades loudly instead of promoting an untrusted posting") {
+    val (ivf, pq) = tinyModels(slackEmbeddings)
+    val cfg = HybridServe.BuildConfig(champM = 1, champSlack = 1)
+    val full = HybridServe.buildWith(slackCorpus, "doc_id", "text",
+      slackEmbeddings, "vec_id", "embedding", ivf, pq, cfg)
+    // remove champion doc 3: "scan" spends 1 of its 2-posting budget
+    // (stored 3,2 -> survivor 2; docs 5,6 remain discarded-and-unstored)
+    val a1 = HybridServe.remove(full, slackCorpus.filter($"doc_id" === 3),
+      "doc_id", "text")
+    assert(a1.index.filter($"term" === "scan")
+      .select($"id", $"rank", $"loss").as[(Long, Int, Long)].collect().toSeq ==
+      Seq((2L, 1, 1L)))
+    // ingest doc 7 ("scan", tf 1): pre-r15 the merge refilled the list to
+    // m+s=2 rows (2 then 7), and a later removal of doc 2 would PROMOTE
+    // doc 7 into the serving slot — wrong, because the survivors' true
+    // top-1 is the discarded doc 5. The cap keeps the merged list at
+    // m+s-loss = 1 trusted row; df/cf still merge exactly.
+    val a2 = HybridServe.ingest(a1,
+      Seq((7L, "scan")).toDF("doc_id", "text"), "doc_id", "text",
+      slackEmbeddings.limit(0), "vec_id", "embedding")
+    val scanRows = a2.index.filter($"term" === "scan")
+      .select($"id", $"rank", $"df", $"cf", $"loss")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(scanRows == Seq((2L, 1, 4L, 4L, 1L)), scanRows.toString)
+    // now doc 2 goes stale: with the untrusted posting never stored, the
+    // term VANISHES into a tombstone and the monitor flags it — instead
+    // of silently serving doc 7 as a fake champion
+    val a3 = HybridServe.remove(a2, slackCorpus.filter($"doc_id" === 2),
+      "doc_id", "text")
+    val lexOnly = Seq(("qx", Seq("scan"))).toDF("query_id", "terms")
+    val servedCfg = HybridServe.ServeConfig(kTopPerLeg = 3, kTop = 3, nprobe = 1)
+    assert(HybridServe.serve(a3, lexOnly, cfg = servedCfg).count() == 0)
+    val due = HybridServe.compactionDue(a3).as[(String, Long, Long)].collect().toSet
+    assert(due.contains(("scan", 3L, 0L)), due.toString)
+    // a tombstoned term's stats keep merging exactly: re-arriving postings
+    // update df/cf (serve-time idf counts unstored survivors — docs 5, 6)
+    // but stay unserved until a rebuild
+    val a4 = HybridServe.ingest(a3,
+      Seq((8L, "scan scan")).toDF("doc_id", "text"), "doc_id", "text",
+      slackEmbeddings.limit(0), "vec_id", "embedding")
+    val tombAfter = a4.index.filter($"term" === "scan")
+      .select($"df", $"cf", $"id".isNull, $"loss")
+      .as[(Long, Long, Boolean, Long)].collect().toSeq
+    assert(tombAfter == Seq((4L, 5L, true, 2L)), tombAfter.toString)
+    assert(HybridServe.serve(a4, lexOnly, cfg = servedCfg).count() == 0)
+    assert(HybridServe.compactionDue(a4).as[(String, Long, Long)].collect()
+      .toSet.contains(("scan", 4L, 0L)))
+  }
+
+  test("cells store schema contract at load: a renamed cells column fails loudly at load time, not mid-serve") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_cellschema").toString
+    try {
+      val (ivf, pq) = tinyModels(embeddings)
+      val arts = HybridServe.buildWith(corpus, "doc_id", "text",
+        embeddings, "vec_id", "embedding", ivf, pq)
+      HybridServe.save(spark, arts, s"$root/store")
+      val broken = spark.read.parquet(s"$root/store/cells_store")
+        .withColumnRenamed("cid", "candidate")
+      broken.write.mode("overwrite").parquet(s"$root/store/cells_broken")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$root/store/cells_store"))
+      org.apache.commons.io.FileUtils.moveDirectory(
+        new java.io.File(s"$root/store/cells_broken"),
+        new java.io.File(s"$root/store/cells_store"))
+      val e = intercept[IllegalArgumentException](
+        HybridServe.load(spark, s"$root/store"))
+      assert(e.getMessage.contains("cells store"), e.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("pre-r15 index stores (no loss column) load with a zero loss ledger and serve unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_preloss").toString
+    try {
+      val (ivf, pq) = tinyModels(embeddings)
+      val arts = HybridServe.buildWith(corpus, "doc_id", "text",
+        embeddings, "vec_id", "embedding", ivf, pq)
+      val fresh = slackServeRows(arts)
+      HybridServe.save(spark, arts, s"$root/store")
+      // simulate a round-14 store: index_store without the loss column
+      val noLoss = spark.read.parquet(s"$root/store/index_store").drop("loss")
+      noLoss.write.mode("overwrite").parquet(s"$root/store/index_r14")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$root/store/index_store"))
+      org.apache.commons.io.FileUtils.moveDirectory(
+        new java.io.File(s"$root/store/index_r14"),
+        new java.io.File(s"$root/store/index_store"))
+      val loaded = HybridServe.load(spark, s"$root/store")
+      assert(loaded.index.columns.contains("loss"))
+      assert(loaded.index.filter($"loss" =!= 0L).count() == 0)
+      assert(slackServeRows(loaded) == fresh)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
   }
 
   test("versioned lifecycle: saveVersioned commits and alias-swaps, loadCurrent follows the alias, old versions retire") {

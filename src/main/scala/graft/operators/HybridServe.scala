@@ -366,11 +366,12 @@ object HybridServe {
     *    decrements — so serve-time idf equals a from-scratch build over
     *    the survivors. This is why [[requireMergeable]] applies: pruned
     *    stats could not be subtracted. An adjustment that would drive a
-    *    surviving term's df below 1 (or cf below 0) can only mean the
-    *    stale frame does not match the stored rows, and RAISES from the
-    *    first action that evaluates the adjusted stats — [[save]] and
-    *    [[serve]] both do — instead of masking the corruption (pre-r14 a
-    *    df >= 1 filter silently dropped such rows).
+    *    surviving term's df below 1 (or any stat negative, or a df-0
+    *    term's cf positive) can only mean the stale frame does not
+    *    match the stored rows, and FAILS FAST at remove() time (r15 —
+    *    the adjustment is computed in the same bounded guard pass that
+    *    validates membership; pre-r14 a df >= 1 filter silently dropped
+    *    such rows, r14 raised lazily from the first downstream action).
     *  - CHAMPION LISTS: stale postings anti-join away and the surviving
     *    postings of each affected term RE-RANK (slack PROMOTION: the
     *    stored list is a prefix of the term's full tf ranking, so the
@@ -436,79 +437,95 @@ object HybridServe {
         m = 1, minDf = 1L, lowercase = a.build.lowercase)
       .select(col("term"), col("df").as("__rdf"), col("cf").as("__rcf"))
     val stored = requireIndexSchema(a.index, "remove")
-    val tagged = stored
-      .join(broadcast(staleIds), col("id") === col("__sid"), "left_anti")
-      .join(broadcast(staleStats), Seq("term"), "left")
-    // terms the stale batch never mentions pass through untouched — no
-    // stats change, no rank change, no loss change, no exchange
-    val untouched = tagged.filter(col("__rdf").isNull)
-      .select(IndexColumns.map(col): _*)
-    // affected terms: ONE bounded group pass over the stale vocabulary's
-    // stored rows computes each term's pre-removal posting count, its
-    // surviving count, and the adjusted stats — the inputs for loss
-    // accrual, corruption checks, and tombstone detection. The inner
-    // broadcast join prunes to stale-vocabulary rows map-side; the
-    // aggregate is batch-vocabulary-sized, never index-sized.
+    // ONE bounded group job over the stale vocabulary's stored rows
+    // computes each affected term's pre-removal posting count, its
+    // surviving count, and the stats deltas — then the adjustment, loss
+    // accrual, corruption checks, and tombstone detection all run
+    // DRIVER-SIDE on the collected rows. The collect is stale-VOCABULARY
+    // sized — bounded by the same prune-batches-are-small assumption
+    // that justifies broadcasting staleStats (a corpus-scale removal IS
+    // a rebuild) — and doing it here means the returned index frame
+    // carries no per-action stats recompute: every downstream action
+    // (ingest's guard + merge, save, serve) re-reads the index twice
+    // (untouched + touched), never re-runs the stats aggregate.
+    val spark = stored.sparkSession
+    import spark.implicits._
     val grp = stored
       .join(broadcast(staleStats), Seq("term"))
       .join(broadcast(staleIds), col("id") === col("__sid"), "left")
       .groupBy(col("term"))
-      .agg(first(col("df")).as("__df0"), first(col("cf")).as("__cf0"),
-        first(col("loss")).as("__loss0"),
-        first(col("__rdf")).as("__rdf"), first(col("__rcf")).as("__rcf"),
-        count(col("id")).as("__prevHave"),
+      .agg(first(col("df")).as("df0"), first(col("cf")).as("cf0"),
+        first(col("loss")).as("loss0"),
+        first(col("__rdf")).as("rdf"), first(col("__rcf")).as("rcf"),
+        count(col("id")).as("prevHave"),
         count(when(col("__sid").isNull && col("id").isNotNull, lit(1)))
-          .as("__surv"))
-    val dfAdj = col("__df0") - col("__rdf")
-    val cfAdj = col("__cf0") - col("__rcf")
-    // loss accrues ONLY for incomplete terms (prevHave < df means
-    // postings were discarded below the list boundary at build/merge
-    // time, so each removal genuinely erodes the trusted prefix); a
-    // COMPLETE term's list stays the survivors' full posting set no
-    // matter how much of it is removed, so its budget never spends
-    val lossAdj = col("__loss0") +
-      when(col("__prevHave") < col("__df0"),
-        col("__prevHave") - col("__surv")).otherwise(lit(0L))
-    // corruption floors (raising from the first action that evaluates
-    // the adjusted stats): a surviving stored posting's own doc counts
-    // toward df, so df < 1 with survivors — or any negative adjustment,
-    // or a df 0 term with leftover cf — can only mean the stale text
-    // does not match what was indexed
-    val corruptCond =
-      (col("__surv") >= 1 && (dfAdj < 1 || cfAdj < 0)) ||
-      (col("__surv") === 0 &&
-        (dfAdj < 0 || cfAdj < 0 || (dfAdj === 0 && cfAdj > 0)))
-    val corrupt = concat(
-      lit("remove: adjusted df/cf went below the floor for term '"), col("term"),
-      lit("' — the stale rows do not match what was indexed (stale must be " +
-        "the previous corpus version AS STORED)"))
-    val adj = grp.select(col("term"),
-      when(corruptCond, raise_error(corrupt)).otherwise(dfAdj).as("__dfN"),
-      cfAdj.as("__cfN"), lossAdj.as("__lossN"), col("__surv"))
+          .as("surv"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    val adjRows = Vector.newBuilder[(String, Long, Long, Long)]
+    val tombRows = Vector.newBuilder[(String, Long, Long, Long)]
+    for ((term, df0, cf0, loss0, rdf, rcf, prevHave, surv) <- grp) {
+      val dfN = df0 - rdf
+      val cfN = cf0 - rcf
+      // corruption floors (fail fast — this is the same guard pass that
+      // validated membership): a surviving stored posting's own doc
+      // counts toward df, so df < 1 with survivors — or any negative
+      // adjustment, or a df-0 term with leftover cf — can only mean the
+      // stale text does not match what was indexed
+      val corrupt =
+        if (surv >= 1) dfN < 1 || cfN < 0
+        else dfN < 0 || cfN < 0 || (dfN == 0 && cfN > 0)
+      require(!corrupt,
+        s"remove: adjusted df/cf went below the floor for term '$term' — the " +
+          "stale rows do not match what was indexed (stale must be the " +
+          "previous corpus version AS STORED)")
+      // loss accrues ONLY for incomplete terms (prevHave < df means
+      // postings were discarded below the list boundary at build/merge
+      // time, so each removal genuinely erodes the trusted prefix); a
+      // COMPLETE term's list stays the survivors' full posting set no
+      // matter how much of it is removed, so its budget never spends
+      val lossN = loss0 + (if (prevHave < df0) prevHave - surv else 0L)
+      if (surv >= 1) adjRows += ((term, dfN, cfN, lossN))
+      // vanished terms with surviving unstored docs become tombstones:
+      // stats-only rows that keep df/cf exact for future merges while
+      // serve skips them and compactionDue flags them (have = 0). A
+      // term whose adjusted df reached 0 is genuinely gone and drops.
+      // Only incomplete terms can vanish this way (a complete term's
+      // every stored posting removed means every doc with the term was
+      // stale, driving df to 0), so the tombstone's loss is
+      // loss0 + prevHave = the whole m+s budget — consistent with the
+      // merge's cap algebra.
+      else if (dfN >= 1) tombRows += ((term, dfN, cfN, lossN))
+    }
+    val adjDf = adjRows.result()
+      .toDF("term", "__dfN", "__cfN", "__lossN")
+    val affectedTerms = broadcast(staleStats.select(col("term")))
+    val tagged = stored
+      .join(broadcast(staleIds), col("id") === col("__sid"), "left_anti")
+    // terms the stale batch never mentions pass through untouched — no
+    // stats change, no rank change, no loss change, no exchange. The
+    // anti-join on the stale VOCABULARY also drops a re-removed
+    // tombstone term's old stats row (its refreshed tombstone, if df
+    // still >= 1, re-enters below).
+    val untouched = tagged.join(affectedTerms, Seq("term"), "left_anti")
+      .select(IndexColumns.map(col): _*)
     // survivors of affected terms PROMOTE by re-ranking (the stored list
     // is a prefix of the term's full tf ranking, so the next-ranked
     // slack posting moves into the vacated serving slot); the window
-    // covers only stale-vocabulary terms, each <= m+s rows
-    val touched = tagged.filter(col("__rdf").isNotNull && col("id").isNotNull)
+    // covers only stale-vocabulary terms, each <= m+s rows, and the
+    // adjusted stats arrive as a driver-built broadcast literal
+    val touched = tagged.filter(col("id").isNotNull)
       .select(col("term"), col("id"), col("tf"))
-      .join(broadcast(adj.filter(col("__surv") >= 1)), Seq("term"))
+      .join(broadcast(adjDf), Seq("term"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("term")).orderBy(col("tf").desc, col("id").asc)))
       .select(col("term"), col("__dfN").as("df"), col("__cfN").as("cf"),
         col("rank"), col("id"), col("tf"), col("__lossN").as("loss"))
-    // vanished terms with surviving unstored docs become tombstones:
-    // stats-only rows that keep df/cf exact for future merges while
-    // serve skips them and compactionDue flags them (have = 0). A term
-    // whose adjusted df reached 0 is genuinely gone and drops. Only
-    // incomplete terms can vanish this way (a complete term's every
-    // stored posting removed means every doc with the term was stale,
-    // driving df to 0), so the tombstone's loss is loss0 + prevHave =
-    // the whole m+s budget — consistent with the merge's cap algebra.
     val idType = stored.schema("id").dataType
-    val tomb = adj.filter(col("__surv") === 0 && col("__dfN") >= 1)
-      .select(col("term"), col("__dfN").as("df"), col("__cfN").as("cf"),
+    val tomb = tombRows.result().toDF("term", "df", "cf", "loss")
+      .select(col("term"), col("df"), col("cf"),
         lit(null).cast("int").as("rank"), lit(null).cast(idType).as("id"),
-        lit(0L).as("tf"), col("__lossN").as("loss"))
+        lit(0L).as("tf"), col("loss"))
     val cells = a.cells.select(col("cid"), col("cell"), col("codes"))
       .join(broadcast(staleIds), col("cid") === col("__sid"), "left_anti")
     Artifacts(untouched.unionByName(touched).unionByName(tomb),

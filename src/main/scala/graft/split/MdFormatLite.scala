@@ -224,6 +224,23 @@ object MdFormatLite {
     case _                            => -1
   }
 
+  /** r15: the OUTPUT-STABLE content column a loose run's FIRST block
+    * head witnesses, or Int.MaxValue. Every run-threshold decision
+    * (defer, carry, run extension, code-vs-continuation) must be
+    * invariant under rendering, and ONLY the run's first head column
+    * provably is: it renders at indent 0 whatever its sub-4 input
+    * indent (the outermost level's outIndent is 0 and its own number is
+    * the one renumbering keeps). Any later head can MOVE — an indented
+    * later head can dedent to 0 (becoming a would-be witness the first
+    * pass never saw: the fuzz-found "5. b\n\n - a\n\n  p\n_" class) or
+    * attach nested and render deeper, and a renumbered head takes the
+    * first number's width — so later heads never fold. */
+  private def stableHeadCol(head: String): Int = head match {
+    case BulletRe(ind, _) if colWidth(ind) < 4 => 2
+    case OrderedItemRe(ind, nu, _, _) if colWidth(ind) < 4 => nu.length + 2
+    case _ => Int.MaxValue
+  }
+
   /** R8h: closing-fence search for an ITEM-NESTED fenced region opened at
     * line `at` (opener fence char `ch`, run length `n`, indent column
     * `w`). Region content must be mdformat-canonical item content — every
@@ -430,13 +447,34 @@ object MdFormatLite {
     // SHORTER than its input
     val blockLens = scala.collection.mutable.ArrayBuffer.empty[Int]
     var blockStart = 0
+    // r15: the run-level minimum OUTPUT item content column rendered so
+    // far in COMPLETED blocks — the renderer's sequential mirror of the
+    // grouper's runItemMin (which updates at closePara, i.e. at block
+    // boundaries), so the reclaim gates below predict the next pass's
+    // defer thresholds exactly. Folded from outBlockMin at BlockBreak.
+    // r15: the renderer SIMULATES the next pass's grouper run state over
+    // its own RENDERED blocks — (nextRunAlive, nextStable) are exactly
+    // the grouper's (runHasItems, runItemMinStable) as they will evolve
+    // when the rendered bytes re-parse, updated at each BlockBreak from
+    // the closed block's rendered head line. Runs can SPLIT mid-render
+    // (a rendered head below the threshold kills the carry) and a later
+    // item-headed block then starts a FRESH run with its own first-head
+    // witness (fuzz-found: "1. a\n- a\n\n   p\n\n- b\n\n  ```\n  ```\n."),
+    // so a run-scoped constant cannot represent the state — only the
+    // faithful sequential simulation can.
+    var nextRunAlive = false
+    var nextStable = Int.MaxValue
+    def thrOut: Int =
+      if (nextStable == Int.MaxValue) 3 else math.min(3, nextStable)
     // r14 LOOSE reclaim state: true while EVERY line rendered in the
-    // current block is >= 3 columns of indent — the next pass's grouper
-    // extends its loose defer through such a block (contish-pure), so a
-    // deferred block-syntax line rendered mid-block stays deferred.
-    // Item lines are excluded separately (outBlockMin != MaxValue): an
-    // item in the block re-instates the TIGHT paraItemMin guard, which
-    // reclaims only at or beyond the item's content column.
+    // current block is at or beyond the run threshold (r15: thrOut,
+    // previously the literal 3) columns of indent — the next pass's
+    // grouper extends its loose defer through such a block
+    // (contish-pure), so a deferred block-syntax line rendered
+    // mid-block stays deferred. Item lines are excluded separately
+    // (outBlockMin != MaxValue): an item in the block re-instates the
+    // TIGHT paraItemMin guard, which reclaims only at or beyond the
+    // item's content column.
     var blockContish = true
     def noteLine(s: String): Unit =
       // item-SHAPED lines disqualify too, whatever their provenance: a
@@ -444,7 +482,8 @@ object MdFormatLite {
       // pass's grouper paraItemMin (the grouper cannot know a loose
       // region's bytes are code), re-instating the tight content-column
       // guard there — the loose reclaim must predict that (fuzz r14)
-      if (!s.startsWith("   ") || itemContentCol(s) >= 0) blockContish = false
+      if (!s.startsWith(" " * thrOut) || itemContentCol(s) >= 0)
+        blockContish = false
     // keeps the existing `out += line` sites reading naturally: a plain
     // += emits a NON-exempt line, outEx an escape-exempt one
     object out {
@@ -560,37 +599,83 @@ object MdFormatLite {
     // block — a rendered quote/fence column this minimum does not reach
     // would reclassify next pass, so those shapes bail instead...
     var outBlockMin = Int.MaxValue
-    // ...EXCEPT a LOOSE fence (round 13), which the next pass reclaims
-    // through the RUN's carried item state — valid only while every
-    // rendered block head so far re-enters the run (an item line, or a
-    // continuation indented >= 3 columns = contish), tracked here.
-    var runStable = true
-    var atBlockStart = true
+    // the current rendered block starts at outLines(blockStart); a block
+    // is at its start while nothing has been emitted into it yet
+    def atBlockStart: Boolean = outLines.length == blockStart
+    // will the NEXT pass renumber-visit the current block? Either a run
+    // is alive at its boundary (the simulation above), or its rendered
+    // head line is itself an item (orderedish starts a fresh run).
+    def blockRenumbered: Boolean =
+      nextRunAlive || (outLines.length > blockStart && {
+        val h = outLines(blockStart)
+        OrderedItemRe.matches(h) || BulletRe.matches(h)
+      })
     // the loose-reclaim disjunct for quote/heading/break/setext gates:
-    // rendered at exactly column 3 (deeper reads as indented code at a
-    // loose block start), in a stable run, in an item-less contish-pure
+    // rendered between the run threshold and column 3 (r15 — previously
+    // exactly 3; quote/heading/break/setext syntax caps at 3 columns of
+    // indent, and deeper reads as indented code at a loose block
+    // start), inside a live simulated run, in an item-less contish-pure
     // block — precisely the state the next pass's looseDefer re-derives
     def looseReclaim(outCol: Int): Boolean =
-      outCol == 3 && runStable && outBlockMin == Int.MaxValue && blockContish
-    def noteBlockHead(stable: Boolean): Unit =
-      if (atBlockStart) {
-        if (!stable) runStable = false
-        atBlockStart = false
-      }
+      outCol >= thrOut && outCol <= 3 && nextRunAlive &&
+        outBlockMin == Int.MaxValue && blockContish
+    // one grouper closePara/addBlock step over the just-closed rendered
+    // block, returning false when the run DIES mid-simulation — the
+    // rendered bytes would then re-group as different runs next pass
+    // (and post-run blocks would reclassify against a dead run), so the
+    // caller bails byte-stable. Runs on EVERY block including the last:
+    // a final block rendered below the threshold changes the run state
+    // the next pass's grouper carries into the blocks AFTER this run
+    // (fuzz-found: "2. b\n* c\n\n   .\n\n\t\\\n|" — the re-indented
+    // "  ." kills the carry, reclassifying the tab-code line behind the
+    // run from deferred paragraph to code block).
+    def simCloseBlock(len: Int): Boolean = {
+      if (len <= 0) return true
+      val head = outLines(blockStart)
+      if (OrderedItemRe.matches(head) || BulletRe.matches(head)) {
+        if (!nextRunAlive) nextStable = stableHeadCol(head)
+        nextRunAlive = true
+        true
+      } else if (isIndentedCodeLine(head) &&
+          !(nextRunAlive && nextStable != Int.MaxValue && {
+            val w = colWidth(leadWs(head))
+            w >= nextStable && w < nextStable + 4
+          })) {
+        (0 until len).forall { k =>
+          val x = outLines(blockStart + k)
+          x.isEmpty || colWidth(leadWs(x)) >= 6
+        }
+      } else head.startsWith(" " * thrOut)
+    }
     for (line <- items) line match {
       case Skip(raw) =>
         flushQuotes()
         paraReset()
-        noteBlockHead(stable = true) // its whole block is code: verbatim
         out += raw
       case BlockBreak =>
         flushQuotes()
         paraReset()
-        blockLens += outLines.length - blockStart
+        val len = outLines.length - blockStart
+        blockLens += len
+        // SIMULATE the next pass's grouper closePara/addBlock over the
+        // just-closed rendered block (see nextRunAlive above): an
+        // item-headed block starts or continues the run (the run's
+        // FIRST head is its one stable witness); an indented-code-led
+        // block is a code claim UNLESS the loose-continuation exception
+        // keeps it a paragraph, and carries the run only when fully
+        // codeish (>= 6 columns everywhere); any other head carries
+        // the run iff it reaches the threshold indent. A simulated
+        // mid-run DEATH means the rendered bytes would re-group as
+        // DIFFERENT runs next pass — the remaining blocks (and even
+        // blocks after this run) would re-render under fresh run state
+        // this pass never applied (fuzz-found: a bullet-switched run
+        // whose re-indented "  p" continuation splits it, letting the
+        // 2-column fence block behind it join a fresh thr-2 run) — so
+        // the render is unrepresentable and the run bails byte-stable.
+        if (!simCloseBlock(len)) return None
         blockStart = outLines.length
         outBlockMin = Int.MaxValue
         blockContish = true
-        atBlockStart = true
       case FOpen(ind, text) =>
         flushQuotes()
         paraReset()
@@ -618,12 +703,12 @@ object MdFormatLite {
         // round 13, LOOSE — through the run's carried item state, which
         // reaches this block only while the rendered run holds together:
         // every block head so far re-enters the run, and this region's
-        // own lines render at >= 3 columns (contish). A loose fence
-        // under a 2-column bullet level renders contish-unstable — bail.
+        // own lines render at or beyond the run threshold (contish —
+        // r15: thrOut, so a loose fence under a 2-column bullet level
+        // reclaims at column 2 instead of bailing).
         val outCol = top.outContentCol
-        if (!(outBlockMin <= outCol || (outCol >= 3 && runStable)))
+        if (!(outBlockMin <= outCol || (outCol >= thrOut && nextRunAlive)))
           return None
-        noteBlockHead(outCol >= 3)
         regionInCol = w
         regionOutCol = outCol
         outEx((" " * regionOutCol) + text)
@@ -660,12 +745,11 @@ object MdFormatLite {
         if (w - top.contentCol >= 4) return None // indented-code bytes
         val outCol = top.outContentCol
         // reclaim via a same-block item, or — r14 LOOSE — the run-level
-        // defer (table detection is indent-agnostic, so any >= 3 column
-        // works while the run holds together)
+        // defer (table detection is indent-agnostic, so any column at or
+        // beyond the run threshold works while the run holds together)
         if (outBlockMin > outCol &&
-            !(outCol >= 3 && runStable && outBlockMin == Int.MaxValue &&
+            !(outCol >= thrOut && nextRunAlive && outBlockMin == Int.MaxValue &&
               blockContish)) return None
-        noteBlockHead(outCol >= 3)
         val s = rows.map(r => r.substring(leadWs(r).length))
         val rendered = renderTable(s.head, s(1), s.drop(2))
         if (rendered.length != rows.length) return None // defensive: 1:1
@@ -677,7 +761,6 @@ object MdFormatLite {
           case None => return None
           case Some(top) =>
             outBlockMin = math.min(outBlockMin, top.outContentCol)
-            noteBlockHead(stable = true) // item heads re-enter the run
             out += (" " * top.outIndent) + top.num + top.marker + " " + rest
             // the head's text opens the item's paragraph — a following
             // setext underline joins it (r14) — unless the rest is
@@ -694,7 +777,6 @@ object MdFormatLite {
           case None => return None
           case Some(top) =>
             outBlockMin = math.min(outBlockMin, top.outContentCol)
-            noteBlockHead(stable = true) // item heads re-enter the run
             // re-indenting can COMPLETE thematic-break (or, r13,
             // table-separator) syntax the grouper's own bullet guard
             // never saw ("\t* --" rendered at column 2 becomes "  - --",
@@ -736,7 +818,6 @@ object MdFormatLite {
           if (top.outContentCol < 4 && outBlockMin > top.outContentCol &&
               !looseReclaim(top.outContentCol))
             return None
-          noteBlockHead(top.outContentCol >= 3)
           paraReset() // a quote block closes the item's open paragraph
           // buffer into the current quote GROUP; a column change closes
           // the group (different attach level = a different blockquote)
@@ -774,9 +855,8 @@ object MdFormatLite {
           // content col breaks it, the block then skips renumbering,
           // and a rendered 70-underscore break would be escaped as
           // emphasis markers by the plain text pass (a flip)
-          if (outCol < 4 && !((outBlockMin <= outCol && runStable) ||
+          if (outCol < 4 && !((outBlockMin <= outCol && blockRenumbered) ||
               looseReclaim(outCol))) return None
-          noteBlockHead(outCol >= 3)
           paraReset() // a heading/break block closes the open paragraph
           val one = normalizeCore(Vector(text), quoteDepth - 1)
             .split("\n", -1).toVector
@@ -797,13 +877,9 @@ object MdFormatLite {
           //    BREAK in the item (the existing '*'/'_' rule's missing
           //    dash case) and a '=' run is plain TEXT (no block
           //    meaning of its own).
-          // Everything else stays on the conservative bail path: bare
-          // '-'/'--' with no open paragraph (an empty-bullet reading
-          // this renderer does not model), and LAZY (under-column)
-          // setext shapes — CommonMark absorbs a lazy '=' run as
-          // paragraph text, but re-indenting it to the content column
-          // would turn it into a REAL underline next pass, so the 1:1
-          // geometry cannot express the absorption.
+          // Bare '-'/'--' with no open paragraph stays on the
+          // conservative bail path (an empty-bullet/plain-text
+          // ambiguity this renderer does not model).
           if (stack.isEmpty) return None
           val isBreakShape = HrRe.matches(text) // pure 3+ dash run here
           // mirror the plain-continuation attach rule: intermediate
@@ -813,9 +889,23 @@ object MdFormatLite {
               stack.dropRightInPlace(1)
           val top = stack.last
           val paraHere = paraLevel != null && (paraLevel eq top) && paraIdx.nonEmpty
-          if (w < top.contentCol || w - top.contentCol >= 4)
-            return None // lazy setext shape / indented-code bytes
-          if (paraHere) {
+          if (w < top.contentCol) {
+            // LAZY setext shape (r15): a setext underline can never be a
+            // lazy continuation line (CommonMark), so a lazy '=' run with
+            // an open paragraph is ABSORBED as that paragraph's text —
+            // rendered at the content column in its ESCAPED spelling
+            // ("\===": the raw bytes there WOULD be an underline next
+            // pass, and the escape pass keeps a decoded line-start '='
+            // run escaped, so one spelling is canonical in both passes).
+            // A lazy '-' run is NOT absorbed (it closes the paragraph as
+            // a top-level block outside the list) and stays byte-stable.
+            if (SetextH1Re.matches(text) && paraHere) {
+              out += (" " * top.outContentCol) + "\\" + text
+              paraAppend("\\" + text)
+            } else return None
+          } else if (w - top.contentCol >= 4)
+            return None // indented-code bytes
+          else if (paraHere) {
             // the underline JOINS the open paragraph into an ATX heading
             val hashes = if (SetextH1Re.matches(text)) "#" else "##"
             val content = paraTexts.map(_.trim).mkString(" ")
@@ -865,9 +955,8 @@ object MdFormatLite {
             val outCol = top.outContentCol
             // same-block reclaim requires a stable run, like the
             // heading/'*'/'_' branch (the HrOut bytes flip otherwise)
-            if (outCol < 4 && !((outBlockMin <= outCol && runStable) ||
+            if (outCol < 4 && !((outBlockMin <= outCol && blockRenumbered) ||
                 looseReclaim(outCol))) return None
-            noteBlockHead(outCol >= 3)
             paraReset()
             val one = normalizeCore(Vector(text), quoteDepth - 1)
               .split("\n", -1).toVector
@@ -885,7 +974,6 @@ object MdFormatLite {
             // block into "# ..."), so those bail byte-stable
             if (top.outContentCol <= 3 && outBlockMin == Int.MaxValue)
               return None
-            noteBlockHead(top.outContentCol >= 3)
             out += (" " * top.outContentCol) + text
             paraOpen(top, text)
           } else return None // bare '-'/'--', no paragraph: empty-item ambiguity
@@ -903,6 +991,9 @@ object MdFormatLite {
               SetextH1Re.matches(t) || SetextH2Re.matches(t)
           if (shapedOn(text)) return None
           val dec = unescapePunct(text)
+          // an escaped/entity spelling of a '*'/'_' thematic break: its
+          // render gates below must mirror the RAW break branch's exactly
+          val decBreak = HrRe.matches(dec) && !dec.contains('-')
           if (shapedOn(dec)) {
             // An ESCAPED or ENTITY spelling of block syntax is plain
             // TEXT (r14): mdformat renders "\> q" / "&#62; q" / "\# h" /
@@ -910,21 +1001,31 @@ object MdFormatLite {
             // escape pass keeps line-start spellings escape-necessary
             // and re-spells entities to backslashes — both passes then
             // classify the same bytes the same way). QUOTE, HEADING,
-            // and SETEXT/DASH spellings render; FENCE and '*'/'_'
-            // BREAK spellings STAY on the bail path — the escape pass
-            // rewrites those RAW shapes into their escaped spellings
-            // inside a bailed block ("```" -> "\`\`\`", "***" ->
-            // "\*\*\*"), so rendering the escaped form here would flip
-            // the bytes one pass after a raw bail (the r12 fuzz class
+            // SETEXT/DASH — and, r15, '*'/'_' BREAK — spellings render;
+            // FENCE spellings STAY on the bail path. The asymmetry is
+            // bail-convergence: the escape pass rewrites the RAW shapes
+            // into their escaped spellings inside a bailed block ("```"
+            // -> "\`\`\`", "***" -> "\*\*\*"), so an escaped spelling
+            // may be one pass downstream of a raw bail and must take
+            // the SAME branch that raw line took (the r12 fuzz class
             // the old spelling-insensitive bail existed to prevent).
+            // For '*'/'_' breaks the raw branch's bail conditions are
+            // its reclaim gates — mirrored below once the attach level
+            // is known — so the escaped spelling can render as text
+            // wherever the raw shape renders as a break, and bails
+            // byte-stable wherever the raw shape bailed. An unclaimed
+            // raw FENCE bails unconditionally (no gate to mirror), so
+            // its escaped spelling must keep bailing too.
             val renderableSpelling =
               !FenceRe.matches(dec) &&
-                !(HrRe.matches(dec) && !dec.contains('-')) &&
                 (isQuoteLine(dec) ||
-                  ((HeadingRe.matches(dec) || EmptyHeadingRe.matches(dec)) &&
-                    quoteDepth > 0) ||
+                  ((HeadingRe.matches(dec) || EmptyHeadingRe.matches(dec) ||
+                    decBreak) && quoteDepth > 0) ||
                   SetextH1Re.matches(dec) || SetextH2Re.matches(dec))
             if (!renderableSpelling) return None
+            // the raw '*'/'_' break branch bails on a list-interrupting
+            // indent — mirror it (its column gates follow the attach)
+            if (decBreak && w < stack.head.contentCol) return None
           }
           // a continuation at an outer content column closes deeper
           // levels — but a LAZY (under-everything) line continues the
@@ -939,10 +1040,26 @@ object MdFormatLite {
             }
           val top = stack.last
           val outCol = top.outContentCol
+          // r15: the escaped-break render's remaining raw-branch gate
+          // mirrors (the raw shape bails on these, so its escape-pass
+          // respelling must land on the same branch next pass)
+          if (decBreak && (quoteDepth <= 0 || w - top.contentCol >= 4 ||
+              (outCol < 4 && !((outBlockMin <= outCol && blockRenumbered) ||
+                looseReclaim(outCol)))))
+            return None
           // r14: plain lines continue (or open) the item's paragraph —
-          // the state a later setext underline joins against
+          // the state a later setext underline joins against. An
+          // escaped-BREAK text line (r15) deliberately does NOT open or
+          // continue a paragraph: its raw spelling renders as a break
+          // (paragraph-closing), and a whole-run bail turns raw into
+          // escaped via the emphasis escapes — so the paragraph state a
+          // later lazy setext consults must match across the two
+          // spellings or the bail flips one pass downstream (fuzz-found
+          // "- b\n\t___\n=" class; divergence: mdformat would let a
+          // following paragraph join the escaped break's line).
           def trackPara(): Unit =
-            if (paraLevel != null && (paraLevel eq top) && paraIdx.nonEmpty)
+            if (decBreak) paraReset()
+            else if (paraLevel != null && (paraLevel eq top) && paraIdx.nonEmpty)
               paraAppend(text)
             else paraOpen(top, text)
           // a plain line re-indented to >= 4 columns AT ITS BLOCK START
@@ -952,12 +1069,18 @@ object MdFormatLite {
           // pass through byte-stable. Latent since r12's lazy re-indent
           // ("21. a\n\n   |\n1. a" re-indented the lazy '|' to the wide
           // marker's column-4 content col); surfaced by the r14 fuzz mix.
-          if (atBlockStart && outCol >= 4 && w < top.contentCol + 4)
+          // r15 EXCEPTION: within [runItemMin, runItemMin + 4) columns of
+          // a stable run, the next pass's grouper reads the line as the
+          // open item's continuation paragraph instead of code
+          // (looseContinuationCol — the wide-marker loose continuation),
+          // so the render IS representable there.
+          if (atBlockStart && outCol >= 4 && w < top.contentCol + 4 &&
+              !(nextRunAlive && nextStable != Int.MaxValue &&
+                outCol >= nextStable && outCol < nextStable + 4))
             return None
           if (w < top.contentCol) {
             // R8e (round 12): lazy paragraph continuation — mdformat
             // renders it AT the item's content column
-            noteBlockHead(outCol >= 3)
             out += (" " * outCol) + text
             trackPara()
           } else {
@@ -972,12 +1095,10 @@ object MdFormatLite {
               // representable, pass the run through byte-stable
               if (popped.exists(p => p.outContentCol <= outCol + extra))
                 return None
-              noteBlockHead(outCol + extra >= 3)
               out += (" " * (outCol + extra)) + text
               paraReset() // a code line is not underline-able paragraph text
             } else {
               // < 4 extra: paragraph continuation, renders AT the column
-              noteBlockHead(outCol >= 3)
               out += (" " * outCol) + text
               trackPara()
             }
@@ -985,7 +1106,9 @@ object MdFormatLite {
         }
     }
     flushQuotes()
-    blockLens += outLines.length - blockStart
+    val lastLen = outLines.length - blockStart
+    if (!simCloseBlock(lastLen)) return None
+    blockLens += lastLen
     Some((outLines.toVector, outExempt.toVector, blockLens.toVector))
   }
 
@@ -1208,63 +1331,110 @@ object MdFormatLite {
     case w             => w
   }
 
-  /** `--wrap` inside a LIST block (r14 follow-up): re-fill each item's
-    * paragraph content at the item's content column — the first filled
-    * line carries the marker, the rest indent to the content column, and
-    * the fill width shrinks by that column ([[innerWrap]]). Eligibility
-    * is strict: flush-left canonical item heads (exactly one space after
-    * the marker, non-empty content) and continuation lines indented with
-    * spaces EXACTLY to the open item's content column, plain-shaped in
-    * both spellings — anything else (nested levels, loose geometry,
-    * block shapes, pipes, hard breaks, tabs in the indent) keeps its
-    * source breaks via None. The produced geometry is exactly what the
-    * next pass's renumberer re-derives (continuations at the output
-    * content column), so one application is a fixpoint. */
+  /** `--wrap` inside a LIST block (r14, nested levels r15): re-fill
+    * each item's paragraph content at the item's content column — the
+    * first filled line carries the marker, the rest indent to the
+    * content column, and the fill width shrinks by that column
+    * ([[innerWrap]]). NESTED levels (r15) fill at their own deeper
+    * content columns via a level stack mirroring the renumberer's
+    * attach rules (sibling at the level's indent, nested at the
+    * parent's content column, marker-kind switch restarts the level's
+    * list); a continuation at an OUTER level's column after a nested
+    * item is its own paragraph unit (merging it into the outer item's
+    * head words would move text across the nested item), and an item
+    * whose rest is block-shaped (a heading, a break spelling) emits
+    * verbatim and opens no fillable paragraph (r15 — the r14 code
+    * merged continuation words into such heads). Eligibility is
+    * strict: renumber-canonical geometry only — exactly one space
+    * after each marker, ordered siblings carrying the run's first
+    * number, space-only indents landing exactly on open content
+    * columns, plain-shaped text in both spellings — anything else
+    * keeps its source breaks via None. The block must ALREADY be
+    * renumber-canonical (the cleanRenumber gate in the dispatcher): a
+    * block whose renumber BAILED must not be re-filled, because the
+    * fill would change the very geometry the bail depended on
+    * (deep-sweep find: "5. b\n10. a\nb\n11. a" joined pass 1,
+    * renumbered to 5/5/5 pass 2). The produced geometry is exactly
+    * what the next pass's renumberer re-derives, so one application is
+    * a fixpoint. */
   private def wrapListBlock(b: Vector[String], wrap: Wrap): Option[Vector[String]] = {
     if (b.isEmpty) return None
-    val markers = scala.collection.mutable.ArrayBuffer.empty[String]
-    val itemWords = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
-    var curCol = -1
-    // the block must ALREADY be renumber-canonical — every ordered head
-    // in a same-delimiter run carries the run's first number, bullets
-    // are "- " — because only blocks the renumberer processed cleanly
-    // look like that. A block whose renumber BAILED (pass-through) must
-    // not be re-filled: the fill would change the very geometry the
-    // bail depended on, and the next pass's renumber could then take a
-    // different path (deep-sweep find: "5. b\n10. a\nb\n11. a" joined
-    // pass 1, renumbered to 5/5/5 pass 2).
-    var runMarker: String = null
+    // output units: an item head + fillable words (prefix = marker), a
+    // paragraph at a column (prefix = spaces), or a verbatim FIXED line
+    final case class U(prefix: String, col: Int,
+                       words: scala.collection.mutable.ArrayBuffer[String],
+                       fixed: String)
+    val units = scala.collection.mutable.ArrayBuffer.empty[U]
+    // open level stack: the level's own indent, its content column, and
+    // the marker string of its current same-kind run
+    final case class Lv(indent: Int, var col: Int, var marker: String)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Lv]
+    var open = false // the last unit accepts continuation words
+    def splitWords(s: String) = s.split("\\s+").filter(_.nonEmpty)
     for (l <- b) {
       if (l.isEmpty || l.contains("|") || l.endsWith("\\")) return None
-      val headCol = if (l.charAt(0).isWhitespace) -1 else itemContentCol(l)
+      val lead = leadWs(l)
+      if (lead.exists(_ != ' ')) return None
+      val w = lead.length
+      val headCol = itemContentCol(l)
       if (headCol >= 0) {
+        val mk = l.substring(w, headCol)
         // canonical head shape only: marker + ONE space + content
-        val marker = l.substring(0, headCol)
-        if (!marker.endsWith(" ") || marker.dropRight(1).endsWith(" "))
-          return None
-        val head = marker.dropRight(1)
+        if (!mk.endsWith(" ") || mk.dropRight(1).endsWith(" ")) return None
+        val head = mk.dropRight(1)
         if (head == "*" || head == "+") return None // canonical bullet is "-"
-        if (runMarker != null && runMarker.last == head.last && runMarker != head)
-          return None // same delimiter, different number: renumber bailed
-        runMarker = head
+        while (stack.nonEmpty && w < stack.last.indent)
+          stack.dropRightInPlace(1)
+        if (stack.isEmpty) {
+          if (w != 0) return None
+          stack += Lv(0, headCol, head)
+        } else if (w == stack.last.indent) {
+          val lv = stack.last
+          if (head != lv.marker) {
+            if (head.last == lv.marker.last &&
+                head.head.isDigit && lv.marker.head.isDigit)
+              return None // same delimiter, different number: renumber bailed
+            // marker kind/delimiter switch: a NEW list at this level
+            lv.marker = head
+            lv.col = headCol
+          }
+        } else if (w == stack.last.col) {
+          stack += Lv(w, headCol, head)
+        } else return None // non-canonical head indent
         val rest = l.substring(headCol)
         if (rest.isEmpty || rest.charAt(0).isWhitespace) return None
-        markers += marker
-        itemWords += rest.split("\\s+").filter(_.nonEmpty).toVector
-        curCol = headCol
+        if (blockShapedText(rest) || mintsBlock(rest) ||
+            itemContentCol(rest) >= 0 || isSep(rest)) {
+          // block-shaped rest: the item's first block is not a
+          // paragraph — emit verbatim, open nothing
+          units += U(null, -1, null, l)
+          open = false
+        } else {
+          units += U(l.substring(0, headCol), headCol,
+            scala.collection.mutable.ArrayBuffer(splitWords(rest): _*), null)
+          open = true
+        }
       } else {
-        if (curCol < 0) return None
-        val lead = leadWs(l)
-        if (lead != " " * curCol) return None
-        val t = l.substring(curCol)
+        // continuation: must land exactly on an open level's content
+        // column (an outer column closes deeper levels, as in the
+        // renumberer)
+        while (stack.nonEmpty && w < stack.last.col)
+          stack.dropRightInPlace(1)
+        if (stack.isEmpty || w != stack.last.col) return None
+        val t = l.substring(w)
         if (t.isEmpty || t.charAt(0).isWhitespace) return None
         if (blockShapedText(t) || itemContentCol(t) >= 0 || isSep(t) ||
             mintsBlock(t)) return None
-        itemWords(itemWords.length - 1) =
-          itemWords.last ++ t.split("\\s+").filter(_.nonEmpty)
+        if (open && units.last.col == w)
+          units.last.words ++= splitWords(t)
+        else {
+          units += U(" " * w, w,
+            scala.collection.mutable.ArrayBuffer(splitWords(t): _*), null)
+          open = true
+        }
       }
     }
-    if (markers.isEmpty) return None
+    if (units.isEmpty) return None
     // a re-filled HEAD line can complete NON-item block syntax: "- " +
     // a leading "--" reads as the thematic break "- --" next pass, and
     // a joined "- " + "-" + "-" as "- - -" (deep-sweep r14 find via the
@@ -1277,61 +1447,73 @@ object MdFormatLite {
       on(h) || on(unescapePunct(h))
     }
     val out = Vector.newBuilder[String]
-    for (i <- markers.indices) {
-      val marker = markers(i)
-      val col = marker.length
-      val ws = itemWords(i)
-      wrap match {
-        case Wrap.Keep => return None
-        case Wrap.No =>
-          val h = marker + ws.mkString(" ")
-          if (headHazard(h)) return None
-          out += h
-        case Wrap.Width(c) =>
-          val filled = fillWords(ws, math.max(1, c - col))
-          // a filled continuation must stay plain in both spellings —
-          // else the next pass reads different block structure
-          if (filled.tail.exists(t => mintsBlock(t) || blockShapedText(t)))
-            return None
-          val h = marker + filled.head
-          if (headHazard(h)) return None
-          out += h
-          filled.tail.foreach(t => out += (" " * col) + t)
+    for (u <- units) {
+      if (u.fixed != null) out += u.fixed
+      else {
+        val ws = u.words.toVector
+        val isPara = u.prefix.forall(_ == ' ')
+        // a paragraph unit's first filled line must stay plain too (an
+        // item head's first line is covered by headHazard instead)
+        def paraMints(t: String): Boolean =
+          isPara && (mintsBlock(t) || blockShapedText(t))
+        wrap match {
+          case Wrap.Keep => return None
+          case Wrap.No =>
+            val joined = ws.mkString(" ")
+            if (headHazard(u.prefix + joined) || paraMints(joined)) return None
+            out += u.prefix + joined
+          case Wrap.Width(c) =>
+            val filled = fillWords(ws, math.max(1, c - u.col))
+            // a filled continuation must stay plain in both spellings —
+            // else the next pass reads different block structure
+            if (filled.tail.exists(t => mintsBlock(t) || blockShapedText(t)))
+              return None
+            if (paraMints(filled.head)) return None
+            val h = u.prefix + filled.head
+            if (!isPara && headHazard(h)) return None
+            out += h
+            filled.tail.foreach(t => out += (" " * u.col) + t)
+        }
       }
     }
     Some(out.result())
   }
 
   /** `--wrap` for a loose run's continuation PARAGRAPH block: every
-    * line indented exactly three spaces (the only column where an
-    * indented paragraph block exists — four or more reads as indented
-    * code, two belongs to bullet levels whose run-break hazard keeps
-    * it byte-stable) with plain content in both spellings. Re-fills at
-    * the column with the fill width reduced by it, like the list fill;
-    * the renumberer has already re-indented the block to its output
-    * column, and the filled lines keep it, so the next pass re-forms
-    * the same run and re-derives the same fill. */
+    * line indented exactly N >= 2 spaces (r15 — previously exactly 3;
+    * the loose-column generalization gives bullet-level 2-column and
+    * wide-marker 4+-column continuation blocks the same treatment, and
+    * any 4+-column TEXT block can only have come from the renderer's
+    * loose-continuation path — orphan 4+-column blocks are indented
+    * code and never text) with plain content in both spellings.
+    * Re-fills at the column with the fill width reduced by it, like
+    * the list fill; the renumberer has already re-indented the block
+    * to its output column, and the filled lines keep it, so the next
+    * pass re-forms the same run and re-derives the same fill. */
   private def wrapIndentedParagraph(b: Vector[String], wrap: Wrap): Vector[String] = {
-    val eligible = b.nonEmpty && b.forall { l =>
-      l.startsWith("   ") && l.length > 3 && !l.charAt(3).isWhitespace &&
+    if (b.isEmpty) return b
+    val n = leadWs(b.head).length
+    val eligible = n >= 2 && b.forall { l =>
+      l.length > n && l.startsWith(" " * n) && !l.charAt(n).isWhitespace &&
         !l.endsWith("\\") && !l.contains("|") && {
-          val t = l.substring(3)
+          val t = l.substring(n)
           !(blockShapedText(t) || mintsBlock(t)) && itemContentCol(l) < 0
         }
     }
     if (!eligible) return b
-    val words = b.flatMap(_.substring(3).split("\\s+")).filter(_.nonEmpty)
+    val words = b.flatMap(_.substring(n).split("\\s+")).filter(_.nonEmpty)
     if (words.isEmpty) return b
     def checked(out: Vector[String]): Vector[String] =
       if (out.exists { l =>
-        val t = l.substring(3)
+        val t = l.substring(n)
         mintsBlock(t) || blockShapedText(t)
       }) b else out
+    val pad = " " * n
     wrap match {
       case Wrap.Keep => b
-      case Wrap.No => checked(Vector("   " + words.mkString(" ")))
+      case Wrap.No => checked(Vector(pad + words.mkString(" ")))
       case Wrap.Width(c) =>
-        checked(fillWords(words, math.max(1, c - 3)).map("   " + _))
+        checked(fillWords(words, math.max(1, c - n)).map(pad + _))
     }
   }
 
@@ -1348,7 +1530,7 @@ object MdFormatLite {
                             cleanRenumber: Boolean): Vector[String] =
     if (b.exists(l => OrderedItemRe.matches(l) || BulletRe.matches(l))) {
       if (cleanRenumber) wrapListBlock(b, wrap).getOrElse(b) else b
-    } else if (b.exists(_.startsWith("   "))) {
+    } else if (b.exists(_.startsWith("  "))) {
       if (cleanRenumber) wrapIndentedParagraph(b, wrap) else b
     } else wrapParagraph(b, wrap)
 
@@ -1508,18 +1690,51 @@ object MdFormatLite {
     // DEFERS on this signal is guaranteed to reach renumberNested
     // through the run whose level state it needs.
     var runHasItems = false
-    // r14 LOOSE DEFER: an indented (>= 3 columns) block-syntax line
-    // opening its own block inside a live loose run is ITEM CONTENT
-    // (mdformat renders it at the item's content column) — it stays in
-    // the paragraph stream for renumberNested's block-in-item rules
-    // instead of hoisting to a column-0 block that would split the
-    // list. The loose analog of the tight paraItemMin guards; the
-    // renumberer's runStable gates decide whether the rendered column
-    // is reclaimable, bailing byte-stable when not.
+    // r15: the live run's minimum OUTPUT-STABLE item content column
+    // ([[stableHeadCol]]) — the generalization that lets bullet-level
+    // (2-column) and wide-marker (4+-column) geometries participate in
+    // the loose machinery the ordered 3-column case always had. The
+    // grouper's defer/carry thresholds derive from it (a 2-column quote
+    // under a bullet run is item content; under an ordered run it
+    // interrupts the list), and the renderer mirrors it sequentially
+    // from the RENDERED block-head item columns (runStableMinOut), so
+    // both passes judge the same line the same way — folding any
+    // non-stable column would flip decisions between a pass and its
+    // re-parse (three fuzz-found classes: "021. a\n   * c\n\n    .",
+    // ">\n - b\n\n  ```\n  ```\n." and "5. b\n\n - a\n\n  p\n_").
+    var runItemMinStable = Int.MaxValue
+    // the defer/carry indent threshold: a line (or block head) at or
+    // beyond this many SPACE columns stays with the run. Capped at 3 —
+    // deeper thresholds would exclude the 3-column shapes the ordered
+    // machinery relies on — and floored by the run's shallowest stable
+    // item content column (2 for bullet-headed runs).
+    def runThr: Int =
+      if (runItemMinStable == Int.MaxValue) 3
+      else math.min(3, runItemMinStable)
+    // r14 LOOSE DEFER (r15: threshold generalized from the literal 3 to
+    // runThr): an indented block-syntax line opening its own block
+    // inside a live loose run is ITEM CONTENT (mdformat renders it at
+    // the item's content column) — it stays in the paragraph stream for
+    // renumberNested's block-in-item rules instead of hoisting to a
+    // column-0 block that would split the list. The loose analog of the
+    // tight paraItemMin guards; the renumberer's next-pass-state gates decide
+    // whether the rendered column is reclaimable, bailing byte-stable
+    // when not.
     def looseDefer(l: String): Boolean =
-      runHasItems && colWidth(leadWs(l)) >= 3 &&
+      runHasItems && colWidth(leadWs(l)) >= runThr &&
         (para.isEmpty ||
-          (paraItemMin == Int.MaxValue && para.forall(_.startsWith("   "))))
+          (paraItemMin == Int.MaxValue && para.forall(_.startsWith(" " * runThr))))
+    // r15: a blank-separated line whose indent reaches the run's
+    // (output-stable) item content column but stays under content + 4 is
+    // the open item's CONTINUATION PARAGRAPH per CommonMark, not
+    // indented code — the wide-marker ("10. " = 4 columns) and
+    // one-to-three-extra-column cases the unconditional >= 4 code claim
+    // used to swallow, breaking the run.
+    def looseContinuationCol(l: String): Boolean =
+      runHasItems && runItemMinStable != Int.MaxValue && {
+        val w = colWidth(leadWs(l))
+        w >= runItemMinStable && w < runItemMinStable + 4
+      }
     def paraAdd(l: String): Unit = {
       val c = itemContentCol(l)
       if (c >= 0) paraItemMin = math.min(paraItemMin, c)
@@ -1529,9 +1744,15 @@ object MdFormatLite {
       if (para.nonEmpty) {
         blocks += ((para, true))
         val h = para.head
-        if (OrderedItemRe.matches(h) || BulletRe.matches(h)) runHasItems = true
-        else if (!h.startsWith("   ")) runHasItems = false
-        // a contish ("   "-led) block carries the run state through
+        if (OrderedItemRe.matches(h) || BulletRe.matches(h)) {
+          if (!runHasItems) runItemMinStable = stableHeadCol(h)
+          runHasItems = true
+        } else if (!h.startsWith(" " * runThr)) {
+          runHasItems = false
+          runItemMinStable = Int.MaxValue
+        }
+        // else: a contish (threshold-indented) block carries the run
+        // state through unchanged
         para = Vector.empty
       }
       paraItemMin = Int.MaxValue
@@ -1540,7 +1761,10 @@ object MdFormatLite {
     // (>= 6 columns everywhere), which renumberLoose lets ride
     def addBlock(b: Vector[String], keepsRun: Boolean = false): Unit = {
       blocks += ((b, false))
-      if (!keepsRun) runHasItems = false
+      if (!keepsRun) {
+        runHasItems = false
+        runItemMinStable = Int.MaxValue
+      }
     }
     // R8h opener test: when lines(at) opens an item-nested fenced region
     // of the open para's list, the region's CLOSER index; -1 otherwise
@@ -1593,9 +1817,13 @@ object MdFormatLite {
         b._2 && b._1.nonEmpty &&
           (OrderedItemRe.matches(b._1.head) || BulletRe.matches(b._1.head))
       // a block that could be a loose item's continuation paragraph:
-      // starts at or beyond the minimum possible content column (3)
-      def contish(b: (Vector[String], Boolean)): Boolean =
-        b._2 && b._1.nonEmpty && b._1.head.startsWith("   ")
+      // starts at or beyond the run's extension threshold — min(3, the
+      // shallowest OUTPUT-STABLE item content column seen so far in the
+      // run, [[stableHeadCol]]), the renumber-side mirror of the
+      // grouper's runThr (r15: previously the literal 3, which excluded
+      // bullet-level 2-column blocks)
+      def contish(b: (Vector[String], Boolean), thr: Int): Boolean =
+        b._2 && b._1.nonEmpty && b._1.head.startsWith(" " * thr)
       // an indented-CODE block rides a loose run VERBATIM (round 13):
       // every non-blank line at >= 6 columns — at or beyond a 2-column
       // bullet's content column + 4 — so items after it keep
@@ -1778,9 +2006,13 @@ object MdFormatLite {
       }
       while (idx < bs.length) {
         if (orderedish(bs(idx))) {
+          // the run's FIRST head fixes the extension threshold for the
+          // whole run — the grouper's one stable witness, mirrored
+          val runMin = stableHeadCol(bs(idx)._1.head)
+          val thr = if (runMin == Int.MaxValue) 3 else math.min(3, runMin)
           var j = idx + 1
           while (j < bs.length &&
-              (orderedish(bs(j)) || contish(bs(j)) || codeish(bs(j)))) j += 1
+              (orderedish(bs(j)) || contish(bs(j), thr) || codeish(bs(j)))) j += 1
           processRun((idx until j).map(bs).toVector, depth = 3)
           idx = j
         } else {
@@ -1834,13 +2066,17 @@ object MdFormatLite {
             !tableRowStops(lines(j))) { rows += lines(j); j += 1 }
         addBlock(renderTable(l, lines(i + 1), rows.result()))
         i = j
-      } else if (para.isEmpty && isIndentedCode(l)) {
+      } else if (para.isEmpty && isIndentedCode(l) && !looseContinuationCol(l)) {
         // indented CODE block: verbatim — its bytes are not text tokens,
         // so the escape pass must never touch them. Blank runs followed
         // by more indented lines stay inside the block. (A DOCUMENT-
         // leading indented line cannot reach here: the input pre-strip
         // removed its indent, mirroring what the trailing .strip() would
-        // have done to the rendered code block.)
+        // have done to the rendered code block.) r15: a line within
+        // [runItemMin, runItemMin + 4) columns of a live loose run is
+        // the open item's continuation paragraph, NOT code (CommonMark
+        // measures the code threshold from the item's content column) —
+        // it stays in the paragraph stream.
         val code = Vector.newBuilder[String]
         var j = i
         var done = false
@@ -1860,8 +2096,8 @@ object MdFormatLite {
       } else if (para.nonEmpty && para.forall(p => !p.trim.startsWith("- ") &&
           !p.startsWith(">") && !OrderedItemRe.matches(p)) &&
           (SetextH1Re.matches(l) || SetextH2Re.matches(l)) &&
-          !(runHasItems && para.forall(_.startsWith("   ")) &&
-            colWidth(leadWs(l)) >= 3)) {
+          !(runHasItems && para.forall(_.startsWith(" " * runThr)) &&
+            colWidth(leadWs(l)) >= runThr)) {
         // (the r14 exclusion: an indented paragraph + underline inside a
         // live loose run is an ITEM's setext heading — both stay in the
         // paragraph stream for renumberNested's join rule, instead of

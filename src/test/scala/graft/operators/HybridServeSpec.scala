@@ -655,26 +655,20 @@ class HybridServeSpec extends SparkSpec {
     }
   }
 
-  test("a stale frame that does not match the stored rows RAISES from the adjusted index instead of masking the corruption") {
+  test("a stale frame that does not match the stored rows FAILS FAST at remove() time instead of masking the corruption") {
     val (ivf, pq) = tinyModels(embeddings)
     val full = HybridServe.buildWith(corpus, "doc_id", "text",
       embeddings, "vec_id", "embedding", ivf, pq)
     // doc 2 as stored is "spark scan" (cf contribution 1 to "spark"); the
     // caller hands a WRONG text whose subtraction would drive "spark"'s
-    // cf negative — pre-r14 a df>=1 filter silently dropped such rows
-    val corrupted = HybridServe.remove(full,
+    // cf negative — pre-r14 a df>=1 filter silently dropped such rows,
+    // r14 raised lazily from the first downstream action, r15's
+    // driver-side adjustment fails fast in remove()'s own guard pass
+    val e = intercept[IllegalArgumentException](HybridServe.remove(full,
       Seq((2L, "spark spark spark spark scan")).toDF("doc_id", "text"),
-      "doc_id", "text")
-    // the raise lives in the adjusted df/cf columns, so any action that
-    // evaluates the stats trips it — save and serve both do (a bare
-    // count() would prune the columns and see nothing, which is fine:
-    // a count doesn't consume the corrupt stats)
-    val e = intercept[Exception](corrupted.index.queryExecution.toRdd.count())
+      "doc_id", "text"))
     assert(e.getMessage != null && e.getMessage.contains("AS STORED"),
-      s"expected the stale-mismatch raise, got: $e")
-    val e2 = intercept[Exception](slackServeRows(corrupted))
-    assert(e2.getMessage != null && e2.getMessage.contains("AS STORED"),
-      s"expected the stale-mismatch raise from serve, got: $e2")
+      s"expected the stale-mismatch failure, got: $e")
   }
 
   // ---- round-15: loss ledger, tombstones, merge cap, cells contract ----

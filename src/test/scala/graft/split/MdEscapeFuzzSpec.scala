@@ -186,7 +186,28 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
         // count-changing item-nested quote recursion under wrap (the
         // lifted 1:1 gate composing with the wrap modes)
         "1. a\n   > t\n   > ===\n2. b",
-        "1. a\n   > q [b]\n   > > deep\n2. c"); m <- modes) {
+        "1. a\n   > q [b]\n   > > deep\n2. c",
+        // r15 wrap extensions: bullet 2-column and wide 4-column loose
+        // continuations fill, nested levels fill at their own columns,
+        // block-shaped heads stay verbatim with separate paragraph units
+        "- aa\n\n  ff gg hh ii jj kk\n\n- bb",
+        "10. aa\n\n    ff gg hh ii jj\n\n12. b",
+        "1. aa bb cc dd ee ff\n   - gg hh ii jj kk ll mm nn",
+        "1. aa bb\n   - cc dd\n   ee ff gg hh",
+        "1. # h\n   cont more words here",
+        // r15 output-stable run-witness classes (normalize-level, pinned
+        // under wrap too since the fill composes with the renumber)
+        "021. a\n   * c\n\n    .",
+        ">\n 3. x\n\n    .",
+        ">\n - b\n\n  ```\n  ```\n.",
+        "5. b\n\n - a\n\n  p\n_",
+        "1. a\n- a\n\n   p\n\n- b\n\n  ```\n  ```\n.",
+        "2. b\n* c\n\n   .\n\n\t\\\n|",
+        // r15 escaped-break paragraph-state class (raw break bails via a
+        // lazy '=', escapes to \*\*\* — both spellings must leave the
+        // same paragraph state behind)
+        "- b\n\t___\n=",
+        "2. b\n   ```\n   ```\n\t***\n="); m <- modes) {
       val once = MdFormatLite.normalize(s, m)
       assert(MdFormatLite.normalize(once, m) == once,
         s"wrap $m pin: " + s.replace("\\", "\\\\").replace("\n", "\\n"))

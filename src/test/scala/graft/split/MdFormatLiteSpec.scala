@@ -349,12 +349,15 @@ class MdFormatLiteSpec extends AnyFunSuite {
     // laziness reaches the DEEPEST open item's paragraph
     assert(MdFormatLite.normalize("1. a\n   4. b\n  z")
       == "1. a\n   4. b\n      z")
-    // an under-indented setext shape stays byte-stable: a dash run is a
-    // break interrupting the list, and a lazy '=' run — CommonMark
-    // absorbs it as paragraph text — cannot re-indent to the content
-    // column without BECOMING an underline there (r14 note)
+    // an under-indented DASH run stays byte-stable (a break interrupting
+    // the list); a lazy '=' run is ABSORBED as the item paragraph's text
+    // (a setext underline cannot be lazy, CommonMark) and renders at the
+    // content column in its escaped spelling — the raw bytes there would
+    // BE an underline next pass (r15; the r14 bail is lifted)
     assert(MdFormatLite.normalize("2. a\n---") == "2. a\n---")
-    assert(MdFormatLite.normalize("2. a\n===") == "2. a\n===")
+    assert(MdFormatLite.normalize("2. a\n===") == "2. a\n   \\===")
+    // ...and a later real underline joins the absorbed text into the head
+    assert(MdFormatLite.normalize("1. aa\nbb\n  ===\n   ---") == "1. ## aa bb ===")
     // tab continuation (R8g): 4-column stop = content col 3 + 1 extra,
     // renders at the content column in spaces
     assert(MdFormatLite.normalize("2. a\n\tcont\n5. b") == "2. a\n   cont\n2. b")
@@ -815,12 +818,53 @@ class MdFormatLiteSpec extends AnyFunSuite {
     // heading (was: a hoisted column-0 '## p')
     assert(MdFormatLite.normalize("1. a\n\n   p\n   ---\n\n5. b")
       == "1. a\n\n   ## p\n\n1. b")
-    // conservative bails hold: bullet content column (2) and wide-marker
-    // columns (4+) pass through byte-stable / hoist as before
+    // r15: the bullet-level (2-column) and wide-marker (4+-column)
+    // content columns participate too — the r14 conservative bails are
+    // lifted (the run threshold generalizes via stableHeadCol)
     assert(MdFormatLite.normalize("10. a\n\n    ***\n\n12. b")
-      == "10. a\n\n    ***\n\n12. b")
+      == s"10. a\n\n    $hr\n\n10. b")
     assert(MdFormatLite.normalize("- a\n\n  ***\n- b")
-      == s"- a\n\n$hr\n\n- b")
+      == s"- a\n\n  $hr\n- b")
+    assert(MdFormatLite.normalize("- a\n\n  > q\n\n- b")
+      == "- a\n\n  > q\n\n- b")
+    assert(MdFormatLite.normalize("- a\n\n  # h\n\n- b")
+      == "- a\n\n  # h\n\n- b")
+    assert(MdFormatLite.normalize("- a\n\n  p\n  ===\n- b")
+      == "- a\n\n  # p\n- b")
+    assert(MdFormatLite.normalize("- a\n\n  |k|v|\n  |-|-|\n\n- b")
+      == "- a\n\n  | k   | v   |\n  | --- | --- |\n\n- b")
+    // wide-marker loose continuation paragraphs attach and renumber
+    // (previously an indented-code claim broke the run)...
+    assert(MdFormatLite.normalize("10. a\n\n    p\n\n12. b")
+      == "10. a\n\n    p\n\n10. b")
+    // ...and one-to-three extra columns re-indent to the content column
+    assert(MdFormatLite.normalize("1. a\n\n    p\n\n2. b")
+      == "1. a\n\n   p\n\n1. b")
+    assert(MdFormatLite.normalize("- a\n\n    p\n\n- b")
+      == "- a\n\n  p\n\n- b")
+    // the code-vs-continuation boundary is judged ONLY against
+    // output-stable item columns: a deep non-canonical item must not
+    // flip a following block from code (pass 1) to continuation
+    // (pass 2) — the fuzz-found class
+    assert(MdFormatLite.normalize("021. a\n   * c\n\n    .")
+      == "021. a\n- c\n\n    .")
+    // r15 wrap extensions: bullet 2-column and wide 4-column loose
+    // continuation paragraphs re-fill; nested levels fill at their own
+    // content columns; a block-shaped item rest stays verbatim and the
+    // continuation after it fills as its OWN paragraph (never merged
+    // into the heading)
+    val w12 = MdFormatLite.Wrap.Width(12)
+    assert(MdFormatLite.normalize("- aa\n\n  ff gg hh ii jj kk\n\n- bb", w12)
+      == "- aa\n\n  ff gg hh\n  ii jj kk\n\n- bb")
+    assert(MdFormatLite.normalize("10. aa\n\n    ff gg hh ii jj\n\n12. b", w12)
+      == "10. aa\n\n    ff gg hh\n    ii jj\n\n10. b")
+    assert(MdFormatLite.normalize(
+        "1. aa bb cc dd ee ff\n   - gg hh ii jj kk ll mm nn", w12)
+      == "1. aa bb cc\n   dd ee ff\n   - gg hh\n     ii jj\n     kk ll\n     mm nn")
+    assert(MdFormatLite.normalize("1. aa bb\n   - cc dd\n   ee ff gg hh", w12)
+      == "1. aa bb\n   - cc dd\n   ee ff gg\n   hh")
+    assert(MdFormatLite.normalize("1. # h\n   cont more words here", w12)
+      == "1. # h\n   cont more\n   words\n   here")
     // an item inside the block re-instates the tight reclaim rule: a
     // quote below the item's content column stays byte-stable
     assert(MdFormatLite.normalize("9. d\n   ```\n   ```\n\n\t0. w\n\t>")

@@ -1435,6 +1435,75 @@ object TextQ {
         |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
         |FROM e ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q131_mdformat_wrap2",
+      // r15 wrap/loose extensions (F11) under oracle coverage, seven
+      // legs: (A) `no` joins a BULLET's 2-column loose continuation
+      // block (the generalized wrapIndentedParagraph; symbolic — joins
+      // are length-independent); (B) `12` re-fills that 2-column block
+      // (fill width 12-2); (C) `12` fills NESTED levels — the outer
+      // ordered item at 12-3 and the nested bullet at its own 12-5
+      // column (wrapListBlock's level stack); (D) `12` fills a
+      // WIDE-MARKER 4-column loose continuation (previously an
+      // indented-code claim broke the run; now it attaches, fills at
+      // 12-4, and the trailing item renumbers); (E) `no` keeps a
+      // block-shaped item rest ("# h") verbatim and joins the following
+      // continuation as its OWN paragraph unit (never merged into the
+      // heading); (F) keep-mode LAZY '=' absorption — the underline
+      // cannot be lazy, so it renders as escaped paragraph text at the
+      // content column; (G) keep-mode 2-column loose setext inside a
+      // bullet item joins to the item's ATX heading instead of hoisting
+      // to column 0. Hash compare like q63/q118-q128.
+      (s, d) => {
+        val w = split(col("text"), "\\s+")
+        val mdA = concat(lit("- a "), element_at(w, 1),
+          lit("\n\n  cc dd\n  ee\n\n- b"))
+        val mdB = lit("- aa\n\n  ff gg hh ii jj kk\n\n- bb")
+        val mdC = lit("1. aa bb cc dd ee ff\n   - gg hh ii jj kk ll mm nn")
+        val mdD = lit("10. aa\n\n    ff gg hh ii jj\n\n12. b")
+        val mdE = concat(lit("1. # h\n   cont more\n   words "),
+          element_at(w, 2), lit("\n2. z"))
+        val mdF = lit("2. lazy one\n===")
+        val mdG = lit("- a\n\n  p\n  ===\n- b")
+        val fmtUdf = udf((m: String, mode: String) => {
+          val wr = mode match {
+            case "keep" => graft.split.MdFormatLite.Wrap.Keep
+            case "no"   => graft.split.MdFormatLite.Wrap.No
+            case n      => graft.split.MdFormatLite.Wrap.Width(n.toInt)
+          }
+          graft.split.MdFormatLite.normalize(m, wr)
+        })
+        docs(s, d)
+          .select(col("doc_id"),
+            concat(fmtUdf(mdA, lit("no")), lit("\n====\n"),
+              fmtUdf(mdB, lit("12")), lit("\n====\n"),
+              fmtUdf(mdC, lit("12")), lit("\n====\n"),
+              fmtUdf(mdD, lit("12")), lit("\n====\n"),
+              fmtUdf(mdE, lit("no")), lit("\n====\n"),
+              fmtUdf(mdF, lit("keep")), lit("\n====\n"),
+              fmtUdf(mdG, lit("keep"))).as("canon"))
+          .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
+            length(col("canon")).cast("long").as("canon_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $W AS t FROM documents),
+        |e AS (SELECT doc_id,
+        |  '- a ' || t[1] || chr(10) || chr(10) || '  cc dd ee' || chr(10) || chr(10) || '- b' || chr(10) ||
+        |  '====' || chr(10) ||
+        |  '- aa' || chr(10) || chr(10) || '  ff gg hh' || chr(10) || '  ii jj kk' || chr(10) || chr(10) || '- bb' || chr(10) ||
+        |  '====' || chr(10) ||
+        |  '1. aa bb cc' || chr(10) || '   dd ee ff' || chr(10) || '   - gg hh' || chr(10) || '     ii jj' || chr(10) || '     kk ll' || chr(10) || '     mm nn' || chr(10) ||
+        |  '====' || chr(10) ||
+        |  '10. aa' || chr(10) || chr(10) || '    ff gg hh' || chr(10) || '    ii jj' || chr(10) || chr(10) || '10. b' || chr(10) ||
+        |  '====' || chr(10) ||
+        |  '1. # h' || chr(10) || '   cont more words ' || t[2] || chr(10) || '1. z' || chr(10) ||
+        |  '====' || chr(10) ||
+        |  '2. lazy one' || chr(10) || '   \\===' || chr(10) ||
+        |  '====' || chr(10) ||
+        |  '- a' || chr(10) || chr(10) || '  # p' || chr(10) || '- b' AS canon
+        |  FROM w)
+        |SELECT doc_id, sha256(canon) AS canon_sha, CAST(length(canon) AS BIGINT) AS canon_len
+        |FROM e ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q65_minhash_union",
       // The typed UDAF (Aggregator via udaf, §2.14) under oracle coverage:
       // per-source MinHash union — elementwise min of the per-doc

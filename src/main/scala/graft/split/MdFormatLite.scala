@@ -95,24 +95,35 @@ package graft.split
   *      setext paragraph opening its own block inside a live loose
   *      run stays in the paragraph stream and renders at the item's
   *      content column (those shapes used to hoist to a column-0
-  *      block that SPLIT the list), gated on the run-level stability
-  *      carry plus an item-less contish-pure block (the state the
-  *      next pass's defer re-derives); bullet-level (2-column) and
-  *      wide-marker (4+-column) variants stay conservative.
+  *      block that SPLIT the list), gated on an item-less
+  *      contish-pure block plus the renderer's SIMULATION of the next
+  *      pass's grouper run state (r15 — the state the next pass's
+  *      defer re-derives, block by block; a simulated mid-run death
+  *      means the rendered bytes would re-group as different runs, so
+  *      the run bails byte-stable). Round 15 generalizes the run
+  *      threshold from the ordered 3-column geometry to bullet-level
+  *      (2-column) and wide-marker (4+-column) content columns, keyed
+  *      on the run's one OUTPUT-STABLE witness (its first block
+  *      head's column — stableHeadCol), and re-reads blank-separated
+  *      paragraphs within [contentCol, contentCol+4) of a live run as
+  *      the item's continuation instead of indented code. LAZY '='
+  *      runs in item content absorb as paragraph text (an underline
+  *      cannot be lazy) rendered escape-spelled at the content
+  *      column; escaped/entity '*'/'_' BREAK spellings render as
+  *      plain text under the raw break's own gates.
   *      Shapes whose rendered column the next pass would not reclaim
   *      (no same-block item at or below that column, no loose
   *      reclaim), under-indented
-  *      or unclosed fences, lazy setext shapes, bare '-'/'--' with no
+  *      or unclosed fences, bare '-'/'--' with no
   *      paragraph (an empty-bullet reading), pipe-bearing setext
-  *      joins near tables, and fence/break escaped spellings pass
+  *      joins near tables, and fence escaped spellings pass
   *      through byte-stable
   *      or fall back to item-only renumbering (divergence). Fences in
   *      LOOSE items (blank line between the item and the fence) carry
   *      too: the run's scanner state rides across blocks, valid while
-  *      every rendered block head re-enters the run (items, or >= 3
-  *      columns of indent) — a loose fence under a 2-column bullet
-  *      level, or one with internal blank lines (its block cannot hold
-  *      together without items above), stays pass-through.
+  *      every rendered block head re-enters the simulated run — one
+  *      with internal blank lines (its block cannot hold
+  *      together without items above) stays pass-through.
   *  R9. bracket escape normalization: [ and ] in TEXT — not part of a
   *      complete inline/reference link or image, not in a code span, not
   *      already escaped — render as \[ \] (mdformat's text renderer
@@ -158,16 +169,18 @@ package graft.split
   * `node.markup` — markers are preserved, not rewritten); remaining gaps
   * are the narrow conservative bails listed under R8h (lazy setext
   * shapes, bare short dash runs without a paragraph, pipe-bearing
-  * setext joins near tables, fence/'*'-break escaped spellings,
+  * setext joins near tables, fence escaped spellings,
   * loose-block dash runs — each byte-stable pass-through or item-only
   * renumbering). Paragraph re-wrapping (mdformat `--wrap no|N`) is
   * implemented behind the [[Wrap]] knob on the [[normalize]] overload
   * — default [[Wrap.Keep]] matches mdformat's default and leaves every
   * oracle untouched; top-level paragraphs, quote content — top-level
   * AND item-nested (width reduced by the cumulative marker indent) —
-  * simple list items, and 3-column loose continuation blocks
-  * re-fill, while bullet-level continuations and nested levels keep
-  * source breaks (divergence).
+  * simple list items INCLUDING nested levels (r15, a level stack
+  * mirroring the renumberer's attach rules), and loose continuation
+  * blocks at any uniform column >= 2 re-fill; block-shaped item rests
+  * stay verbatim with their continuations filled as separate
+  * paragraph units.
   * Table cells render through the mdformat-tables path (R6), not the
   * text-escape pass.
   */
@@ -976,7 +989,35 @@ object MdFormatLite {
               return None
             out += (" " * top.outContentCol) + text
             paraOpen(top, text)
-          } else return None // bare '-'/'--', no paragraph: empty-item ambiguity
+          } else {
+            // bare '-'/'--' with NO open paragraph (r15 — the r14
+            // empty-item bail, resolved): a lone '-' is an EMPTY nested
+            // bullet item (CommonMark: a list marker needs no content —
+            // it opens a level at the parent's content column and
+            // renders bare), and '--' (or any longer dash run HrRe
+            // rejected) is plain TEXT opening the item's next paragraph
+            // (it cannot be an underline with no paragraph, a break
+            // needs 3+ dashes, and a marker needs a following space).
+            // Both ONLY with a same-block item above: in an item-less
+            // block the next pass's top-level setext branch would claim
+            // the rendered dash run as the indented paragraph's
+            // underline (the '='-run branch's exact hazard).
+            if (outBlockMin == Int.MaxValue) return None
+            if (text == "-") {
+              levelFor(w, bullet = true, "", "-") match {
+                case None => return None
+                case Some(lv) =>
+                  // no trailing space (trailing whitespace strips), no
+                  // outBlockMin update (the next pass's grouper sees no
+                  // item-content column in a bare marker), no paragraph
+                  out += (" " * lv.outIndent) + "-"
+                  paraReset()
+              }
+            } else {
+              out += (" " * top.outContentCol) + text
+              paraOpen(top, text)
+            }
+          }
         } else {
           flushQuotes()
           // RAW block-syntax-shaped content that no branch above claimed
@@ -2080,11 +2121,19 @@ object MdFormatLite {
         val code = Vector.newBuilder[String]
         var j = i
         var done = false
+        // r15: the blank-run absorption must stop BEFORE a line the
+        // loose-continuation rule claims as the open item's paragraph —
+        // absorbing it into the code block would classify the same
+        // bytes code on one pass and paragraph on the next (fuzz-found
+        // "12. b\n\n\t\t_\n   d\n2. x": the rendered "    d" landed
+        // inside the tab-code block's blank run)
         while (!done) {
-          while (j < lines.length && isIndentedCode(lines(j))) { code += lines(j); j += 1 }
+          while (j < lines.length && isIndentedCode(lines(j)) &&
+              !looseContinuationCol(lines(j))) { code += lines(j); j += 1 }
           var k = j
           while (k < lines.length && lines(k).isEmpty) k += 1
-          if (k > j && k < lines.length && isIndentedCode(lines(k))) {
+          if (k > j && k < lines.length && isIndentedCode(lines(k)) &&
+              !looseContinuationCol(lines(k))) {
             (j until k).foreach(x => code += lines(x))
             j = k
           } else done = true

@@ -56,7 +56,12 @@ object MdFuzz {
     "021. a\n   * c\n\n    .\n", ">\n 3. x\n\n    .\n",
     ">\n - b\n\n  ```\n  ```\n.\n", " 21. a\n\n     p\n\n 9. b\n",
     "- a\n\n  p q r\n\n- b\n", "10. a\n\n    ***\n\n12. b\n",
-    "- a\n\n   p\n\n- b\n", "- a\n\n  1. z\n\n- b\n", "  - a\n\n  > q\n")
+    "- a\n\n   p\n\n- b\n", "- a\n\n  1. z\n\n- b\n", "  - a\n\n  > q\n",
+    // r15 bare '-'/'--' empty-bullet / plain-text resolution shapes
+    "1. a\n   ```\n   ```\n   -\n", "- x\n  ```\n  ```\n  -\n",
+    "1. a\n   ```\n   ```\n   --\n2. b\n",
+    "1. a\n   ```\n   ```\n   -\n     x\n", "1. a\n   -\n   ---\n",
+    "1. a\n   ```\n   ```\n   --\n   ---\n", "2. b\n    >\n   -\n")
   private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123=\t|:~"
 
   def main(args: Array[String]): Unit = {

@@ -774,6 +774,41 @@ class HybridServeSpec extends SparkSpec {
       .toSet.contains(("scan", 4L, 0L)))
   }
 
+  test("within the slack budget, remove-then-ingest serves EXACTLY like a from-scratch build over survivors + batch (the capped merge preserves the trusted prefix)") {
+    val (ivf, pq) = tinyModels(slackEmbeddings)
+    val cfg = HybridServe.BuildConfig(champM = 1, champSlack = 1)
+    val full = HybridServe.buildWith(slackCorpus, "doc_id", "text",
+      slackEmbeddings, "vec_id", "embedding", ivf, pq, cfg)
+    // remove champion doc 3 ("scan" spends 1 of its slack budget), then
+    // ingest two new docs mentioning the touched term — the merged list
+    // caps at m+s-loss = 1, which is still >= champM, so serving stays
+    // EXACT against a from-scratch build of the union
+    val removed = HybridServe.remove(full, slackCorpus.filter($"doc_id" === 3),
+      "doc_id", "text")
+    val batch = Seq((7L, "scan stream extra"), (8L, "spark fresh"))
+      .toDF("doc_id", "text")
+    val batchEmb = Seq(
+      (7L, Array(0.3f, 0.4f, 0.5f, 0.6f)),
+      (8L, Array(0.7f, 0.2f, 0.3f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val merged = HybridServe.ingest(removed, batch, "doc_id", "text",
+      batchEmb, "vec_id", "embedding")
+    val unionCorpus = slackCorpus.filter($"doc_id" =!= 3).unionByName(batch)
+    val unionEmb = slackEmbeddings.filter($"vec_id" =!= 3).unionByName(batchEmb)
+    val fromScratch = HybridServe.buildWith(unionCorpus, "doc_id", "text",
+      unionEmb, "vec_id", "embedding", ivf, pq, cfg)
+    val got = slackServeRows(merged)
+    assert(got.nonEmpty)
+    assert(got == slackServeRows(fromScratch),
+      s"remove+ingest diverged from from-scratch union:\n$got\nvs\n${slackServeRows(fromScratch)}")
+    // nothing is degraded: the one spent slack posting is within budget
+    assert(HybridServe.compactionDue(merged).count() == 0)
+    // ...and the loss ledger survived the merge (the budget did NOT
+    // silently replenish)
+    assert(merged.index.filter($"term" === "scan").select($"loss")
+      .as[Long].collect().forall(_ == 1L))
+  }
+
   test("cells store schema contract at load: a renamed cells column fails loudly at load time, not mid-serve") {
     val root = java.nio.file.Files.createTempDirectory("graft_hybrid_cellschema").toString
     try {

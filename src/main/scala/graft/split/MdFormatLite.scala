@@ -2078,6 +2078,12 @@ object MdFormatLite {
         var j = i + 1
         while (j < lines.length && !FenceRe.matches(lines(j))) { fence += lines(j); j += 1 }
         if (j < lines.length) { fence += lines(j); j += 1 }
+        else
+          // r15: an UNCLOSED top-level fence runs to the end of the
+          // document (CommonMark) and mdformat CLOSES it in the output —
+          // append a closer matching the opener's char and run length,
+          // so the next pass reads a closed block (idempotent)
+          fence += l.takeWhile(_ == l.charAt(0))
         addBlock(fence.result())
         i = j
       } else if ({ r8hEnd = fenceRegionEnd(i); r8hEnd >= 0 }) {

@@ -61,7 +61,9 @@ object MdFuzz {
     "1. a\n   ```\n   ```\n   -\n", "- x\n  ```\n  ```\n  -\n",
     "1. a\n   ```\n   ```\n   --\n2. b\n",
     "1. a\n   ```\n   ```\n   -\n     x\n", "1. a\n   -\n   ---\n",
-    "1. a\n   ```\n   ```\n   --\n   ---\n", "2. b\n    >\n   -\n")
+    "1. a\n   ```\n   ```\n   --\n   ---\n", "2. b\n    >\n   -\n",
+    // r15 unclosed top-level fences (closer appended in output)
+    "```\nx\n", "````s\ny\n", "~~~\n", "```\n")
   private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123=\t|:~"
 
   def main(args: Array[String]): Unit = {

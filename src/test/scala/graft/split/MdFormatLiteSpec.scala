@@ -310,8 +310,10 @@ class MdFormatLiteSpec extends AnyFunSuite {
     // a plain follower after a NON-paragraph quote ending is not lazy
     // (nothing open to continue): heading ends the quote
     assert(MdFormatLite.normalize("> # h\nnext") == "> # h\n\nnext")
-    // an unclosed fence inside the quote cannot continue lazily either
-    assert(MdFormatLite.normalize("> ```\ncode") == "> ```\n\ncode")
+    // an unclosed fence inside the quote cannot continue lazily either —
+    // and r15 CLOSES it in the output (mdformat closes unclosed fences;
+    // the quote's inner document gains the closer line)
+    assert(MdFormatLite.normalize("> ```\ncode") == "> ```\n> ```\n\ncode")
     // a quote ending in a LIST absorbs a plain follower too: CommonMark
     // laziness reaches through the item container, and the inner R8e
     // pass re-indents the lazy line to the item's content column
@@ -865,6 +867,21 @@ class MdFormatLiteSpec extends AnyFunSuite {
       == "1. aa bb\n   - cc dd\n   ee ff gg\n   hh")
     assert(MdFormatLite.normalize("1. # h\n   cont more words here", w12)
       == "1. # h\n   cont more\n   words\n   here")
+    // r15: an UNCLOSED top-level fence runs to the document end and the
+    // output CLOSES it (mdformat's rendering; char and run length match
+    // the opener)
+    assert(MdFormatLite.normalize("```\nx") == "```\nx\n```")
+    assert(MdFormatLite.normalize("````scala\ny") == "````scala\ny\n````")
+    assert(MdFormatLite.normalize("~~~\nz") == "~~~\nz\n~~~")
+    // bare '-' with no open paragraph is an EMPTY nested bullet; '--' is
+    // plain text opening the item's next paragraph (r15)
+    assert(MdFormatLite.normalize("1. a\n   ```\n   ```\n   -")
+      == "1. a\n   ```\n   ```\n   -")
+    assert(MdFormatLite.normalize("1. a\n   ```\n   ```\n   --\n2. b")
+      == "1. a\n   ```\n   ```\n   --\n1. b")
+    // ...and a later underline joins the '--' paragraph into a heading
+    assert(MdFormatLite.normalize("1. a\n   ```\n   ```\n   --\n   ---")
+      == "1. a\n   ```\n   ```\n   ## --")
     // an item inside the block re-instates the tight reclaim rule: a
     // quote below the item's content column stays byte-stable
     assert(MdFormatLite.normalize("9. d\n   ```\n   ```\n\n\t0. w\n\t>")

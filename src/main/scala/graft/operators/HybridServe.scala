@@ -499,12 +499,18 @@ object HybridServe {
     }
     val adjDf = adjRows.result()
       .toDF("term", "__dfN", "__cfN", "__lossN")
-    val affectedTerms = broadcast(staleStats.select(col("term")))
+    // the affected vocabulary, as a driver-built literal: grp holds
+    // every stored term the stale batch mentions (terms in the stale
+    // text but absent from the index have no stored rows to touch), so
+    // the returned index plan re-reads ONLY the index and the stale-id
+    // distinct — never the stale batch's census
+    val affectedTerms = broadcast(
+      grp.map(_._1).toSeq.toDF("term"))
     val tagged = stored
       .join(broadcast(staleIds), col("id") === col("__sid"), "left_anti")
     // terms the stale batch never mentions pass through untouched — no
     // stats change, no rank change, no loss change, no exchange. The
-    // anti-join on the stale VOCABULARY also drops a re-removed
+    // anti-join on the affected VOCABULARY also drops a re-removed
     // tombstone term's old stats row (its refreshed tombstone, if df
     // still >= 1, re-enters below).
     val untouched = tagged.join(affectedTerms, Seq("term"), "left_anti")

@@ -1068,6 +1068,15 @@ object MdFormatLite {
             // indent — mirror it (its column gates follow the attach)
             if (decBreak && w < stack.head.contentCol) return None
           }
+          // a separator-SHAPED continuation right under a pipe-bearing
+          // rendered line would form a TABLE HEAD next pass when the
+          // pair's rendered indents escape the grouper's item-content
+          // guard (fuzz-found: a marker-switched item head de-indented
+          // to column 0 under a paraItemMin-2 block, turning "5. |" +
+          // "-|" into a claimed table) — not representable 1:1, so the
+          // run passes through byte-stable
+          if (isSep(text) && outLines.length > blockStart &&
+              outLines.last.contains("|")) return None
           // a continuation at an outer content column closes deeper
           // levels — but a LAZY (under-everything) line continues the
           // DEEPEST open item's paragraph (CommonMark laziness), so

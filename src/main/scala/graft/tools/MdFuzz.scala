@@ -63,7 +63,9 @@ object MdFuzz {
     "1. a\n   ```\n   ```\n   -\n     x\n", "1. a\n   -\n   ---\n",
     "1. a\n   ```\n   ```\n   --\n   ---\n", "2. b\n    >\n   -\n",
     // r15 unclosed top-level fences (closer appended in output)
-    "```\nx\n", "````s\ny\n", "~~~\n", "```\n")
+    "```\nx\n", "````s\ny\n", "~~~\n", "```\n",
+    // r15 table-head minting / code-absorption boundary classes
+    " 1. z\n- b\n  5. |\n-|\n", "12. b\n\n\t\t_\n   d\n2. x\n")
   private val chars = "abAB \n\n*_[]<>`&\\*_[]<>`&\\.-)#!0123=\t|:~"
 
   def main(args: Array[String]): Unit = {

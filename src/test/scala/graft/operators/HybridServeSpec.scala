@@ -409,6 +409,18 @@ class HybridServeSpec extends SparkSpec {
       assert(cellScans.nonEmpty)
       assert(cellScans.forall(_.partitionFilters.nonEmpty),
         cellScans.map(_.partitionFilters).toString)
+      // r15: the returned index carries NO stats aggregate — the per-term
+      // adjustment ran ONCE, driver-side, inside remove()'s bounded guard
+      // pass, so every downstream action (ingest's merge, save, serve)
+      // re-reads the index without re-running a groupBy (the r14 shape
+      // re-aggregated per action; ScaleCurve measured the upsert
+      // composition at 1.7x its legs because of it). The only aggregates
+      // left are keys-only distincts over the batch-sized stale ids.
+      val aggs = removed.index.queryExecution.sparkPlan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.nonEmpty => a
+      }
+      assert(aggs.isEmpty, aggs.map(_.nodeName).toString)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }

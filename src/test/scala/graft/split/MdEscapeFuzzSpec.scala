@@ -207,7 +207,14 @@ class MdEscapeFuzzSpec extends AnyFunSuite {
         // lazy '=', escapes to \*\*\* — both spellings must leave the
         // same paragraph state behind)
         "- b\n\t___\n=",
-        "2. b\n   ```\n   ```\n\t***\n="); m <- modes) {
+        "2. b\n   ```\n   ```\n\t***\n=",
+        // r15 table-head minting class: a marker-switched item head
+        // de-indents to column 0 over a sep-shaped continuation, and the
+        // rendered pair would re-parse as a table next pass — bails
+        "&\n\n 1. z\n- b\n  5. |\n-|",
+        // r15 code-block blank-run absorption stopping at a
+        // loose-continuation line
+        "12. b\n\n\t\t_\n   d\n2. x"); m <- modes) {
       val once = MdFormatLite.normalize(s, m)
       assert(MdFormatLite.normalize(once, m) == once,
         s"wrap $m pin: " + s.replace("\\", "\\\\").replace("\n", "\\n"))

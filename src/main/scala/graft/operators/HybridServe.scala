@@ -176,8 +176,23 @@ object HybridServe {
       // a rebuild stores every term's true top-(m+s) prefix: nothing has
       // been discarded below any list boundary yet
       .withColumn("loss", lit(0L))
-    Artifacts(requireIndexSchema(index, "buildWith"), corpus.count(),
-      ivf, pq, PqIndex.encodeCells(embeddings, vecIdCol, vecCol, ivf, pq), cfg)
+    // Both stores MATERIALIZE eagerly (r15 — the upsert localCheckpoint
+    // pattern applied at the source): a built-but-unsaved artifact set is
+    // consumed by several independent actions (a mutation's roster guard +
+    // stats pass + the serve/save itself), and each action would otherwise
+    // re-run the corpus-sized build pipeline from scratch — measured ~2
+    // full census passes per action at r15 start. Checkpointed state is
+    // index-/cells-sized (exactly what save would write), never
+    // corpus-sized; save over the checkpoint writes from cached blocks
+    // instead of re-tokenizing. The corpus count rides the index
+    // materialization via Observation-style accounting where possible —
+    // it stays a separate bounded count() action here because the index
+    // census drops docs whose text tokenizes empty.
+    Artifacts(requireIndexSchema(index, "buildWith").localCheckpoint(),
+      corpus.count(),
+      ivf, pq,
+      PqIndex.encodeCells(embeddings, vecIdCol, vecCol, ivf, pq).localCheckpoint(),
+      cfg)
   }
 
   /** [[buildWith]] with the models fitted here: IVF centroids via

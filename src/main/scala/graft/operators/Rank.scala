@@ -183,16 +183,31 @@ object Rank {
       .select(col(idCol), explode(graft.functions.Kernels.termFreqUdf(lowercase)(
         col(textCol).cast("string"))).as(Seq("term", "tf")))
       .select(col("term"), col(idCol), col("tf").cast("long").as("tf"))
-    val stats = tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-      .filter(col("df") >= minDf)
-    val champs = graft.plans.GroupTopK.topK(
-      tf, Seq("term"), Seq(col("tf").desc, col(idCol).asc), m)
-    val w = Window.partitionBy(col("term"))
-      .orderBy(col("tf").desc, col(idCol).asc)
-    champs.join(stats, Seq("term"))
-      .withColumn("rank", row_number().over(w))
-      .select(col("term"), col("df"), col("cf"), col("rank"), col(idCol), col("tf"))
+    // ONE fused pass (r15, guide §2.3/§2.4): df/cf partial sums and the
+    // k-bounded champion heap ride a single partially-aggregated
+    // groupBy(term) — previously stats and GroupTopK were two subtrees,
+    // each tokenizing the corpus and shuffling separately, joined and
+    // rank-windowed after (2 census passes + 3 exchanges + join + window
+    // -> 1 census pass + 1 exchange). Output is bit-identical: the heap
+    // drains in the exact (tf DESC, id ASC) order the window ranked.
+    val ch = tf.groupBy(col("term"))
+      .agg(championAggCol(col("tf"), col("tf"), col(idCol), Nil, m).as("__ch"))
+    ch.filter(col("__ch.df") >= minDf)
+      .select(col("term"), col("__ch.df").as("df"), col("__ch.cf").as("cf"),
+        posexplode(col("__ch.posts")).as(Seq("__pos", "__p")))
+      .select(col("term"), col("df"), col("cf"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__p.id").as(idCol), col("__p.ord").as("tf"))
+  }
+
+  /** Column wrapper over the fused [[graft.plans.ChampionAgg]] (df, cf,
+    * top-k postings in one aggregate). */
+  private def championAggCol(cf: Column, ord: Column, id: Column,
+                             payload: Seq[Column], k: Int): Column = {
+    val bridge = org.apache.spark.sql.classic.GraftPlanBridge
+    bridge.column(graft.plans.ChampionAgg(
+      bridge.staticExpr(cf), bridge.staticExpr(ord), bridge.staticExpr(id),
+      payload.map(bridge.staticExpr), k).toAggregateExpression())
   }
 
   /** The (doc count, total token count) 1-row frame behind
@@ -280,17 +295,18 @@ object Rank {
         (col("tf").cast("double") + lit(k1) *
           (lit(1 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))))).cast("long")
     val scored = census.withColumn("impact_micro", impact)
-    val stats = scored.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-      .filter(col("df") >= minDf)
-    val champs = graft.plans.GroupTopK.topK(
-      scored, Seq("term"), Seq(col("impact_micro").desc, col(idCol).asc), m)
-    val w = Window.partitionBy(col("term"))
-      .orderBy(col("impact_micro").desc, col(idCol).asc)
-    champs.join(stats, Seq("term"))
-      .withColumn("rank", row_number().over(w))
-      .select(col("term"), col("df"), col("cf"), col("rank"), col(idCol),
-        col("tf"), col("dl"), col("impact_micro"))
+    // same one-pass fusion as [[championIndex]] (r15): the impact ordering
+    // key replaces tf in the heap, (tf, dl) ride as posting payload
+    val ch = scored.groupBy(col("term"))
+      .agg(championAggCol(col("tf"), col("impact_micro"), col(idCol),
+        Seq(col("tf"), col("dl")), m).as("__ch"))
+    ch.filter(col("__ch.df") >= minDf)
+      .select(col("term"), col("__ch.df").as("df"), col("__ch.cf").as("cf"),
+        posexplode(col("__ch.posts")).as(Seq("__pos", "__p")))
+      .select(col("term"), col("df"), col("cf"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__p.id").as(idCol), col("__p.p0").as("tf"), col("__p.p1").as("dl"),
+        col("__p.ord").as("impact_micro"))
   }
 
   /** Exact merge of two [[championIndexImpact]] indexes over DISJOINT

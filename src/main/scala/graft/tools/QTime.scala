@@ -14,13 +14,17 @@ object QTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val reps = sys.env.getOrElse("QTIME_REPS", "2").toInt
     args.tail.foreach { q =>
       val fn = graft.SparkEntry.queries(q)
-      (1 to 2).foreach { i =>
+      val ts = (1 to reps).map { i =>
         val t0 = System.nanoTime()
         val n = fn(spark, d).queryExecution.toRdd.count()
-        println(f"$q rep$i ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"$q rep$i $t%8.2f s rows=$n")
+        t
       }
+      println(f"$q min ${ts.min}%8.2f s")
     }
     spark.stop()
   }

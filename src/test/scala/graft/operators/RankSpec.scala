@@ -446,10 +446,13 @@ class RankSpec extends SparkSpec {
     assert(derived.collect().toSet == pinned.collect().toSet)
   }
 
-  test("plan: championIndexImpact prunes through GroupTopK heaps like the tf variant") {
+  test("plan: championIndexImpact is the same one-pass fused aggregate as the tf variant") {
     val plan = Rank.championIndexImpact(corpus, "doc_id", "text", m = 2)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("GroupTopK"), plan.take(2000))
+    assert(planCount(plan, "champion_agg") == 2, plan.take(3000)) // partial + final
+    assert(planCount(plan, "Generate explode") == 1, plan.take(3000)) // ONE census pass
+    assert(planCount(plan, "Exchange") == 1, plan.take(3000))
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan.take(3000))
   }
 
   test("mergeChampionIndexes: validateDisjoint rejects overlapping halves, passes disjoint ones") {
@@ -467,10 +470,18 @@ class RankSpec extends SparkSpec {
     }
   }
 
-  test("plan: championIndex prunes champions through GroupTopK bounded heaps") {
+  test("plan: championIndex builds in ONE fused pass — heap-bounded agg, no join, no window") {
+    // r15: stats (df/cf) and the bounded champion heap ride a single
+    // partially-aggregated groupBy(term) — the census is tokenized once,
+    // one exchange moves k-bounded buffers (a stopword's corpus-sized
+    // posting list still never materializes), and rank falls out of the
+    // heap's sorted drain instead of a window sort
     val plan = Rank.championIndex(corpus, "doc_id", "text", m = 2)
       .queryExecution.executedPlan.toString
-    assert(planCount(plan, "GroupTopK") == 2, plan.take(3000)) // partial + final
+    assert(planCount(plan, "champion_agg") == 2, plan.take(3000)) // partial + final
+    assert(planCount(plan, "Generate explode") == 1, plan.take(3000)) // ONE census pass
+    assert(planCount(plan, "Exchange") == 1, plan.take(3000))
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan.take(3000))
   }
 
   test("plan: scoring is map-side — no Exchange and no WindowExec before the top-k prune") {

@@ -186,18 +186,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(planCount(plan, "GroupTopK") == 2, plan.take(3000))
   }
 
-  test("q106: posting lists prune through GroupTopK heaps; rank window only after the prune") {
-    // the index build must never sort a term's full posting list: champion
-    // selection is the partial+final heap pair, and the only WindowExec
-    // (the rank stamp) runs on <= m rows per term downstream of it
+  test("q106: the index builds in ONE fused census pass — heap-bounded agg, no join, no window") {
+    // r15: the index build must never sort a term's full posting list AND
+    // must tokenize the corpus exactly once: champion selection, df and cf
+    // all ride one partially-aggregated champion_agg (its per-term heap is
+    // m-bounded in both phases), rank falls out of the heap's sorted drain
+    // — no stats join, no rank window, one build-side exchange
     val plan = finalPlan(q("q106_champion_index"))
-    assert(planCount(plan, "GroupTopK") == 2, plan.take(3000))
-    // tree renders top-down, so the downstream rank window must print
-    // BEFORE the heap prune feeding it — i.e. it sorts <= m rows per term
-    val pruneAt = plan.indexOf("GroupTopK")
-    val windowAt = plan.indexOf("Window")
-    assert(pruneAt >= 0 && windowAt >= 0 && windowAt < pruneAt,
-      s"rank window must consume the prune's output (window@$windowAt prune@$pruneAt)\n" + plan.take(3000))
+    assert(planCount(plan, "champion_agg") == 2, plan.take(3000)) // partial + final
+    assert(planCount(plan, "Generate explode") == 1, plan.take(3000)) // ONE census pass
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
   }
 
   test("q87: duplicated-window census is groupBy+join-back — no per-hash window sort") {

@@ -11,6 +11,10 @@ object Bench {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the engine's optimizer rules (top-k rewrites, constant-UDF fold)
+      // and the GroupTopK strategy — the session shape a deployment gets
+      // from spark.sql.extensions=graft.plans.GraftExtensions
+      .withExtensions(graft.plans.GraftExtensions.install)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

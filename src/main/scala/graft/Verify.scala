@@ -14,6 +14,9 @@ object Verify {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // same extension set as Bench: correctness must replay the exact
+      // plans the bench times
+      .withExtensions(graft.plans.GraftExtensions.install)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -28,10 +28,11 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB): per-iteration state is only the oriented distinct
   * edge list, shuffled on node id — nothing is ever collected to the
   * driver. Each iteration persists its edge set and unpersists the
-  * previous one; convergence is a single count+checksum aggregate (two
-  * longs to the driver per round). Lineage is cut with a localCheckpoint
-  * every few rounds so plan analysis stays O(1) per iteration instead of
-  * growing with the round count.
+  * previous one; convergence is a count+checksum metric OBSERVED on the
+  * checkpoint job itself (two longs to the driver per round, no separate
+  * action). Lineage is cut with a localCheckpoint every round so plan
+  * analysis stays O(1) per iteration instead of growing with the round
+  * count.
   */
 object ConnectedComponents {
 
@@ -57,20 +58,31 @@ object ConnectedComponents {
     // Catalyst re-analysis makes iteration i cost O(i), turning a
     // 17-round path graph quadratic (measured 130 s -> 8 s on a 100k-node
     // path + 120k-edge graph at local[32]).
-    var e = edges
+    // The per-round convergence checksum RIDES the checkpoint job as an
+    // observed metric (r15): previously every round ran two actions — the
+    // eager checkpoint materialization plus a count+xor aggregate re-read
+    // of the cached blocks — and the fixed cost of that second job
+    // dominates late rounds, whose edge sets are tiny. One action per
+    // round now; the observed values are the same two longs.
+    def checkpointed(df: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val cp = df.observe(obs, count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("sig"))
+        .localCheckpoint(true)
+      (cp, (obs.get("n").asInstanceOf[Long], obs.get("sig").asInstanceOf[Long]))
+    }
+
+    var (e, prevSig) = checkpointed(edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter($"a" =!= $"b" && $"a".isNotNull && $"b".isNotNull)
       .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
-    var prevSig = checksum(e)
     var converged = prevSig._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val sig = checksum(next)
+      val (next, sig) = checkpointed(smallStar(largeStar(e)))
       e.unpersist()
       e = next
       converged = sig == prevSig
@@ -89,16 +101,6 @@ object ConnectedComponents {
       .localCheckpoint(true)
     e.unpersist()
     labels
-  }
-
-  /** (count, xor-of-hashes) edge-set signature: order-independent,
-    * overflow-free under ANSI (xor, not sum), computed as one aggregate —
-    * the only values that ever reach the driver. */
-  private def checksum(e: DataFrame): (Long, Long) = {
-    val row = e.agg(
-      count(lit(1)),
-      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
-    (row.getLong(0), row.getLong(1))
   }
 
   /** Large-star: every node links its LARGER neighbors to the minimum of

@@ -27,8 +27,8 @@ import org.apache.spark.sql.functions._
   * `redistributeDangling` is on, else 0. OFF by default (the common
   * simplification — ranks then measure relative, not normalized,
   * centrality); ON gives the normalized-mass variant at the cost of one
-  * extra scalar aggregate per round (the dangling sum, a driver-side
-  * Long, same bounded-action class as the node count). Edges are
+  * extra node-sized aggregate per round — a 1-row frame broadcast into
+  * the round's own plan (r15), not a separate driver action. Edges are
   * deduplicated and self-loops removed, so the graph is simple and
   * unweighted.
   *
@@ -83,11 +83,15 @@ object PageRank {
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
+    // the node count rides the checkpoint job as an observed metric (r15)
+    // instead of a second count() action over the cached blocks
+    val nObs = org.apache.spark.sql.Observation()
     val nodes = ed.select(col("src").as("node"))
       .union(ed.select(col("dst").as("node")))
       .distinct()
+      .observe(nObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    val n = nodes.count()
+    val n = nObs.get("n").asInstanceOf[Long]
     require(n > 0, "PageRank: empty graph")
     val outdeg = ed.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
       .localCheckpoint(true)
@@ -96,26 +100,34 @@ object PageRank {
     val init = scale / n
     val teleport = ((100L - dampingPct) * scale) / (100L * n)
 
-    var ranks = nodes.select(col("node"), lit(init).as("pr")).localCheckpoint(true)
+    // no checkpoint for the initial ranks: it is a constant projection over
+    // the already-checkpointed nodes frame (depth-1 lineage over cached
+    // blocks), so materializing it was a pure extra job (r15)
+    var ranks = nodes.select(col("node"), lit(init).as("pr"))
     var i = 0
     var settled = false
     while (i < iterations && !settled) {
-      // dangling mass: one scalar aggregate over node-sized state (a
-      // driver-side Long, the same bounded-action class as the n count)
-      val dang =
-        if (redistributeDangling) {
-          val dsum = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
-            .agg(coalesce(sum(col("pr")), lit(0L))).head.getLong(0)
-          dsum / n
-        } else 0L
       val shares = ranks.join(outdeg, ranks("node") === outdeg("src"))
         .select(col("src"), expr("pr div odeg").as("share"))
       val inbound = ed.join(shares, Seq("src"))
         .groupBy(col("dst")).agg(sum(col("share")).as("m"))
-      val next = nodes.join(inbound, nodes("node") === inbound("dst"), "left")
-        .select(col("node"),
-          (lit(teleport) + expr(s"($dampingPct * (coalesce(m, 0L) + $dang)) div 100")).as("pr"))
-        .localCheckpoint(true)
+      val base = nodes.join(inbound, nodes("node") === inbound("dst"), "left")
+      // dangling mass: previously a separate per-round driver action; now a
+      // 1-row aggregate broadcast INTO the round's plan (r15), so each
+      // round is exactly one job. The arithmetic is unchanged — `div` is
+      // the same floor division the driver-side Long division performed
+      // (both operands non-negative here).
+      val next = (if (redistributeDangling) {
+        val dangF = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+          .agg(coalesce(sum(col("pr")), lit(0L)).as("__dsum"))
+          .select(expr(s"__dsum div ${n}L").as("__dang"))
+        base.crossJoin(broadcast(dangF))
+          .select(col("node"),
+            (lit(teleport) + expr(s"($dampingPct * (coalesce(m, 0L) + __dang)) div 100")).as("pr"))
+      } else {
+        base.select(col("node"),
+          (lit(teleport) + expr(s"($dampingPct * coalesce(m, 0L)) div 100")).as("pr"))
+      }).localCheckpoint(true)
       settled = stopDelta.exists { eps =>
         // scalar max-|delta| over node-sized state; both sides are
         // already-checkpointed block scans, so the join is two cached reads

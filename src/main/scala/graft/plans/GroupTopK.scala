@@ -267,7 +267,21 @@ object TopKPerKeyRule extends Rule[LogicalPlan] {
               // strip an already-inferred same-spec WindowGroupLimit
               // instead of nesting the heap under its sorts
               val base = WindowPatterns.stripSameSpecGroupLimit(w, k)
-              w.copy(child = GroupTopKNode(w.partitionSpec, w.orderSpec, k, base))
+              base match {
+                // already heap-pruned at least as tightly by an explicit
+                // GroupTopK.topK with the same spec (the hand-composed
+                // prune + rank-window pattern the operators use): a second
+                // heap pair would be pure overhead — leave the plan alone
+                case g: GroupTopKNode
+                    if g.k <= k &&
+                      g.grouping.length == w.partitionSpec.length &&
+                      g.grouping.zip(w.partitionSpec).forall { case (a, b) => a.semanticEquals(b) } &&
+                      g.order.length == w.orderSpec.length &&
+                      g.order.zip(w.orderSpec).forall { case (a, b) => a.semanticEquals(b) } =>
+                  f
+                case _ =>
+                  w.copy(child = GroupTopKNode(w.partitionSpec, w.orderSpec, k, base))
+              }
             case _ => f
           }
         case None => f

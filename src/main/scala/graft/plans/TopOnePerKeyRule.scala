@@ -140,6 +140,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // k>1 companion: row_number<=k filters become heap top-k (the rule
     // runs after TopOnePerKeyRule, which claims the k=1 cases it can)
     ext.injectOptimizerRule(_ => TopKPerKeyRule)
+    // deterministic UDFs over all-literal args evaluate once at plan time
+    // instead of once per row (r15 — see FoldConstantUdfRule)
+    ext.injectOptimizerRule(_ => FoldConstantUdfRule)
     // whole-operator §2.14 exemplar; the strategy only matches
     // GroupTopKNode, so injecting it is inert for all other plans
     // (GroupTopK.topK also self-installs for sessions without extensions)

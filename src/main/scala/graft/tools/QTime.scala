@@ -6,6 +6,7 @@ object QTime {
   def main(args: Array[String]): Unit = {
     val d = args.head
     val spark = SparkSession.builder().master("local[32]")
+      .withExtensions(graft.plans.GraftExtensions.install)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -9,6 +9,9 @@ object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-tests")
+    // same extension set as the Bench/Verify sessions, so every suite
+    // exercises the plans the driver actually runs
+    .withExtensions(graft.plans.GraftExtensions.install)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -184,15 +184,19 @@ object HybridServe {
     // full census passes per action at r15 start. Checkpointed state is
     // index-/cells-sized (exactly what save would write), never
     // corpus-sized; save over the checkpoint writes from cached blocks
-    // instead of re-tokenizing. The corpus count rides the index
-    // materialization via Observation-style accounting where possible —
-    // it stays a separate bounded count() action here because the index
-    // census drops docs whose text tokenizes empty.
-    Artifacts(requireIndexSchema(index, "buildWith").localCheckpoint(),
-      corpus.count(),
-      ivf, pq,
-      PqIndex.encodeCells(embeddings, vecIdCol, vecCol, ivf, pq).localCheckpoint(),
-      cfg)
+    // instead of re-tokenizing. The three build actions (index census,
+    // cells encode, corpus count) are INDEPENDENT jobs over different
+    // inputs, so they run concurrently (guide §2.6 — later jobs back-fill
+    // the earlier jobs' idle task slots) instead of serially.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val indexF = Future(requireIndexSchema(index, "buildWith").localCheckpoint())
+    val cellsF = Future(
+      PqIndex.encodeCells(embeddings, vecIdCol, vecCol, ivf, pq).localCheckpoint())
+    val nF = Future(corpus.count())
+    Artifacts(Await.result(indexF, Duration.Inf), Await.result(nF, Duration.Inf),
+      ivf, pq, Await.result(cellsF, Duration.Inf), cfg)
   }
 
   /** [[buildWith]] with the models fitted here: IVF centroids via
@@ -439,12 +443,17 @@ object HybridServe {
     // subtracting a never-added doc's stats would silently corrupt df/cf
     // (the ingest disjointness guard's mirror image), so an unknown id
     // fails fast.
-    val probe = staleIds.withColumnRenamed("__sid", "__rid")
+    // launched CONCURRENTLY with the grp job below (guide §2.6): the two
+    // guard actions read independent inputs (roster vs stale-vocabulary
+    // stored rows), so running them serially left the cluster idle for a
+    // full bounded-job latency per mutation; the membership require is
+    // still checked FIRST, so error priority is unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val probeF = Future(staleIds.withColumnRenamed("__sid", "__rid")
       .join(rosterIds(a, "remove").withColumn("__hit", lit(1)), Seq("__rid"), "left")
-      .agg(count(lit(1)).as("n"), count(col("__hit")).as("known")).head()
-    require(probe.getLong(0) == probe.getLong(1),
-      "remove: stale ids not present in the stored serving set — stale rows " +
-        "must come from the previously stored corpus version")
+      .agg(count(lit(1)).as("n"), count(col("__hit")).as("known")).head())
     // the stale batch's exact per-term stats, from its own rows alone
     // (championIndex computes df/cf before the champion prune, so m=1
     // minimizes work without affecting the stats)
@@ -465,7 +474,7 @@ object HybridServe {
     // (untouched + touched), never re-runs the stats aggregate.
     val spark = stored.sparkSession
     import spark.implicits._
-    val grp = stored
+    val grpF = Future(stored
       .join(broadcast(staleStats), Seq("term"))
       .join(broadcast(staleIds), col("id") === col("__sid"), "left")
       .groupBy(col("term"))
@@ -476,7 +485,12 @@ object HybridServe {
         count(when(col("__sid").isNull && col("id").isNotNull, lit(1)))
           .as("surv"))
       .as[(String, Long, Long, Long, Long, Long, Long, Long)]
-      .collect()
+      .collect())
+    val probe = Await.result(probeF, Duration.Inf)
+    require(probe.getLong(0) == probe.getLong(1),
+      "remove: stale ids not present in the stored serving set — stale rows " +
+        "must come from the previously stored corpus version")
+    val grp = Await.result(grpF, Duration.Inf)
     val adjRows = Vector.newBuilder[(String, Long, Long, Long)]
     val tombRows = Vector.newBuilder[(String, Long, Long, Long)]
     for ((term, df0, cf0, loss0, rdf, rcf, prevHave, surv) <- grp) {
@@ -582,8 +596,15 @@ object HybridServe {
              docIdCol: String, textCol: String,
              freshEmb: DataFrame, vecIdCol: String, vecCol: String): Artifacts = {
     val removed = remove(a, stale, docIdCol, textCol)
-    ingest(removed.copy(index = removed.index.localCheckpoint(),
-        cells = removed.cells.localCheckpoint()),
+    // the two materializations are independent jobs — run them
+    // concurrently (guide §2.6), same as buildWith's build actions
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val idxF = Future(removed.index.localCheckpoint())
+    val cellsF = Future(removed.cells.localCheckpoint())
+    ingest(removed.copy(index = Await.result(idxF, Duration.Inf),
+        cells = Await.result(cellsF, Duration.Inf)),
       fresh, docIdCol, textCol, freshEmb, vecIdCol, vecCol)
   }
 

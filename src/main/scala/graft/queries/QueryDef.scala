@@ -27,4 +27,23 @@ object QueryDef {
   val TsFmt = "yyyy-MM-dd HH:mm:ss" // == DuckDB strftime '%Y-%m-%d %H:%M:%S'
 
   def fmtTs(c: Column): Column = date_format(c, TsFmt)
+
+  /** Scale-adaptive parallelizer for CPU-heavy map stages (optimization
+    * guide §2.5, "input skew: one huge unsplittable file — repartition
+    * immediately after the read"): parquet scans split at row-group
+    * granularity, so a single-row-group file is ONE scan task and every
+    * per-row kernel downstream of it (mdformat, BPE, vector math) runs
+    * serially no matter how many cores the session has. When the scan
+    * yields fewer partitions than the session's parallelism, shuffle the
+    * (tiny, by construction) input once before the kernel; when the input
+    * already splits wide — the 100 TB case, where shuffling a corpus for
+    * parallelism's sake would be the §8 anti-pattern — this is a no-op
+    * and adds nothing to the plan. Results are unaffected: every declared
+    * query ends in a total ORDER BY, and all aggregation here is exact
+    * (integer/decimal) arithmetic. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
 }

@@ -1016,7 +1016,7 @@ object TextQ {
           lit("\n5. second "), element_at(w, 8),
           lit("\n\nSee ["), element_at(w, 9))
         val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
-        docs(s, d)
+        spread(docs(s, d))
           .select(col("doc_id"), fmtUdf(md).as("canon"))
           .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
             length(col("canon")).cast("long").as("canon_len"))
@@ -1056,7 +1056,7 @@ object TextQ {
           element_at(w, 2), lit("\n---\n\n* * *\n\npara "), element_at(w, 3),
           lit("\n\n1. a\n   5. b\n   7. c\n2. d\n\n3) x\n\n9) y"))
         val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
-        docs(s, d)
+        spread(docs(s, d))
           .select(col("doc_id"), fmtUdf(md).as("canon"))
           .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
             length(col("canon")).cast("long").as("canon_len"))
@@ -1091,7 +1091,7 @@ object TextQ {
           lit("a\\, "), element_at(w, 2), lit(" 100\\% ok\n\n1\\. not list\n\n"),
           lit("    code ["), element_at(w, 3), lit("] *x*\n\nbrk\\\n"), element_at(w, 4))
         val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
-        docs(s, d)
+        spread(docs(s, d))
           .select(col("doc_id"), fmtUdf(md).as("canon"))
           .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
             length(col("canon")).cast("long").as("canon_len"))
@@ -1134,7 +1134,7 @@ object TextQ {
           lit("\n9. z\nlzy\n\n4. p "), element_at(w, 9),
           lit("\n\t8. q"))
         val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
-        docs(s, d)
+        spread(docs(s, d))
           .select(col("doc_id"), fmtUdf(md).as("canon"))
           .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
             length(col("canon")).cast("long").as("canon_len"))
@@ -1187,7 +1187,7 @@ object TextQ {
           lit("\n\n   ```\n   tail "), element_at(w, 8),
           lit("\n   ```"))
         val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
-        docs(s, d)
+        spread(docs(s, d))
           .select(col("doc_id"), fmtUdf(md).as("canon"))
           .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
             length(col("canon")).cast("long").as("canon_len"))
@@ -1232,7 +1232,7 @@ object TextQ {
           lit("|\n   |-|:-:|\n   |"), element_at(w, 3),
           lit("| v |\n8. end "), element_at(w, 4))
         val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
-        docs(s, d)
+        spread(docs(s, d))
           .select(col("doc_id"), fmtUdf(md).as("canon"))
           .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
             length(col("canon")).cast("long").as("canon_len"))
@@ -1273,7 +1273,7 @@ object TextQ {
           lit("\n   # mid "), element_at(w, 5),
           lit("\n   ----\n7) tail "), element_at(w, 6))
         val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
-        docs(s, d)
+        spread(docs(s, d))
           .select(col("doc_id"), fmtUdf(md).as("canon"))
           .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
             length(col("canon")).cast("long").as("canon_len"))
@@ -1313,7 +1313,7 @@ object TextQ {
           lit("|\n   |-|:-:|\n   |"), element_at(w, 6),
           lit("| v |\n\n9. tail "), element_at(w, 7))
         val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
-        docs(s, d)
+        spread(docs(s, d))
           .select(col("doc_id"), fmtUdf(md).as("canon"))
           .select(col("doc_id"), sha2(col("canon"), 256).as("canon_sha"),
             length(col("canon")).cast("long").as("canon_len"))
@@ -1369,7 +1369,7 @@ object TextQ {
           }
           graft.split.MdFormatLite.normalize(m, wr)
         })
-        docs(s, d)
+        spread(docs(s, d))
           .select(col("doc_id"),
             concat(fmtUdf(mdA, lit("no")), lit("\n====\n"),
               fmtUdf(mdB, lit("10")), lit("\n====\n"),
@@ -1416,7 +1416,7 @@ object TextQ {
         val mdC = concat(lit("1. h "), element_at(w, 6),
           lit("\n   > x [y]\n   > > d\n2. e"))
         val fmtUdf = udf((m: String) => graft.split.MdFormatLite.normalize(m))
-        docs(s, d)
+        spread(docs(s, d))
           .select(col("doc_id"),
             concat(fmtUdf(mdA), lit("\n====\n"), fmtUdf(mdB),
               lit("\n====\n"), fmtUdf(mdC)).as("canon"))
@@ -1472,7 +1472,7 @@ object TextQ {
           }
           graft.split.MdFormatLite.normalize(m, wr)
         })
-        docs(s, d)
+        spread(docs(s, d))
           .select(col("doc_id"),
             concat(fmtUdf(mdA, lit("no")), lit("\n====\n"),
               fmtUdf(mdB, lit("12")), lit("\n====\n"),

@@ -199,7 +199,7 @@ object TextQ {
     QueryDef("q30_fingerprint",
       (s, d) => {
         val t = tokens(col("text"))
-        docs(s, d)
+        spread(docs(s, d))
           .select(col("doc_id"),
             md5(concat_ws(" ", slice(t, 1, 8))).as("prefix_fp"),
             big(graft.functions.Kernels.shingleCountUdf(3)(col("text"))).as("n_shingles3"))
@@ -212,7 +212,7 @@ object TextQ {
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q31_simhash",
-      (s, d) => Dedup.withSimhash(docs(s, d), "text", 48)
+      (s, d) => Dedup.withSimhash(spread(docs(s, d)), "text", 48)
         .select(col("doc_id"), col("simhash"))
         .orderBy(col("doc_id")),
       Some(s"""WITH t AS (SELECT doc_id, unnest($W) AS w FROM documents),
@@ -224,7 +224,7 @@ object TextQ {
         |SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM bb GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q32_minhash_signature",
-      (s, d) => Dedup.withMinhash(docs(s, d), "text", 12, 4)
+      (s, d) => Dedup.withMinhash(spread(docs(s, d)), "text", 12, 4)
         .select(col("doc_id"),
           element_at(col("minhash"), 1).as("mh0"),
           element_at(col("minhash"), 2).as("mh1"),
@@ -251,7 +251,7 @@ object TextQ {
       // no-op) but at any larger verify scale a hot band stays hash-exact
       // instead of silently diverging. The capped join itself is exercised
       // by DedupSpec's oracle-model parity test on planted skew.
-      (s, d) => Dedup.minhashPairs(docs(s, d), "doc_id", "text", 12, 4, 0.6)
+      (s, d) => Dedup.minhashPairs(spread(docs(s, d)), "doc_id", "text", 12, 4, 0.6)
         .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH $minhashPairCtes
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin)),
@@ -263,7 +263,7 @@ object TextQ {
       // (window count per band -> ceil(size/256) sub-buckets -> hash60 of
       // the id picks the sub-bucket) — possible because capBandFanout uses
       // the engine's md5/hash60 scheme, not Spark's Murmur3.
-      (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text", 48, 16, 2)
+      (s, d) => Dedup.simhashPairs(spread(docs(s, d)), "doc_id", "text", 48, 16, 2)
         .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH t AS (SELECT doc_id, unnest($W) AS w FROM documents),
         |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w || '#sh'), 1, 15)) AS BIGINT) AS hv FROM t),
@@ -431,7 +431,7 @@ object TextQ {
       // hashes, window 4 — the scale-friendly document sketch (any shared
       // run of >= 6 words yields a shared fingerprint). Kernel on the Spark
       // side, replayed symbolically by the oracle.
-      (s, d) => docs(s, d)
+      (s, d) => spread(docs(s, d))
         .select(col("doc_id"),
           graft.functions.Kernels.winnowUdf(3, 4)(col("text")).as("f"))
         .select(col("doc_id"), big(size(col("f"))).as("n_fp"),
@@ -915,7 +915,7 @@ object TextQ {
           lit("</li></ul>"),
           lit("<p>End <b>"), element_at(w, 5), lit("</b>.</p>"))
         val conv = udf((h: String) => graft.functions.HtmlToMd.convert(h))
-        docs(s, d)
+        spread(docs(s, d))
           .select(col("doc_id"), conv(html).as("md"))
           .select(col("doc_id"), sha2(col("md"), 256).as("md_sha"),
             length(col("md")).cast("long").as("md_len"))
@@ -1550,7 +1550,7 @@ object TextQ {
       // CTE — tractable at oracle scale, while the Spark side runs the
       // O(log n)-round distributed algorithm a 100 TB pair graph needs.
       (s, d) => Dedup.resolveClusters(docs(s, d), "doc_id",
-          Dedup.minhashPairs(docs(s, d), "doc_id", "text", 12, 4, 0.6))
+          Dedup.minhashPairs(spread(docs(s, d)), "doc_id", "text", 12, 4, 0.6))
         .orderBy(col("doc_id")),
       Some(s"""WITH RECURSIVE $minhashPairCtes,
         |filt AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.6),
@@ -1573,7 +1573,7 @@ object TextQ {
       (s, d) => {
         import graft.functions.Kernels
         val t = tokens(col("text"))
-        docs(s, d)
+        spread(docs(s, d))
           .withColumn("__t", t)
           .withColumn("__rs", Kernels.repStatsUdf(2, 5)(col("text")))
           .select(
@@ -1641,7 +1641,7 @@ object TextQ {
       // shuffle. The oracle joins on the gram STRINGS — identical modulo
       // 2^-60 hash-collision odds, same documented bound as the LSH bands.
       (s, d) => {
-        val corpus = docs(s, d)
+        val corpus = spread(docs(s, d))
         val bench = corpus.filter(col("doc_id") % 53 === 0)
         graft.operators.Decontaminate.flag(corpus, bench, "doc_id", "text", n = 8)
           .orderBy(col("doc_id"))
@@ -1854,7 +1854,7 @@ object TextQ {
           lit("/"), col("doc_id"),
           lit("/?utm_campaign=x&ref="), col("lang"),
           lit("&utm_source=y#sec"), col("doc_id"))
-        docs(s, d)
+        spread(docs(s, d))
           .select(col("doc_id"), canonicalizeUrl(synth).as("canon"))
           .orderBy(col("doc_id"))
       },
@@ -1921,7 +1921,7 @@ object TextQ {
       // hash — the documented 2^-60 collision odds, line-dedup precedent)
       // and the coverage-mask rebuild symbolically.
       (s, d) => {
-        val base = docs(s, d).select(col("doc_id"), col("text"),
+        val base = spread(docs(s, d)).select(col("doc_id"), col("text"),
           big(size(tokens(col("text")))).as("n_tokens"))
         Dedup.stripDupSpans(base, "doc_id", "text", w = 15)
           .select(col("doc_id"), col("n_tokens"), col("dup_windows"),
@@ -2066,7 +2066,7 @@ object TextQ {
       // orderBy+limit (TakeOrderedAndProject); ties break on the window
       // hash, which the oracle recomputes with the same md5 scheme.
       (s, d) => {
-        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val base = spread(docs(s, d)).select(col("doc_id"), col("text"))
         val agg = Dedup.dupWindows(base, "doc_id", "text", 15)
           .groupBy(col("wh"))
           .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"),
@@ -2135,7 +2135,7 @@ object TextQ {
       // fingerprint CTEs with the fan-out-cap sub-bucketing (q33 scheme;
       // inert at this scale — max fp membership 7 — but exact at any) and
       // the shared-count join. 103 pairs at sf0.01, max 37 shared.
-      (s, d) => Dedup.winnowPairs(docs(s, d), "doc_id", "text", 3, 4, minShared = 2)
+      (s, d) => Dedup.winnowPairs(spread(docs(s, d)), "doc_id", "text", 3, 4, minShared = 2)
         .select(col("id_a"), col("id_b"), big(col("n_shared")).as("n_shared"))
         .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH tk AS (SELECT doc_id, $W AS w FROM documents),
@@ -2182,7 +2182,7 @@ object TextQ {
           p
         })
         Dedup.minhashPairsAgainstIndex(
-            s.read.parquet(idxPath), all.filter(col("doc_id") % 2 === 1),
+            s.read.parquet(idxPath), spread(all.filter(col("doc_id") % 2 === 1)),
             "doc_id", "text", 12, 4, 0.6)
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -2296,7 +2296,7 @@ object TextQ {
       // membership plus per-shard totals, both pinned.
       (s, d) => {
         val assigned = graft.operators.Sharding.assignShards(
-          docs(s, d).select(col("doc_id"), col("text"),
+          spread(docs(s, d)).select(col("doc_id"), col("text"),
             big(tokenCount(col("text"))).as("n_tokens"),
             sha256Hex(col("text")).as("h")),
           "n_tokens", 2000L, Seq("h", "doc_id"))
@@ -2369,7 +2369,7 @@ object TextQ {
       // reuses q72's recursive transitive closure and elects with a
       // window (tractable at oracle scale).
       (s, d) => {
-        val base = docs(s, d)
+        val base = spread(docs(s, d))
         Dedup.selectKeepers(base, "doc_id",
             Dedup.minhashPairs(base, "doc_id", "text", 12, 4, 0.6),
             size(array_distinct(split(col("text"), "\\s+"))))
@@ -2450,7 +2450,7 @@ object TextQ {
       // the shared minhash-pair CTEs, the recursive closure, and the
       // byHashWeighted predicate.
       (s, d) => {
-        val base = docs(s, d)
+        val base = spread(docs(s, d))
         Dedup.softDedupSample(base, "doc_id",
             Dedup.minhashPairs(base, "doc_id", "text", 12, 4, 0.6))
           .orderBy(col("doc_id"))

@@ -441,7 +441,7 @@ object VectorQ {
         val centroids = emb(s, d).filter(col("vec_id") < 4).orderBy(col("vec_id"))
           .select(graft.functions.Kernels.quantNormUdf(col("embedding")).getField("_1").as("qv"))
           .as[Seq[Long]].collect().map(_.toArray)
-        Dedup.semanticDedup(planted, "vec_id", "embedding",
+        Dedup.semanticDedup(spread(planted), "vec_id", "embedding",
             graft.operators.IvfIndex.Model(centroids), threshold = 0.999)
           .orderBy(col("vec_id"))
       },

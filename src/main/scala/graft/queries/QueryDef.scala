@@ -46,4 +46,16 @@ object QueryDef {
     if (df.queryExecution.toRdd.getNumPartitions >= target) df
     else df.repartition(target)
   }
+
+  /** [[spread]] keyed by high-cardinality columns: hash repartition skips
+    * the local sort a round-robin repartition pays for retry determinism
+    * (spark.sql.execution.sortBeforeRepartition) — measurably cheaper when
+    * the narrow input is a fact table rather than a 5k-doc corpus. The key
+    * only decides placement; downstream aggregates re-shuffle by their own
+    * group keys, so any deterministic high-cardinality key is correct. */
+  def spread(df: DataFrame, keys: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions >= target) df
+    else df.repartition(target, keys: _*)
+  }
 }

@@ -36,7 +36,7 @@ object Relational {
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin)),
 
     QueryDef("q02_agg_pricing",
-      (s, d) => li(s, d)
+      (s, d) => spread(li(s, d), col("l_orderkey"))
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -57,7 +57,7 @@ object Relational {
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
     QueryDef("q03_distinct_agg",
-      (s, d) => li(s, d)
+      (s, d) => spread(li(s, d), col("l_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_orderkey")).as("n_orders"),
@@ -69,7 +69,7 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     QueryDef("q04_rollup",
-      (s, d) => li(s, d)
+      (s, d) => spread(li(s, d), col("l_orderkey"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
@@ -79,7 +79,7 @@ object Relational {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
     QueryDef("q05_cube",
-      (s, d) => li(s, d)
+      (s, d) => spread(li(s, d), col("l_orderkey"))
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),

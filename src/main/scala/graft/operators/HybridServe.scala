@@ -166,7 +166,14 @@ object HybridServe {
     require(cfg.champSlack >= 0, "buildWith: champSlack must be >= 0")
     require(cfg.champMinDf != LegacyUnknownMinDf,
       "buildWith: champMinDf = -1 is the legacy-meta sentinel, not a build knob")
-    val index = Rank.championIndex(corpus, docIdCol, textCol,
+    // nDocs RIDES the index census as an observed metric (r15, the CC
+    // checksum trick): championIndex consumes the corpus exactly once (one
+    // fused aggregate pass), so a CollectMetrics count on the corpus node
+    // arrives with the index checkpoint job — the separate corpus.count()
+    // action this replaces was a SECOND full corpus scan per build.
+    val nObs = org.apache.spark.sql.Observation()
+    val index = Rank.championIndex(
+        corpus.observe(nObs, count(lit(1)).as("n")), docIdCol, textCol,
         m = cfg.champM + cfg.champSlack, minDf = cfg.champMinDf,
         lowercase = cfg.lowercase)
       // championIndex's id column keeps the caller's name; normalize it to
@@ -184,18 +191,19 @@ object HybridServe {
     // full census passes per action at r15 start. Checkpointed state is
     // index-/cells-sized (exactly what save would write), never
     // corpus-sized; save over the checkpoint writes from cached blocks
-    // instead of re-tokenizing. The three build actions (index census,
-    // cells encode, corpus count) are INDEPENDENT jobs over different
-    // inputs, so they run concurrently (guide §2.6 — later jobs back-fill
-    // the earlier jobs' idle task slots) instead of serially.
+    // instead of re-tokenizing. The two build actions (index census with
+    // the observed nDocs riding it, cells encode) are INDEPENDENT jobs
+    // over different inputs, so they run concurrently (guide §2.6 — later
+    // jobs back-fill the earlier jobs' idle task slots) instead of
+    // serially.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val indexF = Future(requireIndexSchema(index, "buildWith").localCheckpoint())
     val cellsF = Future(
       PqIndex.encodeCells(embeddings, vecIdCol, vecCol, ivf, pq).localCheckpoint())
-    val nF = Future(corpus.count())
-    Artifacts(Await.result(indexF, Duration.Inf), Await.result(nF, Duration.Inf),
+    val idx = Await.result(indexF, Duration.Inf)
+    Artifacts(idx, nObs.get("n").asInstanceOf[Long],
       ivf, pq, Await.result(cellsF, Duration.Inf), cfg)
   }
 

@@ -36,17 +36,27 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Session conf key for [[run]]'s small-graph cutover (edge count at or
+    * below which the component labeling runs driver-side); default 100000
+    * oriented distinct edges = ~1.6 MB collected — the same order as a
+    * broadcast-join build side. Deployments tune it like any join
+    * threshold; 0 disables the local path outright. */
+  val LocalEdgeLimitKey = "spark.graft.graph.localEdgeLimit"
+  val LocalEdgeLimitDefault = 100000L
+
   /** Component labels for every node appearing in `edges`.
     *
     * @param edges  DataFrame with two id columns (castable to long);
     *               self-loops, duplicates and reversed duplicates are fine.
+    * @param localEdgeLimit small-graph cutover (edges); negative = read the
+    *               [[LocalEdgeLimitKey]] session conf.
     * @return       DataFrame(node LONG, component LONG) — one row per
     *               distinct node; `component` is the minimum node id of the
     *               node's connected component. Isolated ids that never
     *               appear in `edges` are absent (callers left-join).
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-          maxIter: Int = 25): DataFrame = {
+          maxIter: Int = 25, localEdgeLimit: Long = -1L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -77,6 +87,49 @@ object ConnectedComponents {
       .filter($"a" =!= $"b" && $"a".isNotNull && $"b".isNotNull)
       .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
       .distinct())
+
+    // Small-graph cutover (r16, guide §1.2 "remove unnecessary shuffles and
+    // passes"): the edge count just rode the checkpoint's observed metric,
+    // so the decision is free. At or below the limit the star rounds are
+    // pure fixed job latency — each round is a checkpoint job with ~4
+    // exchanges over a graph that fits in one broadcast — so the labels are
+    // computed driver-side by union-find over the SAME oriented distinct
+    // edge set (bounded collect, ≤ limit×16 bytes — the size class of a
+    // broadcast build side) and returned as a local relation, which
+    // downstream joins broadcast exactly like the checkpointed frame. The
+    // labels are identical by construction: min node id per component.
+    // Above the limit nothing changes — the distributed rounds below are
+    // the 100 TB path. Adaptive plan choice (AQE's broadcast cutover, made
+    // at the operator level), not caching: every run recomputes from its
+    // input.
+    val limit =
+      if (localEdgeLimit >= 0L) localEdgeLimit
+      else spark.conf.get(LocalEdgeLimitKey, LocalEdgeLimitDefault.toString).toLong
+    if (prevSig._1 <= limit) {
+      val es = e.as[(Long, Long)].collect()
+      e.unpersist()
+      val parent = new java.util.HashMap[Long, Long](es.length * 2)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      for ((u, v) <- es) {
+        if (!parent.containsKey(u)) parent.put(u, u)
+        if (!parent.containsKey(v)) parent.put(v, v)
+        val ru = find(u); val rv = find(v)
+        // attach the larger root under the smaller: the root IS the
+        // component minimum, matching the distributed labels exactly
+        if (ru < rv) parent.put(rv, ru)
+        else if (rv < ru) parent.put(ru, rv)
+      }
+      val out = Vector.newBuilder[(Long, Long)]
+      val it = parent.keySet().iterator()
+      while (it.hasNext) { val node = it.next(); out += ((node, find(node))) }
+      return out.result().toDF("node", "component")
+    }
 
     var converged = prevSig._1 == 0L
     var iter = 0

@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] =
-    ConnectedComponents.run(edges.toDF("src", "dst"), "src", "dst", maxIter)
+  private def cc(edges: Seq[(Long, Long)], maxIter: Int = 25,
+                 localEdgeLimit: Long = -1L): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDF("src", "dst"), "src", "dst", maxIter,
+        localEdgeLimit)
       .as[(Long, Long)].collect().toMap
 
   test("two disjoint cliques label as their minima") {
@@ -19,11 +21,28 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   test("a 64-node path converges to one component within the round budget") {
     // worst case for naive label propagation (diameter 63); the alternating
-    // star rounds must close it in O(log n) iterations
+    // star rounds must close it in O(log n) iterations. localEdgeLimit = 0
+    // forces the DISTRIBUTED rounds (the default would solve this
+    // driver-side and never exercise them).
     val path = (1L until 64L).map(i => (i, i + 1))
-    val got = cc(path, maxIter = 10)
+    val got = cc(path, maxIter = 10, localEdgeLimit = 0L)
     assert(got.keySet == (1L to 64L).toSet)
     assert(got.values.toSet == Set(1L))
+  }
+
+  test("driver-side small-graph path labels exactly like the distributed rounds") {
+    // r16 cutover equivalence pin: same edge set through both paths, labels
+    // must be identical — component minima, one row per distinct node.
+    val rnd = new scala.util.Random(20260818L)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 40
+      val edges = Seq.tabulate(3 * n)(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        Seq.tabulate(n / 10)(i => (i.toLong, i.toLong)) // self-loops
+      val local = cc(edges, localEdgeLimit = Long.MaxValue)
+      val dist = cc(edges, localEdgeLimit = 0L)
+      assert(local == dist, s"trial $trial: local/distributed labels diverge")
+    }
   }
 
   test("self-loops, duplicate and reversed edges are harmless") {

@@ -203,8 +203,21 @@ object HybridServe {
     val cellsF = Future(
       PqIndex.encodeCells(embeddings, vecIdCol, vecCol, ivf, pq).localCheckpoint())
     val idx = Await.result(indexF, Duration.Inf)
-    Artifacts(idx, nObs.get("n").asInstanceOf[Long],
-      ivf, pq, Await.result(cellsF, Duration.Inf), cfg)
+    // The census action has completed (indexF awaited), so its observed
+    // metric is already delivered in every supported Spark version; the
+    // bounded wait turns a hypothetical metrics-delivery regression into a
+    // clear error instead of an indefinite hang (ADVICE r15).
+    val n =
+      try Await.result(Future(nObs.get("n").asInstanceOf[Long]),
+        scala.concurrent.duration.Duration(60, "s"))
+      catch { case _: java.util.concurrent.TimeoutException =>
+        throw new IllegalStateException(
+          "buildWith: the corpus-count observation did not deliver within " +
+            "60s of the index census completing — Spark stopped reporting " +
+            "observed metrics on the checkpoint action; count the corpus " +
+            "explicitly or investigate the session's listener bus")
+      }
+    Artifacts(idx, n, ivf, pq, Await.result(cellsF, Duration.Inf), cfg)
   }
 
   /** [[buildWith]] with the models fitted here: IVF centroids via
@@ -443,7 +456,16 @@ object HybridServe {
   def remove(a: Artifacts, stale: DataFrame, docIdCol: String,
              textCol: String): Artifacts = {
     requireMergeable(a, "remove")
+    // The stale-id set MATERIALIZES once (r16): it is re-read by the roster
+    // probe, the stats group, and every downstream action's anti-join
+    // broadcasts (index + cells), and without the checkpoint each of those
+    // re-executes the caller's stale lineage — in the prune-stale pipeline
+    // shape that lineage is itself a corpus semi-join (q129/q130), re-run
+    // 3-4x per mutation. Checkpointed state is batch-id-sized (the same
+    // bound that justifies broadcasting it); the buildWith/upsert eager-
+    // materialization pattern applied at the mutation's input.
     val staleIds = stale.select(col(docIdCol).as("__sid")).distinct()
+      .localCheckpoint()
     // ONE guard job doubling as the nDocs decrement count: every stale id
     // must be in the stored serving set's roster (index ids UNION cells
     // ids — a text-only doc has no cells row but is genuinely stored, and
